@@ -1,0 +1,79 @@
+"""Fixture-lake catalog: loads the 10 test tables and registers temp views.
+
+Reference analog: Flink's ``TableEnvironment`` catalog + ``TableSource``
+registration (SURVEY §1.1, §2.1). Here a table IS a DataFrame; registration
+is ``createOrReplaceTempView`` so every query can use either the fluent API
+or ``spark.sql`` — the two entry points are the same object (SURVEY §3.4).
+
+Scale notes (100 TB design point):
+- Reads are plain ``spark.read.parquet`` → vectorized columnar scan with
+  predicate pushdown + column pruning; at cluster scale the same loader
+  works on a partitioned lake directory unchanged.
+- The ``events.ts`` nanos→micros conversion is a column expression (JVM,
+  codegen) — zero Python in the path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from streamline_hybrid_engine_spark.session import ensure_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS) (FIXTURES.md ⚠).
+
+    With ``spark.sql.legacy.parquet.nanosAsLong=true`` the column arrives as
+    LongType nanos; truncate to micros (exact — the oracle compares at micro
+    precision) and rebuild a timestamp. Fallback for sessions where the conf
+    is immutable: arrow round-trip via pyarrow (small table; fallback only).
+    """
+    try:
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") in ("bigint", "long"):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+            )
+        return df
+    except Exception:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        pdf = t.to_pandas()
+        pdf["ts"] = pdf["ts"].dt.floor("us")
+        return spark.createDataFrame(pdf)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_runtime_confs(spark)  # cheap; required on foreign (driver) sessions
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all fixture tables; pins runtime confs on the session first."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all tables and register them as temp views (idempotent)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

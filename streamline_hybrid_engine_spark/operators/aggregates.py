@@ -1,0 +1,281 @@
+"""Aggregation operators — SURVEY §2.4.
+
+Reference analog: Flink's ``AggregateOperator`` / ``DataSetAggregate`` with
+sort/hash combiners (partial+final). Spark's ``HashAggregateExec`` does the
+same partial/final split automatically; at 100 TB the map-side partial
+aggregation bounds shuffle volume by |groups|·|partitions|, so these plans
+scale with cardinality of the result, not the input.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from streamline_hybrid_engine_spark.catalog import load_table
+from streamline_hybrid_engine_spark.functions.numeric import (
+    davg,
+    dsum,
+    oavg,
+    ornd,
+    osum,
+    rnd,
+)
+from streamline_hybrid_engine_spark.registry import query
+
+
+@query(
+    "agg_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {osum("l_quantity", "sum_qty")},
+           {osum("l_extendedprice", "sum_base_price")},
+           {osum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+           {osum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+           {oavg("l_quantity", "avg_qty")},
+           {oavg("l_extendedprice", "avg_price")},
+           {oavg("l_discount", "avg_disc")},
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter → project → hash agg (partial+final)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_global_revenue",
+    oracle=f"""
+    SELECT {osum("l_extendedprice * l_discount", "revenue")}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("agg",),
+)
+def agg_global_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: global (no-key) aggregate after selective filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+@query(
+    "agg_count_distinct_users",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def agg_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — Spark expands to a two-phase exact distinct agg."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query("agg_approx_users", oracle=None, tags=("agg", "approx"))
+def agg_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct (rows-only: no exact oracle).
+
+    Reference had no core HLL (SURVEY §2.4); Spark's approx_count_distinct
+    is the scale path for 100 TB distinct counts (no shuffle of raw keys).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+@query(
+    "agg_stats_extendedprice",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 6) AS std_price,
+           round(stddev_pop(l_extendedprice), 6) AS stdp_price,
+           round(var_samp(l_extendedprice), 6) AS var_price,
+           round(var_pop(l_extendedprice), 6) AS varp_price,
+           round(min(l_extendedprice), 6) AS min_price,
+           round(max(l_extendedprice), 6) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_stats_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (Calcite std aggs in the reference)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rnd(F.stddev_samp("l_extendedprice"), "std_price"),
+        rnd(F.stddev_pop("l_extendedprice"), "stdp_price"),
+        rnd(F.var_samp("l_extendedprice"), "var_price"),
+        rnd(F.var_pop("l_extendedprice"), "varp_price"),
+        rnd(F.min("l_extendedprice"), "min_price"),
+        rnd(F.max("l_extendedprice"), "max_price"),
+    )
+
+
+@query(
+    "agg_rollup_nation_region",
+    oracle="""
+    SELECT r_name, n_name,
+           count(*) AS n_customers,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,18))) AS DOUBLE), 6) AS sum_acctbal,
+           CAST(grouping(r_name) * 2 + grouping(n_name) AS INT) AS gid
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (region → nation → grand total) with grouping_id."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        dsum("c_acctbal", "sum_acctbal"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+@query(
+    "agg_cube_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(38,18))) AS DOUBLE), 6) AS sum_qty,
+           count(*) AS n,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dims — Calcite grouping-sets expansion in the reference."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        F.count("*").alias("n"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+@query(
+    "agg_argmax_order_per_cust",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey, o_totalprice) AS best_orderkey,
+           round(max(o_totalprice), 6) AS best_price
+    FROM orders GROUP BY o_custkey
+    """,
+    tags=("agg",),
+)
+def agg_argmax_order_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minBy/maxBy (arg-max record) — Flink's UnsortedGrouping.maxBy."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("best_orderkey"),
+        rnd(F.max("o_totalprice"), "best_price"),
+    )
+
+
+@query(
+    "agg_collect_types_per_user",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    tags=("agg",),
+)
+def agg_collect_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLECT multiset agg — sorted + string-joined for deterministic hashing."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "udaf_weighted_avg_price",
+    oracle="""
+    SELECT l_returnflag,
+           round(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,18))) AS DOUBLE)
+                 / CAST(sum(CAST(l_quantity AS DECIMAL(38,18))) AS DOUBLE), 6) AS w_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "udaf"),
+)
+def udaf_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF (Flink AggregateFunction analog): quantity-weighted avg price.
+
+    Implemented as an Arrow-batched grouped-map (``applyInPandas``) to
+    exercise the custom-aggregator path; the accumulate/merge/getValue
+    lifecycle of Flink's AggregateFunction collapses into one vectorized
+    pass per group. (A pure-SQL formulation would be faster; this row
+    exists to prove the UDAF surface.)
+    """
+    import pandas as pd
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+
+    def weighted(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        # fsum = correctly-rounded (order-independent) float sum — matches the
+        # oracle's exact decimal-sum-then-cast to within 1 ulp, killed by round6.
+        num = math.fsum(pdf["l_extendedprice"] * pdf["l_quantity"])
+        den = math.fsum(pdf["l_quantity"])
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "w_avg_price": [round(num / den, 6)],
+            }
+        )
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        weighted, schema="l_returnflag string, w_avg_price double"
+    )

@@ -1,0 +1,135 @@
+"""Row-level operators — SURVEY §2.2 (map/project, filter, flatMap, distinct,
+conditional expressions).
+
+Reference analog: Flink's ``MapOperator``/``FilterOperator``/``FlatMapOperator``
+and the fused ``DataSetCalc`` (filter+project). In Spark all of these fuse
+into one whole-stage-codegen'd pipeline over the columnar scan; ``explode``
+is the flatMap analog and stays JVM-side (no Python).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from streamline_hybrid_engine_spark.catalog import load_table
+from streamline_hybrid_engine_spark.functions.numeric import rnd
+from streamline_hybrid_engine_spark.registry import query
+
+
+@query(
+    "project_disc_price",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE), 6) AS disc_price,
+           round(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE), 6) AS charge
+    FROM lineitem
+    """,
+    tags=("rowops",),
+)
+def project_disc_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map/project: arithmetic projection, no shuffle, full codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rnd(disc, "disc_price"),
+        rnd(disc * (1 + F.col("l_tax")), "charge"),
+    )
+
+
+@query(
+    "filter_shipdate_qty",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, round(l_quantity, 6) AS qty,
+           round(l_extendedprice, 6) AS price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_quantity BETWEEN 5 AND 15
+      AND l_returnflag <> 'A'
+    """,
+    tags=("rowops",),
+)
+def filter_shipdate_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter: conjunctive predicate, pushed down to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_quantity").between(5, 15)
+        & (F.col("l_returnflag") != "A")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        rnd("l_quantity", "qty"),
+        rnd("l_extendedprice", "price"),
+    )
+
+
+@query(
+    "flatmap_explode_tokens",
+    oracle="""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    """,
+    tags=("rowops", "flatmap"),
+)
+def flatmap_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flatMap: one row → N token rows via explode (JVM generator, no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .count()
+        .withColumnRenamed("count", "n")
+    )
+
+
+@query(
+    "distinct_custkeys",
+    oracle="SELECT DISTINCT o_custkey FROM orders",
+    tags=("rowops",),
+)
+def distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct rows — partial-agg dedup before the shuffle (scales)."""
+    return load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+
+
+@query(
+    "case_when_segment",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                WHEN c_acctbal < 9000 THEN 'mid'
+                ELSE 'high' END AS bal_band,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg,
+           CASE WHEN c_mktsegment IN ('AUTOMOBILE', 'MACHINERY') THEN 1 ELSE 0 END AS is_industrial,
+           CASE WHEN c_name LIKE '%0001%' THEN 1 ELSE 0 END AS name_like
+    FROM customer
+    """,
+    tags=("rowops", "expr"),
+)
+def case_when_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/COALESCE/NULLIF/IN/LIKE bundle (reference: codegen'd Calc exprs)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .when(F.col("c_acctbal") < 9000, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("DEFAULT")).alias(
+            "seg"
+        ),
+        F.when(F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY"), 1)
+        .otherwise(0)
+        .alias("is_industrial"),
+        F.when(F.col("c_name").like("%0001%"), 1).otherwise(0).alias("name_like"),
+    )
