@@ -45,9 +45,9 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     try:
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") in ("bigint", "long"):
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-            )
+            # integral `div`, NOT `/`: float division of ~1.7e18 nanos exceeds
+            # double's 2^53 mantissa and corrupts the microsecond digit.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     except Exception:
         import pyarrow.parquet as pq

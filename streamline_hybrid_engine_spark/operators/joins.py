@@ -1,1 +1,323 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Join operators — SURVEY §2.3.
+
+Reference analog: Flink's ``JoinOperator``/``CoGroupOperator``/``CrossOperator``
+with hint-driven strategies (broadcast-hash / repartition-hash / sort-merge)
+over its spillable MutableHashTable. Spark's planner + AQE pick the strategy;
+we only *steer* it where the data shape is known (broadcast tiny dims, MERGE
+hint for the large-large join) and express everything else declaratively.
+
+Scale notes (100 TB):
+- dimension joins (region/nation/supplier) are ``broadcast()`` — no shuffle;
+- fact-fact joins shuffle on join keys once and AQE handles skew;
+- the as-of join is a window over a union (sort within user partitions), NOT
+  a join — no pair explosion, scales linearly with events per user;
+- the interval join keeps an equi-key (user_id) so Spark plans SMJ with a
+  range predicate instead of a nested-loop cross.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from streamline_hybrid_engine_spark.catalog import load_table
+from streamline_hybrid_engine_spark.functions.numeric import dsum, osum, rnd
+from streamline_hybrid_engine_spark.registry import query
+
+
+@query(
+    "join_inner_orders_customer",
+    oracle="""
+    SELECT o_orderkey, c_custkey, c_name, n_name,
+           round(o_totalprice, 6) AS totalprice
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderstatus = 'O' AND c_acctbal > 1000
+    """,
+    tags=("joins",),
+)
+def join_inner_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join chain (fact→dim) with filters pushed below the join."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 1000)
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "o_orderkey", "c_custkey", "c_name", "n_name", rnd("o_totalprice", "totalprice")
+        )
+    )
+
+
+@query(
+    "join_broadcast_nation_region",
+    oracle="""
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    tags=("joins", "broadcast"),
+)
+def join_broadcast_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-hash join (Flink JoinHint.BROADCAST_HASH_*): tiny build side."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+@query(
+    "join_sortmerge_lineitem_orders",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           {osum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("joins", "sortmerge"),
+)
+def join_sortmerge_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large sort-merge join (Flink REPARTITION_SORT_MERGE) via MERGE hint."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").hint("MERGE")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+
+
+@query(
+    "join_left_customer_orders",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           count(o_orderkey) AS n_orders,
+           {osum("coalesce(o_totalprice, 0)", "sum_price")}
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderstatus = 'F'
+    GROUP BY c_custkey, c_name
+    """,
+    tags=("joins", "outer"),
+)
+def join_left_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no (F-status) orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_orderstatus == "F")
+    return (
+        c.join(o, cond, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum(F.coalesce(o.o_totalprice, F.lit(0.0)), "sum_price"),
+        )
+    )
+
+
+@query(
+    "join_full_supplier_customer_nation",
+    oracle="""
+    SELECT coalesce(s.n, c.n) AS nationkey,
+           s.n_suppliers, c.n_customers
+    FROM (SELECT s_nationkey AS n, count(*) AS n_suppliers
+            FROM supplier GROUP BY s_nationkey) s
+    FULL OUTER JOIN
+         (SELECT c_nationkey AS n, count(*) AS n_customers
+            FROM customer GROUP BY c_nationkey) c
+    ON s.n = c.n
+    """,
+    tags=("joins", "outer"),
+)
+def join_full_supplier_customer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two per-nation aggregates (coGroup analog)."""
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("sn"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("cn"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    return s.join(c, s.sn == c.cn, "full").select(
+        F.coalesce("sn", "cn").alias("nationkey"), "n_suppliers", "n_customers"
+    )
+
+
+@query(
+    "join_semi_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+    tags=("joins", "semi"),
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (SQL IN/EXISTS → Calcite SemiJoin in the reference)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+    tags=("joins", "anti"),
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no F-status order (71 rows at sf0.01)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_cross_region_nation_count",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+    tags=("joins", "cross"),
+)
+def join_cross_region_nation_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (Flink CrossOperator) — tiny×tiny only, by design."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_theta_price_band",
+    oracle="""
+    SELECT s_suppkey, count(*) AS n_band_customers,
+           round(min(c_acctbal - s_acctbal), 6) AS min_gap
+    FROM supplier JOIN customer
+      ON s_acctbal BETWEEN c_acctbal - 100 AND c_acctbal + 100
+    GROUP BY s_suppkey
+    """,
+    tags=("joins", "theta"),
+)
+def join_theta_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi band) join → broadcast nested-loop with small side."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    cond = (s.s_acctbal >= c.c_acctbal - 100) & (s.s_acctbal <= c.c_acctbal + 100)
+    return (
+        s.join(c, cond)
+        .groupBy("s_suppkey")
+        .agg(
+            F.count("*").alias("n_band_customers"),
+            rnd(F.min(c.c_acctbal - s.s_acctbal), "min_gap"),
+        )
+    )
+
+
+@query(
+    "join_interval_events",
+    oracle="""
+    SELECT e1.event_id AS purchase_id, e1.user_id,
+           count(e2.event_id) AS n_follow,
+           count(DISTINCT e2.event_type) AS n_follow_types
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') e1
+    LEFT JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+    GROUP BY e1.event_id, e1.user_id
+    """,
+    tags=("joins", "interval"),
+)
+def join_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (time-bounded) join — the batch analog of Flink's windowed
+    stream join: equi-key on user_id + time-range predicate, so Spark plans
+    a keyed join (no nested loop over the full stream)."""
+    ev = load_table(spark, sf_dir, "events")
+    e1 = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("t1"),
+    )
+    e2 = ev.select(
+        F.col("user_id").alias("u2"),
+        F.col("ts").alias("t2"),
+        F.col("event_id").alias("e2_id"),
+        F.col("event_type").alias("e2_type"),
+    )
+    cond = (
+        (e1.user_id == e2.u2)
+        & (e2.t2 > e1.t1)
+        & (e2.t2 <= e1.t1 + F.expr("INTERVAL 10 MINUTES"))
+    )
+    return (
+        e1.join(e2, cond, "left")
+        .groupBy("purchase_id", "user_id")
+        .agg(
+            F.count("e2_id").alias("n_follow"),
+            F.countDistinct("e2_type").alias("n_follow_types"),
+        )
+    )
+
+
+@query(
+    "join_asof_last_purchase",
+    oracle="""
+    SELECT c.event_id, c.user_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           CAST(p.ts AS TIMESTAMP) AS last_purchase_ts,
+           round(p.value, 6) AS last_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+    tags=("joins", "asof"),
+)
+def join_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (temporal-table analog): for each click, the latest
+    purchase by the same user at ts <= click ts.
+
+    Spark-first design: NOT a join. Union purchases+clicks, then a running
+    ``last(..., ignorenulls)`` window per user ordered by (ts, kind) — kind
+    sorts a same-instant purchase before the click, matching DuckDB ASOF's
+    ``<=`` semantics. One shuffle on user_id, linear in events per user —
+    this is the 100 TB-safe as-of pattern (a join would explode pairs).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # kind 0 = purchase (sorts first at equal ts, so `<=` includes it), 1 = click
+    unioned = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "purchase", 0).otherwise(1).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p_ts = F.when(F.col("kind") == 0, F.col("ts"))
+    p_val = F.when(F.col("kind") == 0, F.col("value"))
+    return (
+        unioned.withColumn("last_purchase_ts", F.last(p_ts, ignorenulls=True).over(w))
+        .withColumn("last_purchase_value_raw", F.last(p_val, ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            "last_purchase_ts",
+            rnd("last_purchase_value_raw", "last_purchase_value"),
+        )
+    )

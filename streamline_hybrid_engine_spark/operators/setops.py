@@ -1,1 +1,105 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Set operations — SURVEY §2.7.
+
+Reference analog: Flink's ``UnionOperator``; INTERSECT/EXCEPT are Calcite
+rewrites to joins. Spark implements them natively (union is zero-shuffle
+partition concatenation; intersect/except plan as semi/anti hash joins with
+distinct — same rewrite the reference's optimizer does, minus our code).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from streamline_hybrid_engine_spark.catalog import load_table
+from streamline_hybrid_engine_spark.registry import query
+
+
+@query(
+    "set_union_all_buyers_browsers",
+    oracle="""
+    SELECT user_id, count(*) AS n_actions
+    FROM (
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id FROM events WHERE event_type = 'click'
+    )
+    GROUP BY user_id
+    """,
+    tags=("setops",),
+)
+def set_union_all_buyers_browsers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag union, no dedup shuffle) then aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    browsers = ev.filter(F.col("event_type") == "click").select("user_id")
+    return (
+        buyers.unionByName(browsers).groupBy("user_id").agg(F.count("*").alias("n_actions"))
+    )
+
+
+@query(
+    "set_union_distinct_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setops",),
+)
+def set_union_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — union + dedup, partial-agg before shuffle."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionByName(s).distinct()
+
+
+@query(
+    "set_intersect_cust_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey, c_mktsegment AS seg FROM customer WHERE c_acctbal > 8000
+    INTERSECT
+    SELECT c_nationkey, c_mktsegment FROM customer WHERE c_acctbal < 2000
+    """,
+    tags=("setops",),
+)
+def set_intersect_cust_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — planned as left-semi hash join + distinct."""
+    c = load_table(spark, sf_dir, "customer")
+    rich = c.filter(F.col("c_acctbal") > 8000).select(
+        F.col("c_nationkey").alias("nationkey"), F.col("c_mktsegment").alias("seg")
+    )
+    poor = c.filter(F.col("c_acctbal") < 2000).select(
+        F.col("c_nationkey").alias("nationkey"), F.col("c_mktsegment").alias("seg")
+    )
+    return rich.intersect(poor)
+
+
+@query(
+    "set_except_parts_never_ordered",
+    oracle="""
+    SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+    EXCEPT
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("setops",),
+)
+def set_except_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT/MINUS — planned as left-anti hash join + distinct.
+
+    (Big-spender custkeys minus F-status custkeys — chosen because every
+    part/supplier key IS referenced at sf0.01, which would make the naive
+    'never ordered' formulation empty; 66 rows here.)
+    """
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    fstat = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return big.subtract(fstat)  # DataFrame.subtract == SQL EXCEPT (distinct)

@@ -1,1 +1,89 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Sort / limit / top-k — SURVEY §2.6.
+
+Reference analog: Flink's ``SortPartitionOperator`` + range partitioning and
+the UnilateralSortMerger external sort; SQL sort+fetch via ``DataSetSort``.
+Spark: ``orderBy`` range-partitions and external-sorts (Tungsten);
+``orderBy().limit()`` collapses into ``TakeOrderedAndProject`` — a per-
+partition top-k + driver merge, i.e. top-k never materializes a full sort
+at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from streamline_hybrid_engine_spark.catalog import load_table
+from streamline_hybrid_engine_spark.functions.numeric import dsum, osum, rnd
+from streamline_hybrid_engine_spark.registry import query
+
+
+@query(
+    "sort_orders_by_price",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 6) AS totalprice, o_orderdate
+    FROM orders WHERE o_totalprice > 350000
+    ORDER BY o_totalprice DESC
+    """,
+    tags=("sort",),
+)
+def sort_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total sort (range-partitioned external sort under the hood)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_totalprice") > 350000)
+        .orderBy(F.col("o_totalprice").desc())
+        .select("o_orderkey", rnd("o_totalprice", "totalprice"), "o_orderdate")
+    )
+
+
+@query(
+    "limit_top100_lineitems",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 6) AS price
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+    tags=("sort", "limit"),
+)
+def limit_top100_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first(n)/LIMIT — ordered by key for a deterministic result set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", rnd("l_extendedprice", "price"))
+    )
+
+
+@query(
+    "topk_revenue_orders",
+    oracle=f"""
+    SELECT o_orderkey, o_orderdate,
+           {osum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("sort", "topk"),
+)
+def topk_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join → agg → ORDER BY + LIMIT (TakeOrdered)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
