@@ -1,1 +1,282 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Scalar function bundles — SURVEY §2.8.
+
+Reference analog: Flink 1.4's Table/SQL built-in surface, Janino-code-gen'd
+by ``CodeGenerator.scala``. Every function here is a ``pyspark.sql.functions``
+built-in (JVM, whole-stage codegen — the hot path never touches Python).
+Coverage is proven in bundles: one contract query exercises a whole family.
+
+Cross-engine notes baked into the oracles:
+- DuckDB has no ``initcap``/``overlay`` → emulated in oracle SQL;
+- DuckDB ``dayofweek`` is 0=Sunday vs Spark 1=Sunday → oracle adds 1;
+- double→int CASTs round in DuckDB but truncate in Spark → bundle uses
+  explicit floor/round instead; decimal casts keep scale ≥ data scale so
+  no rounding-mode ties can arise.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from streamline_hybrid_engine_spark.catalog import load_table
+from streamline_hybrid_engine_spark.functions.numeric import rnd
+from streamline_hybrid_engine_spark.registry import query
+
+
+@query(
+    "fn_string_bundle",
+    oracle="""
+    SELECT p_partkey,
+           length(p_name) AS name_len,
+           upper(p_name) AS name_up,
+           lower(p_brand) AS brand_lo,
+           array_to_string(list_transform(string_split(p_name, ' '),
+             w -> upper(substr(w,1,1)) || lower(substr(w,2,999))), ' ') AS name_cap,
+           trim('  ' || p_name || ' ') AS name_trim,
+           ltrim('xx' || p_name, 'x') AS name_ltrim,
+           rtrim(p_name || 'yy', 'y') AS name_rtrim,
+           substr(p_name, 2, 4) AS name_sub,
+           strpos(p_name, 'r') AS r_pos,
+           substr(p_name,1,1) || 'XX' || substr(p_name,4,100000) AS name_overlay,
+           p_brand || '-' || p_type AS brand_type,
+           concat_ws('/', p_brand, p_type, p_name) AS joined,
+           CASE WHEN p_name LIKE '%ring%' THEN 1 ELSE 0 END AS has_ring,
+           CASE WHEN regexp_matches(p_name, '^[a-z]+ [a-z]+$') THEN 1 ELSE 0 END AS two_words,
+           replace(p_name, ' ', '_') AS name_us,
+           repeat(p_brand, 2) AS brand2,
+           lpad(CAST(p_size AS VARCHAR), 5, '0') AS size_pad,
+           reverse(p_brand) AS brand_rev,
+           split_part(p_name, ' ', 2) AS second_word,
+           translate(p_name, 'aeiou', 'AEIOU') AS name_trans
+    FROM part
+    """,
+    tags=("functions", "string"),
+)
+def fn_string_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family: CHAR_LENGTH/UPPER/LOWER/INITCAP/TRIM/SUBSTRING/
+    POSITION/OVERLAY/CONCAT/CONCAT_WS/LIKE/SIMILAR TO/REPLACE + extras."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.length("p_name").alias("name_len"),
+        F.upper("p_name").alias("name_up"),
+        F.lower("p_brand").alias("brand_lo"),
+        F.initcap("p_name").alias("name_cap"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
+        F.ltrim(F.concat(F.lit("xx"), F.col("p_name")), F.lit("x")).alias("name_ltrim"),
+        F.rtrim(F.concat(F.col("p_name"), F.lit("yy")), F.lit("y")).alias("name_rtrim"),
+        F.substring("p_name", 2, 4).alias("name_sub"),
+        F.locate("r", F.col("p_name")).alias("r_pos"),
+        F.overlay("p_name", F.lit("XX"), 2, 2).alias("name_overlay"),
+        F.concat(F.col("p_brand"), F.lit("-"), F.col("p_type")).alias("brand_type"),
+        F.concat_ws("/", "p_brand", "p_type", "p_name").alias("joined"),
+        F.when(F.col("p_name").like("%ring%"), 1).otherwise(0).alias("has_ring"),
+        F.when(F.col("p_name").rlike("^[a-z]+ [a-z]+$"), 1).otherwise(0).alias("two_words"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_us"),
+        F.repeat(F.col("p_brand"), 2).alias("brand2"),
+        F.lpad(F.col("p_size").cast("string"), 5, "0").alias("size_pad"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_word"),
+        F.translate(F.col("p_name"), "aeiou", "AEIOU").alias("name_trans"),
+    )
+
+
+@query(
+    "fn_math_bundle",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 6) AS abs_d,
+           mod(l_linenumber, 3) AS mod3,
+           round(sqrt(l_extendedprice), 6) AS sqrt_p,
+           round(pow(l_quantity, 1.5), 6) AS pow_q,
+           round(exp(l_discount), 6) AS exp_d,
+           round(ln(l_extendedprice), 6) AS ln_p,
+           round(log10(l_extendedprice), 6) AS log10_p,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS ceil_k,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS floor_k,
+           round(l_extendedprice, 1) AS round_1,
+           CAST(sign(l_discount - 0.05) AS INT) AS sgn,
+           round(sin(l_discount), 6) AS sin_d,
+           round(cos(l_discount), 6) AS cos_d,
+           round(tan(l_discount), 6) AS tan_d,
+           round(atan2(l_discount, l_tax + 0.01), 6) AS at2,
+           round(degrees(l_discount), 6) AS deg_d,
+           round(pi(), 6) AS pi_c,
+           round(greatest(l_discount, l_tax), 6) AS gr,
+           round(least(l_discount, l_tax), 6) AS le
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+    tags=("functions", "math"),
+)
+def fn_math_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: ABS/MOD/SQRT/POWER/EXP/LN/LOG10/CEIL/FLOOR/ROUND/SIGN/
+    trig/PI/GREATEST/LEAST (RAND excluded: nondeterministic by definition)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    d, t, p, q = (F.col(c) for c in ("l_discount", "l_tax", "l_extendedprice", "l_quantity"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rnd(F.abs(d - 0.05), "abs_d"),
+        (F.col("l_linenumber") % 3).alias("mod3"),
+        rnd(F.sqrt(p), "sqrt_p"),
+        rnd(F.pow(q, 1.5), "pow_q"),
+        rnd(F.exp(d), "exp_d"),
+        rnd(F.log(p), "ln_p"),
+        rnd(F.log10(p), "log10_p"),
+        F.ceil(p / 1000).alias("ceil_k"),
+        F.floor(p / 1000).alias("floor_k"),
+        F.round(p, 1).alias("round_1"),
+        F.signum(d - 0.05).cast("int").alias("sgn"),
+        rnd(F.sin(d), "sin_d"),
+        rnd(F.cos(d), "cos_d"),
+        rnd(F.tan(d), "tan_d"),
+        rnd(F.atan2(d, t + 0.01), "at2"),
+        rnd(F.degrees(d), "deg_d"),
+        rnd(F.lit(3.141592653589793), "pi_c"),
+        rnd(F.greatest(d, t), "gr"),
+        rnd(F.least(d, t), "le"),
+    )
+
+
+@query(
+    "fn_datetime_bundle",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y,
+           quarter(o_orderdate) AS q,
+           month(o_orderdate) AS m,
+           day(o_orderdate) AS d,
+           dayofweek(o_orderdate) + 1 AS dow,
+           dayofyear(o_orderdate) AS doy,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS eom,
+           date_trunc('month', o_orderdate) AS month_start,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since,
+           o_orderdate + INTERVAL 90 DAY AS due_date,
+           extract(year FROM o_orderdate) AS ey
+    FROM orders WHERE o_orderkey < 2000
+    """,
+    tags=("functions", "datetime"),
+)
+def fn_datetime_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: EXTRACT/YEAR/QUARTER/FLOOR-to-unit/DATE_FORMAT/
+    TIMESTAMPADD/TIMESTAMPDIFF (CURRENT_TIMESTAMP excluded: nondeterministic)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    dt = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(dt).alias("y"),
+        F.quarter(dt).alias("q"),
+        F.month(dt).alias("m"),
+        F.dayofmonth(dt).alias("d"),
+        F.dayofweek(dt).alias("dow"),
+        F.dayofyear(dt).alias("doy"),
+        F.last_day(dt).cast("string").alias("eom"),
+        F.date_trunc("month", dt).alias("month_start"),
+        F.date_format(dt, "yyyy-MM").alias("ym"),
+        F.datediff(dt, F.lit("1995-01-01").cast("timestamp")).alias("days_since"),
+        (dt + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.extract(F.lit("year"), dt).cast("long").alias("ey"),
+    )
+
+
+@query(
+    "fn_array_bundle",
+    oracle="""
+    SELECT vec_id, label,
+           len(embedding) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS e0,
+           round(CAST(embedding[64] AS DOUBLE), 6) AS e_last,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS e_max,
+           round(CAST(list_min(embedding) AS DOUBLE), 6) AS e_min,
+           array_to_string(list_transform(embedding[1:3], x -> CAST(CAST(round(CAST(x AS DOUBLE), 4) AS DECIMAL(14,4)) AS VARCHAR)), ',') AS head3,
+           CASE WHEN list_contains(list_transform(embedding, x -> x > 0), true) THEN 1 ELSE 0 END AS any_pos
+    FROM embeddings
+    """,
+    tags=("functions", "array"),
+)
+def fn_array_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: CARDINALITY/ELEMENT-at/slice/min/max/transform/exists
+    over the 64-dim embedding column (higher-order functions, all JVM)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size(v).alias("dim"),
+        rnd(F.element_at(v, 1).cast("double"), "e0"),
+        rnd(F.element_at(v, 64).cast("double"), "e_last"),
+        rnd(F.array_max(v).cast("double"), "e_max"),
+        rnd(F.array_min(v).cast("double"), "e_min"),
+        F.array_join(
+            F.transform(
+                F.slice(v, 1, 3),
+                lambda x: F.round(x.cast("double"), 4).cast("decimal(14,4)").cast("string"),
+            ),
+            ",",
+        ).alias("head3"),
+        F.when(F.exists(v, lambda x: x > 0), 1).otherwise(0).alias("any_pos"),
+    )
+
+
+@query(
+    "fn_json_props",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract(props, '$.k') AS INT) AS k_int,
+           CASE WHEN CAST(json_extract(props, '$.k') AS INT) >= 50 THEN 'hi' ELSE 'lo' END AS k_band
+    FROM events
+    """,
+    tags=("functions", "json"),
+)
+def fn_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over events.props (not in Flink 1.4 core — UDF there;
+    first-class here via get_json_object/from_json)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("int").alias("k_int"),
+        F.when(k.cast("int") >= 50, "hi").otherwise("lo").alias("k_band"),
+    )
+
+
+@query(
+    "fn_cast_bundle",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_orderkey AS VARCHAR) AS key_str,
+           CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS key_back,
+           CAST(l_linenumber AS BIGINT) AS line_big,
+           CAST(l_linenumber AS DOUBLE) AS line_dbl,
+           CAST(l_quantity AS BIGINT) AS qty_int,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS VARCHAR) AS price_dec_str,
+           CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date,
+           CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str,
+           CAST(l_returnflag = 'R' AS INT) AS is_r
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+    tags=("functions", "cast"),
+)
+def fn_cast_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAST matrix across §1.2 types (int/string/double/decimal/date/bool).
+
+    l_quantity is integral-valued (verified) so the double→bigint cast is
+    exact; arbitrary double→int casts are excluded — DuckDB rounds while
+    Spark truncates (engine-semantic divergence, documented SURVEY §2.8).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        F.col("l_orderkey").cast("string").cast("bigint").alias("key_back"),
+        F.col("l_linenumber").cast("bigint").alias("line_big"),
+        F.col("l_linenumber").cast("double").alias("line_dbl"),
+        F.col("l_quantity").cast("bigint").alias("qty_int"),
+        F.col("l_extendedprice").cast("decimal(18,4)").cast("string").alias("price_dec_str"),
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_date"),
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_str"),
+        (F.col("l_returnflag") == "R").cast("int").alias("is_r"),
+    )

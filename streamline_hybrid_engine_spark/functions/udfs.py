@@ -1,1 +1,80 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""UDF surface — SURVEY §2.10.
+
+Reference analog: Flink's ``ScalarFunction.eval`` / ``TableFunction`` (+
+LATERAL) / ``AggregateFunction``. Spark mapping:
+- scalar UDF → Arrow-batched ``pandas_udf`` (never row-at-a-time Python);
+- UDTF → Python UDTF (Spark 4) with a lateral join;
+- UDAF → ``applyInPandas`` (see operators/aggregates.udaf_weighted_avg_price).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import pandas_udf
+
+from streamline_hybrid_engine_spark.catalog import load_table
+from streamline_hybrid_engine_spark.registry import query
+
+
+@pandas_udf("string")
+def _discount_class(discount: pd.Series) -> pd.Series:
+    """Vectorized scalar UDF (Flink ScalarFunction.eval analog)."""
+    out = pd.Series(["none"] * len(discount), index=discount.index)
+    out[discount > 0.0] = "small"
+    out[discount >= 0.03] = "medium"
+    out[discount >= 0.06] = "large"
+    return out
+
+
+@query(
+    "udf_discount_class",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount >= 0.06 THEN 'large'
+                WHEN l_discount >= 0.03 THEN 'medium'
+                WHEN l_discount > 0.0 THEN 'small'
+                ELSE 'none' END AS dclass
+    FROM lineitem
+    """,
+    tags=("udf",),
+)
+def udf_discount_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF: discount banding (oracle = equivalent CASE)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", _discount_class("l_discount").alias("dclass")
+    )
+
+
+@query(
+    "udtf_tokenize_docs",
+    oracle="""
+    SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    """,
+    tags=("udf", "udtf"),
+)
+def udtf_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table UDF (Flink TableFunction + LATERAL): doc → (token, 1-based pos).
+
+    Python UDTF is a Spark 4 feature; registered per-call and applied with
+    a LATERAL join, the same shape as the reference's ``LATERAL TABLE(f(x))``.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string, pos: int")
+    class Tokenize:
+        def eval(self, text: str):  # noqa: D401 - UDTF protocol
+            for i, tok in enumerate(text.split(" "), start=1):
+                yield tok, i
+
+    spark.udtf.register("she_tokenize", Tokenize)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("she_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.pos
+        FROM she_docs_udtf d, LATERAL she_tokenize(d.text) t
+        """
+    )

@@ -1,1 +1,170 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Event-time group windows, batch analogs — SURVEY §2.9.
+
+Reference analog: Flink's window assigners (``TumblingEventTimeWindows``,
+``SlidingEventTimeWindows``, ``EventTimeSessionWindows``) + the ~1k-LoC
+``WindowOperator``. Spark's ``window()`` / ``session_window()`` grouping
+expressions implement identical semantics and — crucially — work in BOTH
+batch and streaming plans, which is the hybrid batch-stream story: the same
+query text runs over a bounded DataFrame here and over ``readStream`` in
+streaming/jobs.py.
+
+Alignment notes (oracle parity):
+- Spark tumble/hop windows align to the Unix epoch; DuckDB ``date_trunc``/
+  ``time_bucket`` (origin 2000-01-01) land on the same grid for 1h/15m.
+- Spark sessions close when the next event is >= gap after the previous
+  (window end = last_ts + gap, end-exclusive) → the gaps-and-islands oracle
+  uses ``diff >= gap`` as the session-break predicate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from streamline_hybrid_engine_spark.catalog import load_table
+from streamline_hybrid_engine_spark.functions.numeric import dsum, osum
+from streamline_hybrid_engine_spark.registry import query
+
+
+@query(
+    "win_tumble_1h_batch",
+    oracle=f"""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws,
+           event_type,
+           count(*) AS n,
+           {osum("value", "sum_value")}
+    FROM events
+    GROUP BY ws, event_type
+    """,
+    tags=("timewindow",),
+)
+def win_tumble_1h_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time window (TUMBLE in the reference's SQL)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
+    )
+
+
+@query(
+    "win_hop_batch",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+             - CAST(gs.i AS INT) * INTERVAL '15 minutes' AS ws,
+           count(*) AS n,
+           {osum("value", "sum_value")}
+    FROM events CROSS JOIN (SELECT generate_series AS i FROM generate_series(0, 3)) gs
+    GROUP BY ws
+    """,
+    tags=("timewindow",),
+)
+def win_hop_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding/hopping window, 1h size / 15m slide (HOP in reference SQL).
+
+    Each event belongs to exactly size/slide = 4 windows; the oracle
+    reproduces the assignment via an explicit 0..3 replication.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("ws"), "n", "sum_value")
+    )
+
+
+@query(
+    "win_session_30m_batch",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS uts,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                      >= INTERVAL '30 minutes'
+                  OR lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), numbered AS (
+      SELECT user_id, uts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY uts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           min(uts) AS session_start,
+           max(uts) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+    tags=("timewindow", "session"),
+)
+def win_session_30m_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window, 30m gap (SESSION in reference SQL), in batch.
+
+    The oracle is the classic gaps-and-islands rewrite; Spark's
+    ``session_window`` end = last event + gap, and a gap of exactly 30m
+    starts a new session (end-exclusive) → oracle breaks on ``diff >= gap``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "cep_lite_error_after_purchase",
+    oracle="""
+    SELECT user_id, purchase_id, error_id, round(gap_s, 6) AS gap_s
+    FROM (
+      SELECT user_id,
+             event_id AS error_id,
+             lag(event_id) OVER w AS purchase_id,
+             lag(event_type) OVER w AS prev_type,
+             event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP))
+              - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)) / 1000000.0 AS gap_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    )
+    WHERE event_type = 'error' AND prev_type = 'purchase' AND gap_s <= 600
+    """,
+    tags=("timewindow", "cep"),
+)
+def cep_lite_error_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-lite (MATCH_RECOGNIZE analog): purchase immediately followed by
+    an error within 10 minutes, detected via lag sequences — the simple-
+    pattern subset of Flink's NFA-based CEP library (SURVEY §2.9)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    ) / F.lit(1000000.0)
+    return (
+        ev.select(
+            "user_id",
+            F.col("event_id").alias("error_id"),
+            F.lag("event_id").over(w).alias("purchase_id"),
+            F.lag("event_type").over(w).alias("prev_type"),
+            "event_type",
+            gap.alias("gap_raw"),
+        )
+        .filter(
+            (F.col("event_type") == "error")
+            & (F.col("prev_type") == "purchase")
+            & (F.col("gap_raw") <= 600)
+        )
+        .select(
+            "user_id", "purchase_id", "error_id", F.round("gap_raw", 6).alias("gap_s")
+        )
+    )

@@ -1,1 +1,211 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Analytic (OVER) window functions — SURVEY §2.5.
+
+Reference analog: Flink's ``DataStreamOverAggregate`` (ProcessFunction +
+MapState, ~600 LoC) and Calcite window rels for batch. In Spark the whole
+family is one construct: ``Window.partitionBy().orderBy().rowsBetween()``,
+executed by ``WindowExec`` after a single shuffle on the partition key —
+per-key state never materializes more than the frame.
+
+Determinism convention: every ORDER BY carries a unique tiebreaker column
+(orderkey / event_id) so rank/ntile/lag results are reproducible across
+engines; running float sums go through the decimal(38,18) exact-sum trick
+(functions.numeric).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from streamline_hybrid_engine_spark.catalog import load_table
+from streamline_hybrid_engine_spark.functions.numeric import DEC, rnd
+from streamline_hybrid_engine_spark.registry import query
+
+
+@query(
+    "win_rank_orders_per_cust",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS totalprice,
+             rank() OVER w AS rk,
+             dense_rank() OVER w AS drk,
+             row_number() OVER w AS rn
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rk <= 3
+    """,
+    tags=("window",),
+)
+def win_rank_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / row_number, top-3 orders per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            rnd("o_totalprice", "totalprice"),
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "win_ntile_order_value",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window",),
+)
+def win_ntile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist over a global ordering."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        rnd(F.percent_rank().over(w), "pct_rank"),
+        rnd(F.cume_dist().over(w), "cume"),
+    )
+
+
+@query(
+    "win_lag_event_gap",
+    oracle="""
+    SELECT event_id, user_id,
+           round((epoch_us(CAST(ts AS TIMESTAMP))
+                  - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)) / 1000000.0, 6) AS gap_s,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+    tags=("window",),
+)
+def win_lag_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead: inter-event gap seconds + next event type per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    ) / F.lit(1000000.0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        rnd(gap, "gap_s"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "win_last_price_per_part",
+    oracle="""
+    SELECT DISTINCT l_partkey,
+           round(last_value(l_extendedprice) OVER (
+             PARTITION BY l_partkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6) AS last_price,
+           round(first_value(l_extendedprice) OVER (
+             PARTITION BY l_partkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6) AS first_price
+    FROM lineitem
+    """,
+    tags=("window",),
+)
+def win_last_price_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value over the full partition frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return li.select(
+        "l_partkey",
+        rnd(F.last("l_extendedprice").over(w), "last_price"),
+        rnd(F.first("l_extendedprice").over(w), "first_price"),
+    ).distinct()
+
+
+@query(
+    "win_running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,18))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS running_total
+    FROM orders
+    """,
+    tags=("window",),
+)
+def win_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate, ROWS UNBOUNDED PRECEDING (exact decimal sum)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
+    return o.select("o_custkey", "o_orderkey", rnd(running, "running_total"))
+
+
+@query(
+    "win_moving_avg_value_3",
+    oracle="""
+    SELECT event_id, user_id,
+           round(CAST(sum(CAST(value AS DECIMAL(38,18))) OVER w AS DOUBLE)
+                 / count(value) OVER w, 6) AS mavg3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window",),
+)
+def win_moving_avg_value_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding frame (ROWS 2 PRECEDING): 3-event moving average per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    mavg = F.sum(F.col("value").cast(DEC)).over(w).cast("double") / F.count(
+        "value"
+    ).over(w)
+    return ev.select("event_id", "user_id", rnd(mavg, "mavg3"))
+
+
+@query(
+    "win_topk_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, round(o_totalprice, 6) AS totalprice
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 2
+    """,
+    tags=("window", "topk"),
+)
+def win_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group: rank-then-filter (the distributed group-topk idiom)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_orderdate", rnd("o_totalprice", "totalprice"))
+    )
