@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Headline benchmark for the engine (driver contract: one JSON line).
+
+Runs the headline SURVEY §2 queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock of the timed pass (1 warm-up run of the
+first query amortizes JVM/session startup out of the per-query numbers,
+matching how BASELINE.md §A was measured). Compare against BASELINE.md §A.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+#: headline set — one per SURVEY §2 family, matching BASELINE.md §A rows.
+HEADLINE = (
+    "agg_pricing_summary",      # TPC-H Q1 shape: scan→filter→hash agg
+    "agg_global_revenue",       # Q6 shape: global agg
+    "agg_count_distinct_users", # distinct agg
+    "topk_revenue_orders",      # Q3 shape: 3-way join + topk
+    "join_5way_regional_revenue",  # Q5 shape: 5-way join
+    "win_rank_orders_per_cust", # window rank
+    "win_tumble_1h_batch",      # time window (events)
+    "win_session_30m_batch",    # session window
+    "llm_doc_token_stats",      # text analysis
+    "llm_knn_cosine_label",     # similarity search
+    "llm_dedup_minhash_sig",    # minhash dedup
+)
+
+
+def main() -> int:
+    from streamline_hybrid_engine_spark.registry import all_queries
+    from streamline_hybrid_engine_spark.session import default_sf_dir, get_session
+
+    sf_dir = default_sf_dir()
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_session("bench")
+    qs = all_queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # warm-up: JVM + parquet footer caches (matches BASELINE.md methodology)
+    qs[names[0]].fn(spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        t0 = time.time()
+        qs[name].fn(spark, sf_dir).collect()
+        dt = round(time.time() - t0, 3)
+        times[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

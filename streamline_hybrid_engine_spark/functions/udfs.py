@@ -18,14 +18,22 @@ from streamline_hybrid_engine_spark.catalog import load_table
 from streamline_hybrid_engine_spark.registry import query
 
 
-@pandas_udf("string")
-def _discount_class(discount: pd.Series) -> pd.Series:
-    """Vectorized scalar UDF (Flink ScalarFunction.eval analog)."""
-    out = pd.Series(["none"] * len(discount), index=discount.index)
-    out[discount > 0.0] = "small"
-    out[discount >= 0.03] = "medium"
-    out[discount >= 0.06] = "large"
-    return out
+def _discount_class_udf():
+    """Vectorized scalar UDF (Flink ScalarFunction.eval analog).
+
+    Built lazily — ``pandas_udf`` with a DDL return type needs an active
+    SparkSession, and the registry must be importable without one.
+    """
+
+    @pandas_udf("string")
+    def _discount_class(discount: pd.Series) -> pd.Series:
+        out = pd.Series(["none"] * len(discount), index=discount.index)
+        out[discount > 0.0] = "small"
+        out[discount >= 0.03] = "medium"
+        out[discount >= 0.06] = "large"
+        return out
+
+    return _discount_class
 
 
 @query(
@@ -44,7 +52,9 @@ def udf_discount_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar pandas UDF: discount banding (oracle = equivalent CASE)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
-        "l_orderkey", "l_linenumber", _discount_class("l_discount").alias("dclass")
+        "l_orderkey",
+        "l_linenumber",
+        _discount_class_udf()("l_discount").alias("dclass"),
     )
 
 

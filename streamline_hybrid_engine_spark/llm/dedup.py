@@ -1,1 +1,238 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Deduplication operators for LLM training-data pipelines — SURVEY §2.11.
+
+Beyond-reference mandate (BASELINE.json): exact dedup, MinHash+LSH,
+SimHash, n-gram Jaccard. All pure DataFrame/SQL — hashing is ``md5``
+(verified byte-identical between Spark 4.1.2 and DuckDB 1.0; ``xxhash64``
+has no DuckDB builtin, SURVEY §2.11).
+
+Scale design (100 TB):
+- shingling/explode stays JVM-side (no Python);
+- MinHash-LSH is the scale path for near-dup: candidate pairs come from a
+  bucket JOIN on (band, band-signature) — never an all-pairs product; at
+  1000 executors the band join shuffles only (doc, band) rows, and skewed
+  mega-buckets are handled by AQE skew-join splitting;
+- exact n-gram Jaccard is blocked by ``source`` (a natural partition key)
+  and only verifies the candidate tail, mirroring a production pipeline's
+  verify-after-LSH stage.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from streamline_hybrid_engine_spark.catalog import load_table
+from streamline_hybrid_engine_spark.registry import query
+
+N_SEEDS = 16
+BAND_ROWS = 8  # 2 bands × 8 rows: (1/2)^(1/8) ≈ 0.917 jaccard @ 50% capture
+
+#: shingle helper (Spark SQL expr, 0-based array indexing)
+_SHINGLES = (
+    "transform(sequence(0, size(toks) - 3), "
+    "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+)
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → distinct (doc_id, source, shingle) of token 3-grams."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("toks", F.split("text", " "))
+        .withColumn("sh", F.explode(F.expr(_SHINGLES)))
+        .select("doc_id", "source", "sh")
+        .distinct()
+    )
+
+
+_ORACLE_SHINGLES = """
+    SELECT DISTINCT doc_id, source, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+    FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+         LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i)
+"""
+
+_ORACLE_SIGS = f"""
+    SELECT doc_id, s.seed, min(md5(s.seed || ':' || sh)) AS mh
+    FROM ({_ORACLE_SHINGLES}), (SELECT unnest(range(0, {N_SEEDS})) AS seed) s
+    GROUP BY doc_id, s.seed
+"""
+
+
+@query(
+    "llm_dedup_exact_docs",
+    oracle="""
+    SELECT text, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep the smallest doc_id.
+
+    (``dropDuplicates(["text"])`` is the one-liner; the groupBy form is
+    used so the survivor choice is deterministic for the oracle.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+@query(
+    "llm_dedup_minhash_sig",
+    oracle=_ORACLE_SIGS,
+    tags=("llm", "dedup", "minhash"),
+)
+def llm_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: 16 permutations simulated by seeded md5 min.
+
+    shingle → seed-salted md5 → min per (doc, seed). Fully deterministic,
+    so the oracle reproduces the exact signature matrix.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(N_SEEDS - 1))).alias("seed")
+    return (
+        sh.select("doc_id", "sh", seeds)
+        .groupBy("doc_id", "seed")
+        .agg(F.min(F.md5(F.concat_ws(":", "seed", "sh"))).alias("mh"))
+    )
+
+
+@query(
+    "llm_dedup_minhash_pairs",
+    oracle=f"""
+    WITH sigs AS ({_ORACLE_SIGS}),
+    bands AS (
+      SELECT doc_id, seed // {BAND_ROWS} AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS bandsig
+      FROM sigs GROUP BY doc_id, seed // {BAND_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
+    )
+    SELECT d1, d2,
+           round(count(CASE WHEN sa.mh = sb.mh THEN 1 END) / {N_SEEDS}.0, 6) AS est_jaccard
+    FROM cand
+    JOIN sigs sa ON sa.doc_id = d1
+    JOIN sigs sb ON sb.doc_id = d2 AND sb.seed = sa.seed
+    GROUP BY d1, d2
+    """,
+    tags=("llm", "dedup", "minhash", "lsh"),
+)
+def llm_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: band signatures → bucket join →
+    jaccard estimate from signature agreement. The full LSH pipeline:
+    shingle → minhash → band → bucket-join → estimate."""
+    sigs = llm_dedup_minhash_sig(spark, sf_dir)
+    bands = (
+        sigs.withColumn("band", F.floor(F.col("seed") / BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.expr(
+                "md5(array_join(transform(array_sort(collect_list(struct(seed, mh))),"
+                " x -> x.mh), '|'))"
+            ).alias("bandsig")
+        )
+    )
+    a = bands.select(F.col("doc_id").alias("d1"), "band", "bandsig")
+    b = bands.select(F.col("doc_id").alias("d2"), "band", "bandsig")
+    cand = (
+        a.join(b, ["band", "bandsig"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("d1"), "seed", F.col("mh").alias("mh1"))
+    sb = sigs.select(F.col("doc_id").alias("d2"), "seed", F.col("mh").alias("mh2"))
+    return (
+        cand.join(sa, "d1")
+        .join(sb, ["d2", "seed"])
+        .groupBy("d1", "d2")
+        .agg(
+            F.round(
+                F.count(F.when(F.col("mh1") == F.col("mh2"), 1)) / F.lit(float(N_SEEDS)),
+                6,
+            ).alias("est_jaccard")
+        )
+    )
+
+
+@query(
+    "llm_dedup_simhash",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(list_transform(range(1, 17), i ->
+             CASE WHEN list_sum(list_transform(toks, t ->
+               CASE WHEN strpos('89abcdef', substr(md5(t), i, 1)) > 0 THEN 1 ELSE -1 END)) > 0
+             THEN '1' ELSE '0' END), '') AS simhash16
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    """,
+    tags=("llm", "dedup", "simhash"),
+)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit): per bit position, majority vote of token-hash bits.
+
+    Bit i of token t = high bit of hex digit i of md5(t) — portable across
+    engines without integer hex parsing. Implemented as ONE nested
+    higher-order expression (transform × aggregate): no explode, no
+    shuffle besides none — embarrassingly parallel per document.
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    bits = F.expr(
+        "array_join(transform(sequence(1, 16), i -> "
+        "CASE WHEN aggregate(toks, 0, (acc, t) -> acc + "
+        "  CASE WHEN instr('89abcdef', substr(md5(t), i, 1)) > 0 THEN 1 ELSE -1 END"
+        ") > 0 THEN '1' ELSE '0' END), '')"
+    )
+    return docs.select("doc_id", bits.alias("simhash16"))
+
+
+@query(
+    "llm_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_ORACLE_SHINGLES}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d1, d2,
+           round(n_shared / (sa.n + sb.n - n_shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = d1
+    JOIN sizes sb ON sb.doc_id = d2
+    WHERE n_shared / (sa.n + sb.n - n_shared) >= 0.1
+    """,
+    tags=("llm", "dedup", "jaccard"),
+)
+def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity, blocked by source.
+
+    Inverted-index join on shingles within a block (never all-pairs),
+    |A∩B| from the join, |A∪B| = |A|+|B|-|A∩B|. The verify stage of a
+    production near-dup pipeline.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("d1"), "source", "sh")
+    b = sh.select(F.col("doc_id").alias("d2"), "source", "sh")
+    shared = (
+        a.join(b, ["source", "sh"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
+    jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    return (
+        shared.join(sa, "d1")
+        .join(sb, "d2")
+        .filter(jac >= 0.1)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    )

@@ -1,1 +1,117 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Multimodal-column plumbing — SURVEY §2.11.
+
+Beyond-reference mandate: treat image/audio/video as opaque ``binary``
+columns with typed metadata; decode / feature-extract as Arrow-batched
+``mapInPandas``. The container has no image/audio libraries, so the decode
+step is STUBBED (``decode_image_real`` raises NotImplementedError; the
+pipeline runs a deterministic fake) — but the Spark-side plumbing is real
+and oracle-tested: schema, binary column handling, mapInPandas batch shape,
+and partition behavior are exactly what a real decoder would use.
+
+Scale notes: binary payloads ride in parquet as-is (no Python until the
+decode stage); ``mapInPandas`` streams Arrow batches so one task never
+materializes more than ``spark.sql.execution.arrow.maxRecordsPerBatch``
+rows of blobs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from streamline_hybrid_engine_spark.catalog import load_table
+from streamline_hybrid_engine_spark.registry import query
+
+MM_SCHEMA = (
+    "doc_id long, n_bytes int, width int, height int, n_frames int, checksum string"
+)
+
+
+def decode_image_real(payload: bytes) -> tuple[int, int]:
+    """Real decoder hook — requires an image library not in this container."""
+    raise NotImplementedError(
+        "image decode requires e.g. Pillow; wire it here on a cluster image"
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake 'decode': metadata derived from the byte length.
+
+    Stands in for decode_image_real so the pipeline (and its oracle) is
+    fully testable without media libraries.
+    """
+    n = len(payload)
+    return (n % 640) + 16, (n % 480) + 16, (n % 30) + 1
+
+
+def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, payload: bytes) → typed metadata rows."""
+    for pdf in batches:
+        meta = [_fake_decode(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "width": [m[0] for m in meta],
+                "height": [m[1] for m in meta],
+                "n_frames": [m[2] for m in meta],
+                "checksum": [
+                    __import__("hashlib").md5(p).hexdigest() for p in pdf["payload"]
+                ],
+            }
+        )
+
+
+@query(
+    "mm_decode_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 480 + 16 AS INT) AS height,
+           CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames,
+           md5(text) AS checksum
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode pipeline, end to end.
+
+    documents.text is re-encoded as the stand-in binary payload (the
+    fixtures ship no real media), then decoded via the Arrow mapInPandas
+    kernel. The oracle recomputes the deterministic fake in SQL — so the
+    whole binary → Python-batch → typed-metadata path is value-checked,
+    which is the part that carries over unchanged to a real decoder.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return docs.mapInPandas(decode_batch, schema=MM_SCHEMA)
+
+
+@query(
+    "mm_binary_meta",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(max(octet_length(encode(text))) AS INT) AS max_bytes
+    FROM documents GROUP BY source
+    """,
+    tags=("llm", "multimodal"),
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over binary payloads without ever leaving the JVM:
+    byte lengths aggregate per source (the cheap pre-decode audit pass)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.encode("text", "UTF-8").alias("payload")
+    )
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+        F.max(F.octet_length("payload")).cast("int").alias("max_bytes"),
+    )

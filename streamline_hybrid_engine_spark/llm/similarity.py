@@ -1,1 +1,205 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Similarity search over embeddings — SURVEY §2.11.
+
+Beyond-reference mandate: approximate-nearest-neighbor over an
+``array<float>`` column. Two paths:
+- brute-force cosine top-k (the correctness baseline) — blocked by label
+  so the pair count is |block|² not |table|²;
+- LSH (random-hyperplane signs) bucketing — the 100 TB path: signatures
+  are one narrow shuffle key, candidates come from a bucket equi-join,
+  exact dot only reranks within buckets.
+
+Numeric convention: elements are float32; every product is computed after
+CAST to double (exact widening, identical IEEE ops in Spark and DuckDB),
+accumulated left-to-right, rounded to 6. DuckDB's ``list_dot_product``
+accumulates in float32 (verified ≠ double math at 1e-8) — oracles use the
+explicit list_transform/list_sum form instead.
+
+The fixture embeddings are unit-norm (verified), so dot == cosine.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from streamline_hybrid_engine_spark.catalog import load_table
+from streamline_hybrid_engine_spark.registry import query
+
+N_PLANES = 8
+
+#: Spark-side dot product of two float-array columns, in double.
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+#: DuckDB-side equivalent (1-based element access via range join).
+_ODOT = (
+    "list_sum(list_transform(range(1, 65),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@query(
+    "llm_embedding_norm",
+    oracle="""
+    SELECT vec_id, label,
+           round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           round(list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6) AS l1_norm,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) / 64, 6) AS mean_c
+    FROM embeddings
+    """,
+    tags=("llm", "embedding"),
+)
+def llm_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding norms/mean via higher-order array functions (all JVM)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sq = "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    ab = "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + abs(CAST(x AS DOUBLE)))"
+    sm = "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(F.expr(f"sqrt({sq})"), 6).alias("l2_norm"),
+        F.round(F.expr(ab), 6).alias("l1_norm"),
+        F.round(F.expr(sm) / 64, 6).alias("mean_c"),
+    )
+
+
+@query(
+    "llm_knn_cosine_label",
+    oracle=f"""
+    SELECT a.vec_id,
+           arg_max(b.vec_id, {_ODOT.format(a="a.embedding", b="b.embedding")}) AS nn_id,
+           round(max({_ODOT.format(a="a.embedding", b="b.embedding")}), 6) AS nn_cos
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+    GROUP BY a.vec_id
+    """,
+    tags=("llm", "knn"),
+)
+def llm_knn_cosine_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine nearest neighbor, blocked by label.
+
+    label is the blocking key (|block|≈|table|/10): the self-join shuffles
+    on label once, pairs stay within a partition, and the dot product is a
+    single codegen'd higher-order expression.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_id"), "label", F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("b_id"), "label", F.col("embedding").alias("eb"))
+    dot = F.expr(_DOT.format(a="ea", b="eb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_id") != F.col("b_id"))
+        .withColumn("dot", dot)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("b_id", "dot").alias("nn_id"),
+            F.round(F.max("dot"), 6).alias("nn_cos"),
+        )
+    )
+
+
+@query(
+    "llm_ann_bruteforce_topk",
+    oracle=f"""
+    SELECT b.vec_id, b.label,
+           round({_ODOT.format(a="q.embedding", b="b.embedding")}, 6) AS cos_sim
+    FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    CROSS JOIN embeddings b
+    WHERE b.vec_id <> 0
+    ORDER BY cos_sim DESC, b.vec_id
+    LIMIT 10
+    """,
+    tags=("llm", "knn"),
+)
+def llm_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-query brute-force ANN baseline: broadcast the query vector,
+    score all candidates, global top-10 (TakeOrderedAndProject — no full
+    sort even at 100 TB)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    dot = F.expr(_DOT.format(a="qe", b="embedding"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", F.round(dot, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+def _lsh_bucket_expr(vec: str) -> str:
+    """8-bit random-hyperplane bucket as a bitstring.
+
+    Hyperplane p's component i has sign +1 iff hex digit ((p*64+i) mod 32)
+    of md5('plane:p:i') has its high bit set — deterministic, engine-
+    portable pseudo-randomness (same trick as the SimHash operator).
+    """
+    return (
+        "array_join(transform(sequence(0, %d), p -> "
+        "CASE WHEN aggregate(zip_with(%s, sequence(p * 64, p * 64 + 63),"
+        " (x, i) -> CAST(x AS DOUBLE) * (CASE WHEN instr('89abcdef',"
+        " substr(md5(concat('plane:', CAST(i AS STRING))), 1, 1)) > 0"
+        " THEN 1.0 ELSE -1.0 END)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0 THEN '1' ELSE '0' END), '')"
+        % (N_PLANES - 1, vec)
+    )
+
+
+_OLSH = (
+    "array_to_string(list_transform(range(0, %d), p -> "
+    "CASE WHEN list_sum(list_transform(range(1, 65),"
+    " i -> CAST(%s[i] AS DOUBLE) * (CASE WHEN strpos('89abcdef',"
+    " substr(md5('plane:' || CAST(p * 64 + i - 1 AS VARCHAR)), 1, 1)) > 0"
+    " THEN 1.0 ELSE -1.0 END)))"
+    " > 0 THEN '1' ELSE '0' END), '')"
+)
+
+
+@query(
+    "llm_knn_lsh",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, label, embedding,
+             {_OLSH % (N_PLANES, "embedding")} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id, a.bucket,
+           arg_max(b.vec_id, {_ODOT.format(a="a.embedding", b="b.embedding")}) AS nn_id,
+           round(max({_ODOT.format(a="a.embedding", b="b.embedding")}), 6) AS nn_cos
+    FROM bucketed a
+    JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    GROUP BY a.vec_id, a.bucket
+    """,
+    tags=("llm", "knn", "lsh"),
+)
+def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (the scale path): random-hyperplane signatures →
+    equi-join on bucket → exact rerank within bucket.
+
+    vs brute force: the join key is the 8-bit bucket (≈256 cells), so
+    candidate pairs shrink by ~2^8 while recall stays high for close
+    vectors; at 100 TB the bucket column is a narrow shuffle key and AQE
+    splits any hot bucket.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.withColumn("bucket", F.expr(_lsh_bucket_expr("embedding")))
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_id"), "bucket", F.col("embedding").alias("ea")
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("b_id"), "bucket", F.col("embedding").alias("eb")
+    )
+    dot = F.expr(_DOT.format(a="ea", b="eb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_id") != F.col("b_id"))
+        .withColumn("dot", dot)
+        .groupBy("vec_id", "bucket")
+        .agg(
+            F.max_by("b_id", "dot").alias("nn_id"),
+            F.round(F.max("dot"), 6).alias("nn_cos"),
+        )
+    )

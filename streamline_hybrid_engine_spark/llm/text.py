@@ -1,1 +1,216 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Text-analysis operators for LLM training-data pipelines — SURVEY §2.11.
+
+Beyond-reference mandate: language-ID (n-gram/marker heuristic), quality
+scoring, token counting (whitespace + BPE-ish regex), document
+fingerprinting (winnowing-style hash sampling). Everything is built-in
+``pyspark.sql.functions`` over the ``documents`` table — zero Python in
+the row path, so the operators scale to arbitrary corpus size with one
+shuffle (or none).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from streamline_hybrid_engine_spark.catalog import load_table
+from streamline_hybrid_engine_spark.registry import query
+
+#: marker tokens per language for the heuristic language-ID scorer.
+#: (The fixture corpus is synthetic English-ish vocab; the operator proves
+#: the scoring machinery, not linguistics.)
+LANG_MARKERS = {
+    "en": ("the", "a", "fast", "slow"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "la", "los", "que"),
+    "fr": ("le", "la", "les", "est"),
+    "zh": ("shi", "de", "bu", "zai"),
+}
+
+STOPWORDS = ("a", "the", "of", "and", "to", "in")
+
+
+@query(
+    "llm_doc_token_stats",
+    oracle="""
+    SELECT doc_id, lang, source,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_unique,
+           round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) AS ttr,
+           round(list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE))) / len(toks), 6) AS avg_tok_len,
+           length(text) AS n_chars_actual
+    FROM (SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks FROM documents)
+    """,
+    tags=("llm", "text"),
+)
+def llm_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics: count, vocabulary, type-token ratio,
+    mean token length — the basic quality-filter features."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    n = F.size("toks")
+    uniq = F.size(F.array_distinct("toks"))
+    tok_len_sum = F.expr(
+        "aggregate(toks, CAST(0.0 AS DOUBLE), (acc, t) -> acc + CAST(length(t) AS DOUBLE))"
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        n.alias("n_tokens"),
+        uniq.alias("n_unique"),
+        F.round(uniq / n.cast("double"), 6).alias("ttr"),
+        F.round(tok_len_sum / n, 6).alias("avg_tok_len"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+@query(
+    "llm_text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           round(len(list_filter(toks, t -> list_contains({list(STOPWORDS)!r}, t)))
+                 / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
+           round(list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE))) / len(toks), 6) AS mean_word_len,
+           len(toks) AS n_tokens,
+           CASE WHEN len(toks) BETWEEN 20 AND 1000
+                 AND len(list_filter(toks, t -> list_contains({list(STOPWORDS)!r}, t)))
+                     / CAST(len(toks) AS DOUBLE) BETWEEN 0.01 AND 0.6
+                THEN 1 ELSE 0 END AS passes_filter
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    """,
+    tags=("llm", "text", "quality"),
+)
+def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, mean word length, length gate —
+    a Gopher-style rule filter as one codegen'd expression."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    sw = F.array([F.lit(s) for s in STOPWORDS])
+    n = F.size("toks")
+    sw_ratio = F.size(F.filter("toks", lambda t: F.array_contains(sw, t))) / n.cast(
+        "double"
+    )
+    mean_len = (
+        F.expr(
+            "aggregate(toks, CAST(0.0 AS DOUBLE), (acc, t) -> acc + CAST(length(t) AS DOUBLE))"
+        )
+        / n
+    )
+    return docs.select(
+        "doc_id",
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        n.alias("n_tokens"),
+        F.when(
+            n.between(20, 1000) & sw_ratio.between(0.01, 0.6), 1
+        )
+        .otherwise(0)
+        .alias("passes_filter"),
+    )
+
+
+@query(
+    "llm_text_langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {" , ".join(
+                 f"len(list_filter(toks, t -> list_contains({list(marks)!r}, t))) AS score_{lg}"
+                 for lg, marks in LANG_MARKERS.items()
+             )}
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+    )
+    SELECT doc_id, lang AS lang_actual,
+           CASE
+             {" ".join(
+                 f"WHEN score_{lg} >= greatest(score_en, score_de, score_es, score_fr, score_zh)"
+                 f" AND score_{lg} > 0 THEN '{lg}'"
+                 for lg in LANG_MARKERS
+             )}
+             ELSE 'unknown' END AS lang_guess,
+           greatest(score_en, score_de, score_es, score_fr, score_zh) AS best_score
+    FROM scored
+    """,
+    tags=("llm", "text", "langid"),
+)
+def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: marker-token hit counts per language, argmax
+    with first-language-wins tie-breaking (CASE order — identical in both
+    engines)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    def _score(marks: tuple[str, ...]) -> F.Column:
+        arr = F.array([F.lit(x) for x in marks])
+        return F.size(F.filter("toks", lambda t: F.array_contains(arr, t)))
+
+    scores = {lg: _score(marks) for lg, marks in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    guess = F.lit("unknown")
+    # build CASE in reverse so earlier languages win ties (matches SQL order)
+    for lg in reversed(list(LANG_MARKERS)):
+        guess = F.when((scores[lg] >= best) & (scores[lg] > 0), lg).otherwise(guess)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        guess.alias("lang_guess"),
+        best.alias("best_score"),
+    )
+
+
+@query(
+    "llm_token_count_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens,
+           CAST(ceil(length(replace(text, ' ', '')) / 4.0) AS BIGINT) AS char4_estimate
+    FROM documents
+    """,
+    tags=("llm", "text", "tokens"),
+)
+def llm_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, BPE-ish regex pieces, and the
+    chars/4 heuristic — the standard corpus-size triangulation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).alias(
+            "bpe_ish_tokens"
+        ),
+        F.ceil(F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / 4.0).alias(
+            "char4_estimate"
+        ),
+    )
+
+
+@query(
+    "llm_fingerprint_winnow",
+    oracle="""
+    SELECT doc_id,
+           coalesce(array_to_string(list_sort(list_distinct(list_filter(
+             list_transform(range(1, len(toks) - 1),
+               i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])),
+             h -> substr(h, 1, 1) = '0'))), ','), '') AS fingerprints
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    """,
+    tags=("llm", "text", "fingerprint"),
+)
+def llm_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: 3-gram rolling hashes, mod-16 sampled
+    (keep hashes whose first hex digit is '0' — winnowing-style 1/16
+    selection), sorted + joined for a stable per-doc signature."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    fp = F.expr(
+        "array_join(array_sort(array_distinct(filter("
+        "transform(sequence(0, size(toks) - 3),"
+        " i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))),"
+        " h -> substr(h, 1, 1) = '0'))), ',')"
+    )
+    return docs.select("doc_id", fp.alias("fingerprints"))

@@ -321,3 +321,48 @@ def join_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd("last_purchase_value_raw", "last_purchase_value"),
         )
     )
+
+
+@query(
+    "join_5way_regional_revenue",
+    oracle=f"""
+    SELECT n_name,
+           {osum("l_extendedprice * (1 - l_discount)", "revenue")},
+           count(*) AS n_lines
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    tags=("joins", "multiway"),
+)
+def join_5way_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shape 5-way join: region→nation→customer→orders→lineitem.
+
+    Scale plan: region+nation broadcast (no shuffle); customer⋈orders and
+    ⋈lineitem shuffle on their keys with the date filter pushed to the
+    orders scan — the canonical star-join layout the BASELINE measures.
+    """
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )

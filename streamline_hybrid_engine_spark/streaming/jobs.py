@@ -1,1 +1,255 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Structured Streaming jobs — SURVEY §2.9 / §M6.
+
+The reference IS a hybrid batch-stream engine (STREAMLINE's Flink fork:
+bounded side inputs consumable inside streaming jobs). Spark's equivalent
+needs zero custom machinery: a streaming DataFrame and a batch DataFrame
+are the same type, so "hybrid" is just ``streamDF.join(staticDF, key)``
+(stream-static join, ``stream_static_enrich`` below).
+
+Test/driver harness pattern (SURVEY §5.2): file source over the fixture
+parquet → transformations → memory sink, ``availableNow`` trigger (drains
+all input then stops — deterministic), result returned as a batch
+DataFrame. The SAME transformations run over ``spark.read`` in
+operators/time_windows.py — streaming == batch equivalence is asserted in
+tests/test_streaming.py.
+
+These queries are rows-only in the driver gate (DuckDB has no streaming
+semantics); their *logic* is oracle-checked via the batch analogs.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from streamline_hybrid_engine_spark.catalog import load_table
+from streamline_hybrid_engine_spark.registry import query
+from streamline_hybrid_engine_spark.session import ensure_runtime_confs
+
+EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a micro-batch stream (nanos ts → micros, as batch)."""
+    ensure_runtime_confs(spark)
+    # file sources need a directory; glob-filter the events file out of the lake
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Drain a streaming DataFrame into a memory sink; return the result."""
+    spark = df.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    with tempfile.TemporaryDirectory(prefix=f"she_ckpt_{name}_") as ckpt:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+@query("stream_tumble_1h", oracle=None, tags=("streaming",))
+def stream_tumble_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregate (Flink TumblingEventTimeWindows).
+
+    Identical query text to win_tumble_1h_batch — the hybrid promise: one
+    plan, bounded or unbounded. Complete mode keeps every window visible
+    for the check; production uses append + watermark (see
+    stream_watermark_drop).
+    """
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
+    )
+    return run_to_memory(agg, "she_stream_tumble_1h", "complete")
+
+
+@query("stream_static_enrich", oracle=None, tags=("streaming", "hybrid"))
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid batch-stream: STREAMLINE's headline capability.
+
+    A bounded (static) customer/nation table is consumed inside a streaming
+    job as the build side of a join — Flink needed fork-level side-input
+    machinery for this; in Spark it is literally ``stream.join(static)``
+    (broadcast hash join per micro-batch, no shuffle of the stream).
+    """
+    ev = read_events_stream(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    static = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "user_id", "c_name", "n_name"
+    )
+    enriched = (
+        ev.join(F.broadcast(static), "user_id")
+        .groupBy("n_name", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return run_to_memory(enriched, "she_stream_static_enrich", "complete")
+
+
+@query("stream_watermark_drop", oracle=None, tags=("streaming", "watermark"))
+def stream_watermark_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics: late rows beyond the delay are dropped.
+
+    Input is staged as three files processed as separate micro-batches
+    (maxFilesPerTrigger=1, modification-time order). Spark filters late
+    events with the watermark of the PREVIOUS batch (one-batch lag), so
+    three batches are needed to observe a drop:
+    batch 0 = ts >= Jan 10 (raises the watermark to max(ts) - 1h);
+    batch 1 = Jan 5..10  (filter still sees the initial watermark; its
+    windows emit normally);
+    batch 2 = ts < Jan 5 (filter now sees the batch-0 watermark → rows
+    dropped, ``numRowsDroppedByWatermark`` > 0, verified).
+    Append mode emits only finalized windows, so the result visibly
+    excludes every window before Jan 5 — Flink's ``allowedLateness`` drop
+    path, minus the side output (documented divergence, SURVEY §4.2).
+    """
+    ensure_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    stage = os.path.join(
+        tempfile.gettempdir(), f"she_wm_stage_{os.path.basename(sf_dir)}"
+    )
+    import shutil
+    import time as _time
+
+    shutil.rmtree(stage, ignore_errors=True)
+    parts = (
+        ("00_main", F.col("ts") >= "2024-01-10"),
+        ("01_mid", (F.col("ts") >= "2024-01-05") & (F.col("ts") < "2024-01-10")),
+        ("02_late", F.col("ts") < "2024-01-05"),
+    )
+    now = _time.time()
+    for i, (name, cond) in enumerate(parts):
+        ev.filter(cond).coalesce(1).write.parquet(f"{stage}/{name}")
+        for f in os.listdir(f"{stage}/{name}"):
+            # pin strictly increasing mtimes: the file source orders by
+            # modification time, and the batch order IS the semantics here
+            os.utime(f"{stage}/{name}/{f}", (now + i * 10, now + i * 10))
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    agg = (
+        raw.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    return run_to_memory(agg, "she_stream_watermark_drop", "append")
+
+
+@query("stream_user_session_state", oracle=None, tags=("streaming", "state"))
+def stream_user_session_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed stateful processing (Flink ProcessFunction + keyed state +
+    timers) via ``applyInPandasWithState``: per-user sessionization with a
+    30-minute gap.
+
+    State = (session_start, last_ts, n_events). Closed sessions are emitted
+    as the gap is crossed; the still-open session is flushed at end of
+    batch — under the bounded ``availableNow`` drain (single input file)
+    end-of-input plays the role of Flink's event-time timer firing at the
+    final watermark. (A wall-clock timeout here would force the harness to
+    idle-spin micro-batches waiting for processing time to pass — wrong
+    tool for a bounded drain.)
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = 30 * 60 * 1_000_000
+
+    def sessionize(key, pdfs, state: GroupState):
+        sessions = []
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = None, None, 0
+        ts_list = []
+        for pdf in pdfs:
+            ts_list.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+        for t in sorted(ts_list):
+            if last_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us >= gap_us:
+                sessions.append((key[0], start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
+        # end-of-input flush of the open session (event-time timer analog)
+        if n:
+            sessions.append((key[0], start_us, last_us, n))
+        state.remove()
+        if sessions:
+            yield pd.DataFrame(
+                sessions, columns=["user_id", "start_us", "end_us", "n_events"]
+            )
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "ts")
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType="user_id long, start_us long, end_us long, n_events int",
+        stateStructType="start_us long, last_us long, n_events int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(out, "she_stream_user_session_state", "append")
+
+
+@query("stream_sink_parquet", oracle=None, tags=("streaming", "sink"))
+def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once file sink (Flink BucketingSink / 2PC analog):
+    ``foreachBatch`` writes each epoch's data idempotently by (epoch, path);
+    the commit log + epoch id give exactly-once across restarts.
+    """
+    out = os.path.join(
+        tempfile.gettempdir(), f"she_sink_{os.path.basename(sf_dir)}"
+    )
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    ev = read_events_stream(spark, sf_dir)
+    filtered = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(f"{out}/data")
+
+    with tempfile.TemporaryDirectory(prefix="she_sink_ckpt_") as ckpt:
+        q = (
+            filtered.writeStream.foreachBatch(write_epoch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(f"{out}/data")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_purchases"))
+    )

@@ -1,0 +1,51 @@
+"""Catalog/session behavior: fixture loading, nanos-ts handling, views."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from streamline_hybrid_engine_spark.catalog import TABLES, load_table, register_views
+
+
+def test_all_tables_load(spark, sf_dir):
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        assert df.count() > 0, name
+
+
+def test_events_ts_is_microsecond_timestamp(spark, sf_dir):
+    """The nanos fixture must arrive as a proper TimestampType (SURVEY §1.2)."""
+    ev = load_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    row = ev.orderBy("event_id").first()
+    assert isinstance(row["ts"], dt.datetime)
+    # fixture domain: January 2024 (FIXTURES.md)
+    assert dt.datetime(2024, 1, 1) <= row["ts"] <= dt.datetime(2024, 2, 1)
+
+
+def test_events_ts_matches_duckdb_to_the_microsecond(spark, sf_dir, duck):
+    """Nanos→micros truncation must agree with DuckDB's native nanos read."""
+    ours = {
+        r["event_id"]: r["ts"]
+        for r in load_table(spark, sf_dir, "events").select("event_id", "ts").collect()
+    }
+    theirs = dict(
+        duck.execute(
+            "SELECT event_id, CAST(date_trunc('microseconds', ts) AS TIMESTAMP) FROM events"
+        ).fetchall()
+    )
+    assert ours == theirs
+
+
+def test_register_views_sql_roundtrip(spark, sf_dir):
+    register_views(spark, sf_dir)
+    n = spark.sql("SELECT count(*) AS n FROM lineitem").first()["n"]
+    assert n == load_table(spark, sf_dir, "lineitem").count()
+
+
+@pytest.mark.parametrize("name", ["region", "nation", "customer"])
+def test_dimension_row_counts_scale(spark, sf_dir, name):
+    """Dimensions stay small — the broadcast-join size assumption."""
+    assert load_table(spark, sf_dir, name).count() < 50_000

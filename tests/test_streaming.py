@@ -1,0 +1,89 @@
+"""Streaming == batch equivalence (SURVEY §5.2 harness pattern).
+
+The reference's identity is hybrid batch-stream: the same logical query on
+bounded input must give the same answer through the streaming path
+(file source → availableNow micro-batches → memory sink) as through
+``spark.read``. These tests assert exactly that.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from streamline_hybrid_engine_spark.catalog import load_table
+from streamline_hybrid_engine_spark.registry import all_queries
+
+
+def _rows(df, *key):
+    return sorted(tuple(r) for r in df.select(*key).collect())
+
+
+def test_stream_tumble_equals_batch(spark, sf_dir):
+    """Tumbling-window agg: streaming result == identical batch query."""
+    out = all_queries()["stream_tumble_1h"].fn(spark, sf_dir)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
+    )
+    cols = ["ws", "event_type", "n", "sum_value"]
+    assert _rows(out, *cols) == _rows(batch, *cols)
+
+
+def test_stream_static_enrich_equals_batch_join(spark, sf_dir):
+    """Hybrid stream-static join == the same join done fully in batch."""
+    out = all_queries()["stream_static_enrich"].fn(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    batch = (
+        ev.join(c, "user_id")
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    cols = ["n_name", "event_type", "n_events"]
+    assert _rows(out, *cols) == _rows(batch, *cols)
+
+
+def test_stream_watermark_drops_late_file(spark, sf_dir):
+    """Late micro-batch (entirely behind the watermark) must not appear."""
+    out = all_queries()["stream_watermark_drop"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "no finalized windows emitted"
+    # batch 1 is all ts < 2024-01-05 and entirely late; every emitted
+    # window start must come from the on-time file (ts >= 2024-01-05).
+    assert min(r["ws"] for r in rows).day >= 5
+
+
+def test_stream_session_state_matches_batch_sessionization(spark, sf_dir):
+    """applyInPandasWithState sessions == session_window batch sessions."""
+    out = all_queries()["stream_user_session_state"].fn(spark, sf_dir)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", "n_events")
+    )
+    ours = sorted((r["user_id"], r["n_events"]) for r in out.collect())
+    theirs = sorted(tuple(r) for r in batch.collect())
+    assert ours == theirs
+
+
+def test_stream_sink_parquet_exactly_once(spark, sf_dir):
+    """foreachBatch sink: written rows == source purchase rows, no dupes."""
+    out = all_queries()["stream_sink_parquet"].fn(spark, sf_dir)
+    got = {r["user_id"]: r["n_purchases"] for r in out.collect()}
+    want = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
