@@ -7,9 +7,9 @@ line::
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-``value`` is the total wall-clock of the timed pass (1 warm-up run of the
-first query amortizes JVM/session startup out of the per-query numbers,
-matching how BASELINE.md §A was measured). Compare against BASELINE.md §A.
+``value`` is the sum of per-query medians. Methodology matches BASELINE.md
+§A exactly: per query, 1 warm-up run (JVM/codegen/planning) then the median
+of 3 timed ``collect()`` runs. Compare against BASELINE.md §A.
 """
 
 from __future__ import annotations
@@ -49,15 +49,17 @@ def main() -> int:
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # warm-up: JVM + parquet footer caches (matches BASELINE.md methodology)
-    qs[names[0]].fn(spark, sf_dir).collect()
-
     times: dict[str, float] = {}
     total = 0.0
     for name in names:
-        t0 = time.time()
-        qs[name].fn(spark, sf_dir).collect()
-        dt = round(time.time() - t0, 3)
+        fn = qs[name].fn
+        fn(spark, sf_dir).collect()  # warm-up: codegen + parquet footers
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            runs.append(time.time() - t0)
+        dt = round(sorted(runs)[1], 3)
         times[name] = dt
         total += dt
 

@@ -150,10 +150,10 @@ def agg_stats_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_rollup_nation_region",
-    oracle="""
+    oracle=f"""
     SELECT r_name, n_name,
            count(*) AS n_customers,
-           round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,18))) AS DOUBLE), 6) AS sum_acctbal,
+           {osum("c_acctbal", "sum_acctbal")},
            CAST(grouping(r_name) * 2 + grouping(n_name) AS INT) AS gid
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
@@ -179,9 +179,9 @@ def agg_rollup_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_cube_flag_status",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(38,18))) AS DOUBLE), 6) AS sum_qty,
+           {osum("l_quantity", "sum_qty")},
            count(*) AS n,
            CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid
     FROM lineitem
