@@ -53,9 +53,17 @@ def dsum(col: Column | str, alias: str) -> Column:
 
 
 def davg(col: Column | str, alias: str) -> Column:
-    """Order-independent double average: exact micro sum / non-null count."""
+    """Order-independent double average, truncated to the micro grid.
+
+    The mean is ``floor(sum_micros / n)`` micros: dividing by the count
+    would otherwise land on half-grid values (x.xxxxxx5) where Spark
+    (HALF_UP on the shortest decimal repr) and DuckDB (rounding the binary
+    value) disagree — flooring first makes the result a grid point, where
+    round(_, 6) is unambiguous in both engines.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(_fx(c)) / float(MICROS) / F.count(c), 6).alias(alias)
+    mean_micros = F.floor(F.sum(_fx(c)).cast("double") / F.count(c))
+    return F.round(mean_micros / float(MICROS), 6).alias(alias)
 
 
 def rnd(col: Column | str, alias: str) -> Column:
@@ -75,8 +83,8 @@ def osum(expr: str, alias: str) -> str:
 
 def oavg(expr: str, alias: str) -> str:
     return (
-        f"round(CAST(sum(CAST(floor(({expr}) * {MICROS}) AS BIGINT)) AS DOUBLE)"
-        f" / {MICROS} / count({expr}), 6) AS {alias}"
+        f"round(floor(CAST(sum(CAST(floor(({expr}) * {MICROS}) AS BIGINT)) AS DOUBLE)"
+        f" / count({expr})) / {MICROS}, 6) AS {alias}"
     )
 
 

@@ -19,7 +19,7 @@ Scale design (100 TB):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from streamline_hybrid_engine_spark.catalog import load_table
 from streamline_hybrid_engine_spark.registry import query
@@ -236,3 +236,96 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.1)
         .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@query(
+    "llm_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sigs AS ({_ORACLE_SIGS}),
+    bands AS (
+      SELECT doc_id, seed // {BAND_ROWS} AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS bandsig
+      FROM sigs GROUP BY doc_id, seed // {BAND_ROWS}
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
+    ),
+    und AS (SELECT d1, d2 FROM edges UNION ALL SELECT d2, d1 FROM edges),
+    reach AS (
+      SELECT doc_id AS a, doc_id AS b FROM documents
+      UNION
+      SELECT r.a, u.d2 FROM reach r JOIN und u ON u.d1 = r.b
+    )
+    SELECT a AS doc_id, min(b) AS cluster_id,
+           CAST(count(*) OVER (PARTITION BY min(b)) AS BIGINT) AS cluster_size
+    FROM reach GROUP BY a
+    """,
+    tags=("llm", "dedup", "iterative"),
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the LSH
+    candidate graph by iterative min-label propagation.
+
+    The Flink-iterations analog (SURVEY §1.1 ``iterate``/``iterateDelta``
+    → driver-side loop): labels start as doc_id, each round takes the min
+    label across candidate-pair neighbors, loop until fixpoint (checked,
+    bounded at 25 rounds = graph diameter bound). ``localCheckpoint`` per
+    round truncates the growing lineage — at 100 TB this is the standard
+    large-graph CC pattern (rounds = O(component diameter), each round one
+    shuffle on doc_id; dup clusters are short chains so it converges in a
+    few rounds).
+
+    Oracle: recursive-CTE transitive closure (exactly the min reachable
+    node per doc). Output: every document with its cluster representative
+    and cluster size.
+    """
+    pairs = (
+        llm_dedup_minhash_pairs(spark, sf_dir)
+        .select("d1", "d2")
+        .localCheckpoint(eager=True)
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # undirected adjacency (both directions)
+    adj = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    )
+    # iterate only over the candidate graph's vertices — documents with no
+    # near-dup edge are singleton clusters and skip the loop entirely (at
+    # 100 TB the graph is ≪ the corpus: candidates are the LSH-filtered tail)
+    # size the loop's shuffle width to the graph, not the cluster default:
+    # the LSH candidate graph is orders of magnitude smaller than the corpus
+    n_parts = max(1, min(adj.rdd.getNumPartitions(), 4))
+    adj = adj.repartition(n_parts, "d2").localCheckpoint(eager=True)
+    verts = adj.select(F.col("d1").alias("doc_id")).distinct()
+    labels = verts.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(25):
+        neighbor_min = (
+            adj.join(labels, adj.d2 == labels.doc_id)
+            .groupBy(adj.d1.alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        # a round both updates the labels and reports whether anything moved
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.col("nbr_min") < F.col("cluster_id")).alias("moved"),
+            )
+            .coalesce(n_parts)
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("moved")).limit(1).count()
+        labels = new_labels.drop("moved")
+        if changed == 0:
+            break
+    singletons = docs.join(verts, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    all_labels = labels.unionByName(singletons)
+    w_size = F.count("*").over(Window.partitionBy("cluster_id"))
+    return all_labels.select("doc_id", "cluster_id", w_size.alias("cluster_size"))

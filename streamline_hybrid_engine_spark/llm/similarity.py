@@ -203,3 +203,35 @@ def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("dot"), 6).alias("nn_cos"),
         )
     )
+
+
+@query(
+    "llm_embedding_centroid",
+    oracle="""
+    SELECT label, CAST(i - 1 AS INT) AS pos,
+           round(floor(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+                 / count(*)) / 1000000, 6) AS centroid_c
+    FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i)
+    GROUP BY label, i
+    """,
+    tags=("llm", "embedding", "centroid"),
+)
+def llm_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (elementwise mean) of the embedding column —
+    the k-means/IVF building block (coarse quantizer training step).
+
+    posexplode → (label, pos) grouped mean via the fixed-point convention.
+    One shuffle on (label, pos): 64·|labels| cells regardless of corpus
+    size, map-side partial agg bounds the shuffle — the IVF coarse
+    centroid refresh at 100 TB is exactly this plan.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "x"))
+    sum_micros = F.sum(F.floor(F.col("x").cast("double") * 1_000_000).cast("long"))
+    # floor the mean to the micro grid BEFORE rounding (see numeric.davg)
+    mean = F.floor(sum_micros.cast("double") / F.count("*")) / 1_000_000.0
+    return (
+        ex.groupBy("label", "pos")
+        .agg(F.round(mean, 6).alias("centroid_c"))
+        .select("label", F.col("pos").cast("int").alias("pos"), "centroid_c")
+    )

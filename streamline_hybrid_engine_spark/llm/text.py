@@ -214,3 +214,65 @@ def llm_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         " h -> substr(h, 1, 1) = '0'))), ',')"
     )
     return docs.select("doc_id", fp.alias("fingerprints"))
+
+
+@query(
+    "llm_tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, token, count(*) AS tf, count(*) OVER (PARTITION BY doc_id) AS _dummy
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY doc_id, token
+    ),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len FROM tf GROUP BY doc_id),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round((tf.tf / CAST(dl.doc_len AS DOUBLE))
+                   * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN dl USING (doc_id) JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+    tags=("llm", "text", "tfidf"),
+)
+def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 characteristic terms per document.
+
+    tf = term count / doc length; idf = ln(N / df); deterministic ranking
+    by (tfidf desc, token). Three narrow shuffles — (doc, token) counts,
+    token document-frequency, doc length — all partial-aggregated; the df
+    table is tiny (vocabulary) and broadcast back. The canonical corpus
+    featurization pass at any scale.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar; at 100 TB this is a cheap count(*)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "token")
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                (F.col("tf") / F.col("doc_len").cast("double"))
+                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tfidf", F.col("rk").cast("long").alias("rk"))
+    )

@@ -279,3 +279,32 @@ def udaf_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").applyInPandas(
         weighted, schema="l_returnflag string, w_avg_price double"
     )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(median(l_extendedprice), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.90), 6) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines use linear interpolation
+    between closest ranks — verified identical to 6 decimals).
+
+    Scale note: exact percentile buffers the group's values; at 100 TB use
+    ``approx_percentile`` (t-digest, mergeable, bounded memory) — exact
+    here because the oracle needs determinism.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.90)"), 6).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
+    )

@@ -65,3 +65,29 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"), dsum("o_totalprice", "sum_price")
     )
+
+
+@query(
+    "scan_json_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    tags=("sources", "json"),
+)
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source round-trip (Flink JSON-format analog).
+
+    Writes documents to temp JSON-lines, re-reads with an explicit schema
+    (never inference — one pass, SURVEY §1.1), aggregates; must equal the
+    same aggregate over the parquet original.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = os.path.join(
+        tempfile.gettempdir(), f"she_json_roundtrip_{os.path.basename(sf_dir)}"
+    )
+    d.write.mode("overwrite").json(out)
+    back = spark.read.schema("doc_id long, lang string, n_chars long").json(out)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("total_chars")
+    )

@@ -253,3 +253,43 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count("*").alias("n_purchases"))
     )
+
+
+@query("stream_stream_interval_join", oracle=None, tags=("streaming", "join"))
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (Flink JoinedStreams / DataStreamWindowJoin).
+
+    Purchases joined to clicks by the same user within [-30 min, 0] of the
+    purchase — both sides unbounded, watermarked; Spark buffers each side's
+    state and evicts with the watermark + time-range condition. Batch
+    analog with the same predicate: ``join_interval_events`` (oracle-checked).
+    """
+    ev = read_events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = c_user AND
+            c_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts
+            """
+        ),
+    ).select("purchase_id", "click_id", "p_user", "p_ts", "c_ts")
+    return run_to_memory(joined, "she_stream_stream_interval_join", "append")
