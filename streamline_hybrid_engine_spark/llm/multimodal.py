@@ -115,3 +115,48 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.octet_length("payload")).alias("total_bytes"),
         F.max(F.octet_length("payload")).cast("int").alias("max_bytes"),
     )
+
+
+CHUNK = 256
+
+
+@query(
+    "mm_chunk_binary",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           CAST(length(substr(text, i * {CHUNK} + 1, {CHUNK})) AS INT) AS chunk_bytes,
+           md5(substr(text, i * {CHUNK} + 1, {CHUNK})) AS chunk_md5
+    FROM documents,
+         LATERAL (SELECT unnest(range(0, CAST(ceil(length(text) / {CHUNK}.0) AS BIGINT))) AS i)
+    """,
+    tags=("llm", "multimodal", "chunk"),
+)
+def mm_chunk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size chunking of a binary payload — the audio-window /
+    video-segment plumbing step (chunk → per-chunk decode/feature UDF).
+
+    Stays entirely JVM-side: sequence → explode → binary substring → md5;
+    no Python per chunk. At 100 TB chunks inherit the scan's partitioning
+    (explode is pipelined, no shuffle); a decoder then maps per-chunk via
+    ``mapInPandas`` exactly like mm_decode_meta. The fixture payload is the
+    UTF-8 text re-encode (ASCII — byte == char, so the oracle mirrors with
+    string substr).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    n_chunks = F.ceil(F.length("payload") / float(CHUNK)).cast("int")
+    return (
+        docs.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .withColumn(
+            "chunk",
+            F.expr(f"substring(payload, chunk_idx * {CHUNK} + 1, {CHUNK})"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.octet_length("chunk").alias("chunk_bytes"),
+            F.md5("chunk").alias("chunk_md5"),
+        )
+    )

@@ -235,3 +235,112 @@ def llm_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(mean, 6).alias("centroid_c"))
         .select("label", F.col("pos").cast("int").alias("pos"), "centroid_c")
     )
+
+
+_ORACLE_CENTROIDS = """
+    SELECT label,
+           list(cc ORDER BY pos) AS cvec
+    FROM (
+      SELECT label, CAST(i - 1 AS INT) AS pos,
+             floor(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+                   / count(*)) / 1000000 AS cc
+      FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i)
+      GROUP BY label, i
+    ) GROUP BY label
+"""
+
+
+@query(
+    "llm_knn_ivf",
+    oracle=f"""
+    WITH cents AS ({_ORACLE_CENTROIDS}),
+    assigned AS (
+      SELECT vec_id, embedding, label AS cell
+      FROM (
+        SELECT e.vec_id, e.embedding, c.label,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_ODOT.format(a="e.embedding", b="c.cvec")} DESC, c.label
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, cell, nn_id, nn_cos FROM (
+      SELECT a.vec_id, a.cell, b.vec_id AS nn_id,
+             round({_ODOT.format(a="a.embedding", b="b.embedding")}, 6) AS nn_cos,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_ODOT.format(a="a.embedding", b="b.embedding")} DESC, b.vec_id
+             ) AS rn
+      FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    ) WHERE rn = 1
+    """,
+    tags=("llm", "knn", "ivf"),
+)
+def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: train a coarse quantizer (per-label centroids =
+    k-means with labels as the fixed assignment — the IVF *structure*
+    without the iterative training), assign every vector to its nearest
+    centroid cell by inner product, then exact-rerank within the cell
+    (nprobe=1).
+
+    The 100 TB path FAISS-style: the centroid table is tiny and broadcast;
+    assignment is a map-side argmax over ~K dots per vector (no shuffle);
+    the rerank join shuffles on the cell id — |cell| ≈ N/K keeps pair
+    growth bounded, AQE splits hot cells. Deterministic tie-breaking
+    (dot desc, id asc) keeps the oracle exact.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(F.col("x").cast("double") * 1_000_000).cast("long")
+                    ).cast("double")
+                    / F.count("*")
+                )
+                / 1_000_000.0
+            ).alias("cc")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cc"))), lambda s: s.cc
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("c_label"), "cvec")
+    )
+    cdot = F.expr(_DOT.format(a="embedding", b="cvec"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cdot").desc(), F.col("c_label")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("cdot", cdot)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("c_label").alias("cell"))
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("vec_id"), "cell", F.col("embedding").alias("ea")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"), "cell", F.col("embedding").alias("eb")
+    )
+    pdot = F.expr(_DOT.format(a="ea", b="eb"))
+    w_nn = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("b_id"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("vec_id") != F.col("b_id"))
+        .withColumn("dot", pdot)
+        .withColumn("rn", F.row_number().over(w_nn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id", "cell", F.col("b_id").alias("nn_id"), F.round("dot", 6).alias("nn_cos")
+        )
+    )
