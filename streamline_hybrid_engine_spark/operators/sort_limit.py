@@ -73,15 +73,23 @@ def limit_top100_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sort", "topk"),
 )
 def topk_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: 3-way join → agg → ORDER BY + LIMIT (TakeOrdered)."""
+    """TPC-H Q3 shape: 3-way join → agg → ORDER BY + LIMIT (TakeOrdered).
+
+    Join order matters: the segment-filtered customer⋈orders result is the
+    small side — broadcast IT and stream lineitem (statistics alone pick
+    the reverse here because the lineitem file sits under the broadcast
+    threshold; building a fact-sized hash relation measured 2× slower).
+    At extreme SF drop the hint and AQE picks the build side from runtime
+    sizes.
+    """
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    co = c.join(o, c.c_custkey == o.o_custkey).select("o_orderkey", "o_orderdate")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
+        li.join(F.broadcast(co), li.l_orderkey == co.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.col("revenue").desc(), "o_orderkey")
