@@ -43,12 +43,20 @@ def default_sf_dir() -> str:
 def get_session(app_name: str = "streamline-hybrid-engine-spark") -> SparkSession:
     """Build (or reuse) a local session with the engine's pinned configs."""
     n = cpus()
+    import tempfile
+
     b = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{n}]")
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # static conf: managed tables (bucketing tests/demos) land in tmp,
+        # never in the repo working directory
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "she_warehouse"),
+        )
     )
     for k, v in STATIC_CONFS.items():
         b = b.config(k, v)

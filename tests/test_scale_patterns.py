@@ -1,0 +1,103 @@
+"""Scale-pattern tests: the 100 TB techniques SCALE.md promises, proven
+on the local cluster — bucketed co-located joins (zero shuffle), streaming
+checkpoint recovery (Flink savepoint analog), observed metrics
+(accumulator analog).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from streamline_hybrid_engine_spark.catalog import load_table
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Bucketing both fact tables on the join key at write time makes the
+    join zero-shuffle (SCALE.md joins: co-location option (a))."""
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+
+    joined = spark.table("b_lineitem").join(
+        spark.table("b_orders").hint("MERGE"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    joined.collect()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:800]
+    # sanity: result matches the unbucketed join
+    assert joined.count() == li.join(o, li.l_orderkey == o.o_orderkey).count()
+
+
+def test_observed_metrics_accumulator_analog(spark, sf_dir):
+    """Flink accumulators → Spark ``observe()``: per-action metrics
+    collected on the driver without a second pass."""
+    from pyspark.sql import Observation
+
+    obs = Observation("li_metrics")
+    li = load_table(spark, sf_dir, "lineitem").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("total_qty"),
+    )
+    n = li.filter(F.col("l_quantity") >= 0).count()
+    got = obs.get
+    assert got["n_rows"] > 0
+    assert got["n_rows"] >= n  # observe sees pre-filter rows
+    assert got["total_qty"] > 0
+
+
+def test_streaming_checkpoint_recovery_no_reprocessing(spark, sf_dir):
+    """Exactly-once across restarts (Flink savepoint analog): a second run
+    from the same checkpoint must process ONLY new files — counts continue,
+    nothing is double-counted."""
+    ev = load_table(spark, sf_dir, "events")
+    stage = os.path.join(tempfile.gettempdir(), "she_ckpt_recovery_stage")
+    ckpt = os.path.join(tempfile.gettempdir(), "she_ckpt_recovery_ckpt")
+    out: list = []
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    first = ev.filter(F.col("ts") < "2024-01-15")
+    second = ev.filter(F.col("ts") >= "2024-01-15")
+    first.coalesce(1).write.parquet(f"{stage}/f0")
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+
+    def drain() -> int:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(stage)
+        )
+        seen = {"n": 0}
+
+        def sink(batch_df, epoch_id):
+            seen["n"] += batch_df.count()
+
+        q = (
+            raw.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return seen["n"]
+
+    n1 = drain()
+    assert n1 == first.count()
+    # restart with new data only — the old file must not be reprocessed
+    second.coalesce(1).write.parquet(f"{stage}/f1")
+    n2 = drain()
+    assert n2 == second.count(), f"reprocessed: got {n2}, want {second.count()}"
