@@ -63,6 +63,20 @@ def main() -> int:
         times[name] = dt
         total += dt
 
+    # streaming throughput: drain the events fixture through the tumbling
+    # window job (file source → watermark agg → memory sink); rows/s over
+    # the end-to-end micro-batch pipeline. One timed run (checkpoint setup
+    # is part of the cost being measured).
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    fn = qs["stream_tumble_1h"].fn
+    fn(spark, sf_dir).collect()  # warm-up
+    t0 = time.time()
+    fn(spark, sf_dir).collect()
+    stream_dt = time.time() - t0
+    times["stream_tumble_1h"] = round(stream_dt, 3)
+    times["stream_events_per_sec"] = round(n_events / stream_dt, 1)
+    total += stream_dt
+
     print(
         json.dumps(
             {

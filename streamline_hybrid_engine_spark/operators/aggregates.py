@@ -308,3 +308,39 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_extendedprice, 0.90)"), 6).alias("p90"),
         F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
     )
+
+
+@query(
+    "agg_grouping_sets_mixed",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           {osum("o_totalprice", "sum_price")},
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg", "groupingsets"),
+)
+def agg_grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind ROLLUP/CUBE —
+    Calcite expand rule in the reference, `GroupingSetsITCase` coverage).
+
+    Via spark.sql: the SQL entry point and the fluent API are the same
+    DataFrame (SURVEY §3.4), so SQL-only surfaces cost nothing extra.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("she_orders_gs")
+    micro_sum = (
+        "round(CAST(sum(CAST(floor(o_totalprice * 1000000) AS BIGINT)) AS DOUBLE)"
+        " / 1000000, 6)"
+    )
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               {micro_sum} AS sum_price,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid
+        FROM she_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )

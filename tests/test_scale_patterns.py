@@ -21,6 +21,11 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     join zero-shuffle (SCALE.md joins: co-location option (a))."""
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # the in-memory catalog forgets tables between sessions but their files
+    # survive in the warehouse dir — clear them or saveAsTable fails
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
@@ -101,3 +106,20 @@ def test_streaming_checkpoint_recovery_no_reprocessing(spark, sf_dir):
     second.coalesce(1).write.parquet(f"{stage}/f1")
     n2 = drain()
     assert n2 == second.count(), f"reprocessed: got {n2}, want {second.count()}"
+
+
+def test_aqe_splits_skewed_join(spark, sf_dir):
+    """AQE skew-join handling (SCALE.md: 'skewed keys → AQE'): a join with
+    one pathological hot key must still complete and stay correct; with
+    skewJoin enabled Spark splits the hot partition at runtime."""
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    # build: 1 hot key with 50k rows + 1k cold keys
+    hot = spark.range(50_000).select(F.lit(0).alias("k"), F.col("id").alias("v"))
+    cold = spark.range(1_000).select(
+        (F.col("id") + 1).alias("k"), F.col("id").alias("v")
+    )
+    left = hot.union(cold)
+    right = spark.range(1_001).select(F.col("id").alias("k"), F.lit(1).alias("w"))
+    # force a shuffle join (no broadcast) so skew handling is exercised
+    joined = left.join(right.hint("SHUFFLE_MERGE"), "k")
+    assert joined.count() == 51_000
