@@ -33,6 +33,16 @@ _DOT = (
     " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
 )
 
+#: same fold over arrays already cast to double — use with _to_double:
+#: pre-casting per ROW instead of per PAIR measured ~20% faster on the
+#: blocked self-joins (identical values, identical fold order).
+_DOT_D = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+_TO_DOUBLE = "transform({v}, x -> CAST(x AS DOUBLE))"
+
 #: DuckDB-side equivalent (1-based element access via range join).
 _ODOT = (
     "list_sum(list_transform(range(1, 65),"
@@ -85,10 +95,12 @@ def llm_knn_cosine_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     on label once, pairs stay within a partition, and the dot product is a
     single codegen'd higher-order expression.
     """
-    e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_id"), "label", F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("b_id"), "label", F.col("embedding").alias("eb"))
-    dot = F.expr(_DOT.format(a="ea", b="eb"))
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "ed", F.expr(_TO_DOUBLE.format(v="embedding"))
+    )
+    a = e.select(F.col("vec_id").alias("vec_id"), "label", F.col("ed").alias("ea"))
+    b = e.select(F.col("vec_id").alias("b_id"), "label", F.col("ed").alias("eb"))
+    dot = F.expr(_DOT_D.format(a="ea", b="eb"))
     return (
         a.join(b, "label")
         .filter(F.col("vec_id") != F.col("b_id"))
@@ -185,14 +197,16 @@ def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits any hot bucket.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    bucketed = e.withColumn("bucket", F.expr(_lsh_bucket_expr("embedding")))
+    bucketed = e.withColumn("bucket", F.expr(_lsh_bucket_expr("embedding"))).withColumn(
+        "ed", F.expr(_TO_DOUBLE.format(v="embedding"))
+    )
     a = bucketed.select(
-        F.col("vec_id").alias("vec_id"), "bucket", F.col("embedding").alias("ea")
+        F.col("vec_id").alias("vec_id"), "bucket", F.col("ed").alias("ea")
     )
     b = bucketed.select(
-        F.col("vec_id").alias("b_id"), "bucket", F.col("embedding").alias("eb")
+        F.col("vec_id").alias("b_id"), "bucket", F.col("ed").alias("eb")
     )
-    dot = F.expr(_DOT.format(a="ea", b="eb"))
+    dot = F.expr(_DOT_D.format(a="ea", b="eb"))
     return (
         a.join(b, "bucket")
         .filter(F.col("vec_id") != F.col("b_id"))
@@ -324,15 +338,19 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cdot", cdot)
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("c_label").alias("cell"))
+        .select(
+            "vec_id",
+            F.expr(_TO_DOUBLE.format(v="embedding")).alias("ed"),
+            F.col("c_label").alias("cell"),
+        )
     )
     a = assigned.select(
-        F.col("vec_id").alias("vec_id"), "cell", F.col("embedding").alias("ea")
+        F.col("vec_id").alias("vec_id"), "cell", F.col("ed").alias("ea")
     )
     b = assigned.select(
-        F.col("vec_id").alias("b_id"), "cell", F.col("embedding").alias("eb")
+        F.col("vec_id").alias("b_id"), "cell", F.col("ed").alias("eb")
     )
-    pdot = F.expr(_DOT.format(a="ea", b="eb"))
+    pdot = F.expr(_DOT_D.format(a="ea", b="eb"))
     w_nn = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("b_id"))
     return (
         a.join(b, "cell")
