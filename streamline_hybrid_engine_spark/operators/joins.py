@@ -438,3 +438,24 @@ def cogroup_nation_customer_supplier_pandas(spark: SparkSession, sf_dir: str) ->
         n.join(merged, "n_nationkey", "left")
         .fillna({"n_customers": 0, "n_suppliers": 0, "total_acctbal": 0.0})
     )
+
+
+@query(
+    "join_right_orders_customer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey,
+           round(o_totalprice, 6) AS totalprice
+    FROM orders RIGHT JOIN customer
+      ON o_custkey = c_custkey AND o_orderstatus = 'P'
+    """,
+    tags=("joins", "outer"),
+)
+def join_right_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (OuterJoinOperatorBase RIGHT): every customer row
+    survives; non-matching order side is null-extended."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cond = (o.o_custkey == c.c_custkey) & (o.o_orderstatus == "P")
+    return o.join(c, cond, "right").select(
+        "c_custkey", "c_name", "o_orderkey", rnd("o_totalprice", "totalprice")
+    )

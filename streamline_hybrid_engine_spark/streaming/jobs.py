@@ -311,3 +311,40 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique_events"))
     return run_to_memory(agg, "she_stream_dedup_events", "complete")
+
+
+@query("stream_hop_15m", oracle=None, tags=("streaming",))
+def stream_hop_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding (hopping) window agg — Flink SlidingEventTimeWindows
+    / SQL HOP. Each event lands in 4 overlapping 1h windows on a 15m hop;
+    batch analog win_hop_batch is the oracle-checked twin."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    return run_to_memory(agg, "she_stream_hop_15m", "complete")
+
+
+@query("stream_session_native", oracle=None, tags=("streaming", "session"))
+def stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (Flink EventTimeSessionWindows /
+    SQL SESSION): ``session_window`` in a watermarked streaming groupBy —
+    state merges adjacent sessions as events arrive. The stateful-process
+    variant (stream_user_session_state) hand-rolls the same semantics;
+    batch twin win_session_30m_batch carries the oracle."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, "she_stream_session_native", "complete")

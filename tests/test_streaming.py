@@ -87,3 +87,33 @@ def test_stream_sink_parquet_exactly_once(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_hop_equals_batch(spark, sf_dir):
+    """Hopping-window streaming agg == the same window() in batch."""
+    out = all_queries()["stream_hop_15m"].fn(spark, sf_dir)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    assert _rows(out, "ws", "n") == _rows(batch, "ws", "n")
+
+
+def test_stream_session_native_equals_batch(spark, sf_dir):
+    """Native streaming session_window == batch session_window."""
+    out = all_queries()["stream_session_native"].fn(spark, sf_dir)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _rows(out, *cols) == _rows(batch, *cols)
