@@ -28,14 +28,21 @@ HEADLINE = (
     "agg_pricing_summary",      # TPC-H Q1 shape: scan→filter→hash agg
     "agg_global_revenue",       # Q6 shape: global agg
     "agg_count_distinct_users", # distinct agg
+    "agg_rollup_nation_region", # grouping sets family
     "topk_revenue_orders",      # Q3 shape: 3-way join + topk
     "join_5way_regional_revenue",  # Q5 shape: 5-way join
+    "join_asof_last_purchase",  # as-of via window (no pair explosion)
     "win_rank_orders_per_cust", # window rank
     "win_tumble_1h_batch",      # time window (events)
     "win_session_30m_batch",    # session window
     "llm_doc_token_stats",      # text analysis
-    "llm_knn_cosine_label",     # similarity search
-    "llm_dedup_minhash_sig",    # minhash dedup
+    "llm_tfidf_top_terms",      # corpus featurization
+    "llm_knn_cosine_label",     # similarity search (blocked brute force)
+    "llm_knn_ivf",              # similarity search (IVF scale path)
+    "llm_dedup_minhash_sig",    # minhash signatures
+    "llm_dedup_minhash_pairs",  # LSH band-join candidates
+    "llm_dedup_simhash",        # simhash (no-shuffle near-dup)
+    "mm_decode_meta",           # multimodal Arrow decode pipeline
 )
 
 
