@@ -1,0 +1,47 @@
+"""ANSI-mode semantics (SURVEY §1.2): fail-fast arithmetic matching the
+oracle engine — silent corruption is worse than an error at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+from streamline_hybrid_engine_spark.sources.kafka import (
+    KafkaConnectorMissing,
+    read_events_kafka,
+)
+
+
+def test_ansi_mode_is_pinned_on(spark):
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+
+
+def test_division_by_zero_throws(spark):
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        spark.sql("SELECT 1/0").collect()
+
+
+def test_long_overflow_throws_not_wraps(spark):
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW"):
+        spark.sql("SELECT 9223372036854775807 + CAST(1 AS BIGINT)").collect()
+
+
+def test_bad_cast_throws(spark):
+    with pytest.raises(Exception, match="CAST_INVALID_INPUT"):
+        spark.sql("SELECT CAST('not a number' AS INT)").collect()
+
+
+def test_try_variants_give_null_escape_hatch(spark):
+    """Where pipeline code WANTS null-on-error, the try_* family is the
+    sanctioned path — explicit, not a global mode flip."""
+    row = spark.sql(
+        "SELECT try_divide(1, 0) AS d, try_cast('x' AS INT) AS c,"
+        " try_add(9223372036854775807, 1) AS a"
+    ).first()
+    assert row["d"] is None and row["c"] is None and row["a"] is None
+
+
+def test_kafka_builder_fails_clearly_without_connector(spark):
+    """The Kafka builder must raise the documented error in this
+    connector-less container, not an opaque class-not-found."""
+    with pytest.raises(KafkaConnectorMissing):
+        read_events_kafka(spark, "localhost:9092", "events")

@@ -123,3 +123,46 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
     # force a shuffle join (no broadcast) so skew handling is exercised
     joined = left.join(right.hint("SHUFFLE_MERGE"), "k")
     assert joined.count() == 51_000
+
+
+def test_partitioned_lake_static_pruning(spark, sf_dir):
+    """Date-partitioned lake layout → a date filter prunes partitions at
+    plan time (PartitionFilters on the scan), the backbone of time-range
+    queries at 100 TB."""
+    lake = os.path.join(tempfile.gettempdir(), "she_part_lake")
+    shutil.rmtree(lake, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    ev.write.partitionBy("event_date").parquet(lake)
+
+    back = spark.read.parquet(lake).filter(F.col("event_date") == "2024-01-15")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters:")[1][:300]
+    assert "event_date" in pf
+    # and the filter is NOT a post-scan row filter on the partition column
+    want = ev.filter(F.to_date("ts") == "2024-01-15").count()
+    assert back.count() == want
+
+
+def test_dynamic_partition_pruning_from_join(spark, sf_dir):
+    """DPP: a selective dim-side filter prunes fact partitions at runtime
+    (subquery broadcast into the scan's partition filter)."""
+    lake = os.path.join(tempfile.gettempdir(), "she_part_lake_dpp")
+    shutil.rmtree(lake, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    ev.write.partitionBy("event_date").parquet(lake)
+    fact = spark.read.parquet(lake)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+        .filter(F.dayofmonth("d") == 15)
+    )
+    joined = fact.join(dim.hint("BROADCAST"), fact.event_date == dim.d)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:600]
+    assert joined.count() > 0
