@@ -160,3 +160,54 @@ def mm_chunk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("chunk").alias("chunk_md5"),
         )
     )
+
+
+FRAME = 64   # bytes per fake "frame"
+SAMPLE = 4   # keep every 4th frame
+
+
+def frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: sample every SAMPLE-th FRAME-byte slice of the
+    payload — the shape of real video frame-sampling (decode replaced by a
+    byte-slice; a real decoder drops into the same loop)."""
+    import hashlib
+
+    for pdf in batches:
+        rows = {"doc_id": [], "frame_no": [], "frame_bytes": [], "frame_md5": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = (len(payload) + FRAME - 1) // FRAME
+            for f in range(0, n_frames, SAMPLE):
+                chunk = payload[f * FRAME : (f + 1) * FRAME]
+                rows["doc_id"].append(doc_id)
+                rows["frame_no"].append(f)
+                rows["frame_bytes"].append(len(chunk))
+                rows["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+        yield pd.DataFrame(rows)
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_no,
+           CAST(length(substr(text, i * {FRAME} + 1, {FRAME})) AS INT) AS frame_bytes,
+           md5(substr(text, i * {FRAME} + 1, {FRAME})) AS frame_md5
+    FROM documents,
+         LATERAL (SELECT unnest(range(0, CAST(ceil(length(text) / {FRAME}.0) AS BIGINT))) AS i)
+    WHERE i % {SAMPLE} = 0
+    """,
+    tags=("llm", "multimodal", "frames"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a video-like binary column via ``mapInPandas``
+    (every 4th 64-byte 'frame'): the Arrow-batched Python loop a real
+    ffmpeg-style sampler plugs into — batch shape, schema and partitioning
+    identical; only the slice→decode call changes. ASCII fixture payload →
+    the oracle mirrors with string substr."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return docs.mapInPandas(
+        frame_sample_batch,
+        schema="doc_id long, frame_no int, frame_bytes int, frame_md5 string",
+    )

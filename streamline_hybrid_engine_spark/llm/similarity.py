@@ -362,3 +362,71 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "cell", F.col("b_id").alias("nn_id"), F.round("dot", 6).alias("nn_cos")
         )
     )
+
+
+@query(
+    "llm_dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           round({_ODOT.format(a="a.embedding", b="b.embedding")}, 6) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_ODOT.format(a="a.embedding", b="b.embedding")} >= 0.25
+    """,
+    tags=("llm", "dedup", "embedding"),
+)
+def llm_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: semantic duplicate pairs above
+    a cosine threshold (0.25 here — calibrated to the synthetic fixture whose
+    same-label cosines top out near 0.48; production corpora use ~0.9+), blocked by label (at scale: LSH/IVF cells as the
+    block — same join, different key; see llm_knn_lsh/llm_knn_ivf).
+
+    The semantic complement to lexical MinHash: paraphrases hash apart but
+    embed together. Unit-norm fixture → dot == cosine.
+    """
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "ed", F.expr(_TO_DOUBLE.format(v="embedding"))
+    )
+    a = e.select(F.col("vec_id").alias("d1"), "label", F.col("ed").alias("ea"))
+    b = e.select(F.col("vec_id").alias("d2"), "label", F.col("ed").alias("eb"))
+    dot = F.expr(_DOT_D.format(a="ea", b="eb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("d1") < F.col("d2"))
+        .withColumn("cos_sim_raw", dot)
+        .filter(F.col("cos_sim_raw") >= 0.25)
+        .select("d1", "d2", F.round("cos_sim_raw", 6).alias("cos_sim"))
+    )
+
+
+@query(
+    "llm_embedding_quantize_int8",
+    oracle="""
+    SELECT vec_id,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT))) AS BIGINT) AS q_sum,
+           CAST(list_max(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT))) AS BIGINT) AS q_max,
+           round(list_sum(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * 127) / 127.0))), 6) AS recon_err_l1
+    FROM embeddings
+    """,
+    tags=("llm", "embedding", "quantize"),
+)
+def llm_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (the storage/bandwidth lever for ANN at
+    100 TB: 4× smaller vectors): q = floor(x·127), plus the L1
+    reconstruction error of dequantization — all higher-order JVM
+    expressions, summarized per vector so the oracle hashes compactly."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT))"
+    err = (
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc +"
+        " abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * 127) / CAST(127.0 AS DOUBLE)))"
+    )
+    return e.select(
+        "vec_id",
+        F.expr(f"aggregate({q}, CAST(0 AS BIGINT), (acc, v) -> acc + v)").alias("q_sum"),
+        F.expr(f"array_max({q})").alias("q_max"),
+        F.round(F.expr(err), 6).alias("recon_err_l1"),
+    )
