@@ -166,3 +166,27 @@ def test_dynamic_partition_pruning_from_join(spark, sf_dir):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:600]
     assert joined.count() > 0
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """salted_join (manual hot-key spreading) must be result-identical to
+    the plain join while partitioning each hot key across n_salts."""
+    from streamline_hybrid_engine_spark.operators.skew import salted_join
+
+    hot = spark.range(20_000).select(F.lit(7).alias("k"), F.col("id").alias("v"))
+    cold = spark.range(500).select((F.col("id") % 100).alias("k"), F.col("id").alias("v"))
+    skewed = hot.union(cold)
+    small = spark.range(100).select(F.col("id").alias("j"), (F.col("id") * 10).alias("w"))
+
+    got = salted_join(skewed, small, "k", "j", n_salts=8)
+    want = skewed.join(small, skewed.k == small.j)
+    cols = ["k", "v", "j", "w"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+    # the hot key really is spread: >1 distinct salt observed for k=7
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(8))
+    n_salts_hot = (
+        skewed.filter(F.col("k") == 7).select(salt.alias("s")).distinct().count()
+    )
+    assert n_salts_hot > 1
