@@ -276,3 +276,41 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "token", "tfidf", F.col("rk").cast("long").alias("rk"))
     )
+
+
+@query(
+    "llm_train_split_hash",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, source,
+             CASE WHEN strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 13 THEN 'train'
+                  WHEN strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 15 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, source, count(*) AS n_docs
+    FROM assigned GROUP BY split, source
+    """,
+    tags=("llm", "split"),
+)
+def llm_train_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-stable hash:
+    first md5 hex digit of the doc id buckets 16 ways → 13/2/1
+    (~81/13/6%). Unlike ``randomSplit``, the assignment is reproducible
+    across runs, engines and cluster sizes, and survives re-partitioning —
+    the property a training pipeline actually needs. Zero shuffle for the
+    assignment; one for the audit aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    digit = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+    ) - 1
+    split = (
+        F.when(digit < 13, "train").when(digit < 15, "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split", "source")
+        .agg(F.count("*").alias("n_docs"))
+    )
