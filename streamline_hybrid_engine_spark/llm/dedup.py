@@ -51,9 +51,20 @@ _ORACLE_SHINGLES = """
          LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i)
 """
 
+#: Carter-Wegman double hashing: ONE md5 per shingle yields two 48-bit
+#: integers (h1, h2); permutation k is h1 + k*h2 (≤ 2^52, no int64
+#: overflow under ANSI). 16× less hash work than seed-salted md5 while
+#: staying bit-identical between Spark (`conv(hex,16,10)`) and DuckDB
+#: (`('0x'||hex)::BIGINT`) — verified equal this session.
 _ORACLE_SIGS = f"""
-    SELECT doc_id, s.seed, min(md5(s.seed || ':' || sh)) AS mh
-    FROM ({_ORACLE_SHINGLES}), (SELECT unnest(range(0, {N_SEEDS})) AS seed) s
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 12))::BIGINT AS h1,
+             ('0x' || substr(md5(sh), 13, 12))::BIGINT AS h2
+      FROM ({_ORACLE_SHINGLES})
+    )
+    SELECT doc_id, s.seed, min(h1 + s.seed * h2) AS mh
+    FROM h, (SELECT unnest(range(0, {N_SEEDS})) AS seed) s
     GROUP BY doc_id, s.seed
 """
 
@@ -84,18 +95,35 @@ def llm_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "minhash"),
 )
 def llm_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures: 16 permutations simulated by seeded md5 min.
+    """MinHash signatures: 16 permutations via Carter-Wegman double hashing.
 
-    shingle → seed-salted md5 → min per (doc, seed). Fully deterministic,
-    so the oracle reproduces the exact signature matrix.
+    shingle → one md5 → (h1, h2) 48-bit ints → permutation k = h1 + k*h2
+    → min per (doc, seed). One md5 per shingle instead of one per
+    (shingle, seed): 16× less hash work at identical statistical quality
+    (§2.11). Fully deterministic, so the oracle reproduces the exact
+    signature matrix.
     """
     sh = _doc_shingles(spark, sf_dir)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(N_SEEDS - 1))).alias("seed")
-    return (
-        sh.select("doc_id", "sh", seeds)
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat_ws(":", "seed", "sh"))).alias("mh"))
+    hashed = sh.withColumn("hex", F.md5("sh")).select(
+        "doc_id",
+        F.expr("cast(conv(substr(hex, 1, 12), 16, 10) as bigint)").alias("h1"),
+        F.expr("cast(conv(substr(hex, 13, 12), 16, 10) as bigint)").alias("h2"),
     )
+    # All 16 permutation-mins in ONE aggregation pass over the shingle rows
+    # (no 16× explode: the per-seed fan-out happens on the already-reduced
+    # one-row-per-doc side via stack). Shuffles 1 wide row per doc instead
+    # of 16 narrow ones, and the map side touches each shingle row once.
+    mins = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h1") + F.lit(k) * F.col("h2")).alias(f"mh{k}")
+            for k in range(N_SEEDS)
+        ]
+    )
+    unpivot = "stack({n}, {pairs}) as (seed, mh)".format(
+        n=N_SEEDS,
+        pairs=", ".join(f"cast({k} as bigint), mh{k}" for k in range(N_SEEDS)),
+    )
+    return mins.select("doc_id", F.expr(unpivot))
 
 
 @query(
@@ -104,7 +132,7 @@ def llm_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sigs AS ({_ORACLE_SIGS}),
     bands AS (
       SELECT doc_id, seed // {BAND_ROWS} AS band,
-             md5(string_agg(mh, '|' ORDER BY seed)) AS bandsig
+             md5(string_agg(mh::VARCHAR, '|' ORDER BY seed)) AS bandsig
       FROM sigs GROUP BY doc_id, seed // {BAND_ROWS}
     ),
     cand AS (
@@ -132,7 +160,7 @@ def llm_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr(
                 "md5(array_join(transform(array_sort(collect_list(struct(seed, mh))),"
-                " x -> x.mh), '|'))"
+                " x -> cast(x.mh as string)), '|'))"
             ).alias("bandsig")
         )
     )
@@ -244,7 +272,7 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE sigs AS ({_ORACLE_SIGS}),
     bands AS (
       SELECT doc_id, seed // {BAND_ROWS} AS band,
-             md5(string_agg(mh, '|' ORDER BY seed)) AS bandsig
+             md5(string_agg(mh::VARCHAR, '|' ORDER BY seed)) AS bandsig
       FROM sigs GROUP BY doc_id, seed // {BAND_ROWS}
     ),
     edges AS (
