@@ -58,12 +58,34 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
         return spark.createDataFrame(pdf)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool = False
+) -> DataFrame:
+    """Load one fixture table; ``parallel=True`` routes the scan through
+    :func:`parallelize_compute` for compute-bound downstream operators."""
     ensure_runtime_confs(spark)  # cheap; required on foreign (driver) sessions
     path = f"{sf_dir}/{name}.parquet"
-    if name == "events":
-        return _load_events(spark, path)
-    return spark.read.parquet(path)
+    df = _load_events(spark, path) if name == "events" else spark.read.parquet(path)
+    return parallelize_compute(df) if parallel else df
+
+
+def parallelize_compute(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Ensure a scan has enough partitions for compute-bound map work.
+
+    Single-file fixtures are one parquet row group, so the scan yields ONE
+    task and per-row compute (md5 shingling, cosine math, tokenization)
+    serializes on one core. When input-split parallelism is below the
+    session default, buy parallelism with one round-robin shuffle of the
+    input; when the lake already provides enough splits — the 100 TB case,
+    thousands of row groups — this is a NO-OP, so the extra exchange never
+    appears in the at-scale plan. (AQE cannot help here: it only re-plans
+    existing shuffles, it cannot split a row group.)
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

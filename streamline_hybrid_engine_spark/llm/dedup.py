@@ -36,7 +36,7 @@ _SHINGLES = (
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → distinct (doc_id, source, shingle) of token 3-grams."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     return (
         docs.withColumn("toks", F.split("text", " "))
         .withColumn("sh", F.explode(F.expr(_SHINGLES)))
@@ -83,7 +83,7 @@ def llm_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``dropDuplicates(["text"])`` is the one-liner; the groupBy form is
     used so the survivor choice is deterministic for the oracle.)
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     return docs.groupBy("text").agg(
         F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
     )
@@ -207,16 +207,21 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order expression (transform × aggregate): no explode, no
     shuffle besides none — embarrassingly parallel per document.
     """
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    docs = load_table(spark, sf_dir, "documents", parallel=True).withColumn(
         "toks", F.split("text", " ")
     )
+    # Hash each token ONCE (hs), then the 16-bit majority loop only does
+    # substr/instr over the cached hex strings — 16× less md5 work than
+    # hashing inside the per-bit aggregate. Same result as the oracle,
+    # which keeps the straightforward per-bit form.
+    hashed = docs.withColumn("hs", F.expr("transform(toks, t -> md5(t))"))
     bits = F.expr(
         "array_join(transform(sequence(1, 16), i -> "
-        "CASE WHEN aggregate(toks, 0, (acc, t) -> acc + "
-        "  CASE WHEN instr('89abcdef', substr(md5(t), i, 1)) > 0 THEN 1 ELSE -1 END"
+        "CASE WHEN aggregate(hs, 0, (acc, h) -> acc + "
+        "  CASE WHEN instr('89abcdef', substr(h, i, 1)) > 0 THEN 1 ELSE -1 END"
         ") > 0 THEN '1' ELSE '0' END), '')"
     )
-    return docs.select("doc_id", bits.alias("simhash16"))
+    return hashed.select("doc_id", bits.alias("simhash16"))
 
 
 @query(
@@ -314,7 +319,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2")
         .localCheckpoint(eager=True)
     )
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select("doc_id")
     # undirected adjacency (both directions)
     adj = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))

@@ -63,7 +63,7 @@ _ODOT = (
 )
 def llm_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding norms/mean via higher-order array functions (all JVM)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", parallel=True)
     sq = "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
     ab = "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + abs(CAST(x AS DOUBLE)))"
     sm = "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"
@@ -95,7 +95,7 @@ def llm_knn_cosine_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     on label once, pairs stay within a partition, and the dot product is a
     single codegen'd higher-order expression.
     """
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
+    e = load_table(spark, sf_dir, "embeddings", parallel=True).withColumn(
         "ed", F.expr(_TO_DOUBLE.format(v="embedding"))
     )
     a = e.select(F.col("vec_id").alias("vec_id"), "label", F.col("ed").alias("ea"))
@@ -130,7 +130,7 @@ def llm_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-query brute-force ANN baseline: broadcast the query vector,
     score all candidates, global top-10 (TakeOrderedAndProject — no full
     sort even at 100 TB)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", parallel=True)
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     dot = F.expr(_DOT.format(a="qe", b="embedding"))
     return (
@@ -196,7 +196,7 @@ def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors; at 100 TB the bucket column is a narrow shuffle key and AQE
     splits any hot bucket.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", parallel=True)
     bucketed = e.withColumn("bucket", F.expr(_lsh_bucket_expr("embedding"))).withColumn(
         "ed", F.expr(_TO_DOUBLE.format(v="embedding"))
     )
@@ -239,7 +239,7 @@ def llm_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, map-side partial agg bounds the shuffle — the IVF coarse
     centroid refresh at 100 TB is exactly this plan.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", parallel=True)
     ex = e.select("label", F.posexplode("embedding").alias("pos", "x"))
     sum_micros = F.sum(F.floor(F.col("x").cast("double") * 1_000_000).cast("long"))
     # floor the mean to the micro grid BEFORE rounding (see numeric.davg)
@@ -330,36 +330,55 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("label").alias("c_label"), "cvec")
     )
     cdot = F.expr(_DOT.format(a="embedding", b="cvec"))
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("cdot").desc(), F.col("c_label")
-    )
+    # Top-1 picks are hash AGGREGATES (max_by with a deterministic
+    # (score desc, id asc) tie-break encoded as struct(score, -id)), not
+    # row_number windows: partial max_by reduces map-side, so no full sort
+    # and no 2.5M-row windowed shuffle — the pattern that survives 100 TB.
     assigned = (
         e.crossJoin(F.broadcast(cent))
         .withColumn("cdot", cdot)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            F.expr(_TO_DOUBLE.format(v="embedding")).alias("ed"),
-            F.col("c_label").alias("cell"),
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "c_label", F.struct(F.col("cdot"), (-F.col("c_label")).alias("nl"))
+            ).alias("cell"),
+            F.first(F.expr(_TO_DOUBLE.format(v="embedding"))).alias("ed"),
         )
     )
+    # Both rerank sides read `assigned`; without this the crossJoin+agg
+    # subtree executes twice (exchange reuse does not fire across the
+    # differing post-agg projections). One lazy materialization, read twice.
+    assigned = assigned.localCheckpoint(eager=False)
     a = assigned.select(
         F.col("vec_id").alias("vec_id"), "cell", F.col("ed").alias("ea")
     )
     b = assigned.select(
-        F.col("vec_id").alias("b_id"), "cell", F.col("ed").alias("eb")
+        F.col("vec_id").alias("b_id"), F.col("cell").alias("b_cell"), F.col("ed").alias("eb")
     )
     pdot = F.expr(_DOT_D.format(a="ea", b="eb"))
-    w_nn = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("b_id"))
+    # The rerank join key is the cell id and there are only ~K cells, so an
+    # unsalted join caps parallelism at K tasks and every cell is a hot key.
+    # Salt the probe side (operators.skew.salted_join): the dot-product
+    # compute — the dominant cost — spreads over K×n_salts partitions.
+    from streamline_hybrid_engine_spark.operators.skew import salted_join
+
     return (
-        a.join(b, "cell")
+        salted_join(a, b, "cell", "b_cell", n_salts=8)
+        .drop("b_cell")
         .filter(F.col("vec_id") != F.col("b_id"))
         .withColumn("dot", pdot)
-        .withColumn("rn", F.row_number().over(w_nn))
-        .filter(F.col("rn") == 1)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cell", "b_id", "dot"),
+                F.struct(F.col("dot"), (-F.col("b_id")).alias("nb")),
+            ).alias("s")
+        )
         .select(
-            "vec_id", "cell", F.col("b_id").alias("nn_id"), F.round("dot", 6).alias("nn_cos")
+            "vec_id",
+            F.col("s.cell").alias("cell"),
+            F.col("s.b_id").alias("nn_id"),
+            F.round("s.dot", 6).alias("nn_cos"),
         )
     )
 
@@ -384,7 +403,7 @@ def llm_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     The semantic complement to lexical MinHash: paraphrases hash apart but
     embed together. Unit-norm fixture → dot == cosine.
     """
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
+    e = load_table(spark, sf_dir, "embeddings", parallel=True).withColumn(
         "ed", F.expr(_TO_DOUBLE.format(v="embedding"))
     )
     a = e.select(F.col("vec_id").alias("d1"), "label", F.col("ed").alias("ea"))
@@ -418,7 +437,7 @@ def llm_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: 4× smaller vectors): q = floor(x·127), plus the L1
     reconstruction error of dequantization — all higher-order JVM
     expressions, summarized per vector so the oracle hashes compactly."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", parallel=True)
     q = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT))"
     err = (
         "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc +"

@@ -46,7 +46,7 @@ STOPWORDS = ("a", "the", "of", "and", "to", "in")
 def llm_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token statistics: count, vocabulary, type-token ratio,
     mean token length — the basic quality-filter features."""
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    docs = load_table(spark, sf_dir, "documents", parallel=True).withColumn(
         "toks", F.split("text", " ")
     )
     n = F.size("toks")
@@ -85,7 +85,7 @@ def llm_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio, mean word length, length gate —
     a Gopher-style rule filter as one codegen'd expression."""
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    docs = load_table(spark, sf_dir, "documents", parallel=True).withColumn(
         "toks", F.split("text", " ")
     )
     sw = F.array([F.lit(s) for s in STOPWORDS])
@@ -140,7 +140,7 @@ def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: marker-token hit counts per language, argmax
     with first-language-wins tie-breaking (CASE order — identical in both
     engines)."""
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    docs = load_table(spark, sf_dir, "documents", parallel=True).withColumn(
         "toks", F.split("text", " ")
     )
     def _score(marks: tuple[str, ...]) -> F.Column:
@@ -175,7 +175,7 @@ def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting three ways: whitespace, BPE-ish regex pieces, and the
     chars/4 heuristic — the standard corpus-size triangulation."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     return docs.select(
         "doc_id",
         F.size(F.split("text", " ")).alias("ws_tokens"),
@@ -204,7 +204,7 @@ def llm_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: 3-gram rolling hashes, mod-16 sampled
     (keep hashes whose first hex digit is '0' — winnowing-style 1/16
     selection), sorted + joined for a stable per-doc signature."""
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    docs = load_table(spark, sf_dir, "documents", parallel=True).withColumn(
         "toks", F.split("text", " ")
     )
     fp = F.expr(
@@ -251,6 +251,8 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # plain scan: the pipeline shuffles at the first explode→groupBy anyway,
+    # and the eager count() below must not pay a repartition
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # scalar; at 100 TB this is a cheap count(*)
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
@@ -301,7 +303,7 @@ def llm_train_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the property a training pipeline actually needs. Zero shuffle for the
     assignment; one for the audit aggregate.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     digit = F.instr(
         F.lit("0123456789abcdef"),
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
