@@ -49,3 +49,25 @@ def test_register_views_sql_roundtrip(spark, sf_dir):
 def test_dimension_row_counts_scale(spark, sf_dir, name):
     """Dimensions stay small — the broadcast-join size assumption."""
     assert load_table(spark, sf_dir, name).count() < 50_000
+
+
+def test_parallelize_compute_raises_partition_floor(spark, sf_dir):
+    """Single-row-group scans get repartitioned up to default parallelism;
+    already-parallel inputs pass through unchanged (the 100 TB no-op path)."""
+    from streamline_hybrid_engine_spark.catalog import parallelize_compute
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+
+    boosted = parallelize_compute(docs)
+    assert boosted.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    # row set unchanged
+    assert boosted.count() == docs.count()
+
+    # no-op when the input already has enough partitions
+    wide = docs.repartition(spark.sparkContext.defaultParallelism + 4)
+    assert parallelize_compute(wide) is wide
+
+    # parallel=True flag routes through the helper
+    via_flag = load_table(spark, sf_dir, "documents", parallel=True)
+    assert via_flag.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
