@@ -316,3 +316,39 @@ def llm_train_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "source")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@query(
+    "llm_sample_stratified",
+    oracle="""
+    SELECT doc_id, source,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 100 AS bucket
+    FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 100 < 20
+    """,
+    tags=("llm", "sample"),
+)
+def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% sample, uniform within every ``source`` stratum.
+
+    Membership = 48-bit md5 bucket of the doc id < rate — content-stable
+    like the train/val/test split: the same rows are selected on any
+    engine, cluster size, partitioning, or run. ``rand()``/``sample()``
+    cannot do this (seed- and partitioning-dependent), which is why
+    reproducible training pipelines sample by hash threshold. The
+    predicate is a plain comparison evaluated map-side at the scan:
+    zero shuffle, and at 100 TB the sample never has to be materialized —
+    any downstream job can re-derive it from the predicate alone.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.expr(
+            "cast(conv(substr(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint)"
+        ),
+        F.lit(100),
+    )
+    return (
+        docs.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < 20)
+        .select("doc_id", "source", "bucket")
+    )
