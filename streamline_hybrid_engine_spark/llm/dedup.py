@@ -362,3 +362,77 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_labels = labels.unionByName(singletons)
     w_size = F.count("*").over(Window.partitionBy("cluster_id"))
     return all_labels.select("doc_id", "cluster_id", w_size.alias("cluster_size"))
+
+
+@query(
+    "llm_split_leakage",
+    oracle=f"""
+    WITH sigs AS ({_ORACLE_SIGS}),
+    bands AS (
+      SELECT doc_id, seed // {BAND_ROWS} AS band,
+             md5(string_agg(mh::VARCHAR, '|' ORDER BY seed)) AS bandsig
+      FROM sigs GROUP BY doc_id, seed // {BAND_ROWS}
+    ),
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 13 THEN 'train'
+                  WHEN strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 15 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT DISTINCT a.doc_id AS train_doc, b.doc_id AS eval_doc, sb.split AS eval_split
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id <> b.doc_id
+    JOIN splits sa ON sa.doc_id = a.doc_id AND sa.split = 'train'
+    JOIN splits sb ON sb.doc_id = b.doc_id AND sb.split <> 'train'
+    """,
+    tags=("llm", "dedup", "split", "leakage"),
+)
+def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval contamination audit: near-duplicate pairs that CROSS the
+    train/val-test boundary of the hash split (`llm_train_split_hash`'s
+    assignment rule).
+
+    A training pipeline that dedups within splits but not across them
+    leaks eval answers into training data; this is the check that catches
+    it. Candidates come from the MinHash-LSH band buckets (never
+    all-pairs) joined against the content-stable split assignment — both
+    already-verified building blocks, composed. At 100 TB this is the
+    same bounded bucket equi-join as `llm_dedup_minhash_pairs` with one
+    extra broadcast-sized map-side split column.
+    """
+    sigs = llm_dedup_minhash_sig(spark, sf_dir)
+    bands = (
+        sigs.withColumn("band", F.floor(F.col("seed") / BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.expr(
+                "md5(array_join(transform(array_sort(collect_list(struct(seed, mh))),"
+                " x -> cast(x.mh as string)), '|'))"
+            ).alias("bandsig")
+        )
+    )
+    digit = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+    ) - 1
+    split = F.when(digit < 13, "train").when(digit < 15, "val").otherwise("test")
+    splits = load_table(spark, sf_dir, "documents").select(
+        "doc_id", split.alias("split")
+    )
+    train = splits.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc")
+    )
+    evals = splits.filter(F.col("split") != "train").select(
+        F.col("doc_id").alias("eval_doc"), F.col("split").alias("eval_split")
+    )
+    a = bands.select(F.col("doc_id").alias("train_doc"), "band", "bandsig")
+    b = bands.select(F.col("doc_id").alias("eval_doc"), "band", "bandsig")
+    return (
+        a.join(b, ["band", "bandsig"])
+        .filter(F.col("train_doc") != F.col("eval_doc"))
+        .join(train, "train_doc")
+        .join(evals, "eval_doc")
+        .select("train_doc", "eval_doc", "eval_split")
+        .distinct()
+    )
