@@ -93,3 +93,35 @@ def test_multimodal_checksum_matches_payload(spark, sf_dir):
     joined = out.join(docs, "doc_id").select("text", "checksum", "n_bytes").first()
     assert joined["checksum"] == hashlib.md5(joined["text"].encode()).hexdigest()
     assert joined["n_bytes"] == len(joined["text"].encode())
+
+
+def test_stratified_sample_rate_and_determinism(spark, sf_dir):
+    """~20% overall, no stratum wildly off, and byte-identical on re-run
+    (the whole point vs rand()/sample())."""
+    out = _QS["llm_sample_stratified"].fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n, total = out.count(), docs.count()
+    assert 0.05 * total < n < 0.40 * total  # loose: small strata are noisy
+    assert out.filter((F.col("bucket") < 0) | (F.col("bucket") >= 20)).count() == 0
+    again = {r["doc_id"] for r in _QS["llm_sample_stratified"].fn(spark, sf_dir).collect()}
+    assert again == {r["doc_id"] for r in out.collect()}
+
+
+def test_split_leakage_pairs_cross_the_boundary(spark, sf_dir):
+    """Every reported pair is train-side × eval-side under the SAME hash
+    rule the split operator uses, and eval_split is never 'train'."""
+    out = _QS["llm_split_leakage"].fn(spark, sf_dir).collect()
+    digit = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+    ) - 1
+    split = F.when(digit < 13, "train").when(digit < 15, "val").otherwise("test")
+    assign = {
+        r["doc_id"]: r["s"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", split.alias("s"))
+        .collect()
+    }
+    for r in out:
+        assert assign[r["train_doc"]] == "train"
+        assert assign[r["eval_doc"]] == r["eval_split"] != "train"
