@@ -31,9 +31,26 @@ def entry(spark: SparkSession) -> DataFrame:
     return get_query("agg_pricing_summary").fn(spark, "/root/testdata/sf0.001")
 
 
+def _warmed(fn: Callable[[SparkSession, str], DataFrame]):
+    """Wrap a registry query so the first call per (session, sf_dir) persists
+    the small fixture tables in memory (catalog.warm). The driver runs ~100
+    queries against the same sf0.01 directory; without this, each one re-reads
+    parquet footers and re-scans from disk, and the r01 sweep timed out at
+    query #51. Opt-in here (not inside the library) so plan-inspection tests
+    keep seeing real FileSourceScan nodes."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from streamline_hybrid_engine_spark.catalog import warm
+
+        warm(spark, sf_dir)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.fn for name, q in all_queries().items()}
+    return {name: _warmed(q.fn) for name, q in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -15,6 +15,8 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -58,15 +60,79 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
         return spark.createDataFrame(pdf)
 
 
+#: Per-(session, sf_dir, table) DataFrame-object cache. A DataFrame is an
+#: immutable logical plan, so handing the same object to every query is safe
+#: and skips the per-call parquet footer read + analysis that dominated the
+#: driver's 96-query correctness sweep (VERDICT r01 §next-round #1). Keyed on
+#: applicationId so a restarted session never sees stale plans.
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+#: Scan partition counts (physical planning via df.rdd is not free either).
+_NPARTS_CACHE: dict[tuple[str, str, str], int] = {}
+#: Sessions whose runtime confs were already pinned.
+_CONFED: set[str] = set()
+#: (session, sf_dir) pairs already warmed (persisted) via :func:`warm`.
+_WARMED: set[tuple[str, str]] = set()
+
+
+def _key(spark: SparkSession, sf_dir: str, name: str = "") -> tuple[str, str, str]:
+    return (spark.sparkContext.applicationId, os.path.realpath(sf_dir), name)
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, parallel: bool = False
 ) -> DataFrame:
     """Load one fixture table; ``parallel=True`` routes the scan through
     :func:`parallelize_compute` for compute-bound downstream operators."""
-    ensure_runtime_confs(spark)  # cheap; required on foreign (driver) sessions
-    path = f"{sf_dir}/{name}.parquet"
-    df = _load_events(spark, path) if name == "events" else spark.read.parquet(path)
-    return parallelize_compute(df) if parallel else df
+    app = spark.sparkContext.applicationId
+    if app not in _CONFED:  # once per session, not per call (py4j round trips)
+        ensure_runtime_confs(spark)  # required on foreign (driver) sessions
+        _CONFED.add(app)
+    key = _key(spark, sf_dir, name)
+    df = _DF_CACHE.get(key)
+    if df is None:
+        path = f"{sf_dir}/{name}.parquet"
+        df = _load_events(spark, path) if name == "events" else spark.read.parquet(path)
+        _DF_CACHE[key] = df
+    if not parallel:
+        return df
+    n = _NPARTS_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _NPARTS_CACHE[key] = n
+    target = spark.sparkContext.defaultParallelism
+    return df.repartition(target) if n < target else df
+
+
+def warm(spark: SparkSession, sf_dir: str, persist_limit_bytes: int = 1 << 28) -> None:
+    """Persist the fixture tables in memory for a many-query sweep.
+
+    Intended for the driver's correctness gate (96 queries against the same
+    sf0.01 directory): after ``warm``, every ``load_table`` serves an
+    in-memory relation, so per-query cost is plan+execute only. Persistence
+    is OPT-IN (only ``__spark_entry__.queries`` calls this) because cached
+    scans replace the FileSourceScan node and would defeat the pushdown /
+    pruning plan assertions in tests/test_plans.py — and at real scale you
+    would not cache a 100 TB lake. Skipped entirely when the directory
+    exceeds ``persist_limit_bytes`` (don't pin a bench-sized lake in RAM).
+    Lazy: each table materializes on first use.
+    """
+    key = _key(spark, sf_dir)[:2]
+    if key in _WARMED:
+        return
+    _WARMED.add(key)
+    try:
+        total = sum(
+            os.path.getsize(os.path.join(sf_dir, f))
+            for f in os.listdir(sf_dir)
+            if f.endswith(".parquet")
+        )
+    except OSError:
+        return
+    if total > persist_limit_bytes:
+        return
+    for name in TABLES:
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            load_table(spark, sf_dir, name).persist()
 
 
 def parallelize_compute(df: DataFrame, min_parts: int | None = None) -> DataFrame:

@@ -27,10 +27,16 @@ from streamline_hybrid_engine_spark.registry import query
 N_SEEDS = 16
 BAND_ROWS = 8  # 2 bands × 8 rows: (1/2)^(1/8) ≈ 0.917 jaccard @ 50% capture
 
-#: shingle helper (Spark SQL expr, 0-based array indexing)
+#: shingle helper (Spark SQL expr, 0-based array indexing). The size guard
+#: matters under ANSI mode: for docs with <3 tokens `sequence(0, size-3)`
+#: would count DOWN into negative indices and `toks[i]` would throw
+#: INVALID_ARRAY_INDEX; the oracle's `range(1, len-1)` is empty there, so
+#: the correct behavior is zero shingles (row dropped by the explode).
 _SHINGLES = (
+    "CASE WHEN size(toks) >= 3 THEN "
     "transform(sequence(0, size(toks) - 3), "
-    "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+    "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) "
+    "ELSE array() END"
 )
 
 
@@ -89,6 +95,57 @@ def llm_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc wide MinHash row (doc_id, mh0..mh15): ONE aggregation pass
+    over the shingle rows computes all 16 permutation-mins (no 16× explode;
+    one md5 per shingle via Carter-Wegman). Shared by the signature,
+    LSH-pairs and leakage queries."""
+    sh = _doc_shingles(spark, sf_dir)
+    hashed = sh.withColumn("hex", F.md5("sh")).select(
+        "doc_id",
+        F.expr("cast(conv(substr(hex, 1, 12), 16, 10) as bigint)").alias("h1"),
+        F.expr("cast(conv(substr(hex, 13, 12), 16, 10) as bigint)").alias("h2"),
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h1") + F.lit(k) * F.col("h2")).alias(f"mh{k}")
+            for k in range(N_SEEDS)
+        ]
+    )
+
+
+def _bands_with_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig, band, bandsig) rows for LSH bucketing.
+
+    ``sig`` is the full 16-long signature array CARRIED THROUGH to the band
+    rows, so pair queries estimate jaccard directly from the bucket join —
+    no re-join against the signature table (r01 plan audit: that re-join
+    cost two extra exchanges). The bandsig md5 text matches the oracle's
+    ``md5(string_agg(mh::VARCHAR, '|' ORDER BY seed))`` because ``sig`` is
+    seed-ordered and ``slice`` preserves order. Derived band rows need no
+    shuffle of their own — one explode over the already-aggregated per-doc
+    row."""
+    n_bands = N_SEEDS // BAND_ROWS
+    sig = F.array(*[F.col(f"mh{k}") for k in range(N_SEEDS)])
+    return (
+        _minhash_wide(spark, sf_dir)
+        .select("doc_id", sig.alias("sig"))
+        .select(
+            "doc_id",
+            "sig",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {n_bands - 1}), b -> "
+                    f"struct(b as band, md5(array_join(transform("
+                    f"slice(sig, b * {BAND_ROWS} + 1, {BAND_ROWS}), "
+                    f"x -> cast(x as string)), '|')) as bandsig))"
+                )
+            ).alias("bs"),
+        )
+        .select("doc_id", "sig", "bs.band", "bs.bandsig")
+    )
+
+
 @query(
     "llm_dedup_minhash_sig",
     oracle=_ORACLE_SIGS,
@@ -103,27 +160,11 @@ def llm_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     (§2.11). Fully deterministic, so the oracle reproduces the exact
     signature matrix.
     """
-    sh = _doc_shingles(spark, sf_dir)
-    hashed = sh.withColumn("hex", F.md5("sh")).select(
-        "doc_id",
-        F.expr("cast(conv(substr(hex, 1, 12), 16, 10) as bigint)").alias("h1"),
-        F.expr("cast(conv(substr(hex, 13, 12), 16, 10) as bigint)").alias("h2"),
-    )
-    # All 16 permutation-mins in ONE aggregation pass over the shingle rows
-    # (no 16× explode: the per-seed fan-out happens on the already-reduced
-    # one-row-per-doc side via stack). Shuffles 1 wide row per doc instead
-    # of 16 narrow ones, and the map side touches each shingle row once.
-    mins = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(F.col("h1") + F.lit(k) * F.col("h2")).alias(f"mh{k}")
-            for k in range(N_SEEDS)
-        ]
-    )
     unpivot = "stack({n}, {pairs}) as (seed, mh)".format(
         n=N_SEEDS,
         pairs=", ".join(f"cast({k} as bigint), mh{k}" for k in range(N_SEEDS)),
     )
-    return mins.select("doc_id", F.expr(unpivot))
+    return _minhash_wide(spark, sf_dir).select("doc_id", F.expr(unpivot))
 
 
 @query(
@@ -152,38 +193,37 @@ def llm_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates: band signatures → bucket join →
     jaccard estimate from signature agreement. The full LSH pipeline:
-    shingle → minhash → band → bucket-join → estimate."""
-    sigs = llm_dedup_minhash_sig(spark, sf_dir)
-    bands = (
-        sigs.withColumn("band", F.floor(F.col("seed") / BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.expr(
-                "md5(array_join(transform(array_sort(collect_list(struct(seed, mh))),"
-                " x -> cast(x.mh as string)), '|'))"
-            ).alias("bandsig")
-        )
+    shingle → minhash → band → bucket-join → estimate.
+
+    The band rows carry the full 16-long signature array, so the estimate
+    is a ``zip_with`` over the two arrays already present on the joined
+    row — the r01 plan re-joined the (doc, seed, mh) table twice here,
+    costing two extra shuffles of the signature matrix (VERDICT r01 #3).
+    The band frame (2 rows × ~200 bytes per doc — tiny next to the corpus)
+    is localCheckpoint'ed so the shingle→md5→minhash subtree runs ONCE, not
+    once per self-join side; at cluster scale swap for ``persist(DISK)`` if
+    executor loss must not trigger recompute.
+    """
+    bands = _bands_with_sig(spark, sf_dir).localCheckpoint(eager=True)
+    a = bands.select(
+        F.col("doc_id").alias("d1"), F.col("sig").alias("sig1"), "band", "bandsig"
     )
-    a = bands.select(F.col("doc_id").alias("d1"), "band", "bandsig")
-    b = bands.select(F.col("doc_id").alias("d2"), "band", "bandsig")
-    cand = (
+    b = bands.select(
+        F.col("doc_id").alias("d2"), F.col("sig").alias("sig2"), "band", "bandsig"
+    )
+    n_agree = F.expr(
+        "aggregate(zip_with(sig1, sig2, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
+        " 0, (acc, v) -> acc + v)"
+    )
+    return (
         a.join(b, ["band", "bandsig"])
         .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
-        .distinct()
-    )
-    sa = sigs.select(F.col("doc_id").alias("d1"), "seed", F.col("mh").alias("mh1"))
-    sb = sigs.select(F.col("doc_id").alias("d2"), "seed", F.col("mh").alias("mh2"))
-    return (
-        cand.join(sa, "d1")
-        .join(sb, ["d2", "seed"])
-        .groupBy("d1", "d2")
-        .agg(
-            F.round(
-                F.count(F.when(F.col("mh1") == F.col("mh2"), 1)) / F.lit(float(N_SEEDS)),
-                6,
-            ).alias("est_jaccard")
+        .select(
+            "d1",
+            "d2",
+            F.round(n_agree / F.lit(float(N_SEEDS)), 6).alias("est_jaccard"),
         )
+        .distinct()  # docs agreeing on BOTH bands appear once, like the oracle
     )
 
 
@@ -356,6 +396,16 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels.drop("moved")
         if changed == 0:
             break
+    else:  # loop exhausted without fixpoint: a component with diameter > 25
+        import warnings
+
+        warnings.warn(
+            "llm_dedup_clusters: min-label propagation did not converge in 25 "
+            "rounds — a candidate-graph component has diameter > 25; labels "
+            "for that component are NOT the transitive-closure minimum",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     singletons = docs.join(verts, "doc_id", "left_anti").select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     )
@@ -401,17 +451,7 @@ def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     same bounded bucket equi-join as `llm_dedup_minhash_pairs` with one
     extra broadcast-sized map-side split column.
     """
-    sigs = llm_dedup_minhash_sig(spark, sf_dir)
-    bands = (
-        sigs.withColumn("band", F.floor(F.col("seed") / BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.expr(
-                "md5(array_join(transform(array_sort(collect_list(struct(seed, mh))),"
-                " x -> cast(x.mh as string)), '|'))"
-            ).alias("bandsig")
-        )
-    )
+    bands = _bands_with_sig(spark, sf_dir).drop("sig").localCheckpoint(eager=True)
     digit = F.instr(
         F.lit("0123456789abcdef"),
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),

@@ -207,10 +207,13 @@ def llm_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallel=True).withColumn(
         "toks", F.split("text", " ")
     )
+    # size guard: under ANSI, a <3-token doc would make the sequence count
+    # down into negative indices and toks[i] would throw (ADVICE r01)
     fp = F.expr(
         "array_join(array_sort(array_distinct(filter("
-        "transform(sequence(0, size(toks) - 3),"
-        " i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))),"
+        "CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks) - 3),"
+        " i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"
+        " ELSE array() END,"
         " h -> substr(h, 1, 1) = '0'))), ',')"
     )
     return docs.select("doc_id", fp.alias("fingerprints"))

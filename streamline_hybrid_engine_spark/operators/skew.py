@@ -28,9 +28,18 @@ def salted_join(
 
     The salt is derived from a hash of the whole skewed row (xxhash64 of
     all columns) — deterministic per row, uniform across salts, and needs
-    no extra state. Result equals ``skewed.join(small, key)`` exactly (the
-    salt participates in partitioning only).
+    no extra state. For ``how`` in (inner, left) the result equals
+    ``skewed.join(small, key)`` exactly (the salt participates in
+    partitioning only). Right/full outer are REJECTED: the build side is
+    replicated once per salt, so its unmatched rows would be emitted
+    ``n_salts`` times — use AQE's skew-join for outer shapes instead.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            f"replicated build side would duplicate unmatched rows "
+            f"{n_salts}x under right/full outer joins"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
     left = skewed.withColumn("_salt", salt.cast("int"))
     right = small.withColumn(

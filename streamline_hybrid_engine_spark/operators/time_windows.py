@@ -78,7 +78,7 @@ def win_hop_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_session_30m_batch",
     oracle="""
     WITH marked AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS uts,
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts,
              CASE WHEN CAST(ts AS TIMESTAMP)
                        - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
                       >= INTERVAL '30 minutes'
@@ -87,7 +87,7 @@ def win_hop_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), numbered AS (
       SELECT user_id, uts,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY uts
+             sum(brk) OVER (PARTITION BY user_id ORDER BY uts, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM marked
     )

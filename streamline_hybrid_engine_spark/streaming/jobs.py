@@ -223,8 +223,10 @@ def stream_user_session_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("stream_sink_parquet", oracle=None, tags=("streaming", "sink"))
 def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once file sink (Flink BucketingSink / 2PC analog):
-    ``foreachBatch`` writes each epoch's data idempotently by (epoch, path);
-    the commit log + epoch id give exactly-once across restarts.
+    ``foreachBatch`` overwrites a PER-EPOCH directory (``epoch=<id>/``), so
+    a retried micro-batch replaces its own partial output instead of
+    double-appending — idempotent writes + the checkpoint commit log give
+    exactly-once across restarts.
     """
     out = os.path.join(
         tempfile.gettempdir(), f"she_sink_{os.path.basename(sf_dir)}"
@@ -238,7 +240,9 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.write.mode("append").parquet(f"{out}/data")
+        # overwrite of the epoch's own dir is the idempotence mechanism:
+        # replaying epoch N after a crash rewrites epoch=N, never duplicates
+        batch_df.write.mode("overwrite").parquet(f"{out}/data/epoch={epoch_id}")
 
     with tempfile.TemporaryDirectory(prefix="she_sink_ckpt_") as ckpt:
         q = (

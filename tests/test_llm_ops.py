@@ -125,3 +125,45 @@ def test_split_leakage_pairs_cross_the_boundary(spark, sf_dir):
     for r in out:
         assert assign[r["train_doc"]] == "train"
         assert assign[r["eval_doc"]] == r["eval_split"] != "train"
+
+
+def test_shingles_short_doc_ansi_safe(spark):
+    """Docs with <3 tokens must yield ZERO shingles, not an ANSI
+    INVALID_ARRAY_INDEX crash (ADVICE r01: unguarded descending sequence)."""
+    from streamline_hybrid_engine_spark.llm.dedup import _SHINGLES
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "one two"), (3, "a b c d")], "doc_id long, text string"
+    )
+    out = (
+        df.withColumn("toks", F.split("text", " "))
+        .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("sh"))
+        .collect()
+    )
+    assert sorted({r.doc_id for r in out}) == [3]
+    assert len(out) == 2  # 4 tokens -> two 3-gram shingles
+
+
+def test_minhash_pairs_single_pass_no_sig_rejoin(spark, sf_dir):
+    """VERDICT r01 #3: the jaccard estimate must come from signature arrays
+    carried through the band join — the signature matrix must not be
+    re-joined (which showed up as 2 extra hash exchanges on (d1)/(d2, seed)
+    in the r01 plan)."""
+    df = _QS["llm_dedup_minhash_pairs"].fn(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "zip_with" in p  # estimate computed on the joined row
+    # the only hash exchanges allowed are the band-bucket join + distinct;
+    # a sigs re-join would add partitioning on d1 / (d2, seed)
+    assert p.count("Exchange hashpartitioning") <= 3, p
+
+
+def test_salted_join_rejects_outer_shapes(spark):
+    """ADVICE r01: replicated build side would emit unmatched rows n_salts
+    times under right/full outer — must raise."""
+    from streamline_hybrid_engine_spark.operators.skew import salted_join
+
+    df = spark.range(4).withColumnRenamed("id", "k")
+    dim = spark.range(2).withColumnRenamed("id", "k2")
+    with pytest.raises(ValueError, match="inner.*left"):
+        salted_join(df, dim, "k", "k2", how="full")
+    assert salted_join(df, dim, "k", "k2", how="left").count() == 4
