@@ -1,0 +1,107 @@
+"""NFA semantics tests for the 3-state CEP operator (operators/cep.py).
+
+Parity proves Spark == the recursive-CTE oracle on the fixture; these pin
+the machine's edge behavior on adversarial synthetic sequences: timeout
+expiry + restart, greedy non-overlap, relaxed contiguity, first-element
+anchoring.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from streamline_hybrid_engine_spark.operators.cep import match_abc
+from streamline_hybrid_engine_spark.registry import all_queries
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _events(spark, rows):
+    """rows: (user_id, event_id, event_type, hours_after_t0)"""
+    return spark.createDataFrame(
+        [(u, e, t, T0 + dt.timedelta(hours=h)) for u, e, t, h in rows],
+        "user_id long, event_id long, event_type string, ts timestamp",
+    )
+
+
+def _matches(spark, rows):
+    out = match_abc(_events(spark, rows)).collect()
+    return sorted((r.user_id, r.view_id, r.click_id, r.purchase_id) for r in out)
+
+
+def test_basic_match_and_span(spark):
+    df = match_abc(
+        _events(spark, [(1, 10, "view", 0), (1, 11, "click", 1), (1, 12, "purchase", 2)])
+    ).collect()
+    assert [(r.view_id, r.click_id, r.purchase_id, r.span_s) for r in df] == [
+        (10, 11, 12, 7200.0)
+    ]
+
+
+def test_relaxed_contiguity_ignores_other_events(spark):
+    rows = [
+        (1, 10, "view", 0),
+        (1, 11, "error", 0.5),   # ignored between A and B
+        (1, 12, "click", 1),
+        (1, 13, "signup", 1.5),  # ignored between B and C
+        (1, 14, "purchase", 2),
+    ]
+    assert _matches(spark, rows) == [(1, 10, 12, 14)]
+
+
+def test_anchors_first_view_and_first_click(spark):
+    rows = [
+        (1, 10, "view", 0),
+        (1, 11, "view", 1),      # second view ignored (phase already 1)
+        (1, 12, "click", 2),
+        (1, 13, "click", 3),     # second click ignored (phase already 2)
+        (1, 14, "purchase", 4),
+    ]
+    assert _matches(spark, rows) == [(1, 10, 12, 14)]
+
+
+def test_timeout_expires_partial_match(spark):
+    rows = [
+        (1, 10, "view", 0),
+        (1, 11, "click", 1),
+        (1, 12, "purchase", 25),  # > 24h after the view: machine reset, no match
+    ]
+    assert _matches(spark, rows) == []
+
+
+def test_timeout_reset_allows_restart(spark):
+    rows = [
+        (1, 10, "view", 0),
+        (1, 11, "view", 26),      # first view expired; this one starts fresh
+        (1, 12, "click", 27),
+        (1, 13, "purchase", 28),
+    ]
+    assert _matches(spark, rows) == [(1, 11, 12, 13)]
+
+
+def test_greedy_non_overlapping(spark):
+    rows = [
+        (1, 10, "view", 0),
+        (1, 11, "click", 1),
+        (1, 12, "purchase", 2),
+        (1, 13, "view", 3),
+        (1, 14, "click", 4),
+        (1, 15, "purchase", 5),
+    ]
+    assert _matches(spark, rows) == [(1, 10, 11, 12), (1, 13, 14, 15)]
+
+
+def test_wrong_order_never_matches(spark):
+    rows = [(1, 10, "purchase", 0), (1, 11, "click", 1), (1, 12, "view", 2)]
+    assert _matches(spark, rows) == []
+
+
+def test_streaming_twin_equals_batch(spark, sf_dir):
+    """The applyInPandasWithState NFA must produce exactly the batch result
+    on the bounded drain (hybrid promise: one semantics, two runtimes)."""
+    qs = all_queries()
+    batch = {tuple(r) for r in qs["cep_pattern_abc"].fn(spark, sf_dir).collect()}
+    stream = {
+        tuple(r) for r in qs["cep_pattern_abc_stream"].fn(spark, sf_dir).collect()
+    }
+    assert batch == stream and len(batch) > 0
