@@ -109,6 +109,41 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(enriched, "she_stream_static_enrich", "complete")
 
 
+def _staged_events_stream(spark: SparkSession, sf_dir: str, tag: str) -> DataFrame:
+    """Stage the events fixture as three time-ordered files (new → mid →
+    old) and open them as a maxFilesPerTrigger=1 stream, so each file is
+    its own micro-batch and late-arrival semantics are observable. File
+    mtimes are pinned strictly increasing — the file source orders by
+    modification time, and the batch order IS the semantics here."""
+    ensure_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    stage = os.path.join(
+        tempfile.gettempdir(), f"she_{tag}_stage_{os.path.basename(sf_dir)}"
+    )
+    import shutil
+    import time as _time
+
+    shutil.rmtree(stage, ignore_errors=True)
+    parts = (
+        ("00_main", F.col("ts") >= "2024-01-10"),
+        ("01_mid", (F.col("ts") >= "2024-01-05") & (F.col("ts") < "2024-01-10")),
+        ("02_late", F.col("ts") < "2024-01-05"),
+    )
+    now = _time.time()
+    for i, (name, cond) in enumerate(parts):
+        ev.filter(cond).coalesce(1).write.parquet(f"{stage}/{name}")
+        for f in os.listdir(f"{stage}/{name}"):
+            os.utime(f"{stage}/{name}/{f}", (now + i * 10, now + i * 10))
+    return (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+
+
 @query("stream_watermark_drop", oracle=None, tags=("streaming", "watermark"))
 def stream_watermark_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark semantics: late rows beyond the delay are dropped.
@@ -126,35 +161,7 @@ def stream_watermark_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     excludes every window before Jan 5 — Flink's ``allowedLateness`` drop
     path, minus the side output (documented divergence, SURVEY §4.2).
     """
-    ensure_runtime_confs(spark)
-    ev = load_table(spark, sf_dir, "events")
-    stage = os.path.join(
-        tempfile.gettempdir(), f"she_wm_stage_{os.path.basename(sf_dir)}"
-    )
-    import shutil
-    import time as _time
-
-    shutil.rmtree(stage, ignore_errors=True)
-    parts = (
-        ("00_main", F.col("ts") >= "2024-01-10"),
-        ("01_mid", (F.col("ts") >= "2024-01-05") & (F.col("ts") < "2024-01-10")),
-        ("02_late", F.col("ts") < "2024-01-05"),
-    )
-    now = _time.time()
-    for i, (name, cond) in enumerate(parts):
-        ev.filter(cond).coalesce(1).write.parquet(f"{stage}/{name}")
-        for f in os.listdir(f"{stage}/{name}"):
-            # pin strictly increasing mtimes: the file source orders by
-            # modification time, and the batch order IS the semantics here
-            os.utime(f"{stage}/{name}/{f}", (now + i * 10, now + i * 10))
-    raw = (
-        spark.readStream.schema(
-            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
-        )
-        .option("maxFilesPerTrigger", "1")
-        .option("recursiveFileLookup", "true")
-        .parquet(stage)
-    )
+    raw = _staged_events_stream(spark, sf_dir, "wm")
     agg = (
         raw.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"))
@@ -352,3 +359,72 @@ def stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, "she_stream_session_native", "complete")
+
+
+@query(
+    "stream_watermark_deadletter",
+    oracle=None,
+    tags=("streaming", "watermark", "sink"),
+)
+def stream_watermark_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data dead-letter sink — Flink's ``sideOutputLateData`` /
+    ``allowedLateness`` side stream, which Spark lacks natively (documented
+    divergence, SURVEY §4.2): watermark-late rows are dropped silently.
+
+    Emulation via ``foreachBatch`` over the RAW stream: the job maintains
+    the event-time watermark itself (max event time seen through the
+    PREVIOUS batch minus the 1h delay — the same one-batch lag Spark's
+    stateful operators apply), routes each batch's rows below that
+    watermark to a side parquet (the dead letters) and the on-time rows to
+    the main sink. Both writes are per-epoch overwrite directories
+    (idempotent under micro-batch retry, as stream_sink_parquet). The
+    watermark lives driver-side — foreachBatch runs on the driver, and at
+    cluster scale this is the same place StreamExecution tracks it.
+
+    Staged input = three files new→mid→old (as stream_watermark_drop), so
+    batches 2 and 3 arrive entirely below the batch-1 watermark and land in
+    the dead-letter sink deterministically. Returns the dead-letter rows —
+    the stream a production pipeline would replay or audit.
+    """
+    base = os.path.join(
+        tempfile.gettempdir(), f"she_dlq_{os.path.basename(sf_dir)}"
+    )
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    raw = _staged_events_stream(spark, sf_dir, "dlq")
+    wm = {"us": None}  # event-time watermark in micros, None = not yet set
+
+    def route(batch_df: DataFrame, epoch_id: int) -> None:
+        cols = ["event_id", "ts", "user_id", "event_type", "value"]
+        if wm["us"] is None:
+            late = batch_df.limit(0)
+            ontime = batch_df
+        else:
+            is_late = F.unix_micros(F.col("ts")) < F.lit(wm["us"])
+            late = batch_df.filter(is_late)
+            ontime = batch_df.filter(~is_late)
+        late.select(cols).write.mode("overwrite").parquet(
+            f"{base}/deadletter/epoch={epoch_id}"
+        )
+        ontime.select(cols).write.mode("overwrite").parquet(
+            f"{base}/main/epoch={epoch_id}"
+        )
+        batch_max = batch_df.agg(F.max(F.unix_micros("ts"))).first()[0]
+        if batch_max is not None:
+            candidate = batch_max - 3600 * 1_000_000  # 1h allowed lateness
+            wm["us"] = (
+                candidate if wm["us"] is None else max(wm["us"], candidate)
+            )
+
+    with tempfile.TemporaryDirectory(prefix="she_dlq_ckpt_") as ckpt:
+        q = (
+            raw.writeStream.foreachBatch(route)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).parquet(f"{base}/deadletter")

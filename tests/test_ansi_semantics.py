@@ -45,3 +45,36 @@ def test_kafka_builder_fails_clearly_without_connector(spark):
     connector-less container, not an opaque class-not-found."""
     with pytest.raises(KafkaConnectorMissing):
         read_events_kafka(spark, "localhost:9092", "events")
+
+
+def test_jdbc_reader_fails_clearly_without_driver(spark):
+    """The JDBC builder must raise the documented error in this driver-less
+    container — and must always be constructed with partition bounds (the
+    single-task JDBC scan footgun is not exposed at all)."""
+    from streamline_hybrid_engine_spark.sources.jdbc import (
+        JdbcDriverMissing,
+        read_jdbc,
+    )
+
+    with pytest.raises(JdbcDriverMissing):
+        read_jdbc(
+            spark,
+            "jdbc:postgresql://localhost:5432/nodb",
+            "lineitem",
+            partition_column="l_orderkey",
+            lower_bound=1,
+            upper_bound=6_000_000,
+            num_partitions=32,
+        ).count()
+
+
+def test_jdbc_writer_fails_clearly_without_driver(spark):
+    from streamline_hybrid_engine_spark.sources.jdbc import (
+        JdbcDriverMissing,
+        write_jdbc,
+    )
+
+    with pytest.raises(JdbcDriverMissing):
+        write_jdbc(
+            spark.range(3), "jdbc:postgresql://localhost:5432/nodb", "t_out"
+        )

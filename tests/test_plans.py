@@ -10,21 +10,18 @@ from __future__ import annotations
 
 import pytest
 
+from streamline_hybrid_engine_spark.plans import executed_plan, optimized_plan
 from streamline_hybrid_engine_spark.registry import all_queries
 
 _QS = all_queries()
 
 
 def plan(spark, sf_dir, name: str, execute: bool = False) -> str:
-    df = _QS[name].fn(spark, sf_dir)
-    if execute:  # AQE finalizes (and shows codegen spans) only after running
-        df.collect()
-    return df._jdf.queryExecution().executedPlan().toString()
+    return executed_plan(_QS[name].fn(spark, sf_dir), execute=execute)
 
 
 def optimized(spark, sf_dir, name: str) -> str:
-    df = _QS[name].fn(spark, sf_dir)
-    return df._jdf.queryExecution().optimizedPlan().toString()
+    return optimized_plan(_QS[name].fn(spark, sf_dir))
 
 
 def test_filter_reaches_parquet_scan(spark, sf_dir):

@@ -117,3 +117,29 @@ def test_stream_session_native_equals_batch(spark, sf_dir):
     )
     cols = ["user_id", "session_start", "session_end", "n_events"]
     assert _rows(out, *cols) == _rows(batch, *cols)
+
+
+def test_deadletter_captures_late_rows_and_loses_nothing(spark, sf_dir):
+    """Flink allowedLateness side-output emulation: rows below the
+    maintained watermark land in the dead-letter sink; main + dead letters
+    together account for every input row exactly once."""
+    import os
+    import tempfile
+
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    dead = get_query("stream_watermark_deadletter").fn(spark, sf_dir)
+    n_dead = dead.count()
+    base = os.path.join(
+        tempfile.gettempdir(), f"she_dlq_{os.path.basename(sf_dir)}"
+    )
+    n_main = spark.read.parquet(f"{base}/main").count()
+    total = load_table(spark, sf_dir, "events").count()
+    assert n_dead > 0  # the staged old-data batches must be flagged late
+    assert n_dead + n_main == total  # routed, never dropped
+    # every dead-letter row is genuinely old: below the batch-0 watermark
+    # (batch 0 holds all ts >= Jan 10, watermark = its max - 1h)
+    wm_floor = dead.agg(F.max("ts")).first()[0]
+    import datetime as dt
+
+    assert wm_floor < dt.datetime(2024, 1, 10)

@@ -61,6 +61,27 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return out.loc[key.sort_values().index].reset_index(drop=True)
 
 
+def value_hash(df: pd.DataFrame) -> str:
+    """Order-insensitive value hash of a result frame: columns sorted by
+    name, cells normalized, rows sorted, sha256 over the row reprs.
+
+    This is the STRICT comparator — no float tolerance. The driver's gate
+    hashes both sides with one function, so any two frames equal under
+    this canonicalization are equal under the gate's; a query that passes
+    ``--hash`` locally cannot fail the gate on values (only on schema/rows,
+    which are checked separately here too).
+    """
+    import hashlib
+
+    c = canon(df)
+    h = hashlib.sha256()
+    h.update(("|".join(str(col) for col in c.columns)).encode())
+    for row in c.itertuples(index=False):
+        h.update(repr(tuple(row)).encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
 def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, bool, str]:
     """Returns (exact_match, approx_match, message)."""
     if sorted(sdf.columns) != sorted(odf.columns):
@@ -95,6 +116,12 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, bool, str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--hash",
+        action="store_true",
+        help="strict mode: compare sha256 value-hashes (no float tolerance) "
+        "— the bit-identical pre-flight for the driver gate",
+    )
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -126,6 +153,23 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {str(e).splitlines()[0][:200]}")
             n_fail += 1
+            continue
+        if args.hash:
+            if sorted(sdf.columns) != sorted(odf.columns):
+                print(f"FAIL  {name}: columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+                n_fail += 1
+            elif len(sdf) != len(odf):
+                print(f"FAIL  {name}: rows {len(sdf)} vs {len(odf)}")
+                n_fail += 1
+            else:
+                hs, ho = value_hash(sdf), value_hash(odf)
+                if hs == ho:
+                    print(f"exact {name}: {len(sdf)} rows hash={hs[:12]} ({dt:.1f}s)")
+                    n_exact += 1
+                else:
+                    _, _, msg = compare(sdf, odf)
+                    print(f"FAIL  {name}: hash {hs[:12]} != {ho[:12]} — {msg}")
+                    n_fail += 1
             continue
         exact, approx, msg = compare(sdf, odf)
         if exact:
