@@ -311,9 +311,7 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "llm_dedup_clusters",
-    oracle=f"""
+_ORACLE_CLUSTERS = f"""
     WITH RECURSIVE sigs AS ({_ORACLE_SIGS}),
     bands AS (
       SELECT doc_id, seed // {BAND_ROWS} AS band,
@@ -334,7 +332,12 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a AS doc_id, min(b) AS cluster_id,
            CAST(count(*) OVER (PARTITION BY min(b)) AS BIGINT) AS cluster_size
     FROM reach GROUP BY a
-    """,
+    """
+
+
+@query(
+    "llm_dedup_clusters",
+    oracle=_ORACLE_CLUSTERS,
     tags=("llm", "dedup", "iterative"),
 )
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -475,4 +478,26 @@ def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(evals, "eval_doc")
         .select("train_doc", "eval_doc", "eval_split")
         .distinct()
+    )
+
+
+@query(
+    "llm_dedup_keep",
+    oracle=f"""
+    SELECT doc_id, cluster_size
+    FROM ({_ORACLE_CLUSTERS})
+    WHERE doc_id = cluster_id
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: cluster representatives (min doc_id per
+    near-dup cluster) — the materialization step after cluster resolution,
+    i.e. what a training pipeline actually writes out. Exact duplicates are
+    subsumed: identical texts have identical signatures, always share both
+    LSH bands, and therefore land in one cluster. ``cluster_size`` carries
+    how many documents each survivor replaced (1 = unique)."""
+    labels = llm_dedup_clusters(spark, sf_dir)
+    return labels.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id", "cluster_size"
     )

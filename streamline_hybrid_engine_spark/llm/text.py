@@ -355,3 +355,168 @@ def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < 20)
         .select("doc_id", "source", "bucket")
     )
+
+
+#: max run length in a SORTED array — equal elements are adjacent, so the
+#: longest run IS the max multiplicity. One codegen'd fold, zero shuffle.
+def _max_run(arr_expr: str) -> str:
+    return (
+        f"aggregate(array_sort({arr_expr}), "
+        "named_struct('prev', cast(null as string), 'run', 0, 'best', 0), "
+        "(acc, t) -> named_struct("
+        "  'prev', t, "
+        "  'run', CASE WHEN acc.prev IS NOT NULL AND t = acc.prev "
+        "         THEN acc.run + 1 ELSE 1 END, "
+        "  'best', greatest(acc.best, CASE WHEN acc.prev IS NOT NULL AND t = acc.prev "
+        "          THEN acc.run + 1 ELSE 1 END)), "
+        "acc -> acc.best)"
+    )
+
+
+@query(
+    "llm_quality_repetition",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+    tokc AS (
+      SELECT doc_id, max(c) AS mx, sum(c) AS n, count(*) AS nd
+      FROM (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY doc_id, tk)
+      GROUP BY doc_id
+    ),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+      FROM t
+    ),
+    bigc AS (
+      SELECT doc_id, max(c) AS mxb, sum(c) AS nb
+      FROM (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg)
+      GROUP BY doc_id
+    )
+    SELECT tokc.doc_id,
+           CAST(n AS BIGINT) AS n_toks,
+           round(nd / n, 6) AS distinct_ratio,
+           round(mx / n, 6) AS top_tok_frac,
+           round(coalesce(mxb / nb, 0), 6) AS top_bigram_frac,
+           (round(nd / n, 6) >= 0.2 AND round(mx / n, 6) <= 0.2
+            AND round(coalesce(mxb / nb, 0), 6) <= 0.1) AS quality_ok
+    FROM tokc LEFT JOIN bigc ON tokc.doc_id = bigc.doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def llm_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gates (the Gopher/MassiveText rule family:
+    distinct-token ratio, most-frequent-token fraction, most-frequent-
+    bigram fraction; a doc failing any is boilerplate/spam-shaped).
+
+    Scale design: everything is per-document, computed as higher-order
+    folds over the token array (max multiplicity = longest run in the
+    sorted array) — ZERO shuffle, whole corpus embarrassingly parallel.
+    The oracle takes the classic unnest→group route; same numbers.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    t = docs.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id",
+        "toks",
+        F.expr(
+            "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks) - 2),"
+            " i -> concat(toks[i], ' ', toks[i+1])) ELSE array() END"
+        ).alias("bigs"),
+    )
+    m = t.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.size(F.array_distinct("toks")).alias("nd"),
+        F.expr(_max_run("toks")).alias("mx"),
+        F.size("bigs").alias("nb"),
+        F.expr(_max_run("bigs")).alias("mxb"),
+    )
+    distinct_ratio = F.round(F.col("nd") / F.col("n"), 6)
+    top_tok = F.round(F.col("mx") / F.col("n"), 6)
+    top_big = F.round(
+        F.when(F.col("nb") > 0, F.col("mxb") / F.col("nb")).otherwise(F.lit(0.0)), 6
+    )
+    return m.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_toks"),
+        distinct_ratio.alias("distinct_ratio"),
+        top_tok.alias("top_tok_frac"),
+        top_big.alias("top_bigram_frac"),
+        (
+            (distinct_ratio >= 0.2) & (top_tok <= 0.2) & (top_big <= 0.1)
+        ).alias("quality_ok"),
+    )
+
+
+@query(
+    "llm_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n FROM documents
+    ),
+    w AS (
+      SELECT doc_id, source, n,
+             sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+      FROM t
+    ),
+    spans AS (
+      SELECT source, cum_end - n AS cum_start, cum_end,
+             unnest(range(CAST((cum_end - n) // 512 AS BIGINT),
+                          CAST((cum_end - 1) // 512 AS BIGINT) + 1)) AS block_id
+      FROM w WHERE n > 0
+    )
+    SELECT source, block_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(least(cum_end, (block_id + 1) * 512)
+                    - greatest(cum_start, block_id * 512)) AS BIGINT) AS n_tokens
+    FROM spans GROUP BY source, block_id
+    """,
+    tags=("llm", "text", "packing"),
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: the GPT-style packed-dataset layout. Documents are
+    concatenated in (source, doc_id) order into one token stream per
+    source, chunked into fixed 512-token blocks (docs may straddle
+    boundaries); output = per block, how many docs touch it and its token
+    count (== 512 except each source's tail).
+
+    Scale design: one window cumsum per source shard (packing is
+    order-DEFINED, so the sort is the semantics, not overhead), then a
+    bounded explode (a doc spans ceil(n/512)+1 blocks) and a hash agg. At
+    100 TB, source shards pack independently — exactly how a distributed
+    tokenizer-packer runs."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        t.withColumn("cum_end", F.sum("n").over(w))
+        .withColumn("cum_start", F.col("cum_end") - F.col("n"))
+        .filter(F.col("n") > 0)
+    )
+    spans = cum.select(
+        "source",
+        "cum_start",
+        "cum_end",
+        F.explode(
+            F.expr(
+                "sequence(cast(cum_start div 512 as bigint),"
+                " cast((cum_end - 1) div 512 as bigint))"
+            )
+        ).alias("block_id"),
+    )
+    return spans.groupBy("source", "block_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.least(F.col("cum_end"), (F.col("block_id") + 1) * 512)
+            - F.greatest(F.col("cum_start"), F.col("block_id") * 512)
+        ).alias("n_tokens"),
+    )

@@ -167,3 +167,40 @@ def test_salted_join_rejects_outer_shapes(spark):
     with pytest.raises(ValueError, match="inner.*left"):
         salted_join(df, dim, "k", "k2", how="full")
     assert salted_join(df, dim, "k", "k2", how="left").count() == 4
+
+
+def test_max_run_counts_multiplicity(spark):
+    """The zero-shuffle fold must equal the max token multiplicity."""
+    from streamline_hybrid_engine_spark.llm.text import _max_run
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "a", "c", "a"]), (2, ["x"]), (3, ["y", "y"])],
+        "id long, toks array<string>",
+    )
+    got = {r.id: r.mx for r in df.select("id", F.expr(_max_run("toks")).alias("mx")).collect()}
+    assert got == {1: 3, 2: 1, 3: 2}
+
+
+def test_pack_sequences_conserves_tokens(spark, sf_dir):
+    """Packing invariants: token totals conserved; every non-tail block is
+    exactly 512 tokens; block ids are dense per source."""
+    out = _QS["llm_pack_sequences"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.select(F.sum(F.size(F.split("text", " ")))).first()[0]
+    assert sum(r.n_tokens for r in out) == total
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r.block_id)
+        assert [r.block_id for r in rows] == list(range(len(rows)))  # dense
+        assert all(r.n_tokens == 512 for r in rows[:-1])  # only tail partial
+
+
+def test_dedup_keep_is_cluster_representatives(spark, sf_dir):
+    clusters = _QS["llm_dedup_clusters"].fn(spark, sf_dir)
+    keep = _QS["llm_dedup_keep"].fn(spark, sf_dir)
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    assert keep.count() == n_clusters
+    # survivors + replaced = corpus
+    assert clusters.count() == load_table(spark, sf_dir, "documents").count()
