@@ -43,6 +43,12 @@ HEADLINE = (
     "llm_dedup_minhash_pairs",  # LSH band-join candidates
     "llm_dedup_simhash",        # simhash (no-shuffle near-dup)
     "mm_decode_meta",           # multimodal Arrow decode pipeline
+    # round-2 additions (baselines recorded in BASELINE.md §A.1 r2 block)
+    "cep_pattern_abc",          # 3-state NFA pattern match (applyInPandas)
+    "llm_quality_repetition",   # zero-shuffle repetition quality gates
+    "llm_pack_sequences",       # GPT-style sequence packing
+    "llm_dedup_keep",           # dedup survivor materialization (CC + filter)
+    "graph_pagerank_suppliers", # 5-round fixed-point PageRank
 )
 
 
