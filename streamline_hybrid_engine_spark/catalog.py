@@ -154,6 +154,22 @@ def parallelize_compute(df: DataFrame, min_parts: int | None = None) -> DataFram
     return df
 
 
+def keyed_parallelism(df: DataFrame, *keys: str) -> DataFrame:
+    """Pin a group-key shuffle at full width for Python-heavy group ops.
+
+    AQE's coalescePartitions sizes shuffle reads by BYTES; the Python cost
+    of a downstream ``applyInPandas`` is invisible to it, so a small-but-
+    compute-heavy keyed stage gets coalesced onto one task and serializes
+    on a single Python worker (measured 3.7× on the CEP NFA at sf0.1). An
+    explicit numbered ``repartition(n, keys)`` is exempt from AQE
+    coalescing; the groupBy then reuses the partitioning (no second
+    shuffle). At cluster scale the keyed shuffle is already wide, so the
+    pin is a no-op in spirit — n tracks ``defaultParallelism``.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(k) for k in keys])
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load all fixture tables; pins runtime confs on the session first."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}

@@ -68,9 +68,14 @@ def match_abc(events: DataFrame) -> DataFrame:
     def run_user(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
         uid = int(pdf["user_id"].iloc[0])
-        uts = [int(t.value // 1000) for t in pd.to_datetime(pdf["ts"])]
+        # vectorized datetime64 → micros (int64 ns view, integral div)
+        uts = (
+            pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").astype("int64") // 1000
+        ).tolist()
         state, out = (0, None, None, None), []
-        for etype, t, eid in zip(pdf["event_type"], uts, pdf["event_id"]):
+        for etype, t, eid in zip(
+            pdf["event_type"].tolist(), uts, pdf["event_id"].tolist()
+        ):
             state, match = advance(state, etype, t, int(eid))
             if match is not None:
                 out.append((uid, *match))
@@ -78,8 +83,12 @@ def match_abc(events: DataFrame) -> DataFrame:
             out, columns=["user_id", "view_id", "click_id", "purchase_id", "span_s"]
         )
 
+    from streamline_hybrid_engine_spark.catalog import keyed_parallelism
+
     return (
-        events.select("user_id", "event_id", "event_type", "ts")
+        keyed_parallelism(
+            events.select("user_id", "event_id", "event_type", "ts"), "user_id"
+        )
         .groupBy("user_id")
         .applyInPandas(run_user, schema=MATCH_SCHEMA)
     )
@@ -180,8 +189,12 @@ def cep_pattern_abc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         st = tuple(state.get) if state.exists else (0, None, None, None)
         rows = []
         for pdf in pdfs:
-            uts = [int(t.value // 1000) for t in pd.to_datetime(pdf["ts"])]
-            rows.extend(zip(pdf["event_type"], uts, (int(e) for e in pdf["event_id"])))
+            uts = (
+            pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").astype("int64") // 1000
+        ).tolist()
+            rows.extend(
+                zip(pdf["event_type"].tolist(), uts, pdf["event_id"].tolist())
+            )
         rows.sort(key=lambda r: (r[1], r[2]))
         out = []
         for etype, t, eid in rows:
