@@ -91,3 +91,91 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("lang").agg(
         F.count("*").alias("n"), F.sum("n_chars").alias("total_chars")
     )
+
+
+@query(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT p_brand, count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sum_size
+    FROM part GROUP BY p_brand
+    """,
+    tags=("sources", "orc"),
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip (the Hive-ecosystem columnar format —
+    Flink reads it via HiveCatalog/OrcInputFormat). Spark's native ORC
+    reader is vectorized with predicate pushdown, same as parquet; this
+    proves the full write→read→aggregate path against the parquet
+    original."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    out = os.path.join(
+        tempfile.gettempdir(), f"she_orc_roundtrip_{os.path.basename(sf_dir)}"
+    )
+    p.write.mode("overwrite").orc(out)
+    back = spark.read.schema("p_partkey long, p_brand string, p_size long").orc(out)
+    return back.groupBy("p_brand").agg(
+        F.count("*").alias("n"), F.sum("p_size").alias("sum_size")
+    )
+
+
+@query(
+    "scan_text_lines",
+    oracle="""
+    SELECT count(*) AS n_lines,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           min(length(text)) AS min_len, max(length(text)) AS max_len
+    FROM documents
+    """,
+    tags=("sources", "text"),
+)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-lines source (Flink TextInputFormat): document bodies
+    written one per line, re-read as a `value: string` DataFrame — the
+    ingestion shape of a raw web-scrape corpus. Line counts and char
+    totals must reconcile with the structured original."""
+    d = load_table(spark, sf_dir, "documents").select("text")
+    out = os.path.join(
+        tempfile.gettempdir(), f"she_text_lines_{os.path.basename(sf_dir)}"
+    )
+    d.write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.min(F.length("value")).alias("min_len"),
+        F.max(F.length("value")).alias("max_len"),
+    )
+
+
+@query(
+    "sink_partitioned_parquet",
+    oracle="""
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS order_month,
+           count(*) AS n, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders WHERE o_orderdate >= '1997-01-01' GROUP BY 1
+    """,
+    tags=("sources", "sink", "partitioned"),
+)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink (Flink BucketingSink bucketed-by-
+    time analog, and THE layout of a real lake): orders written
+    ``partitionBy(order_month)``, re-read with a partition-pruning filter.
+
+    The re-read plan prunes to the selected month directories at FILE
+    LISTING time (PartitionFilters, not data filters) — the mechanism that
+    makes a 100 TB lake queryable. Aggregate must reconcile with the
+    unpartitioned original; prices are compared in exact integer cents."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), f"she_part_sink_{os.path.basename(sf_dir)}"
+    )
+    o.write.mode("overwrite").partitionBy("order_month").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("order_month") >= "1997-01")
+    return back.groupBy("order_month").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )

@@ -88,3 +88,13 @@ def test_asof_join_is_window_not_join(spark, sf_dir):
     o = optimized(spark, sf_dir, "join_asof_last_purchase")
     assert "Join" not in o
     assert "Window" in o
+
+
+def test_partitioned_sink_reread_prunes_partitions(spark, sf_dir):
+    """The partitioned-lake re-read must prune month directories at file
+    listing time (PartitionFilters on the scan), not post-filter the data —
+    the mechanism that makes a 100 TB lake queryable."""
+    p = plan(spark, sf_dir, "sink_partitioned_parquet")
+    assert "PartitionFilters: [" in p
+    seg = p.split("PartitionFilters:")[1][:300]
+    assert "order_month" in seg
