@@ -96,3 +96,69 @@ def test_differential_sql(spark, duck_mem, sql, rows):
     duck_mem.register("t", pdf)
     want = _canon(duck_mem.execute(sql).fetchdf())
     assert got == want, f"template: {sql[:60]}..."
+
+
+# ---- CEP NFA differential fuzz (operators/cep.py) -------------------------
+# Random multi-user event sequences (duplicate timestamps, >timeout gaps,
+# interleaved irrelevant events) through the Spark applyInPandas NFA vs an
+# in-test reference scan. Guards the plumbing the synthetic unit tests
+# can't: group mixing, (ts, event_id) tiebreaks, Arrow timestamp units.
+
+_event = st.tuples(
+    st.integers(min_value=1, max_value=3),          # user_id
+    st.sampled_from(["view", "click", "purchase", "error"]),
+    st.integers(min_value=0, max_value=3000),       # minutes offset (50h span)
+)
+_sequences = st.lists(_event, min_size=0, max_size=18)
+
+
+def _ref_matches(rows, timeout_us):
+    """Independent greedy-NFA reference: per user, expire-then-consume."""
+    byuser = {}
+    for eid, (u, t, m) in enumerate(rows):
+        byuser.setdefault(u, []).append((m * 60_000_000, eid, t))
+    out = []
+    for u, evs in byuser.items():
+        evs.sort(key=lambda e: (e[0], e[1]))
+        view = click = None
+        for us, eid, t in evs:
+            if view is not None and us - view[0] > timeout_us:
+                view = click = None
+            if view is None:
+                if t == "view":
+                    view = (us, eid)
+            elif click is None:
+                if t == "click":
+                    click = eid
+            elif t == "purchase":
+                out.append(
+                    (u, view[1], click, eid, round((us - view[0]) / 1e6, 6))
+                )
+                view = click = None
+    return sorted(out)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_sequences)
+def test_cep_nfa_matches_reference(spark, rows):
+    import datetime as dt
+
+    from streamline_hybrid_engine_spark.operators.cep import TIMEOUT_US, match_abc
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (u, eid, t, t0 + dt.timedelta(minutes=m))
+        for eid, (u, t, m) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    got = sorted(
+        (r.user_id, r.view_id, r.click_id, r.purchase_id, r.span_s)
+        for r in match_abc(df).collect()
+    )
+    assert got == _ref_matches(rows, TIMEOUT_US)
