@@ -428,3 +428,50 @@ def stream_watermark_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "event_id long, ts timestamp, user_id long, event_type string, value double"
     ).parquet(f"{base}/deadletter")
+
+
+@query("stream_upsert_snapshot", oracle=None, tags=("streaming", "sink", "upsert"))
+def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert sink (Flink upsert-kafka / JDBC upsert sink analog): a keyed
+    aggregate stream materialized as a queryable latest-value table.
+
+    Spark has no native upsert sink for files; the standard emulation is
+    complete-mode aggregation + ``foreachBatch`` atomically replacing the
+    snapshot (write temp dir, swap via rename). Each micro-batch publishes
+    the full current state per key — exactly the changelog-to-table
+    contract of Flink's upsert sinks, for dimension-sized outputs (the
+    aggregate, not the raw stream, must fit the sink). Returns the final
+    snapshot: per-user running totals after the bounded drain.
+    """
+    base = os.path.join(
+        tempfile.gettempdir(), f"she_upsert_{os.path.basename(sf_dir)}"
+    )
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    ev = read_events_stream(spark, sf_dir)
+    totals = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+    def publish(batch_df: DataFrame, epoch_id: int) -> None:
+        tmp = f"{base}/_staging_epoch_{epoch_id}"
+        batch_df.write.mode("overwrite").parquet(tmp)
+        live, retired = f"{base}/live", f"{base}/_retired_{epoch_id}"
+        if os.path.exists(live):
+            os.rename(live, retired)
+        os.rename(tmp, live)  # atomic publish: readers see old or new, never mixed
+        shutil.rmtree(retired, ignore_errors=True)
+
+    with tempfile.TemporaryDirectory(prefix="she_upsert_ckpt_") as ckpt:
+        q = (
+            totals.writeStream.foreachBatch(publish)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(f"{base}/live")

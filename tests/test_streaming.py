@@ -143,3 +143,25 @@ def test_deadletter_captures_late_rows_and_loses_nothing(spark, sf_dir):
     import datetime as dt
 
     assert wm_floor < dt.datetime(2024, 1, 10)
+
+
+def test_upsert_snapshot_equals_batch_totals(spark, sf_dir):
+    """The published upsert snapshot must equal the batch aggregate over
+    the same input — the changelog-to-table contract."""
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    snap = {
+        (r.user_id, r.n_events, r.total_value)
+        for r in get_query("stream_upsert_snapshot").fn(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.user_id, r.n_events, r.total_value)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .collect()
+    }
+    assert snap == batch and len(snap) > 0
