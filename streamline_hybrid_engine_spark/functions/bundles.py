@@ -280,3 +280,36 @@ def fn_cast_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").cast("date").cast("string").alias("ship_str"),
         (F.col("l_returnflag") == "R").cast("int").alias("is_r"),
     )
+
+
+@query(
+    "fn_regex_bundle",
+    oracle=r"""
+    SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS digits_int,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+           regexp_matches(c_name, '^Customer#[0-9]+$') AS well_formed,
+           regexp_matches(c_name, '00$') AS ends_00
+    FROM customer WHERE c_custkey < 500
+    """,
+    tags=("functions", "regex"),
+)
+def fn_regex_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface (Flink SQL REGEXP / REGEXP_EXTRACT / REGEXP_REPLACE):
+    group extraction, global replacement, full/partial match predicates.
+    Patterns stay in the Java-regex ∩ RE2 portable subset (char classes,
+    anchors, quantifiers — no backrefs/lookaround), which is also the
+    discipline a cross-engine lake pipeline must follow. Spark's
+    regexp_replace is global by default; the oracle passes DuckDB's 'g'
+    flag for the same semantics."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    digits = F.regexp_extract("c_name", r"([0-9]+)", 1)
+    return c.select(
+        "c_custkey",
+        digits.alias("digits"),
+        digits.cast("long").alias("digits_int"),
+        F.regexp_replace("c_name", r"[0-9]", "#").alias("masked"),
+        F.col("c_name").rlike(r"^Customer#[0-9]+$").alias("well_formed"),
+        F.col("c_name").rlike(r"00$").alias("ends_00"),
+    )
