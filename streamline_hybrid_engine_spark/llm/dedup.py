@@ -501,3 +501,90 @@ def llm_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.filter(F.col("doc_id") == F.col("cluster_id")).select(
         "doc_id", "cluster_size"
     )
+
+
+@query(
+    "llm_contamination_8gram",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(toks[i:i+7], ' ')) AS g
+      FROM toks, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i)
+    ),
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 13 THEN 'train'
+                  WHEN strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 15 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    train_grams AS (
+      SELECT DISTINCT g FROM grams JOIN splits USING (doc_id) WHERE split = 'train'
+    ),
+    eval_grams AS (
+      SELECT g.doc_id, s.split, g.g
+      FROM grams g JOIN splits s ON s.doc_id = g.doc_id WHERE s.split <> 'train'
+    )
+    SELECT e.doc_id AS eval_doc, e.split AS eval_split,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(t.g) AS BIGINT) AS n_contaminated,
+           round(count(t.g) / CAST(count(*) AS DOUBLE), 6) AS contaminated_frac
+    FROM eval_grams e LEFT JOIN train_grams t ON t.g = e.g
+    GROUP BY e.doc_id, e.split
+    """,
+    tags=("llm", "dedup", "contamination"),
+)
+def llm_contamination_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit by exact 8-gram overlap — the
+    GPT-3-report method, complementing the LSH near-dup leakage check
+    (`llm_split_leakage`): for every eval-split document, the fraction of
+    its distinct 8-grams that also appear anywhere in the train split.
+
+    Scale design: grams are md5'd to 16-byte keys before the join (shuffle
+    hashes, not text); the train side is reduced to DISTINCT grams first
+    (one hash agg), and the overlap is a left join on the gram hash —
+    an inverted-index probe, never doc×doc. Hot grams (corpus boilerplate)
+    are exactly what AQE's skew-join split handles.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    grams = (
+        docs.withColumn("toks", F.split("text", " "))
+        .withColumn(
+            "g",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(toks) >= 8 THEN transform(sequence(0, size(toks) - 8),"
+                    " i -> md5(array_join(slice(toks, i + 1, 8), ' ')))"
+                    " ELSE array() END"
+                )
+            ),
+        )
+        .select("doc_id", "g")
+        .distinct()
+    )
+    digit = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+    ) - 1
+    split = F.when(digit < 13, "train").when(digit < 15, "val").otherwise("test")
+    splits = docs.select("doc_id", split.alias("split"))
+    g_split = grams.join(splits, "doc_id")
+    train_grams = (
+        g_split.filter(F.col("split") == "train").select("g").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    eval_grams = g_split.filter(F.col("split") != "train")
+    return (
+        eval_grams.join(train_grams, "g", "left")
+        .groupBy(
+            F.col("doc_id").alias("eval_doc"), F.col("split").alias("eval_split")
+        )
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_contaminated"),
+            F.round(F.count("hit") / F.count("*").cast("double"), 6).alias(
+                "contaminated_frac"
+            ),
+        )
+    )

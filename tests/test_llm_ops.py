@@ -204,3 +204,37 @@ def test_dedup_keep_is_cluster_representatives(spark, sf_dir):
     assert keep.count() == n_clusters
     # survivors + replaced = corpus
     assert clusters.count() == load_table(spark, sf_dir, "documents").count()
+
+
+def test_contamination_full_for_cross_split_exact_dupes(spark, sf_dir):
+    """An eval doc whose text appears verbatim in the train split must be
+    100% contaminated; and n_contaminated <= n_grams everywhere."""
+    out = _QS["llm_contamination_8gram"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert all(r.n_contaminated <= r.n_grams for r in rows)
+    # find exact-dup groups that straddle the split boundary
+    digit = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+    ) - 1
+    split = F.when(digit < 13, "train").otherwise("eval")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", split.alias("split")
+    )
+    cross = (
+        docs.groupBy("text")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
+            F.collect_list(F.when(F.col("split") != "train", F.col("doc_id"))).alias(
+                "eval_ids"
+            ),
+        )
+        .filter((F.col("n_train") > 0) & (F.size("eval_ids") > 0))
+        .collect()
+    )
+    if not cross:
+        pytest.skip("no cross-split exact duplicates at this sf")
+    frac = {r.eval_doc: r.contaminated_frac for r in rows}
+    for grp in cross:
+        for eid in grp.eval_ids:
+            assert frac[eid] == 1.0, (eid, frac[eid])
