@@ -18,11 +18,35 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import os
+from collections.abc import Callable
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from streamline_hybrid_engine_spark.catalog import load_table
+from streamline_hybrid_engine_spark.catalog import is_warmed, load_table
 from streamline_hybrid_engine_spark.registry import query
+
+#: Sweep-mode memo for shared subtrees (band frame, cluster labels). The
+#: LSH family forms a dependency chain — pairs → clusters → keep, plus
+#: leakage on the band frame — and a driver sweep runs every link as its
+#: own query, recomputing the shared prefix each time. Memoization is
+#: gated on catalog.is_warmed so it ONLY happens in driver-sweep context;
+#: bench and parity measure the full pipeline per query.
+_SWEEP_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _shared(
+    spark: SparkSession, sf_dir: str, key: str, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """Materialize ``build()`` once per (session, sf_dir) in sweep mode;
+    always localCheckpoint (the callers self-join or iterate over it)."""
+    if not is_warmed(spark, sf_dir):
+        return build().localCheckpoint(eager=True)
+    k = (spark.sparkContext.applicationId, os.path.realpath(sf_dir), key)
+    if k not in _SWEEP_MEMO:
+        _SWEEP_MEMO[k] = build().localCheckpoint(eager=True)
+    return _SWEEP_MEMO[k]
 
 N_SEEDS = 16
 BAND_ROWS = 8  # 2 bands × 8 rows: (1/2)^(1/8) ≈ 0.917 jaccard @ 50% capture
@@ -204,7 +228,9 @@ def llm_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per self-join side; at cluster scale swap for ``persist(DISK)`` if
     executor loss must not trigger recompute.
     """
-    bands = _bands_with_sig(spark, sf_dir).localCheckpoint(eager=True)
+    bands = _shared(
+        spark, sf_dir, "bands", lambda: _bands_with_sig(spark, sf_dir)
+    )
     a = bands.select(
         F.col("doc_id").alias("d1"), F.col("sig").alias("sig1"), "band", "bandsig"
     )
@@ -355,8 +381,15 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: recursive-CTE transitive closure (exactly the min reachable
     node per doc). Output: every document with its cluster representative
-    and cluster size.
+    and cluster size. In sweep mode the final label table is shared with
+    llm_dedup_keep via ``_shared``.
     """
+    return _shared(
+        spark, sf_dir, "clusters", lambda: _build_clusters(spark, sf_dir)
+    )
+
+
+def _build_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         llm_dedup_minhash_pairs(spark, sf_dir)
         .select("d1", "d2")
@@ -454,7 +487,9 @@ def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     same bounded bucket equi-join as `llm_dedup_minhash_pairs` with one
     extra broadcast-sized map-side split column.
     """
-    bands = _bands_with_sig(spark, sf_dir).drop("sig").localCheckpoint(eager=True)
+    bands = _shared(
+        spark, sf_dir, "bands", lambda: _bands_with_sig(spark, sf_dir)
+    ).drop("sig")
     digit = F.instr(
         F.lit("0123456789abcdef"),
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
