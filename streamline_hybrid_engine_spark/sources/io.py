@@ -179,3 +179,32 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
     )
+
+
+#: ONE SQL text executed verbatim by BOTH engines — the strongest possible
+#: proof of the SQL-entry-point surface (Flink SQL / Table API analog,
+#: SURVEY §3.4): same string through spark.sql over registered views and
+#: through DuckDB over the parquet views. Stays in the shared dialect
+#: (ANSI aggregates, fixed-point micro-sum convention, TIMESTAMP literal).
+_Q1_SQL_TEXT = """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           round(cast(sum(cast(floor(l_quantity * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS sum_qty,
+           round(cast(sum(cast(floor(l_extendedprice * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS sum_price
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_text_q1", oracle=_Q1_SQL_TEXT, tags=("sources", "sql"))
+def sql_text_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text entry point: the engine accepts raw ANSI SQL over the
+    registered catalog views and runs it through the same Catalyst planner
+    as the DataFrame API (they produce one plan — SURVEY §3.4). The oracle
+    is the IDENTICAL string, so this row also certifies the shared-dialect
+    discipline the whole oracle suite relies on."""
+    from streamline_hybrid_engine_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q1_SQL_TEXT)
