@@ -520,3 +520,136 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.greatest(F.col("cum_start"), F.col("block_id") * 512)
         ).alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + domain-temperature sampling (round-2 additions)
+# ---------------------------------------------------------------------------
+
+#: portable (Java regex ∩ RE2) patterns — see fn_regex_bundle for the
+#: portability rules this subset follows (no lookaround, no \d shorthand
+#: inside SQL strings, character classes + bounded quantifiers only).
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+"
+_PHONE_RE = "555-[0-9]{4}"
+
+# The fixture corpus is clean synthetic text, so the query plants
+# deterministic PII first — a contact line derived from doc_id, built by
+# the SAME expression on both engines — and then proves the scrubber
+# actually fires (counts are nonzero and the redacted text hash matches).
+_PII_PAGE_SPARK = (
+    "concat(text, ' reach me at user', cast(doc_id as string),"
+    " '@mail-example.com or call 555-',"
+    " lpad(cast(pmod(doc_id * 7919, 10000) as string), 4, '0'))"
+)
+_PII_PAGE_DUCK = (
+    "text || ' reach me at user' || doc_id::VARCHAR"
+    " || '@mail-example.com or call 555-'"
+    " || lpad(((doc_id * 7919) % 10000)::VARCHAR, 4, '0')"
+)
+
+
+@query(
+    "llm_pii_redact",
+    oracle=f"""
+    WITH page AS (
+      SELECT doc_id, {_PII_PAGE_DUCK} AS page FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(page, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(page, '{_PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(page, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5,
+           length(page)
+             - length(regexp_replace(regexp_replace(page, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                     '{_PHONE_RE}', '<PHONE>', 'g')) AS n_chars_removed
+    FROM page
+    """,
+    tags=("llm", "text"),
+)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: find-and-mask emails and phone numbers, reporting
+    per-document match counts and a fingerprint of the redacted text.
+
+    Pure ``regexp_extract_all``/``regexp_replace`` — JVM codegen, zero
+    shuffle, embarrassingly parallel over a 100 TB corpus. Patterns stay
+    in the Java∩RE2 portable subset so the DuckDB oracle executes the
+    byte-identical regex. (Real pipelines swap in stronger patterns /
+    NER models via mapInPandas — the mm_* ops show that plumbing.)
+    """
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    page = docs.withColumn("page", F.expr(_PII_PAGE_SPARK))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("page"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return page.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(page, '{_EMAIL_RE}', 0)")).alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(page, '{_PHONE_RE}', 0)")).alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+        (F.length("page") - F.length(redacted)).alias("n_chars_removed"),
+    )
+
+
+#: 48-bit hash space, as in llm_sample_stratified / llm_train_split_hash.
+_HASH_SPACE = 1 << 48
+_HASH48_SPARK = (
+    "cast(conv(substr(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint)"
+)
+_HASH48_DUCK = "('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT"
+
+
+@query(
+    "llm_sample_temperature",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n_total FROM documents GROUP BY source
+    ),
+    rates AS (
+      SELECT source, n_total,
+             CAST(floor(sqrt(CAST((SELECT min(n_total) FROM counts) AS DOUBLE)
+                             / n_total) * {_HASH_SPACE}) AS BIGINT) AS thresh
+      FROM counts
+    )
+    SELECT r.source, r.n_total, r.thresh,
+           count(*) FILTER (WHERE {_HASH48_DUCK} < r.thresh) AS n_kept
+    FROM documents d JOIN rates r ON d.source = r.source
+    GROUP BY r.source, r.n_total, r.thresh
+    """,
+    tags=("llm", "sample"),
+)
+def llm_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-temperature sampling (alpha = 0.5): per-source keep-rate
+    ∝ count^(alpha-1), normalized so the smallest source keeps everything
+    — the standard multi-domain rebalancing step before LLM training
+    (large domains are down-sampled toward the temperature distribution).
+
+    Membership is the same content-stable 48-bit-hash threshold as
+    llm_sample_stratified, so the selected set is reproducible on any
+    engine or partitioning. The per-source thresholds are a tiny
+    broadcast; membership is then a map-side predicate at the scan —
+    zero extra shuffle over the corpus at 100 TB. Cross-engine exactness:
+    thresholds use only IEEE-correctly-rounded ops (÷, sqrt, ×) on exact
+    integers, then floor to bigint — bit-identical on both engines; no
+    comparison ever lands on a fraction an engine could round differently.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_total"))
+    cmin = counts.agg(F.min("n_total").alias("c_min"))
+    rates = counts.join(F.broadcast(cmin)).select(
+        "source",
+        "n_total",
+        F.floor(
+            F.sqrt(F.col("c_min").cast("double") / F.col("n_total"))
+            * F.lit(_HASH_SPACE)
+        )
+        .cast("long")
+        .alias("thresh"),
+    )
+    h48 = F.expr(_HASH48_SPARK)
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_total", "thresh")
+        .agg(F.sum(F.when(h48 < F.col("thresh"), 1).otherwise(0)).alias("n_kept"))
+    )

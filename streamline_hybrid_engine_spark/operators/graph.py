@@ -109,3 +109,84 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("r"),
         ).localCheckpoint(eager=True)
     return ranks.select(F.col("v").alias("vertex"), F.col("r").alias("rank_fp"))
+
+
+_TRI_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS p, b.l_partkey AS q
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT (SELECT count(*) FROM pairs) AS n_edges,
+       (SELECT count(*)
+        FROM pairs e1
+        JOIN pairs e2 ON e2.p = e1.q
+        JOIN pairs e3 ON e3.p = e1.p AND e3.q = e2.q) AS n_triangles
+"""
+
+
+@query("graph_triangle_count", oracle=_TRI_ORACLE, tags=("graph",))
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the part co-purchase graph (edges: two parts
+    sharing an order) — the third Gelly staple after PageRank and CC.
+
+    Scale design: the naive three-way self-join the oracle runs enumerates
+    every wedge at a HIGH-degree vertex — a popular part with degree d
+    contributes d² wedge candidates, which is the thing that dies first on
+    a 100 TB co-occurrence graph. The Spark plan instead orients each edge
+    from the (degree, id)-SMALLER endpoint to the larger before the wedge
+    join, the standard compact-forward trick: each triangle survives as
+    exactly one directed path a→b→c plus its closing edge a→c, and the
+    path-candidate count drops from sum(degree²) to O(E^1.5) — a hub
+    vertex ends up with all edges inbound and generates zero paths.
+    Orientation changes which join
+    produces each triangle, never the count, so the simple oracle stays
+    exact. Wedge closure is a final equi-join against the oriented edge
+    set; co-occurrence pairs are deduped per order BEFORE the global
+    distinct to keep the first shuffle narrow.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    other = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("q")
+    )
+    pairs = (
+        li.join(other, (li.l_orderkey == other.o2) & (li.l_partkey < other.q))
+        .select(F.col("l_partkey").alias("p"), "q")
+        .distinct()
+    )
+    # undirected degree, then orient each edge low→high by (degree, id)
+    deg = (
+        pairs.select(F.col("p").alias("v"))
+        .union(pairs.select(F.col("q").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    dp = deg.select(F.col("v").alias("p"), F.col("d").alias("dp"))
+    dq = deg.select(F.col("v").alias("q"), F.col("d").alias("dq"))
+    oriented = (
+        pairs.join(dp, "p")
+        .join(dq, "q")
+        .select(
+            F.when(
+                (F.col("dp") < F.col("dq"))
+                | ((F.col("dp") == F.col("dq")) & (F.col("p") < F.col("q"))),
+                F.struct(F.col("p").alias("u"), F.col("q").alias("w")),
+            )
+            .otherwise(F.struct(F.col("q").alias("u"), F.col("p").alias("w")))
+            .alias("e")
+        )
+        .select("e.u", "e.w")
+        .localCheckpoint(eager=True)  # reused 3×: two wedge legs + closure probe
+    )
+    e1 = oriented.select(F.col("u").alias("a"), F.col("w").alias("b"))
+    e2 = oriented.select(F.col("u").alias("b2"), F.col("w").alias("c"))
+    wedges = e1.join(e2, e1.b == e2.b2).select("a", "b", "c")
+    # orientation follows a TOTAL order, so a path a→b→c can only close
+    # with the forward edge a→c — the probe stays a pure equi-join (a
+    # disjunctive "either direction" probe would plan as a nested loop).
+    closure = oriented.select(F.col("u").alias("x"), F.col("w").alias("y"))
+    tri = wedges.join(closure, (wedges.a == closure.x) & (wedges.c == closure.y))
+    n_edges = pairs.count()
+    n_tri = tri.count()
+    row = [(n_edges, n_tri)]
+    return spark.createDataFrame(row, "n_edges bigint, n_triangles bigint")

@@ -1,0 +1,96 @@
+"""Subquery surface: EXISTS, correlated scalar, uncorrelated scalar —
+SURVEY §2.2/§2.4 SQL-dialect completeness.
+
+The reference dialect (Flink SQL per SURVEY §2) supports correlated
+EXISTS/IN and scalar subqueries; Catalyst supports the same and
+*decorrelates* them into joins (EXISTS → left-semi, correlated scalar →
+aggregate + equi-join), which is exactly the plan you'd hand-write at
+scale — no nested-loop re-execution per outer row. These queries certify
+both the SQL acceptance and the decorrelated plan shape
+(tests/test_plans.py pins the semi-join / aggregate-join rewrite).
+
+Determinism notes:
+- the Q17-style threshold compares ``2 * qty * cnt < sum_qty`` in exact
+  arithmetic (quantities are integral, counts are bigint; products of
+  integral doubles are exact well below 2^53) — no double DIVISION on a
+  comparison boundary, the classic half-grid trap (SURVEY §2 conventions).
+- revenue sums are fixed-point cents (bigint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from streamline_hybrid_engine_spark.catalog import register_views
+from streamline_hybrid_engine_spark.registry import query
+
+# Shared-dialect discipline (same text runs on Spark and DuckDB) — like
+# sql_text_q1, each SQL string below IS the oracle.
+
+_EXISTS_SQL = """
+    SELECT o_orderpriority,
+           count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_discount >= 0.06
+          AND l.l_quantity > 30
+    )
+    GROUP BY o_orderpriority
+"""
+
+
+@query("subquery_exists_discounted", oracle=_EXISTS_SQL, tags=("subquery", "sql"))
+def subquery_exists_discounted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape): orders having at least one
+    deeply-discounted bulk line, counted by priority.
+
+    Catalyst decorrelates to orders LEFT SEMI JOIN lineitem on the order
+    key with the two predicates pushed below the join — one shuffle pair,
+    no per-row re-execution."""
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)
+
+
+_SCALAR_CORR_SQL = """
+    SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS below_half_avg_revenue_cents,
+           count(*) AS n_lines
+    FROM lineitem l
+    WHERE 2 * l.l_quantity * (SELECT count(*) FROM lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)
+          < (SELECT sum(l2.l_quantity) FROM lineitem l2
+             WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@query("subquery_scalar_part_avg", oracle=_SCALAR_CORR_SQL, tags=("subquery", "sql"))
+def subquery_scalar_part_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries (TPC-H Q17 shape): revenue from lines
+    ordering less than half the part's average quantity.
+
+    Catalyst rewrites both correlated aggregates into ONE per-part
+    aggregate joined back on l_partkey — the table is scanned twice (outer
+    + aggregate), not once per outer row. The inequality is kept in exact
+    integer-valued arithmetic so the boundary is engine-independent."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SCALAR_CORR_SQL)
+
+
+_SCALAR_GLOBAL_SQL = """
+    SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+    FROM orders
+    WHERE o_totalprice * 10 > 9 * (SELECT max(o_totalprice) FROM orders)
+"""
+
+
+@query("subquery_scalar_global_max", oracle=_SCALAR_GLOBAL_SQL, tags=("subquery", "sql"))
+def subquery_scalar_global_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: orders within 10% of the global
+    maximum price. Planned as a one-row broadcast into the scan filter
+    (max is exact; the comparison multiplies instead of dividing so both
+    engines evaluate the identical IEEE expression)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SCALAR_GLOBAL_SQL)

@@ -45,6 +45,8 @@ _QUERY_MODULES = (
     "streamline_hybrid_engine_spark.operators.windows",
     "streamline_hybrid_engine_spark.operators.sort_limit",
     "streamline_hybrid_engine_spark.operators.setops",
+    "streamline_hybrid_engine_spark.operators.reshape",
+    "streamline_hybrid_engine_spark.operators.subqueries",
     "streamline_hybrid_engine_spark.operators.time_windows",
     "streamline_hybrid_engine_spark.operators.cep",
     "streamline_hybrid_engine_spark.operators.graph",

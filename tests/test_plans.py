@@ -98,3 +98,52 @@ def test_partitioned_sink_reread_prunes_partitions(spark, sf_dir):
     assert "PartitionFilters: [" in p
     seg = p.split("PartitionFilters:")[1][:300]
     assert "order_month" in seg
+
+
+def test_unpivot_single_scan_no_union(spark, sf_dir):
+    """DataFrame.unpivot must expand in one map stage over ONE scan —
+    the 4-way UNION ALL the oracle runs would scan the table 4 times."""
+    p = plan(spark, sf_dir, "unpivot_lineitem_measures")
+    assert p.count("Scan parquet") == 1, p
+    assert "Expand" in p
+    assert "Union" not in p
+
+
+def test_pivot_no_values_discovery_scan_and_partial_agg(spark, sf_dir):
+    """Explicit pivot values: exactly one scan of customer (no hidden
+    distinct-collect job to discover columns), and the pre-shuffle
+    aggregate is partial (map-side combine), so both exchanges carry
+    ≤ |groups × segments| rows — never raw customer rows."""
+    p = plan(spark, sf_dir, "pivot_acctbal_by_segment")
+    assert p.count("Scan parquet") == 2, p  # customer + nation, once each
+    first_exchange = p.index("Exchange hashpartitioning")
+    assert "partial_sum" in p[first_exchange:], p
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark, sf_dir):
+    """Correlated EXISTS must plan as a semi join, not a per-row subplan."""
+    p = plan(spark, sf_dir, "subquery_exists_discounted")
+    assert "LeftSemi" in p, p
+
+
+def test_correlated_scalar_subqueries_plan_as_one_aggregate_join(spark, sf_dir):
+    """Q17 shape: the two correlated scalars (count, sum per part) must
+    decorrelate into aggregate+join — lineitem is scanned twice total,
+    never once per outer row, and both aggregates share one subtree."""
+    p = optimized(spark, sf_dir, "subquery_scalar_part_avg")
+    assert "count(1)" in p and "Join" in p, p
+
+
+def test_triangle_count_all_equi_joins(spark, sf_dir):
+    """Degree-oriented triangle counting must stay hash-join only — a
+    disjunctive closure probe would fall back to nested-loop."""
+    p = plan(spark, sf_dir, "graph_triangle_count")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_temperature_sampling_broadcasts_rates(spark, sf_dir):
+    """Per-source thresholds are a tiny broadcast; the corpus must not
+    shuffle on source for membership tagging."""
+    p = plan(spark, sf_dir, "llm_sample_temperature")
+    assert "BroadcastHashJoin" in p, p
