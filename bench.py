@@ -49,6 +49,11 @@ HEADLINE = (
     "llm_pack_sequences",       # GPT-style sequence packing
     "llm_dedup_keep",           # dedup survivor materialization (CC + filter)
     "graph_pagerank_suppliers", # 5-round fixed-point PageRank
+    # round-2b additions (baselines in BASELINE.md §A.1 r2b block)
+    "subquery_scalar_part_avg", # Q17 shape: decorrelated scalar subqueries
+    "graph_triangle_count",     # degree-oriented triangle counting
+    "llm_pii_redact",           # regex scrub, zero shuffle
+    "llm_sample_temperature",   # domain-temperature sampling
 )
 
 

@@ -623,3 +623,79 @@ def llm_contamination_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus materialization (round-2b flagship)
+# ---------------------------------------------------------------------------
+
+from streamline_hybrid_engine_spark.llm.text import STOPWORDS  # noqa: E402
+
+_SPLIT_CASE_DUCK = """CASE WHEN strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 13 THEN 'train'
+                  WHEN strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 15 THEN 'val'
+                  ELSE 'test' END"""
+
+#: composed from the shared cluster CTE so dedup semantics stay in sync
+#: with llm_dedup_clusters / llm_dedup_keep by construction.
+_ORACLE_CORPUS_FINAL = f"""
+    WITH clusters AS ({{clusters}}),
+    survivors AS (SELECT doc_id FROM clusters WHERE doc_id = cluster_id),
+    scored AS (
+      SELECT doc_id, source,
+             len(toks) AS n,
+             len(list_filter(toks, t -> list_contains({list(STOPWORDS)!r}, t)))
+               / CAST(len(toks) AS DOUBLE) AS sw_ratio,
+             {_SPLIT_CASE_DUCK} AS split
+      FROM (SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM documents)
+    )
+    SELECT split, source, count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_tokens_total
+    FROM scored JOIN survivors USING (doc_id)
+    WHERE n BETWEEN 20 AND 1000 AND sw_ratio BETWEEN 0.01 AND 0.6
+    GROUP BY split, source
+"""
+
+
+@query(
+    "llm_corpus_final",
+    oracle=_ORACLE_CORPUS_FINAL.format(clusters=_ORACLE_CLUSTERS),
+    tags=("llm", "pipeline"),
+)
+def llm_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled training corpus: near-dup cluster survivors that pass
+    the Gopher-style quality gate, bucketed into train/val/test, with
+    per-cell document and token accounting — the single number a data lead
+    actually signs off on ("how many training tokens survive the
+    pipeline?").
+
+    Composition is the point: this reuses the LSH dedup survivor set
+    (llm_dedup_keep — shared/cached subtree during driver sweeps), the
+    quality expression (llm_text_quality), and the content-stable split
+    hash (llm_train_split_hash) in ONE plan. Survivors arrive as a keyed
+    join; quality + split are map-side expressions; the final aggregate is
+    one shuffle of |cells| partial rows. The composition adds no corpus
+    scan beyond what dedup already performs.
+    """
+    keep = llm_dedup_keep(spark, sf_dir).select("doc_id")
+    docs = load_table(spark, sf_dir, "documents", parallel=True).withColumn(
+        "toks", F.split("text", " ")
+    )
+    sw = F.array([F.lit(s) for s in STOPWORDS])
+    n = F.size("toks")
+    sw_ratio = F.size(F.filter("toks", lambda t: F.array_contains(sw, t))) / n.cast(
+        "double"
+    )
+    digit = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+    ) - 1
+    split = F.when(digit < 13, "train").when(digit < 15, "val").otherwise("test")
+    return (
+        docs.join(keep, "doc_id")
+        .filter(n.between(20, 1000) & sw_ratio.between(0.01, 0.6))
+        .groupBy(split.alias("split"), "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n.cast("long")).alias("n_tokens_total"),
+        )
+    )

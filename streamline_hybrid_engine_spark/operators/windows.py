@@ -209,3 +209,45 @@ def win_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 2)
         .select("o_custkey", "o_orderkey", "o_orderdate", rnd("o_totalprice", "totalprice"))
     )
+
+
+@query(
+    "win_range_trailing_1h",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ts AS TIMESTAMP) AS uts,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) OVER (
+                  PARTITION BY user_id
+                  ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trailing_1h_value_micros
+    FROM events
+    """,
+    tags=("window", "timewindow"),
+)
+def win_range_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per user, trailing 1-hour sum of event value —
+    the time-interval sliding frame (RANGE BETWEEN INTERVAL PRECEDING)
+    that ROWS frames cannot express when event spacing is irregular.
+
+    Two determinism rules make this hash-exact cross-engine: the frame is
+    RANGE (peer rows with identical timestamps are all-in, so tie order
+    can't change any row's frame — a ROWS frame would be nondeterministic
+    under ties), and the summed measure is fixed-point micros (bigint), so
+    accumulation order can't drift a double. One shuffle on user_id; the
+    per-partition sort is the same sort every OVER query in this family
+    already pays.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    micros = F.round(F.col("value") * 1000000).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600000000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("uts"),
+        F.sum(micros).over(w).alias("trailing_1h_value_micros"),
+    )

@@ -135,11 +135,20 @@ def test_correlated_scalar_subqueries_plan_as_one_aggregate_join(spark, sf_dir):
 
 
 def test_triangle_count_all_equi_joins(spark, sf_dir):
-    """Degree-oriented triangle counting must stay hash-join only — a
-    disjunctive closure probe would fall back to nested-loop."""
-    p = plan(spark, sf_dir, "graph_triangle_count")
+    """Degree-oriented triangle counting must stay hash-join only (the
+    query itself returns a LocalTableScan of collected scalars, so the
+    assertion targets the un-checkpointed traversal frame)."""
+    from streamline_hybrid_engine_spark.operators.graph import (
+        triangle_per_edge_counts,
+    )
+
+    _, per_edge = triangle_per_edge_counts(spark, sf_dir, checkpoint=False)
+    p = executed_plan(per_edge)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+    # degree + adjacency sides broadcast; the only exchanges are the
+    # self-join/distinct that build the edge list
+    assert p.count("BroadcastHashJoin") >= 4, p
 
 
 def test_temperature_sampling_broadcasts_rates(spark, sf_dir):
