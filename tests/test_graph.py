@@ -30,3 +30,38 @@ def test_pagerank_mass_concentrates_on_suppliers(spark, sf_dir):
     pr = _QS["graph_pagerank_suppliers"].fn(spark, sf_dir)
     top10 = pr.orderBy(F.desc("rank_fp")).limit(10).collect()
     assert all(r.vertex.startswith("s") for r in top10)
+
+
+def test_triangle_count_orientation_invariant_semantics(spark, sf_dir):
+    """The degree-oriented adjacency-intersection count must equal the
+    orientation-free definition computed directly: triangles =
+    |{(a,b,c): a<b<c, all three canonical edges present}|."""
+    from streamline_hybrid_engine_spark.operators.graph import (
+        triangle_per_edge_counts,
+    )
+
+    pairs, per_edge = triangle_per_edge_counts(spark, sf_dir)
+    engine_tri = per_edge.agg(F.sum("t")).collect()[0][0] or 0
+    e1 = pairs.select(F.col("p").alias("a"), F.col("q").alias("b"))
+    e2 = pairs.select(F.col("p").alias("b2"), F.col("q").alias("c"))
+    e3 = pairs.select(F.col("p").alias("a3"), F.col("q").alias("c3"))
+    naive = (
+        e1.join(e2, e1.b == e2.b2)
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .count()
+    )
+    assert engine_tri == naive
+
+
+def test_triangle_count_partitioning_invariant(spark, sf_dir):
+    """Same result under a different shuffle width — no accumulation-order
+    or partition-boundary dependence."""
+    q = _QS["graph_triangle_count"].fn
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    a = q(spark, sf_dir).collect()
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = q(spark, sf_dir).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert a == b

@@ -238,3 +238,54 @@ def test_contamination_full_for_cross_split_exact_dupes(spark, sf_dir):
     for grp in cross:
         for eid in grp.eval_ids:
             assert frac[eid] == 1.0, (eid, frac[eid])
+
+
+def test_temperature_sampling_rates_monotone_and_bounded(spark, sf_dir):
+    """Per-source keep-rate must be ≤ 1, equal to 1 for the smallest
+    source, and monotonically non-increasing in source size."""
+    rows = _QS["llm_sample_temperature"].fn(spark, sf_dir).collect()
+    space = float(1 << 48)
+    by_size = sorted(rows, key=lambda r: r.n_total)
+    assert all(r.thresh <= space for r in rows)
+    assert by_size[0].thresh == space  # smallest source keeps everything
+    threshes = [r.thresh for r in by_size]
+    assert threshes == sorted(threshes, reverse=True)
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_total
+
+
+def test_temperature_sampling_partitioning_invariant(spark, sf_dir):
+    """Hash-threshold membership must not depend on partitioning."""
+    q = _QS["llm_sample_temperature"].fn
+    a = sorted(map(tuple, q(spark, sf_dir).collect()))
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        b = sorted(map(tuple, q(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert a == b
+
+
+def test_pii_redact_masks_every_planted_contact(spark, sf_dir):
+    """Every document gets exactly one planted email + phone; the scrubber
+    must find ≥1 of each and the redacted text must contain no residue."""
+    df = _QS["llm_pii_redact"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert all(r.n_emails >= 1 for r in rows)
+    assert all(r.n_phones >= 1 for r in rows)
+    assert all(r.n_chars_removed > 0 for r in rows)
+
+
+def test_corpus_final_is_subset_of_quality_and_survivors(spark, sf_dir):
+    """Pipeline composition sanity: final corpus doc counts per cell can't
+    exceed either the dedup survivor count or the quality-pass count."""
+    import pyspark.sql.functions as F
+
+    final = _QS["llm_corpus_final"].fn(spark, sf_dir)
+    n_final = final.agg(F.sum("n_docs")).collect()[0][0]
+    n_keep = _QS["llm_dedup_keep"].fn(spark, sf_dir).count()
+    quality = _QS["llm_text_quality"].fn(spark, sf_dir)
+    n_quality = quality.filter(F.col("passes_filter") == 1).count()
+    assert n_final <= min(n_keep, n_quality)
+    assert n_final > 0
