@@ -1,68 +1,107 @@
-"""Complex event processing — a real 3-state pattern matcher (SURVEY §2.9).
+"""Complex event processing — a parameterized N-state pattern matcher
+(SURVEY §2.9; the flink-cep ``Pattern.begin(...).followedBy(...)
+.within(timeout)`` API analog).
 
-The reference ships an NFA-based CEP library (Flink flink-cep: Pattern
-.begin("A").followedBy("B").followedBy("C").within(timeout)). r01 covered
-only the lag-based 2-event subset (cep_lite_error_after_purchase); this
-module is the genuine article: a per-key NFA with relaxed contiguity and a
-timeout, run as imperative state over Arrow batches — exactly the case the
-build rules reserve for ``applyInPandas`` (run semantics over an ordered
-per-key sequence are not window-expressible: each transition depends on the
-machine's state after the previous row).
+r01 covered only the lag-based 2-event subset
+(cep_lite_error_after_purchase); r2 added a hand-built 3-state NFA; this
+revision generalizes it into an engine API: ``compile_pattern(steps,
+timeout)`` builds the NFA transition function, the Arrow batch runner,
+the streaming state schema AND the DuckDB recursive-CTE oracle from one
+pattern spec, so every instantiated pattern is oracle-checkable by
+construction. Semantics (flink-cep terms): relaxed contiguity
+(non-matching events are skipped), greedy after-match-skip-past-match,
+``within``-style timeout anchored at the first step; expiry resets the
+machine and the expiring row may start a new match.
 
-Pattern (fixture vocabulary): view → click → purchase per user, greedy
-non-overlapping ("after match skip past the match"), other event types
-ignored (relaxed contiguity), the whole match within TIMEOUT of the view.
-Timeout expiry resets the machine; the expiring row itself may start a new
-match. Deterministic given the (ts, event_id) total order — the oracle is
-the same machine as a recursive-CTE scan in DuckDB.
-
-Scale design (100 TB): one shuffle on user_id, then a linear per-key scan
+Scale design (100 TB): one shuffle on the key, then a linear per-key scan
 with O(1) state — the same cost shape as Flink's keyed CEP operator. The
-Python loop runs over Arrow-batched pandas rows per user; keys parallelize
+Python loop runs over Arrow-batched pandas rows per key; keys parallelize
 across executors, and per-key event counts (not corpus size) bound the
-sequential work.
+sequential work. This is exactly the case the build rules reserve for
+``applyInPandas``: run semantics over an ordered per-key sequence are not
+window-expressible (each transition depends on post-previous-row state).
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from streamline_hybrid_engine_spark.catalog import load_table
+from streamline_hybrid_engine_spark.catalog import keyed_parallelism, load_table
 from streamline_hybrid_engine_spark.registry import query
 
-#: match window: purchase.ts - view.ts must be <= this (fixture events are
-#: sparse — ~1 event/user/hour — so sub-day timeouts never complete a match)
+#: the r2 contract pattern: view → click → purchase within 24 h.
+ABC_STEPS = ("view", "click", "purchase")
 TIMEOUT_US = 86_400_000_000  # 24 hours
 
-MATCH_SCHEMA = (
-    "user_id long, view_id long, click_id long, purchase_id long, span_s double"
-)
+#: r2b funnel: the full acquisition funnel within 7 days.
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+FUNNEL_TIMEOUT_US = 604_800_000_000
 
 
-def advance(state: tuple, etype: str, uts: int, eid: int):
-    """One NFA transition. ``state`` = (phase, view_id, view_us, click_id);
-    phase 0 = start, 1 = saw view, 2 = saw view+click.
+@dataclass(frozen=True)
+class PatternSpec:
+    """A compiled N-step pattern: everything both runtimes and the oracle
+    need, derived from one (steps, timeout) declaration."""
 
-    Returns (new_state, match_or_None). Shared verbatim by the batch and
-    streaming operators so their semantics cannot drift.
-    """
-    phase, view_id, view_us, click_id = state
-    if phase >= 1 and uts - view_us > TIMEOUT_US:  # expiry first, then consume
-        phase, view_id, view_us, click_id = 0, None, None, None
-    if phase == 0 and etype == "view":
-        return (1, eid, uts, None), None
-    if phase == 1 and etype == "click":
-        return (2, view_id, view_us, eid), None
-    if phase == 2 and etype == "purchase":
-        match = (view_id, click_id, eid, round((uts - view_us) / 1e6, 6))
-        return (0, None, None, None), match
-    return (phase, view_id, view_us, click_id), None
+    steps: tuple[str, ...]
+    timeout_us: int
+
+    @property
+    def n(self) -> int:
+        return len(self.steps)
+
+    @property
+    def match_schema(self) -> str:
+        cols = ", ".join(f"{s}_id long" for s in self.steps)
+        return f"user_id long, {cols}, span_s double"
+
+    @property
+    def match_columns(self) -> list[str]:
+        return ["user_id", *[f"{s}_id" for s in self.steps], "span_s"]
+
+    @property
+    def state_struct(self) -> str:
+        """Streaming keyed-state schema: phase, anchor ts, captured ids of
+        all steps but the last (the last id is emitted, never stored)."""
+        ids = ", ".join(f"id_{i} long" for i in range(self.n - 1))
+        return f"phase int, first_us long, {ids}"
+
+    def initial_state(self) -> tuple:
+        return (0, None) + (None,) * (self.n - 1)
+
+    def advance(self, state: tuple, etype: str, uts: int, eid: int):
+        """One NFA transition; returns (new_state, match_or_None).
+        Shared verbatim by the batch and streaming operators so their
+        semantics cannot drift, and mirrored by :func:`pattern_oracle`."""
+        phase, first_us, *ids = state
+        if phase >= 1 and uts - first_us > self.timeout_us:  # expiry first
+            phase, first_us, ids = 0, None, [None] * (self.n - 1)
+        if etype == self.steps[phase]:
+            if phase == 0:
+                first_us, ids = uts, [eid] + [None] * (self.n - 2)
+                return (1, first_us, *ids), None
+            if phase < self.n - 1:
+                ids[phase] = eid
+                return (phase + 1, first_us, *ids), None
+            match = (*ids, eid, round((uts - first_us) / 1e6, 6))
+            return self.initial_state(), match
+        return (phase, first_us, *ids), None
 
 
-def match_abc(events: DataFrame) -> DataFrame:
-    """Run the view→click→purchase NFA over a (user_id, event_id,
-    event_type, ts) DataFrame; one output row per completed match."""
+def compile_pattern(steps: tuple[str, ...], timeout_us: int) -> PatternSpec:
+    if len(steps) < 2:
+        raise ValueError("a pattern needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("step event types must be distinct (column naming)")
+    return PatternSpec(tuple(steps), int(timeout_us))
+
+
+def match_pattern(events: DataFrame, spec: PatternSpec) -> DataFrame:
+    """Run ``spec`` per user over a (user_id, event_id, event_type, ts)
+    DataFrame; one output row per completed match."""
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
     def run_user(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -72,38 +111,86 @@ def match_abc(events: DataFrame) -> DataFrame:
         uts = (
             pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").astype("int64") // 1000
         ).tolist()
-        state, out = (0, None, None, None), []
+        state, out = spec.initial_state(), []
         for etype, t, eid in zip(
             pdf["event_type"].tolist(), uts, pdf["event_id"].tolist()
         ):
-            state, match = advance(state, etype, t, int(eid))
+            state, match = spec.advance(state, etype, t, int(eid))
             if match is not None:
                 out.append((uid, *match))
-        return pd.DataFrame(
-            out, columns=["user_id", "view_id", "click_id", "purchase_id", "span_s"]
-        )
-
-    from streamline_hybrid_engine_spark.catalog import keyed_parallelism
+        return pd.DataFrame(out, columns=spec.match_columns)
 
     return (
         keyed_parallelism(
             events.select("user_id", "event_id", "event_type", "ts"), "user_id"
         )
         .groupBy("user_id")
-        .applyInPandas(run_user, schema=MATCH_SCHEMA)
+        .applyInPandas(run_user, schema=spec.match_schema)
     )
 
 
-def _timeout_reset(expr: str) -> str:
-    """Oracle helper: the state after applying timeout expiry, inlined
-    (recursive CTEs cannot name intermediates)."""
-    return (
-        f"(CASE WHEN s.state >= 1 AND e.uts - s.view_us > {TIMEOUT_US} "
-        f"THEN 0 ELSE s.state END) = {expr}"
+def pattern_oracle(spec: PatternSpec) -> str:
+    """Generate the DuckDB recursive-CTE scan equivalent to
+    :meth:`PatternSpec.advance` — the same machine, row by row."""
+    n, steps, t_us = spec.n, spec.steps, spec.timeout_us
+    reset = (
+        f"(CASE WHEN s.state >= 1 AND e.uts - s.first_us > {t_us} "
+        f"THEN 0 ELSE s.state END)"
+    )
+    last = steps[-1]
+
+    state_case = "CASE\n" + "\n".join(
+        f"      WHEN {reset} = {i} AND e.event_type = '{steps[i]}' "
+        f"THEN {0 if i == n - 1 else i + 1}"
+        for i in range(n)
+    ) + f"\n      ELSE {reset}\n    END AS state"
+
+    first_us_case = f"""CASE
+      WHEN {reset} = 0
+           THEN CASE WHEN e.event_type = '{steps[0]}' THEN e.uts ELSE NULL END
+      WHEN {reset} = {n - 1} AND e.event_type = '{last}' THEN NULL
+      ELSE s.first_us
+    END AS first_us"""
+
+    id_cases = []
+    for i in range(n - 1):
+        if i == 0:
+            id_cases.append(f"""CASE
+      WHEN {reset} = 0
+           THEN CASE WHEN e.event_type = '{steps[0]}' THEN e.event_id ELSE NULL END
+      WHEN {reset} = {n - 1} AND e.event_type = '{last}' THEN NULL
+      ELSE s.id_0
+    END AS id_0""")
+        else:
+            id_cases.append(f"""CASE
+      WHEN {reset} = {i} AND e.event_type = '{steps[i]}' THEN e.event_id
+      WHEN {reset} = {n - 1} AND e.event_type = '{last}' THEN NULL
+      WHEN {reset} = 0 THEN NULL
+      ELSE s.id_{i}
+    END AS id_{i}""")
+
+    emit = f"{reset} = {n - 1} AND e.event_type = '{last}'"
+    m_cases = [
+        f"CASE WHEN {emit} THEN s.id_{i} ELSE NULL END AS m_{i}"
+        for i in range(n - 1)
+    ]
+    m_cases.append(f"CASE WHEN {emit} THEN e.event_id ELSE NULL END AS m_{n - 1}")
+    m_cases.append(
+        f"CASE WHEN {emit} THEN e.uts - s.first_us ELSE NULL END AS m_span_us"
     )
 
+    base_nulls = ",\n         ".join(
+        ["CAST(NULL AS BIGINT) AS first_us"]
+        + [f"CAST(NULL AS BIGINT) AS id_{i}" for i in range(n - 1)]
+        + [f"CAST(NULL AS BIGINT) AS m_{i}" for i in range(n)]
+        + ["CAST(NULL AS BIGINT) AS m_span_us"]
+    )
+    out_cols = ",\n       ".join(
+        f"m_{i} AS {s}_id" for i, s in enumerate(steps)
+    )
+    all_cases = ",\n    ".join([state_case, first_us_case, *id_cases, *m_cases])
 
-_CEP_ORACLE = f"""
+    return f"""
 WITH RECURSIVE ev AS (
   SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS uts,
          row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
@@ -111,72 +198,68 @@ WITH RECURSIVE ev AS (
 ),
 scan AS (
   SELECT user_id, 0 AS rn, 0 AS state,
-         CAST(NULL AS BIGINT) AS view_id, CAST(NULL AS BIGINT) AS view_us,
-         CAST(NULL AS BIGINT) AS click_id,
-         CAST(NULL AS BIGINT) AS m_view, CAST(NULL AS BIGINT) AS m_click,
-         CAST(NULL AS BIGINT) AS m_purchase, CAST(NULL AS BIGINT) AS m_span_us
+         {base_nulls}
   FROM (SELECT DISTINCT user_id FROM ev)
   UNION ALL
   SELECT e.user_id, e.rn,
-    CASE
-      WHEN {_timeout_reset('0')} AND e.event_type = 'view' THEN 1
-      WHEN {_timeout_reset('1')} AND e.event_type = 'click' THEN 2
-      WHEN {_timeout_reset('2')} AND e.event_type = 'purchase' THEN 0
-      ELSE (CASE WHEN s.state >= 1 AND e.uts - s.view_us > {TIMEOUT_US} THEN 0 ELSE s.state END)
-    END AS state,
-    CASE
-      WHEN {_timeout_reset('0')}
-           THEN CASE WHEN e.event_type = 'view' THEN e.event_id ELSE NULL END
-      WHEN {_timeout_reset('2')} AND e.event_type = 'purchase' THEN NULL
-      ELSE s.view_id
-    END AS view_id,
-    CASE
-      WHEN {_timeout_reset('0')}
-           THEN CASE WHEN e.event_type = 'view' THEN e.uts ELSE NULL END
-      WHEN {_timeout_reset('2')} AND e.event_type = 'purchase' THEN NULL
-      ELSE s.view_us
-    END AS view_us,
-    CASE
-      WHEN {_timeout_reset('1')} AND e.event_type = 'click' THEN e.event_id
-      WHEN {_timeout_reset('2')} AND e.event_type = 'purchase' THEN NULL
-      WHEN {_timeout_reset('0')} THEN NULL
-      ELSE s.click_id
-    END AS click_id,
-    CASE WHEN {_timeout_reset('2')} AND e.event_type = 'purchase'
-         THEN s.view_id ELSE NULL END AS m_view,
-    CASE WHEN {_timeout_reset('2')} AND e.event_type = 'purchase'
-         THEN s.click_id ELSE NULL END AS m_click,
-    CASE WHEN {_timeout_reset('2')} AND e.event_type = 'purchase'
-         THEN e.event_id ELSE NULL END AS m_purchase,
-    CASE WHEN {_timeout_reset('2')} AND e.event_type = 'purchase'
-         THEN e.uts - s.view_us ELSE NULL END AS m_span_us
+    {all_cases}
   FROM scan s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
 )
-SELECT user_id, m_view AS view_id, m_click AS click_id, m_purchase AS purchase_id,
+SELECT user_id,
+       {out_cols},
        round(m_span_us / 1000000.0, 6) AS span_s
-FROM scan WHERE m_purchase IS NOT NULL
+FROM scan WHERE m_{n - 1} IS NOT NULL
 """
 
 
-@query("cep_pattern_abc", oracle=_CEP_ORACLE, tags=("cep", "timewindow"))
+_ABC = compile_pattern(ABC_STEPS, TIMEOUT_US)
+_FUNNEL = compile_pattern(FUNNEL_STEPS, FUNNEL_TIMEOUT_US)
+
+#: kept as module-level names for the streaming job + tests.
+MATCH_SCHEMA = _ABC.match_schema
+
+
+def match_abc(events: DataFrame) -> DataFrame:
+    return match_pattern(events, _ABC)
+
+
+@query("cep_pattern_abc", oracle=pattern_oracle(_ABC), tags=("cep", "timewindow"))
 def cep_pattern_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-state CEP over the events table: view → click → purchase within
     24h, greedy non-overlapping, relaxed contiguity. Oracle = the identical
-    state machine as a DuckDB recursive-CTE scan (validated row-for-row
-    against an independent Python reference at build time)."""
+    state machine GENERATED as a DuckDB recursive-CTE scan from the same
+    PatternSpec (validated row-for-row against an independent Python
+    reference at build time; r2b: generator output verified identical to
+    the r2 hand-written CTE on this pattern)."""
     return match_abc(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "cep_pattern_funnel4",
+    oracle=pattern_oracle(_FUNNEL),
+    tags=("cep", "timewindow"),
+)
+def cep_pattern_funnel4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-state funnel: signup → view → click → purchase within 7 days —
+    instantiated through the SAME compile_pattern API as cep_pattern_abc,
+    proving the NFA, the Arrow runner, the streaming state schema and the
+    oracle all parameterize over pattern length. (flink-cep's Pattern API
+    equivalence: begin/followedBy×3/within.)"""
+    return match_pattern(load_table(spark, sf_dir, "events"), _FUNNEL)
 
 
 @query("cep_pattern_abc_stream", oracle=None, tags=("cep", "streaming", "state"))
 def cep_pattern_abc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of cep_pattern_abc via ``applyInPandasWithState``:
-    the NFA state (phase, view_id, view_us, click_id) lives in keyed group
+    the NFA state (phase, first_us, captured ids) lives in keyed group
     state across micro-batches — Flink CEP's keyed NFA operator shape.
-    Rows within a batch are processed in (ts, event_id) order; cross-batch
-    order relies on the file source's mtime ordering (bounded drain), the
-    same caveat as stream_user_session_state. Incomplete matches emit
-    nothing (a timeout side output would be the Flink timed-out-pattern
-    analog — see stream_watermark_deadletter for the mechanism)."""
+    The state StructType comes from the same PatternSpec as the batch
+    operator. Rows within a batch are processed in (ts, event_id) order;
+    cross-batch order relies on the file source's mtime ordering (bounded
+    drain), the same caveat as stream_user_session_state. Incomplete
+    matches emit nothing (a timeout side output would be the Flink
+    timed-out-pattern analog — see stream_watermark_deadletter for the
+    mechanism)."""
     import pandas as pd  # noqa: PLC0415 — worker-side import
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -185,36 +268,36 @@ def cep_pattern_abc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_memory,
     )
 
+    spec = _ABC
+
     def run_user(key, pdfs, state: GroupState):
-        st = tuple(state.get) if state.exists else (0, None, None, None)
+        st = tuple(state.get) if state.exists else spec.initial_state()
         rows = []
         for pdf in pdfs:
             uts = (
-            pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").astype("int64") // 1000
-        ).tolist()
+                pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").astype("int64")
+                // 1000
+            ).tolist()
             rows.extend(
                 zip(pdf["event_type"].tolist(), uts, pdf["event_id"].tolist())
             )
         rows.sort(key=lambda r: (r[1], r[2]))
         out = []
         for etype, t, eid in rows:
-            st, match = advance(st, etype, t, eid)
+            st, match = spec.advance(st, etype, t, eid)
             if match is not None:
                 out.append((key[0], *match))
         state.update(st)
         if out:
-            yield pd.DataFrame(
-                out,
-                columns=["user_id", "view_id", "click_id", "purchase_id", "span_s"],
-            )
+            yield pd.DataFrame(out, columns=spec.match_columns)
 
     ev = read_events_stream(spark, sf_dir).select(
         "user_id", "event_id", "event_type", "ts"
     )
     matches = ev.groupBy("user_id").applyInPandasWithState(
         run_user,
-        outputStructType=MATCH_SCHEMA,
-        stateStructType="phase int, view_id long, view_us long, click_id long",
+        outputStructType=spec.match_schema,
+        stateStructType=spec.state_struct,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
