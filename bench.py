@@ -54,6 +54,8 @@ HEADLINE = (
     "graph_triangle_count",     # degree-oriented triangle counting
     "llm_pii_redact",           # regex scrub, zero shuffle
     "llm_sample_temperature",   # domain-temperature sampling
+    "llm_corpus_final",         # end-to-end pipeline composition
+    "cep_pattern_funnel4",      # 4-state NFA through the pattern API
 )
 
 

@@ -313,3 +313,40 @@ def fn_regex_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").rlike(r"^Customer#[0-9]+$").alias("well_formed"),
         F.col("c_name").rlike(r"00$").alias("ends_00"),
     )
+
+
+@query(
+    "fn_bitwise_bundle",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_partkey & l_suppkey AS BIGINT) AS band,
+           CAST(l_partkey | l_suppkey AS BIGINT) AS bor,
+           CAST(xor(l_partkey, l_suppkey) AS BIGINT) AS bxor,
+           CAST(~l_partkey AS BIGINT) AS bnot,
+           CAST(l_linenumber << 3 AS BIGINT) AS shl,
+           CAST(l_partkey >> 2 AS BIGINT) AS shr,
+           CAST(bit_count(CAST(l_partkey AS BIGINT)) AS BIGINT) AS bits
+    FROM lineitem
+    WHERE l_orderkey < 2000
+    """,
+    tags=("functions",),
+)
+def fn_bitwise_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator surface: AND/OR/XOR/NOT, shifts, popcount — all
+    JVM codegen. Dialect note: Spark spells XOR ``^`` while DuckDB's ``^``
+    is exponentiation (its XOR is ``xor()``); NOT is ``~`` in both. Every
+    result casts to BIGINT on both engines so the value hash is
+    dtype-stable."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    b = lambda c: c.cast("long")  # noqa: E731
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        b(F.expr("l_partkey & l_suppkey")).alias("band"),
+        b(F.expr("l_partkey | l_suppkey")).alias("bor"),
+        b(F.expr("l_partkey ^ l_suppkey")).alias("bxor"),
+        b(F.expr("~l_partkey")).alias("bnot"),
+        b(F.expr("shiftleft(l_linenumber, 3)")).alias("shl"),
+        b(F.expr("shiftright(l_partkey, 2)")).alias("shr"),
+        b(F.bit_count(F.col("l_partkey").cast("long"))).alias("bits"),
+    )

@@ -344,3 +344,29 @@ def agg_grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@query(
+    "agg_bool_bundle",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_discount >= 0.0) AS all_nonneg_disc,
+           bool_or(l_discount > 0.09) AS any_deep_disc,
+           bool_and(l_quantity >= 1) AS all_qty_positive,
+           bool_or(l_tax > 0.07) AS any_high_tax,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_bool_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (EVERY/ANY — bool_and/bool_or): predicate
+    summaries per group, partial-aggregated map-side like any other agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_discount") >= 0.0).alias("all_nonneg_disc"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_disc"),
+        F.bool_and(F.col("l_quantity") >= 1).alias("all_qty_positive"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.count("*").alias("n"),
+    )
