@@ -350,3 +350,58 @@ def fn_bitwise_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         b(F.expr("shiftright(l_partkey, 2)")).alias("shr"),
         b(F.bit_count(F.col("l_partkey").cast("long"))).alias("bits"),
     )
+
+
+@query(
+    "fn_struct_bundle",
+    oracle="""
+    SELECT o_orderkey,
+           ({'status': o_orderstatus,
+             'price_cents': CAST(round(o_totalprice * 100) AS BIGINT)}).status
+             AS status,
+           ({'status': o_orderstatus,
+             'price_cents': CAST(round(o_totalprice * 100) AS BIGINT)}).price_cents
+             AS price_cents,
+           ({'a': {'k': o_orderkey % 7}}).a.k AS k7,
+           CASE WHEN {'s': o_orderstatus} = {'s': 'F'} THEN 1 ELSE 0 END AS is_f,
+           element_at(MAP(['lo', 'hi'], [o_orderkey, o_orderkey + 1]), 'hi')[1]
+             AS m_hi,
+           array_to_string(map_keys(MAP(['lo', 'hi'], [o_orderkey, o_orderkey + 1])), ',')
+             AS m_keys
+    FROM orders
+    WHERE o_orderkey < 3000
+    """,
+    tags=("functions", "struct"),
+)
+def fn_struct_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type surface: struct construction, field access (one and two
+    levels), struct equality, map construction/element/keys — flattened
+    back to scalar columns so the cross-engine hash sees plain values.
+    Dialect notes: DuckDB map element_at returns a LIST (unwrap with
+    ``[1]``); Spark's is scalar. Struct comparison is field-ordered in
+    both engines."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    info = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    nested = F.struct(F.struct((F.col("o_orderkey") % 7).alias("k")).alias("a"))
+    m = F.map_from_arrays(
+        F.array(F.lit("lo"), F.lit("hi")),
+        F.array(F.col("o_orderkey"), F.col("o_orderkey") + 1),
+    )
+    return o.select(
+        "o_orderkey",
+        info.getField("status").alias("status"),
+        info.getField("price_cents").alias("price_cents"),
+        nested.getField("a").getField("k").alias("k7"),
+        F.when(
+            F.struct(F.col("o_orderstatus").alias("s"))
+            == F.struct(F.lit("F").alias("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_f"),
+        F.element_at(m, "hi").alias("m_hi"),
+        F.array_join(F.map_keys(m), ",").alias("m_keys"),
+    )
