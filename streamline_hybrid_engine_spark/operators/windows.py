@@ -251,3 +251,53 @@ def win_range_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("uts"),
         F.sum(micros).over(w).alias("trailing_1h_value_micros"),
     )
+
+
+@query(
+    "win_fill_forward_ignore_nulls",
+    oracle="""
+    WITH sparse AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS uts,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 1000000) AS BIGINT) END AS purchase_micros
+      FROM events
+    )
+    SELECT event_id, user_id, uts,
+           last_value(purchase_micros IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY uts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_micros
+    FROM sparse
+    """,
+    tags=("window",),
+)
+def win_fill_forward_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill via LAST_VALUE ... IGNORE NULLS: carry each user's most
+    recent purchase amount onto every subsequent event — the gap-fill
+    idiom sensor/CDC pipelines use constantly, and a distinct capability
+    from plain last_value (which would return the current row's NULL).
+    Fixed-point micros keep the carried value hash-exact; (uts, event_id)
+    ordering makes the frame deterministic under timestamp ties."""
+    ev = load_table(spark, sf_dir, "events")
+    sparse = ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("uts"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 1000000).cast("long"),
+        ).alias("purchase_micros"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("uts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sparse.select(
+        "event_id",
+        "user_id",
+        "uts",
+        F.last("purchase_micros", ignorenulls=True).over(w).alias(
+            "last_purchase_micros"
+        ),
+    )
