@@ -208,3 +208,62 @@ def sql_text_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q1_SQL_TEXT)
+
+
+@query(
+    "sink_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("sources", "sink", "bucketed"),
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join (Flink's pre-partitioned DataSet /
+    Hive-bucketing analog, and the 100 TB fact⋈fact answer): orders and
+    lineitem written ``bucketBy(8, key)`` + sorted, then joined bucket-to-
+    bucket — the executed join plan contains NO Exchange on either side
+    (pinned in tests/test_plans.py). At lake scale this is how a daily
+    fact-fact join avoids re-shuffling terabytes on every run: the shuffle
+    is paid ONCE at write time and amortized over every subsequent join.
+
+    The managed tables live in an explicit /tmp database so the operator
+    is independent of the calling session's warehouse directory."""
+    import shutil  # noqa: PLC0415 — stdlib, local to the one sink that needs it
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"she_bucket_db_{os.path.basename(sf_dir)}"
+    )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS she_bucket LOCATION '{base}'")
+    # a FRESH session won't know tables written by a previous one, but their
+    # directories persist → LOCATION_ALREADY_EXISTS; drop both layers
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS she_bucket.{t}")
+        shutil.rmtree(os.path.join(base, t), ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("she_bucket.b_orders")
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("she_bucket.b_lineitem")
+    )
+    bo = spark.table("she_bucket.b_orders")
+    bl = spark.table("she_bucket.b_lineitem")
+    joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+    )

@@ -156,3 +156,21 @@ def test_temperature_sampling_broadcasts_rates(spark, sf_dir):
     shuffle on source for membership tagging."""
     p = plan(spark, sf_dir, "llm_sample_temperature")
     assert "BroadcastHashJoin" in p, p
+
+
+def test_bucketed_join_query_has_no_join_exchange(spark, sf_dir):
+    """sink_bucketed_join: the fact-fact join must run bucket-to-bucket —
+    the only Exchange allowed in the plan is the final aggregate's
+    (hashpartitioning on o_orderpriority), never on the join keys.
+    Auto-broadcast is disabled for the assertion: at test scale the tiny
+    side would broadcast (also exchange-free, but it would mask the
+    bucketed path that matters at fact⋈fact scale)."""
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan(spark, sf_dir, "sink_bucketed_join")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+    assert "SortMergeJoin" in p, p
+    assert "Exchange hashpartitioning(o_orderkey" not in p, p
+    assert "Exchange hashpartitioning(l_orderkey" not in p, p

@@ -162,3 +162,53 @@ def test_cep_nfa_matches_reference(spark, rows):
         for r in match_abc(df).collect()
     )
     assert got == _ref_matches(rows, TIMEOUT_US)
+
+
+_patterns = st.sampled_from(
+    [
+        ("view", "click"),
+        ("error", "purchase"),
+        ("view", "click", "purchase"),
+        ("signup", "view", "click", "purchase"),
+    ]
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_sequences, steps=_patterns, timeout_h=st.sampled_from([1, 10, 1000]))
+def test_cep_generated_oracle_matches_spark(spark, rows, steps, timeout_h):
+    """Cross-engine fuzz of the PATTERN API itself: random (pattern,
+    timeout, sequence) through the Spark Arrow runner vs the GENERATED
+    DuckDB recursive-CTE oracle — two independent executions of one
+    PatternSpec. Guards the oracle generator for every pattern length,
+    not just the two instantiated contract patterns."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from streamline_hybrid_engine_spark.operators.cep import (
+        compile_pattern,
+        match_pattern,
+        pattern_oracle,
+    )
+
+    spec = compile_pattern(steps, timeout_h * 3_600_000_000)
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (u, eid, t, t0 + dt.timedelta(minutes=m))
+        for eid, (u, t, m) in enumerate(rows)
+    ]
+    sdf = spark.createDataFrame(
+        data, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    got = sorted(tuple(r) for r in match_pattern(sdf, spec).collect())
+    pdf = pd.DataFrame(data, columns=["user_id", "event_id", "event_type", "ts"])
+    duck = duckdb.connect()
+    duck.register("events", pdf)
+    want = sorted(tuple(r) for r in duck.execute(pattern_oracle(spec)).fetchall())
+    assert got == want
