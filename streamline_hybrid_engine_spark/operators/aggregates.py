@@ -370,3 +370,21 @@ def agg_bool_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
         F.count("*").alias("n"),
     )
+
+
+@query("agg_approx_percentile", oracle=None, tags=("agg", "approx"))
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (Greenwald-Khanna approx_percentile with
+    accuracy 10000) next to the exact-interpolation agg_percentiles row —
+    the sketch path is what a 100 TB percentile actually uses (mergeable,
+    single pass, bounded memory), so it ships as a first-class query even
+    though sketches have no cross-engine exact oracle (rows-only check,
+    like approx_count_distinct). The companion test bounds its error
+    against the exact result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("approx_p50_p90_p99"),
+        F.count("*").alias("n"),
+    )

@@ -289,3 +289,24 @@ def test_corpus_final_is_subset_of_quality_and_survivors(spark, sf_dir):
     n_quality = quality.filter(F.col("passes_filter") == 1).count()
     assert n_final <= min(n_keep, n_quality)
     assert n_final > 0
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    """Sketch percentiles must land within 1% of the exact interpolated
+    values at fixture scale (GK accuracy 10000 ⇒ rank error ≤ n/10000)."""
+    import pyspark.sql.functions as F
+
+    approx = {
+        r.l_returnflag: r.approx_p50_p90_p99
+        for r in _QS["agg_approx_percentile"].fn(spark, sf_dir).collect()
+    }
+    from streamline_hybrid_engine_spark.catalog import load_table
+
+    exact_df = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("p"))
+    )
+    for r in exact_df.collect():
+        for a, e in zip(approx[r.l_returnflag], r.p):
+            assert abs(a - e) <= 0.01 * max(abs(e), 1.0), (r.l_returnflag, a, e)
