@@ -133,3 +133,57 @@ def case_when_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("is_industrial"),
         F.when(F.col("c_name").like("%0001%"), 1).otherwise(0).alias("name_like"),
     )
+
+
+@query(
+    "cdc_apply_latest",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             CAST(round(value * 1000000) AS BIGINT) AS v
+      FROM events
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY uts DESC, event_id DESC) AS rn
+      FROM log
+    )
+    SELECT user_id, v AS value_micros, uts AS updated_at
+    FROM ranked WHERE rn = 1 AND op = 'U'
+    """,
+    tags=("rowops", "cdc"),
+)
+def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog materialization (the reference's retraction-stream /
+    upsert semantics, SURVEY §1.1, applied in batch): events re-read as a
+    CDC log — `error` rows are deletes, everything else upserts — reduced
+    to the last-writer-wins snapshot per key; keys whose final op is a
+    delete vanish.
+
+    One `max_by` aggregate with a struct ordering key (uts, event_id) —
+    partial-aggregated map-side, no window/sort over the log (the
+    row_number formulation the oracle uses would sort every partition;
+    max_by keeps one candidate per key per partition — the difference
+    between O(n log n) per partition and O(n) on a 100 TB changelog).
+    Streaming face of the same semantics: stream_upsert_snapshot.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    lg = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("uts"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.round(F.col("value") * 1000000).cast("long").alias("v"),
+    )
+    last = lg.groupBy("user_id").agg(
+        F.expr(
+            "max_by(named_struct('op', op, 'v', v, 'uts', uts),"
+            " named_struct('u', uts, 'e', event_id))"
+        ).alias("last")
+    )
+    return last.filter(F.col("last.op") == "U").select(
+        "user_id",
+        F.col("last.v").alias("value_micros"),
+        F.col("last.uts").alias("updated_at"),
+    )
