@@ -94,3 +94,31 @@ def subquery_scalar_global_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines evaluate the identical IEEE expression)."""
     register_views(spark, sf_dir)
     return spark.sql(_SCALAR_GLOBAL_SQL)
+
+
+_NOT_IN_NULLS_SQL = """
+    WITH sub AS (
+      SELECT CASE WHEN o_totalprice < 300000 THEN NULL ELSE o_custkey END
+               AS nullable_key
+      FROM orders
+    )
+    SELECT
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT nullable_key FROM sub)) AS n_not_in,
+      (SELECT count(*) FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM sub s
+                         WHERE s.nullable_key = c.c_custkey)) AS n_not_exists
+"""
+
+
+@query("subquery_not_in_nulls", oracle=_NOT_IN_NULLS_SQL, tags=("subquery", "sql"))
+def subquery_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic corner: NOT IN over a subquery containing NULLs
+    must select ZERO rows (any NULL makes `x <> NULL` UNKNOWN, so the
+    conjunction is never TRUE), while the null-safe NOT EXISTS counts the
+    genuinely unmatched customers. Both counts in one row certify that
+    the engine implements ANSI semantics rather than the intuitive ones —
+    the classic silent-wrong-answer trap in migrated SQL. Same text on
+    both engines; Catalyst plans NOT IN as null-aware anti join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_NOT_IN_NULLS_SQL)
