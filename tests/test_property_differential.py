@@ -54,6 +54,16 @@ TEMPLATES = [
     # math bundle (abs/mod guarded against nulls; no division)
     """SELECT a, abs(a) AS ab, a % 7 AS m7, sign(a) AS sg
        FROM t ORDER BY a NULLS FIRST, s NULLS FIRST, b NULLS FIRST""",
+    # pivot idiom: conditional aggregation incl. NULL-counting cells
+    """SELECT s,
+              SUM(CASE WHEN a > 0 THEN a END) AS pos,
+              SUM(CASE WHEN a <= 0 THEN a END) AS nonpos,
+              count(CASE WHEN b IS NULL THEN 1 END) AS nb
+       FROM t GROUP BY s ORDER BY s NULLS FIRST""",
+    # bitwise subset shared by both dialects (two's-complement on BIGINT)
+    """SELECT a, CAST(a & 255 AS BIGINT) AS band, CAST(a | 16 AS BIGINT) AS bor,
+              bit_count(CAST(a AS BIGINT)) AS bits
+       FROM t ORDER BY a NULLS FIRST, s NULLS FIRST, b NULLS FIRST""",
 ]
 
 
