@@ -267,3 +267,50 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_cents"
         ),
     )
+
+
+@query(
+    "scan_merge_schema",
+    oracle="""
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice, NULL AS o_channel
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END AS o_channel
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT o_channel, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM unioned GROUP BY o_channel
+    """,
+    tags=("sources", "schema"),
+)
+def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches written with
+    DIFFERENT schemas (the second adds an `o_channel` column), read back
+    as ONE relation via ``mergeSchema`` — rows from the old batch surface
+    NULL for the new column. The reference's type system is static
+    (SURVEY §1.1: schemas fixed at graph-build time); a lake that lives
+    for years cannot be — columns get added, and a 100 TB backfill to
+    rewrite old files is exactly what this read path avoids. Footer-level
+    merge only: no data is rewritten or scanned twice."""
+    base = os.path.join(
+        tempfile.gettempdir(), f"she_evolve_{os.path.basename(sf_dir)}"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0)
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_channel",
+        F.when(F.col("o_orderkey") % 3 == 0, "web").otherwise("store"),
+    )
+    v1.write.mode("overwrite").parquet(f"{base}/batch=1")
+    v2.write.mode("overwrite").parquet(f"{base}/batch=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/batch=1", f"{base}/batch=2"
+    )
+    return back.groupBy("o_channel").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
