@@ -388,3 +388,47 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("approx_p50_p90_p99"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "agg_histogram_bins",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+    ),
+    bounds AS (
+      SELECT min(c) AS lo, max(c) AS hi FROM cents
+    )
+    SELECT CAST(((c - lo) * 10) // (hi - lo + 1) AS BIGINT) AS bin,
+           count(*) AS n,
+           min(c) AS min_cents,
+           max(c) AS max_cents
+    FROM cents, bounds
+    GROUP BY 1
+    """,
+    tags=("agg",),
+)
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (10 bins) of order prices — the profiling
+    primitive behind optimizer statistics and data-quality dashboards.
+    Bin edges computed ENTIRELY in integer cents (`(c-lo)*10 div range`),
+    so no engine can disagree on a boundary — the float formulation
+    `floor((x-min)/width)` puts edge values one ulp from flipping bins.
+    One global min/max (broadcast scalar) + one groupBy: two passes over
+    the column, both full scans parallel — the same shape at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("c"))
+    bounds = cents.agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
+    return (
+        cents.join(F.broadcast(bounds))
+        .select(
+            F.expr("((c - lo) * 10) div (hi - lo + 1)").cast("long").alias("bin"),
+            "c",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+        )
+    )
