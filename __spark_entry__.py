@@ -48,9 +48,38 @@ def _warmed(fn: Callable[[SparkSession, str], DataFrame]):
     return run
 
 
+def _sweep_order(qs) -> list[str]:
+    """Order ids so the driver's capped per-round sweep (~50 entries) stamps
+    the queries with no prior CORRECTNESS_r*.json record first.
+
+    Priority: (1) oracle-backed ids never stamped by a prior round, (2)
+    oracle-backed ids already stamped, (3) rows-only ids last — a sweep slot
+    spent on a rows-only id can't produce a hash match, so those ride the
+    tail. Within each group, registry order is preserved. Self-maintaining:
+    new rounds' CORRECTNESS files shift freshly-stamped ids to group 2."""
+    import glob
+    import json
+
+    stamped: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                stamped.update(json.load(f))
+        except (OSError, ValueError):
+            continue
+
+    def rank(name: str) -> int:
+        if qs[name].oracle is None:
+            return 2
+        return 1 if name in stamped else 0
+
+    return sorted(qs, key=lambda n: rank(n))  # stable: keeps registry order
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: _warmed(q.fn) for name, q in all_queries().items()}
+    qs = all_queries()
+    return {name: _warmed(qs[name].fn) for name in _sweep_order(qs)}
 
 
 def oracle_sql() -> dict[str, str]:

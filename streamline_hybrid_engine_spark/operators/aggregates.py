@@ -380,13 +380,29 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     single pass, bounded memory), so it ships as a first-class query even
     though sketches have no cross-engine exact oracle (rows-only check,
     like approx_count_distinct). The companion test bounds its error
-    against the exact result."""
+    against the exact result.
+
+    The sketch's array result is projected to three scalar double columns
+    (p50/p90/p99): harness canonicalizers sort collected rows, and an
+    array-typed cell is unhashable/unsortable in pandas — the r2 driver
+    sweep crashed on exactly that. Registry convention (see module lint
+    test): no contract query returns array/map-typed columns."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr(
-            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
-        ).alias("approx_p50_p90_p99"),
-        F.count("*").alias("n"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+            ).alias("ap"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("ap")[0].alias("p50"),
+            F.col("ap")[1].alias("p90"),
+            F.col("ap")[2].alias("p99"),
+            "n",
+        )
     )
 
 

@@ -297,7 +297,7 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
     import pyspark.sql.functions as F
 
     approx = {
-        r.l_returnflag: r.approx_p50_p90_p99
+        r.l_returnflag: (r.p50, r.p90, r.p99)
         for r in _QS["agg_approx_percentile"].fn(spark, sf_dir).collect()
     }
     from streamline_hybrid_engine_spark.catalog import load_table

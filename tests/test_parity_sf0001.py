@@ -31,3 +31,24 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     df = _QS[name].fn(spark, sf_dir)
     assert df.count() >= 0
     assert df.columns
+    _assert_canonicalizable(name, df)
+
+
+@pytest.mark.parametrize("name", ORACLE_BACKED)
+def test_oracle_backed_schema_canonicalizable(spark, sf_dir, name):
+    _assert_canonicalizable(name, _QS[name].fn(spark, sf_dir))
+
+
+def _assert_canonicalizable(name, df):
+    """Registry lint: no contract query may surface array/map/struct-typed
+    columns. The driver canonicalizes EVERY result (rows-only included) by
+    sorting collected rows in pandas; an ndarray/dict cell is unhashable
+    there and crashes the sweep (r2: agg_approx_percentile). Convention:
+    index sketches into scalars, or sort+join collections to strings."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for f in df.schema.fields:
+        assert not isinstance(f.dataType, (ArrayType, MapType, StructType)), (
+            f"{name}.{f.name} is {f.dataType.simpleString()} — project to "
+            "scalars or a sorted joined string (driver canonicalizer crash)"
+        )
