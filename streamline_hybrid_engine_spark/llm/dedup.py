@@ -389,6 +389,21 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_width(
+    n_edges: int, default_parallelism: int, edges_per_task: int = 1_000_000
+) -> int:
+    """Shuffle width for the CC label-propagation loop.
+
+    Scales with the candidate graph (ceil(edges / edges_per_task)) so a
+    billion-edge LSH graph fans out across the cluster instead of funneling
+    through a constant number of tasks, floored at 4 so fixture-sized graphs
+    don't pay scheduler overhead, and capped at 8× the cluster's default
+    parallelism so a mis-measured count can't create a million empty tasks.
+    ~1M edge rows/task keeps each round's per-task state in tens of MB."""
+    by_size = -(-n_edges // edges_per_task)  # ceil division
+    return int(max(4, min(by_size, 8 * max(1, default_parallelism))))
+
+
 def _build_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         llm_dedup_minhash_pairs(spark, sf_dir)
@@ -403,9 +418,13 @@ def _build_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iterate only over the candidate graph's vertices — documents with no
     # near-dup edge are singleton clusters and skip the loop entirely (at
     # 100 TB the graph is ≪ the corpus: candidates are the LSH-filtered tail)
-    # size the loop's shuffle width to the graph, not the cluster default:
-    # the LSH candidate graph is orders of magnitude smaller than the corpus
-    n_parts = max(1, min(adj.rdd.getNumPartitions(), 4))
+    # size the loop's shuffle width to the MEASURED graph, not the cluster
+    # default and not a constant: pairs is already checkpointed so the count
+    # is one cheap action, and every propagation round reuses the width
+    n_parts = _cc_width(
+        n_edges=2 * pairs.count(),
+        default_parallelism=spark.sparkContext.defaultParallelism,
+    )
     adj = adj.repartition(n_parts, "d2").localCheckpoint(eager=True)
     verts = adj.select(F.col("d1").alias("doc_id")).distinct()
     labels = verts.select("doc_id", F.col("doc_id").alias("cluster_id"))
