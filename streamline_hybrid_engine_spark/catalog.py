@@ -39,17 +39,25 @@ TABLES = (
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
     """events.parquet carries TIMESTAMP(NANOS) (FIXTURES.md ⚠).
 
-    With ``spark.sql.legacy.parquet.nanosAsLong=true`` the column arrives as
-    LongType nanos; truncate to micros (exact — the oracle compares at micro
-    precision) and rebuild a timestamp. Fallback for sessions where the conf
-    is immutable: arrow round-trip via pyarrow (small table; fallback only).
+    Three reader behaviors exist across Spark 4.x builds, all handled:
+    with ``spark.sql.legacy.parquet.nanosAsLong=true`` honored the column
+    arrives as LongType nanos — truncate to micros (exact; the oracle
+    compares at micro precision) and rebuild a timestamp; newer builds read
+    nanos natively as TIMESTAMP_NTZ truncated to micros — cast to the
+    session-timezone TimestampType (exact under the pinned UTC session) so
+    the engine's schema contract is stable across builds; a build that
+    refuses the file entirely falls back to an arrow round-trip via pyarrow
+    (small table; fallback only).
     """
     try:
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") in ("bigint", "long"):
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type in ("bigint", "long"):
             # integral `div`, NOT `/`: float division of ~1.7e18 nanos exceeds
             # double's 2^53 mantissa and corrupts the microsecond digit.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     except Exception:
         import pyarrow.parquet as pq

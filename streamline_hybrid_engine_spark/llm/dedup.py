@@ -25,6 +25,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from streamline_hybrid_engine_spark.catalog import is_warmed, load_table
+from streamline_hybrid_engine_spark.operators.graph import (
+    cc_width,
+    connected_components,
+)
 from streamline_hybrid_engine_spark.registry import query
 
 #: Sweep-mode memo for shared subtrees (band frame, cluster labels). The
@@ -389,81 +393,27 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cc_width(
-    n_edges: int, default_parallelism: int, edges_per_task: int = 1_000_000
-) -> int:
-    """Shuffle width for the CC label-propagation loop.
-
-    Scales with the candidate graph (ceil(edges / edges_per_task)) so a
-    billion-edge LSH graph fans out across the cluster instead of funneling
-    through a constant number of tasks, floored at 4 so fixture-sized graphs
-    don't pay scheduler overhead, and capped at 8× the cluster's default
-    parallelism so a mis-measured count can't create a million empty tasks.
-    ~1M edge rows/task keeps each round's per-task state in tens of MB."""
-    by_size = -(-n_edges // edges_per_task)  # ceil division
-    return int(max(4, min(by_size, 8 * max(1, default_parallelism))))
+#: Back-compat alias — the generic loop machinery now lives in
+#: operators/graph.py (shared with `graph_connected_components`).
+_cc_width = cc_width
 
 
 def _build_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = (
-        llm_dedup_minhash_pairs(spark, sf_dir)
-        .select("d1", "d2")
-        .localCheckpoint(eager=True)
-    )
-    docs = load_table(spark, sf_dir, "documents", parallel=True).select("doc_id")
-    # undirected adjacency (both directions)
-    adj = pairs.union(
-        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    )
     # iterate only over the candidate graph's vertices — documents with no
     # near-dup edge are singleton clusters and skip the loop entirely (at
-    # 100 TB the graph is ≪ the corpus: candidates are the LSH-filtered tail)
-    # size the loop's shuffle width to the MEASURED graph, not the cluster
-    # default and not a constant: pairs is already checkpointed so the count
-    # is one cheap action, and every propagation round reuses the width
-    n_parts = _cc_width(
-        n_edges=2 * pairs.count(),
-        default_parallelism=spark.sparkContext.defaultParallelism,
+    # 100 TB the graph is ≪ the corpus: candidates are the LSH-filtered
+    # tail). The loop itself (min-label propagation + pointer jumping,
+    # measured-width shuffles, convergence check) is the shared
+    # graph.connected_components — the Gelly-CC machinery this operator is
+    # the LLM-pipeline face of.
+    pairs = llm_dedup_minhash_pairs(spark, sf_dir).select("d1", "d2")
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select("doc_id")
+    labels = connected_components(pairs, "d1", "d2").select(
+        F.col("vid").alias("doc_id"), F.col("label").alias("cluster_id")
     )
-    adj = adj.repartition(n_parts, "d2").localCheckpoint(eager=True)
-    verts = adj.select(F.col("d1").alias("doc_id")).distinct()
-    labels = verts.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    for _ in range(25):
-        neighbor_min = (
-            adj.join(labels, adj.d2 == labels.doc_id)
-            .groupBy(adj.d1.alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        # a round both updates the labels and reports whether anything moved
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
-                ).alias("cluster_id"),
-                (F.col("nbr_min") < F.col("cluster_id")).alias("moved"),
-            )
-            .coalesce(n_parts)
-            .localCheckpoint(eager=True)
-        )
-        changed = new_labels.filter(F.col("moved")).limit(1).count()
-        labels = new_labels.drop("moved")
-        if changed == 0:
-            break
-    else:  # loop exhausted without fixpoint: a component with diameter > 25
-        import warnings
-
-        warnings.warn(
-            "llm_dedup_clusters: min-label propagation did not converge in 25 "
-            "rounds — a candidate-graph component has diameter > 25; labels "
-            "for that component are NOT the transitive-closure minimum",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-    singletons = docs.join(verts, "doc_id", "left_anti").select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
-    )
+    singletons = docs.join(
+        labels.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id", F.col("doc_id").alias("cluster_id"))
     all_labels = labels.unionByName(singletons)
     w_size = F.count("*").over(Window.partitionBy("cluster_id"))
     return all_labels.select("doc_id", "cluster_id", w_size.alias("cluster_size"))

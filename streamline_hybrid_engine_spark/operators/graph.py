@@ -22,11 +22,120 @@ convergence-driven, to keep the oracle finite.
 
 from __future__ import annotations
 
+import warnings
+
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from streamline_hybrid_engine_spark.catalog import load_table, parallelize_compute
 from streamline_hybrid_engine_spark.registry import query
+
+
+def cc_width(
+    n_edges: int, default_parallelism: int, edges_per_task: int = 1_000_000
+) -> int:
+    """Shuffle width for label-propagation loops (CC, cluster resolution).
+
+    Scales with the measured graph (ceil(edges / edges_per_task)) so a
+    billion-edge graph fans out across the cluster instead of funneling
+    through a constant number of tasks, floored at 4 so fixture-sized graphs
+    don't pay scheduler overhead, and capped at 8× the cluster's default
+    parallelism so a mis-measured count can't create a million empty tasks.
+    ~1M edge rows/task keeps each round's per-task state in tens of MB."""
+    by_size = -(-n_edges // edges_per_task)  # ceil division
+    return int(max(4, min(by_size, 8 * max(1, default_parallelism))))
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_rounds: int = 25
+) -> DataFrame:
+    """Connected components over an explicit edge list — the Gelly
+    ``ConnectedComponents`` analog (SURVEY §1.1 iterations → driver-side
+    loop). Returns ``(vid, label)`` where ``label`` is the component's
+    minimum vertex id; vertices are those that appear in ``edges``
+    (callers union in isolated vertices as singletons).
+
+    Algorithm: iterative min-label propagation with POINTER JUMPING — each
+    round (1) takes the min label across neighbors, then (2) replaces each
+    label by its label's label (path doubling). The jump makes convergence
+    O(log diameter) instead of O(diameter), which matters for chain-shaped
+    graphs (event sessions, linked records) where plain propagation needs
+    one round per hop. Invariant kept by both steps: a vertex's label is
+    always the id of some vertex in its own component and only decreases,
+    so the fixpoint is exactly the component minimum.
+
+    Scale design (100 TB): shuffle width is sized from the MEASURED edge
+    count (``cc_width``), each round is two bounded joins + one groupBy on
+    the component-id key, and ``localCheckpoint`` truncates the growing
+    lineage. Rounds are convergence-checked (one cheap limit(1) action).
+    """
+    spark = edges.sparkSession
+    pairs = (
+        edges.select(F.col(src).alias("d1"), F.col(dst).alias("d2"))
+        .filter(F.col("d1") != F.col("d2"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_parts = cc_width(
+        n_edges=2 * pairs.count(),
+        default_parallelism=spark.sparkContext.defaultParallelism,
+    )
+    adj = (
+        pairs.union(pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
+        .repartition(n_parts, "d2")
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        adj.select(F.col("d1").alias("vid"))
+        .distinct()
+        .select("vid", F.col("vid").alias("label"))
+    )
+    for _ in range(max_rounds):
+        nbr_min = (
+            adj.join(labels, adj.d2 == labels.vid)
+            .groupBy(adj.d1.alias("vid"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = (
+            labels.withColumnRenamed("label", "old")
+            .join(nbr_min, "vid", "left")
+            .select(
+                "vid",
+                "old",
+                F.least(F.col("old"), F.coalesce("nbr_min", F.col("old"))).alias(
+                    "mid"
+                ),
+            )
+            .coalesce(n_parts)
+            .localCheckpoint(eager=True)
+        )
+        # pointer jump: label := label(label). `mid` values are vertex ids
+        # (mins over labels, which are ids), so the lookup always hits;
+        # coalesce is defensive.
+        ptr = stepped.select(F.col("vid").alias("pv"), F.col("mid").alias("pl"))
+        new_labels = (
+            stepped.join(ptr, stepped.mid == ptr.pv, "left")
+            .select(
+                "vid",
+                F.coalesce("pl", "mid").alias("label"),
+                (F.coalesce("pl", "mid") != F.col("old")).alias("moved"),
+            )
+            .coalesce(n_parts)
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("moved")).limit(1).count()
+        labels = new_labels.drop("moved")
+        if changed == 0:
+            break
+    else:
+        warnings.warn(
+            "connected_components: label propagation did not converge in "
+            f"{max_rounds} rounds — a component has diameter > ~2^{max_rounds}; "
+            "labels for that component are NOT the component minimum",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return labels
 
 N_ROUNDS = 5
 DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85 as integer ratio
@@ -219,3 +328,73 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tri = per_edge.agg(F.sum("t")).collect()[0][0] or 0
     row = [(n_edges, int(n_tri))]
     return spark.createDataFrame(row, "n_edges bigint, n_triangles bigint")
+
+
+GAP_US = 600_000_000  # 10-minute session-chain gap, in microseconds
+
+_CC_ORACLE = f"""
+WITH RECURSIVE ev AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS uts FROM events
+),
+lagged AS (
+  SELECT event_id, lag(event_id) OVER w AS prev,
+         epoch_us(uts) - epoch_us(lag(uts) OVER w) AS gap_us
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY uts, event_id)
+),
+edges AS (
+  SELECT prev AS src, event_id AS dst FROM lagged
+  WHERE prev IS NOT NULL AND gap_us <= {GAP_US}
+),
+und AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
+reach AS (
+  SELECT event_id AS a, event_id AS b FROM events
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b
+)
+SELECT a AS event_id, min(b) AS component_id,
+       CAST(count(*) OVER (PARTITION BY min(b)) AS BIGINT) AS component_size
+FROM reach GROUP BY a
+"""
+
+
+@query("graph_connected_components", oracle=_CC_ORACLE, tags=("graph", "iterative"))
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components as a first-class graph operator — completes the
+    Gelly triple (PageRank, CC, triangle count) with an explicit edge input
+    rather than the LSH candidate graph `llm_dedup_clusters` iterates over.
+
+    Edge input: the event-session chain graph — consecutive events of the
+    same user linked when ≤ 10 minutes apart. Components ARE the sessions,
+    so this doubles as graph-based sessionization (the gaps-and-islands
+    alternative to `win_session_30m_batch`). Chains are the worst case for
+    plain min-label propagation (rounds = chain length); the shared
+    :func:`connected_components` loop's pointer jumping closes them in
+    O(log length) rounds. Events with no neighbor within the gap are
+    singleton components, unioned in without touching the loop.
+
+    Oracle: recursive-CTE transitive closure (min reachable id per event).
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_id",
+        F.lag("event_id").over(w).alias("src"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+    edges = lagged.filter(
+        F.col("src").isNotNull() & (F.col("gap_us") <= GAP_US)
+    ).select("src", F.col("event_id").alias("dst"))
+    labels = connected_components(edges, "src", "dst")
+    verts = labels.select(
+        F.col("vid").alias("event_id"), F.col("label").alias("component_id")
+    )
+    singles = (
+        ev.select("event_id")
+        .join(verts.select("event_id"), "event_id", "left_anti")
+        .select("event_id", F.col("event_id").alias("component_id"))
+    )
+    size = F.count("*").over(Window.partitionBy("component_id"))
+    return (
+        verts.unionByName(singles)
+        .select("event_id", "component_id", size.alias("component_size"))
+    )

@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "streamline_hybrid_engine_spark.operators.time_windows",
     "streamline_hybrid_engine_spark.operators.cep",
     "streamline_hybrid_engine_spark.operators.graph",
+    "streamline_hybrid_engine_spark.operators.enrichment",
     "streamline_hybrid_engine_spark.functions.bundles",
     "streamline_hybrid_engine_spark.functions.udfs",
     "streamline_hybrid_engine_spark.llm.dedup",

@@ -53,6 +53,45 @@ def test_triangle_count_orientation_invariant_semantics(spark, sf_dir):
     assert engine_tri == naive
 
 
+def test_connected_components_chain_converges_logarithmically(spark):
+    """A 40-hop chain exceeds the 25-round budget for PLAIN min-label
+    propagation; pointer jumping must close it well inside max_rounds and
+    label every vertex with the chain minimum."""
+    import warnings
+
+    from streamline_hybrid_engine_spark.operators.graph import connected_components
+
+    n = 41  # path 1-2-...-41 (diameter 40) + separate pair + reversed edge dirs
+    edges = [(i + 1, i) for i in range(1, n)] + [(100, 101)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # non-convergence warning = failure
+        labels = {r.vid: r.label for r in connected_components(df).collect()}
+    assert all(labels[v] == 1 for v in range(1, n + 1))
+    assert labels[100] == labels[101] == 100
+
+
+def test_connected_components_sessions_match_session_windows(spark, sf_dir):
+    """Components of the 10-minute event-chain graph ARE sessions, so the
+    component count must equal a direct gaps-and-islands session count at
+    the same gap."""
+    from pyspark.sql import Window
+
+    from streamline_hybrid_engine_spark.catalog import load_table
+
+    cc = _QS["graph_connected_components"].fn(spark, sf_dir)
+    n_components = cc.select("component_id").distinct().count()
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    brk = F.when(gap_us.isNull() | (gap_us > 600_000_000), 1).otherwise(0)
+    n_sessions = (
+        ev.select(brk.alias("brk")).agg(F.sum("brk")).collect()[0][0]
+    )
+    assert n_components == n_sessions
+    assert cc.count() == ev.count()  # every event labeled exactly once
+
+
 def test_triangle_count_partitioning_invariant(spark, sf_dir):
     """Same result under a different shuffle width — no accumulation-order
     or partition-boundary dependence."""
