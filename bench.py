@@ -56,6 +56,9 @@ HEADLINE = (
     "llm_sample_temperature",   # domain-temperature sampling
     "llm_corpus_final",         # end-to-end pipeline composition
     "cep_pattern_funnel4",      # 4-state NFA through the pattern API
+    # round-3 additions (baselines in BASELINE.md §A.1 r3 block)
+    "graph_connected_components",  # pointer-jumping CC over session chains
+    "enrich_async_orders_nation",  # async-I/O enrichment (mapInPandas+asyncio)
 )
 
 
@@ -113,6 +116,11 @@ def main() -> int:
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     fn = qs["stream_tumble_1h"].fn
     fn(spark, sf_dir).collect()  # warm-up
+    # same bench hygiene as the batch loop: the 30-query sequence leaves
+    # checkpoint/broadcast blocks pinned, and the streaming drain is the
+    # one measurement taken WITHOUT it (r2: 62k in-sequence vs 78k
+    # recorded — the gap was accumulated block-manager pressure)
+    drop_run_state()
     t0 = time.time()
     fn(spark, sf_dir).collect()
     stream_dt = time.time() - t0

@@ -668,3 +668,67 @@ def llm_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(n.cast("long")).alias("n_tokens_total"),
         )
     )
+
+
+BOILER_MIN_DOCS = 8  # a 3-gram in ≥ 8 distinct docs is "boilerplate"
+
+
+@query(
+    "llm_boilerplate_grams",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i)
+    ),
+    freq AS (
+      SELECT sh FROM grams GROUP BY sh
+      HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+    )
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN f.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler,
+           round(CAST(sum(CASE WHEN f.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS boiler_frac
+    FROM grams g LEFT JOIN freq f ON f.sh = g.sh
+    GROUP BY g.doc_id
+    """,
+    tags=("llm", "dedup", "quality"),
+)
+def llm_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global boilerplate detection: per document, the fraction of
+    3-gram INSTANCES whose gram occurs in ≥ {BOILER_MIN_DOCS} distinct
+    documents — the cross-document complement to the doc-internal
+    `llm_quality_repetition` gates (headers, license blocks, navigation
+    chrome repeat ACROSS documents, not within one).
+
+    Scale design: gram instances stay exploded only long enough for two
+    hash aggregations (per-gram doc frequency; per-doc instance counts) —
+    the frequent-gram table is the corpus's repeated tail, orders of
+    magnitude smaller than the gram stream, and joins back as an equi-join
+    on the gram key (inverted-index shape, same as the contamination
+    audit). No distinct-per-doc materialization of the full gram set.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    grams = (
+        docs.withColumn("toks", F.split("text", " "))
+        .withColumn("sh", F.explode(F.expr(_SHINGLES)))
+        .select("doc_id", "sh")
+    )
+    freq = (
+        grams.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILER_MIN_DOCS)
+        .select("sh", F.lit(1).alias("hit"))
+    )
+    boiler = F.sum(F.coalesce("hit", F.lit(0)))
+    return (
+        grams.join(freq, "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            boiler.alias("n_boiler"),
+            F.round(boiler.cast("double") / F.count("*"), 6).alias("boiler_frac"),
+        )
+    )

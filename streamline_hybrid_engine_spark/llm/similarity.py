@@ -449,3 +449,39 @@ def llm_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"array_max({q})").alias("q_max"),
         F.round(F.expr(err), 6).alias("recon_err_l1"),
     )
+
+
+@query(
+    "llm_ann_range_search",
+    oracle=f"""
+    SELECT b.vec_id, b.label,
+           round({_ODOT.format(a="q.embedding", b="b.embedding")}, 6) AS cos_sim
+    FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    CROSS JOIN embeddings b
+    WHERE b.vec_id <> 0
+      AND {_ODOT.format(a="q.embedding", b="b.embedding")} >= 0.2
+    """,
+    tags=("llm", "knn", "range"),
+)
+def llm_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) similarity search: ALL vectors within a cosine
+    threshold of the query — the dedup/retrieval dual of top-k (top-k wants
+    the best k however far; range wants everything closer than τ, its
+    cardinality is data-dependent). τ=0.2 is calibrated to the fixture's
+    same-label cosine range (tops out near 0.48).
+
+    Scale: identical plan to the brute-force top-k (broadcast query,
+    codegen'd dot, map-side filter — no sort or limit at all, so it is
+    pure scan+filter at any scale); with an index the LSH/IVF bucket joins
+    of llm_knn_lsh/llm_knn_ivf pre-filter the candidates the same way.
+    """
+    e = load_table(spark, sf_dir, "embeddings", parallel=True)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    dot = F.expr(_DOT.format(a="qe", b="embedding"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos_raw", dot)
+        .filter(F.col("cos_raw") >= 0.2)
+        .select("vec_id", "label", F.round("cos_raw", 6).alias("cos_sim"))
+    )

@@ -448,3 +448,134 @@ def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c").alias("max_cents"),
         )
     )
+
+
+@query(
+    "agg_median_mode",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag, l_quantity, count(*) AS c
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    modes AS (
+      SELECT l_returnflag, l_quantity AS mode_qty
+      FROM (SELECT l_returnflag, l_quantity, c,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY c DESC, l_quantity) AS rk
+            FROM counts)
+      WHERE rk = 1
+    )
+    SELECT li.l_returnflag,
+           round(quantile_cont(li.l_quantity, 0.5), 6) AS median_qty,
+           m.mode_qty,
+           count(*) AS n
+    FROM lineitem li JOIN modes m ON m.l_returnflag = li.l_returnflag
+    GROUP BY li.l_returnflag, m.mode_qty
+    """,
+    tags=("agg", "statistics"),
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + deterministic mode per group.
+
+    The mode is NOT `mode()` in either engine — both leave ties
+    implementation-defined. Deterministic contract: highest count, ties
+    broken by smallest value, expressed as count-then-rank on BOTH sides.
+    Scale shape: the counts table is |groups × distinct values| (map-side
+    partial agg), the rank is a window over that small table — the raw
+    input is scanned once per leg, never buffered per group (unlike the
+    exact median, whose 100 TB form is approx_percentile — see
+    agg_approx_percentile)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("c"), F.asc("l_quantity")
+    )
+    modes = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.count("*").alias("n"),
+    )
+    return med.join(F.broadcast(modes), "l_returnflag").select(
+        "l_returnflag", "median_qty", "mode_qty", "n"
+    )
+
+
+#: fixed-point millis (1e3) for the correlation sums: quantity ≤ 50 and
+#: extendedprice ≤ ~1.1e5 make every per-row product ≤ ~6e12 — safely
+#: inside int64 — while 1e3 still represents the 2-decimal money values
+#: exactly. Sums of products go to 128-bit (Spark DECIMAL(38,0), DuckDB
+#: HUGEINT) so they are EXACT integers; the final corr/covar arithmetic is
+#: then identical IEEE double math on identical inputs in both engines.
+_CORR_SCALE = 1_000
+
+
+@query(
+    "agg_corr_covar",
+    oracle=f"""
+    WITH fx AS (
+      SELECT l_returnflag,
+             CAST(floor(l_quantity * {_CORR_SCALE}) AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * {_CORR_SCALE}) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM fx GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS corr_qty_price,
+           round((CAST(sxy AS DOUBLE) / n
+                  - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                 / {_CORR_SCALE * _CORR_SCALE}, 6) AS covar_pop_qty_price
+    FROM s
+    """,
+    tags=("agg", "statistics"),
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + population covariance per group, EXACT across
+    engines. Native `corr`/`covar_pop` stream co-moments in partition order,
+    so their last ulps differ per engine/partitioning and can cross the
+    round-6 grid; instead the five sufficient statistics (Σx Σy Σxy Σx²
+    Σy²) are accumulated as exact 128-bit integers over fixed-point values
+    and the closed form is evaluated in double — order-independent,
+    partitioning-independent, identical in Spark and DuckDB. Scale: one
+    map-side partial agg, shuffle carries 5 numbers per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fx = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") * _CORR_SCALE).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * _CORR_SCALE).cast("long").alias("y"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    s = fx.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    corr = (d("n") * d("sxy") - d("sx") * d("sy")) / F.sqrt(
+        (d("n") * d("sxx") - d("sx") * d("sx"))
+        * (d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    covar = (d("sxy") / d("n") - (d("sx") / d("n")) * (d("sy") / d("n"))) / F.lit(
+        float(_CORR_SCALE * _CORR_SCALE)
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(corr, 6).alias("corr_qty_price"),
+        F.round(covar, 6).alias("covar_pop_qty_price"),
+    )

@@ -459,3 +459,100 @@ def join_right_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(c, cond, "right").select(
         "c_custkey", "c_name", "o_orderkey", rnd("o_totalprice", "totalprice")
     )
+
+
+@query(
+    "join_range_binned",
+    oracle="""
+    SELECT e1.event_id AS purchase_id, e1.user_id,
+           count(e2.event_id) AS n_follow,
+           count(DISTINCT e2.event_type) AS n_follow_types
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') e1
+    LEFT JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+    GROUP BY e1.event_id, e1.user_id
+    """,
+    tags=("joins", "interval", "binned"),
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interval join of `join_interval_events`, re-planned as a BINNED
+    range join — the 100 TB shape (the manual form of a range-join-hint
+    rewrite). Same oracle as the plain form: the rewrite must be invisible.
+
+    Why: the plain form's join keys are (user_id) with the time bound as a
+    post-join filter, so one power user's entire history self-pairs before
+    filtering — O(per-key rows²). Binning timestamps to bucket =
+    floor(epoch/10min) and equi-joining on (user_id, bucket) bounds every
+    pair to one 10-minute cell: a probe at t matches only buckets b(t) and
+    b(t)+1, so the probe side is exploded to exactly those two keys (2×
+    row overhead buys the quadratic reduction) and the exact predicate
+    filters inside the cell. Shuffle keys are (user, bucket) — skew from
+    hot users is split across their time range.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = lambda c: F.floor(F.unix_micros(F.col(c)) / F.lit(600_000_000))  # noqa: E731
+    e1 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("t1"),
+        )
+        .withColumn("probe", F.explode(F.array(bucket("t1"), bucket("t1") + 1)))
+    )
+    e2 = ev.select(
+        F.col("user_id").alias("u2"),
+        F.col("ts").alias("t2"),
+        F.col("event_id").alias("e2_id"),
+        F.col("event_type").alias("e2_type"),
+    ).withColumn("b2", bucket("t2"))
+    cond = (
+        (e1.user_id == e2.u2)
+        & (e1.probe == e2.b2)
+        & (e2.t2 > e1.t1)
+        & (e2.t2 <= e1.t1 + F.expr("INTERVAL 10 MINUTES"))
+    )
+    return (
+        e1.join(e2, cond, "left")
+        .groupBy("purchase_id", "user_id")
+        .agg(
+            F.count("e2_id").alias("n_follow"),
+            F.countDistinct("e2_type").alias("n_follow_types"),
+        )
+    )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT p_brand, count(*) AS n_lines,
+           round(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS DOUBLE)
+                 / 1000000, 6) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY p_brand
+    """,
+    tags=("joins", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join as a CONTRACT query: revenue per brand through
+    `skew.salted_join` (8 salts), oracle = the plain join — proving the
+    salt is partitioning-only and result-invisible.
+
+    When: a hot key (one mega-brand) overwhelms one reducer and AQE's
+    runtime skew split can't fire (streaming side, cached subplan). The
+    skewed side salts from a row hash; the dimension side replicates 8×
+    (dimension-bounded). Each hot key then spreads over 8 reducers.
+    """
+    from streamline_hybrid_engine_spark.functions.numeric import dsum
+    from streamline_hybrid_engine_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(li, p, "l_partkey", "p_partkey", n_salts=8)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_lines"), dsum(rev, "revenue")
+    )

@@ -103,3 +103,65 @@ def set_except_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("o_custkey").alias("custkey")
     )
     return big.subtract(fstat)  # DataFrame.subtract == SQL EXCEPT (distinct)
+
+
+def _ordered_partkeys(spark: SparkSession, sf_dir: str, nationkey: int) -> DataFrame:
+    """Multiset of part keys ordered by one nation's customers — duplicates
+    preserved, which is what distinguishes the ALL set-op variants."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == nationkey)
+        .select("c_custkey")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(F.col("l_partkey").alias("partkey"))
+    )
+
+
+_OPARTKEYS = """
+    SELECT l.l_partkey AS partkey
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_nationkey = {n}
+"""
+
+
+@query(
+    "set_intersect_all_partkeys",
+    oracle=f"""
+    {_OPARTKEYS.format(n=1)}
+    INTERSECT ALL
+    {_OPARTKEYS.format(n=2)}
+    """,
+    tags=("setops", "multiset"),
+)
+def set_intersect_all_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag intersection with multiplicity min(l, r); the
+    MULTISET face the distinct variant above can't exercise (a part bought
+    3× by nation 1 and 2× by nation 2 survives exactly twice). Spark plans
+    `intersectAll` as one aggregate per side + a join on (value, count) —
+    no row explosion, shuffles carry (key, count) pairs only."""
+    a = _ordered_partkeys(spark, sf_dir, 1)
+    b = _ordered_partkeys(spark, sf_dir, 2)
+    return a.intersectAll(b)
+
+
+@query(
+    "set_except_all_partkeys",
+    oracle=f"""
+    {_OPARTKEYS.format(n=1)}
+    EXCEPT ALL
+    {_OPARTKEYS.format(n=2)}
+    """,
+    tags=("setops", "multiset"),
+)
+def set_except_all_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference with multiplicity max(l − r, 0)."""
+    a = _ordered_partkeys(spark, sf_dir, 1)
+    b = _ordered_partkeys(spark, sf_dir, 2)
+    return a.exceptAll(b)

@@ -51,6 +51,8 @@ _QUERY_MODULES = (
     "streamline_hybrid_engine_spark.operators.cep",
     "streamline_hybrid_engine_spark.operators.graph",
     "streamline_hybrid_engine_spark.operators.enrichment",
+    "streamline_hybrid_engine_spark.operators.metrics",
+    "streamline_hybrid_engine_spark.operators.tpch_shapes",
     "streamline_hybrid_engine_spark.functions.bundles",
     "streamline_hybrid_engine_spark.functions.udfs",
     "streamline_hybrid_engine_spark.llm.dedup",

@@ -44,7 +44,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # The explicit LongType schema yields NANOS on builds that honor
+    # nanosAsLong but MICROS on builds that read TIMESTAMP(NANOS) natively
+    # (the long is then the internal micros value — same drift handled in
+    # catalog._load_events for batch). Unit-detect by magnitude: 1e17
+    # micros is year 5138, 1e17 nanos is 1973, so the boundary cannot
+    # misclassify event data from either era.
+    return raw.withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.expr("CASE WHEN ts > 100000000000000000 THEN ts div 1000 ELSE ts END")
+        ),
+    )
 
 
 def run_to_memory(df: DataFrame, name: str, output_mode: str) -> DataFrame:
@@ -475,3 +486,31 @@ def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.read.parquet(f"{base}/live")
+
+
+@query("stream_async_enrich", oracle=None, tags=("streaming", "async"))
+def stream_async_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Async-I/O enrichment on an unbounded input — the streaming face of
+    `enrich_async_orders_nation` (Flink: AsyncDataStream.orderedWait over a
+    DataStream). ``mapInPandas`` composes with Structured Streaming
+    unchanged: the async event loop runs per Arrow batch inside each
+    micro-batch, so the same enrichment callable serves bounded and
+    unbounded inputs — the hybrid promise again.
+
+    The "service" is the deterministic broadcast dict (user → nation via
+    customer), so streaming-vs-batch equivalence is assertable in tests.
+    """
+    from streamline_hybrid_engine_spark.operators.enrichment import async_enrich
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "n_name")
+        .collect()
+    )
+    lookup = {r.c_custkey: r.n_name for r in dim}
+    ev = read_events_stream(spark, sf_dir).select("event_id", "user_id")
+    enriched = async_enrich(ev, "user_id", "nation", lookup)
+    out = enriched.groupBy("nation").agg(F.count("*").alias("n_events"))
+    return run_to_memory(out, "she_stream_async_enrich", "complete")
