@@ -732,3 +732,55 @@ def llm_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(boiler.cast("double") / F.count("*"), 6).alias("boiler_frac"),
         )
     )
+
+
+@query(
+    "llm_dedup_edit_verify",
+    oracle=f"""
+    WITH sigs AS ({_ORACLE_SIGS}),
+    bands AS (
+      SELECT doc_id, seed // {BAND_ROWS} AS band,
+             md5(string_agg(mh::VARCHAR, '|' ORDER BY seed)) AS bandsig
+      FROM sigs GROUP BY doc_id, seed // {BAND_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
+    )
+    SELECT c.d1, c.d2,
+           levenshtein(substr(ta.text, 1, 80), substr(tb.text, 1, 80)) AS edit_dist,
+           round(1.0 - CAST(levenshtein(substr(ta.text, 1, 80), substr(tb.text, 1, 80)) AS DOUBLE)
+                       / greatest(length(substr(ta.text, 1, 80)), length(substr(tb.text, 1, 80))), 6)
+             AS edit_sim
+    FROM cand c
+    JOIN documents ta ON ta.doc_id = c.d1
+    JOIN documents tb ON tb.doc_id = c.d2
+    """,
+    tags=("llm", "dedup", "verify"),
+)
+def llm_dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of LSH candidate pairs — the
+    character-level complement to `llm_dedup_ngram_jaccard`'s token-level
+    verify (catches near-dups that tokenize differently: punctuation,
+    casing artifacts, OCR noise). Levenshtein on the 80-char prefix:
+    O(len²) per pair, so the prefix cap bounds the cell count and the LSH
+    candidate set bounds the pair count — never all-pairs, never
+    full-document DP. Both engines implement classic unit-cost
+    Levenshtein (verified equal on the fixture corpus).
+    """
+    pairs = llm_dedup_minhash_pairs(spark, sf_dir).select("d1", "d2")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 80).alias("prefix")
+    )
+    ta = docs.select(F.col("doc_id").alias("d1"), F.col("prefix").alias("pa"))
+    tb = docs.select(F.col("doc_id").alias("d2"), F.col("prefix").alias("pb"))
+    lev = F.levenshtein("pa", "pb")
+    sim = F.lit(1.0) - lev.cast("double") / F.greatest(
+        F.length("pa"), F.length("pb")
+    )
+    return (
+        pairs.join(ta, "d1")
+        .join(tb, "d2")
+        .select("d1", "d2", lev.alias("edit_dist"), F.round(sim, 6).alias("edit_sim"))
+    )

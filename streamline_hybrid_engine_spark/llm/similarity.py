@@ -485,3 +485,52 @@ def llm_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= 0.2)
         .select("vec_id", "label", F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+
+@query(
+    "llm_embedding_gram",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, gs.i AS i, CAST(embedding[gs.i + 1] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(range(0, 64)) AS i) gs
+    )
+    SELECT a.i AS i, b.i AS j,
+           CAST(sum(CAST(floor(a.x * b.x * 1000000) AS BIGINT)) AS BIGINT) AS g_fp
+    FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+    """,
+    tags=("llm", "embedding", "linalg"),
+)
+def llm_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram (uncentered covariance) matrix of the embedding corpus — the
+    distributed half of PCA/whitening/low-rank probes (the 64×64
+    eigendecomposition that follows is driver-side trivia; THIS sum over
+    all vectors is the part that must scale). Upper triangle as long-form
+    (i, j, g_fp) rows, fixed-point 1e6 so the accumulation is exact
+    integers (order/partitioning-independent — float gram sums differ in
+    the last ulps per engine).
+
+    Shape here: posexplode + self-join on vec_id + groupBy (pure SQL,
+    oracle-able); the shuffle carries d(d+1)/2 = 2080 cells regardless of
+    corpus size since the groupBy partial-aggregates map-side. At 100 TB
+    replace the per-row explode-join with per-partition outer-product
+    accumulation in a pandas UDF (same 2080-cell partials, less row
+    traffic) — the contract output is identical.
+    """
+    e = load_table(spark, sf_dir, "embeddings", parallel=True)
+    ex = e.select(
+        "vec_id",
+        F.posexplode(F.expr(_TO_DOUBLE.format(v="embedding"))).alias("i", "x"),
+    )
+    a = ex.select("vec_id", F.col("i").alias("i"), F.col("x").alias("xa"))
+    b = ex.select("vec_id", F.col("i").alias("j"), F.col("x").alias("xb"))
+    return (
+        a.join(b, "vec_id")
+        .filter(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum(
+                F.floor(F.col("xa") * F.col("xb") * 1000000).cast("long")
+            ).alias("g_fp")
+        )
+    )

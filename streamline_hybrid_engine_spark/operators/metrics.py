@@ -80,3 +80,64 @@ def observe_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows bigint, revenue double, n_deep_disc bigint",
     )
+
+
+_PROFILE_BASE = """
+      SELECT o.o_orderkey, o.o_totalprice, c.c_mktsegment
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+"""
+
+
+@query(
+    "dq_null_profile",
+    oracle=f"""
+    WITH base AS ({_PROFILE_BASE})
+    SELECT 'o_orderkey' AS col_name,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct
+    FROM base
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_totalprice)
+    FROM base
+    UNION ALL
+    SELECT 'c_mktsegment',
+           CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT c_mktsegment)
+    FROM base
+    """,
+    tags=("metrics", "profiling"),
+)
+def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profile (null count + exact distinct count per
+    column) over a frame that actually HAS nulls — the left-join face of
+    customer→orders. The profiling primitive behind optimizer stats and
+    data-quality dashboards (the reference side: optimizer statistics
+    collection).
+
+    One aggregate pass computes all columns' stats (Catalyst plans the
+    multi-countDistinct via a single Expand), then the wide row unpivots
+    to the long (col_name, n_nulls, n_distinct) report — the oracle scans
+    once per column instead (UNION ALL), same result. At 100 TB swap the
+    exact distinct counts for approx_count_distinct (one pass, no Expand
+    blow-up) — exact here because the gate needs determinism."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    base = c.join(o, c.c_custkey == o.o_custkey, "left")
+    cols = ["o_orderkey", "o_totalprice", "c_mktsegment"]
+    aggs = []
+    for col in cols:
+        aggs.append(
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias(f"{col}__nulls")
+        )
+        aggs.append(F.countDistinct(col).alias(f"{col}__distinct"))
+    wide = base.agg(*aggs)
+    stack = ", ".join(f"'{c_}', {c_}__nulls, {c_}__distinct" for c_ in cols)
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (col_name, n_nulls, n_distinct)"
+        )
+    )

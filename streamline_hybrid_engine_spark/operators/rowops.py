@@ -187,3 +187,53 @@ def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last.v").alias("value_micros"),
         F.col("last.uts").alias("updated_at"),
     )
+
+
+@query(
+    "cdc_scd2_history",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts,
+             CAST(round(value * 1000000) AS BIGINT) AS v
+      FROM events WHERE event_type <> 'error'
+    )
+    SELECT user_id, v AS value_micros,
+           uts AS valid_from,
+           lead(uts) OVER (PARTITION BY user_id ORDER BY uts, event_id)
+             AS valid_to,
+           CASE WHEN lead(uts) OVER (PARTITION BY user_id ORDER BY uts, event_id)
+                     IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM log
+    """,
+    tags=("rowops", "cdc", "scd2"),
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: the FULL version history the
+    last-writer-wins snapshot (`cdc_apply_latest`) discards — each upsert
+    becomes a [valid_from, valid_to) interval, closed by the next version's
+    timestamp via `lead`, open (NULL + is_current flag) for the latest.
+
+    The lakehouse dimension-history pattern: one window sort per key over
+    the changelog, no self-join (the naive form joins each version to its
+    successor). As-of queries against the result are `join_asof` shapes.
+    At 100 TB the window shuffles once on user_id — same bound as any
+    keyed op over the log.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    lg = ev.filter(F.col("event_type") != "error").select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("uts"),
+        F.round(F.col("value") * 1000000).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("uts", "event_id")
+    nxt = F.lead("uts").over(w)
+    return lg.select(
+        "user_id",
+        F.col("v").alias("value_micros"),
+        F.col("uts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )

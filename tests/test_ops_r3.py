@@ -114,3 +114,55 @@ def test_async_stream_enrich_equals_batch_join(spark, sf_dir):
         .collect()
     }
     assert stream == batch
+
+
+def test_scd2_intervals_tile_per_key(spark, sf_dir):
+    """SCD2 validity intervals must tile: per user, exactly one open
+    (is_current) row, and each version's valid_to equals the next
+    version's valid_from."""
+    rows = _QS["cdc_scd2_history"].fn(spark, sf_dir).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, versions in by_user.items():
+        versions.sort(key=lambda r: r.valid_from)
+        assert sum(r.is_current for r in versions) == 1
+        assert versions[-1].valid_to is None
+        for a, b in zip(versions, versions[1:]):
+            assert a.valid_to == b.valid_from
+
+
+def test_gram_diagonal_equals_norms(spark, sf_dir):
+    """G[i][i] summed over the diagonal must equal the corpus's summed
+    squared L2 norms (up to the 1e-6 fixed-point floor per cell)."""
+    g = _QS["llm_embedding_gram"].fn(spark, sf_dir)
+    diag = (
+        g.filter(F.col("i") == F.col("j")).agg(F.sum("g_fp")).collect()[0][0]
+        / 1_000_000
+    )
+    norms = _QS["llm_embedding_norm"].fn(spark, sf_dir)
+    total_sq = norms.select(
+        F.sum(F.col("l2_norm") * F.col("l2_norm")).alias("s")
+    ).collect()[0][0]
+    # 64 cells × n vectors, each floored: error < 64n/1e6
+    n = norms.count()
+    assert abs(diag - total_sq) < 64 * n / 1e6 + 1e-3
+    assert g.count() == 64 * 65 // 2  # full upper triangle present
+
+
+def test_edit_verify_bounds_and_self_similarity(spark, sf_dir):
+    """Edit similarity lies in [0,1]; distance 0 ⇔ similarity 1."""
+    rows = _QS["llm_dedup_edit_verify"].fn(spark, sf_dir).collect()
+    assert rows, "LSH candidates must exist in the fixture corpus"
+    for r in rows:
+        assert 0.0 <= r.edit_sim <= 1.0
+        assert (r.edit_dist == 0) == (r.edit_sim == 1.0)
+
+
+def test_binned_range_join_plans_as_equi_join(spark, sf_dir):
+    """The binned rewrite must plan as a hash/merge EQUI join — a
+    BroadcastNestedLoopJoin would mean the bucket keys didn't register."""
+    from streamline_hybrid_engine_spark.plans import executed_plan
+
+    p = executed_plan(_QS["join_range_binned"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
