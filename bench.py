@@ -59,6 +59,10 @@ HEADLINE = (
     # round-3 additions (baselines in BASELINE.md §A.1 r3 block)
     "graph_connected_components",  # pointer-jumping CC over session chains
     "enrich_async_orders_nation",  # async-I/O enrichment (mapInPandas+asyncio)
+    "llm_kmeans_lloyd",            # 3-round Lloyd's (IVF training loop)
+    "llm_embedding_gram",          # corpus gram matrix (PCA distributed half)
+    "llm_boilerplate_grams",       # cross-doc boilerplate inverted index
+    "join_range_binned",           # bucketized interval join (scale form)
 )
 
 
@@ -116,14 +120,18 @@ def main() -> int:
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     fn = qs["stream_tumble_1h"].fn
     fn(spark, sf_dir).collect()  # warm-up
-    # same bench hygiene as the batch loop: the 30-query sequence leaves
-    # checkpoint/broadcast blocks pinned, and the streaming drain is the
-    # one measurement taken WITHOUT it (r2: 62k in-sequence vs 78k
-    # recorded — the gap was accumulated block-manager pressure)
+    # same methodology as the batch loop (median of 3 with inter-run GC):
+    # a single drain's wall time swings ±40% with checkpoint-dir and
+    # block-manager state, which made r2/r3 single-shot numbers
+    # incomparable across runs
     drop_run_state()
-    t0 = time.time()
-    fn(spark, sf_dir).collect()
-    stream_dt = time.time() - t0
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        runs.append(time.time() - t0)
+        drop_run_state()
+    stream_dt = sorted(runs)[1]
     times["stream_tumble_1h"] = round(stream_dt, 3)
     times["stream_events_per_sec"] = round(n_events / stream_dt, 1)
     total += stream_dt

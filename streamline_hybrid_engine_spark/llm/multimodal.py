@@ -211,3 +211,65 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame_sample_batch,
         schema="doc_id long, frame_no int, frame_bytes int, frame_md5 string",
     )
+
+
+@query(
+    "mm_ahash_dedup",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             list_transform(range(0, 64),
+               i -> ascii(substr(text,
+                      CAST(1 + i * greatest(length(text) // 64, 1) AS BIGINT), 1)))
+               AS p
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             array_to_string(list_transform(p,
+               v -> CASE WHEN v > list_sum(p) // 64 THEN '1' ELSE '0' END), '')
+               AS ahash
+      FROM px
+    )
+    SELECT doc_id, ahash,
+           CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_same_hash
+    FROM h
+    """,
+    tags=("llm", "multimodal", "dedup"),
+)
+def mm_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash (aHash) over the multimodal payload — the
+    image-dedup step of a multimodal pipeline: 64 evenly-spaced samples of
+    the payload stand in for the 8×8 downscaled grayscale a real decoder
+    would produce (same hash construction: bit i = sample_i > mean);
+    payloads sharing an aHash are near-duplicate candidates.
+
+    Entirely JVM-side (sequence → transform → ascii → integer mean) — the
+    pixel source is the only piece a real image pipeline swaps (decode UDF
+    feeding the same 64-sample reduction). Exact-hash grouping is the
+    blocking step; a Hamming-distance verify within blocks is `bit_count`
+    on the XOR of the two hashes — same verify-after-blocking economics as
+    the text LSH family. Integer mean (`div 64`) keeps the threshold
+    engine-exact.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    px = F.expr(
+        "transform(sequence(0, 63), i -> "
+        "ascii(substring(text, 1 + i * greatest(length(text) div 64, 1), 1)))"
+    )
+    with_px = docs.select("doc_id", px.alias("p"))
+    mean = F.expr("aggregate(p, 0, (acc, v) -> acc + v) div 64")
+    ahash = F.expr(
+        "array_join(transform(p, v -> "
+        "CASE WHEN v > _mean THEN '1' ELSE '0' END), '')"
+    )
+    hashed = with_px.withColumn("_mean", mean).select(
+        "doc_id", ahash.alias("ahash")
+    )
+    from pyspark.sql import Window
+
+    return hashed.select(
+        "doc_id",
+        "ahash",
+        F.count("*").over(Window.partitionBy("ahash")).alias("n_same_hash"),
+    )

@@ -534,3 +534,132 @@ def llm_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g_fp")
         )
     )
+
+
+K_MEANS = 10  # clusters (seeded from vec_id 0..9)
+KM_ROUNDS = 3  # fixed rounds keep the oracle finite (unrolled CTE chain)
+
+#: squared L2 distance between a double-array column and a centroid
+#: double-array column — left-to-right fold, identical in both engines.
+_SQDIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_OSQDIST = (
+    "list_sum(list_transform(range(1, 65),"
+    " i -> (CAST({a}[i] AS DOUBLE) - {b}[i]) * (CAST({a}[i] AS DOUBLE) - {b}[i])))"
+)
+
+
+def _km_oracle() -> str:
+    """Unrolled Lloyd's iterations as a CTE chain (KM_ROUNDS assign+update
+    pairs). Centroid means are fixed-point micros (floor(sum(floor(x*1e6))
+    / n) / 1e6 — grid doubles, identical cross-engine); assignment is
+    rank-1 over (distance, cid) so ties break to the smallest centroid id
+    in both engines."""
+    ctes = [
+        f"cent0 AS (SELECT vec_id AS cid,"
+        f" list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv"
+        f" FROM embeddings WHERE vec_id < {K_MEANS})"
+    ]
+    prev = "cent0"
+    for r in range(1, KM_ROUNDS + 1):
+        dist = _OSQDIST.format(a="e.embedding", b="c.cv")
+        ctes.append(
+            f"assign{r} AS ("
+            f" SELECT vec_id, cid FROM ("
+            f"  SELECT e.vec_id, c.cid,"
+            f"   row_number() OVER (PARTITION BY e.vec_id"
+            f"    ORDER BY {dist}, c.cid) AS rk"
+            f"  FROM embeddings e CROSS JOIN {prev} c)"
+            f" WHERE rk = 1)"
+        )
+        if r < KM_ROUNDS:
+            ctes.append(
+                f"cent{r} AS ("
+                f" SELECT cid, list(m ORDER BY i) AS cv FROM ("
+                f"  SELECT a.cid, gs.i AS i,"
+                f"   floor(CAST(sum(CAST(floor(CAST(e.embedding[gs.i + 1] AS DOUBLE)"
+                f"     * 1000000) AS BIGINT)) AS DOUBLE) / count(*)) / 1000000 AS m"
+                f"  FROM assign{r} a"
+                f"  JOIN embeddings e ON e.vec_id = a.vec_id,"
+                f"   (SELECT unnest(range(0, 64)) AS i) gs"
+                f"  GROUP BY a.cid, gs.i)"
+                f" GROUP BY cid)"
+            )
+            prev = f"cent{r}"
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT a.cid AS cluster_id, count(*) AS n_members,"
+        f" min(a.vec_id) AS min_member\n"
+        f"FROM assign{KM_ROUNDS} a GROUP BY a.cid"
+    )
+
+
+@query("llm_kmeans_lloyd", oracle=_km_oracle(), tags=("llm", "ml", "iterative"))
+def llm_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus — the FULL IVF training
+    loop (`llm_knn_ivf` runs one assignment step against given centroids;
+    this learns them): 3 rounds of assign (argmin squared-L2, ties to the
+    smallest centroid id) + update (per-dimension fixed-point mean), seeds
+    = vectors 0..K-1.
+
+    Determinism contract: centroid means land on the 1e-6 grid (exact
+    integer sums, floored division), so every round's centroids — and
+    therefore every distance comparison — is bit-identical across engines
+    and partitionings; the oracle unrolls the same 3 rounds as a CTE chain.
+
+    Scale design (100 TB corpus): per round, ONE broadcast of the K×d
+    centroid table (tiny), a map-side argmin per vector — `min_by` under a
+    vec_id groupBy after the broadcast cross join, no vector ever
+    shuffles — and one (cid, dim) groupBy whose shuffle carries K×d
+    fixed-point partial sums per partition. Rounds are a driver loop
+    (Flink `iterate` analog, SURVEY §1.1). Output is the per-cluster
+    summary (size + smallest member), scalar-only by registry convention.
+    """
+    e = load_table(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", F.expr(_TO_DOUBLE.format(v="embedding")).alias("ed")
+    )
+    cent = e.filter(F.col("vec_id") < K_MEANS).select(
+        F.col("vec_id").alias("cid"), F.col("ed").alias("cv")
+    )
+    assign = None
+    for r in range(1, KM_ROUNDS + 1):
+        dist = F.expr(_SQDIST.format(a="ed", b="cv"))
+        assign = (
+            e.crossJoin(F.broadcast(cent))
+            .select("vec_id", "ed", "cid", dist.alias("d"))
+            .groupBy("vec_id")
+            .agg(
+                F.expr(
+                    "min_by(cid, named_struct('d', d, 'c', cid))"
+                ).alias("cid")
+            )
+        )
+        if r < KM_ROUNDS:
+            dims = (
+                assign.join(e, "vec_id")
+                .select("cid", F.posexplode("ed").alias("i", "x"))
+                .groupBy("cid", "i")
+                .agg(
+                    (
+                        F.floor(
+                            F.sum(F.floor(F.col("x") * 1000000).cast("long")).cast(
+                                "double"
+                            )
+                            / F.count("*")
+                        )
+                        / 1000000
+                    ).alias("m")
+                )
+            )
+            cent = dims.groupBy("cid").agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(i, m))), s -> s.m)"
+                ).alias("cv")
+            )
+            cent = cent.localCheckpoint(eager=True)
+    return assign.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count("*").alias("n_members"), F.min("vec_id").alias("min_member")
+    )

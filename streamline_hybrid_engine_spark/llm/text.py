@@ -653,3 +653,48 @@ def llm_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "n_total", "thresh")
         .agg(F.sum(F.when(h48 < F.col("thresh"), 1).otherwise(0)).alias("n_kept"))
     )
+
+
+N_HASH_BUCKETS = 256  # feature-hashing dimensionality
+
+
+@query(
+    "llm_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(tok), 1, 6))::BIGINT % {N_HASH_BUCKETS} AS BIGINT)
+             AS bucket,
+           count(*) AS tf
+    FROM toks WHERE tok <> ''
+    GROUP BY doc_id, bucket
+    """,
+    tags=("llm", "text", "features"),
+)
+def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick): tokens → fixed {N_HASH_BUCKETS}-dim
+    sparse term-frequency vectors in long form (doc_id, bucket, tf) — the
+    vocabulary-free featurizer for classifier-based quality filters
+    (fastText-style) where a 100 TB corpus can't build/broadcast a vocab.
+
+    Bucket = md5-derived 24-bit integer mod buckets (engine-portable, vs
+    Spark's murmur3 `hash()` which DuckDB lacks). Long-form output IS the
+    sparse representation — no array columns (registry convention), and
+    downstream dot products against a broadcast weight vector are a
+    (bucket) equi-join away. One explode + one groupBy; partial aggregation
+    bounds the shuffle by docs × occupied buckets.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    bucket = F.expr(
+        f"cast(conv(substr(md5(tok), 1, 6), 16, 10) as bigint) % {N_HASH_BUCKETS}"
+    )
+    return (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("tf"))
+    )

@@ -310,3 +310,45 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
     for r in exact_df.collect():
         for a, e in zip(approx[r.l_returnflag], r.p):
             assert abs(a - e) <= 0.01 * max(abs(e), 1.0), (r.l_returnflag, a, e)
+
+
+def test_kmeans_partitions_every_vector_exactly_once(spark, sf_dir):
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    km = get_query("llm_kmeans_lloyd").fn(spark, sf_dir).collect()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r.n_members for r in km) == n_vecs
+    assert len(km) <= 10
+    # seeds are real vectors, so no cluster can be empty in round 1 and the
+    # smallest member of cluster c can never be smaller than 0
+    assert all(r.n_members >= 1 for r in km)
+
+
+def test_kmeans_partitioning_invariant(spark, sf_dir):
+    """Fixed-point centroid grid ⇒ same clusters under any shuffle width."""
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    q = get_query("llm_kmeans_lloyd").fn
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    a = sorted(map(tuple, q(spark, sf_dir).collect()))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = sorted(map(tuple, q(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert a == b
+
+
+def test_feature_hashing_conserves_token_mass(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    fh = get_query("llm_feature_hashing").fn(spark, sf_dir)
+    hashed_total = fh.agg(F.sum("tf")).collect()[0][0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    token_total = docs.select(
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    assert hashed_total == token_total
+    assert fh.filter((F.col("bucket") < 0) | (F.col("bucket") >= 256)).count() == 0
