@@ -405,3 +405,39 @@ def fn_struct_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "hi").alias("m_hi"),
         F.array_join(F.map_keys(m), ",").alias("m_keys"),
     )
+
+
+@query(
+    "fn_try_bundle",
+    oracle="""
+    SELECT l_linenumber,
+           CASE WHEN l_linenumber <> 0 THEN CAST(floor(100 / l_linenumber) AS BIGINT)
+                ELSE NULL END AS try_div,
+           TRY_CAST(l_returnflag AS INTEGER) AS try_cast_int,
+           TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS try_cast_back,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY 1, 2, 3, 4
+    """,
+    tags=("functions", "ansi"),
+)
+def fn_try_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_* error-safe arithmetic under ANSI mode: the engine runs with
+    ANSI on (overflow/bad-cast THROW, matching the oracle), so the escape
+    hatches matter — try_divide → NULL instead of division-by-zero error,
+    try_cast → NULL instead of malformed-cast error. DuckDB has TRY_CAST
+    but no try_divide; its oracle face is the explicit CASE guard, which
+    is exactly the semantics try_divide promises."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_linenumber",
+            F.floor(F.try_divide(F.lit(100), F.col("l_linenumber")))
+            .cast("bigint")
+            .alias("try_div"),
+            F.col("l_returnflag").try_cast("int").alias("try_cast_int"),
+            F.col("l_quantity").cast("string").try_cast("double").alias("try_cast_back"),
+        )
+        .groupBy("l_linenumber", "try_div", "try_cast_int", "try_cast_back")
+        .agg(F.count("*").alias("n"))
+    )

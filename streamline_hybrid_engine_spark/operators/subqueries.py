@@ -122,3 +122,64 @@ def subquery_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines; Catalyst plans NOT IN as null-aware anti join."""
     register_views(spark, sf_dir)
     return spark.sql(_NOT_IN_NULLS_SQL)
+
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE edges AS (
+      SELECT 'n' || CAST(n_nationkey AS STRING) AS child,
+             'r' || CAST(n_regionkey AS STRING) AS parent
+      FROM nation
+      UNION ALL
+      SELECT 'c' || CAST(c_custkey AS STRING), 'n' || CAST(c_nationkey AS STRING)
+      FROM customer
+      UNION ALL
+      SELECT 's' || CAST(s_suppkey AS STRING), 'n' || CAST(s_nationkey AS STRING)
+      FROM supplier
+    ),
+    anc AS (
+      SELECT child, parent AS ancestor, 1 AS depth FROM edges
+      UNION ALL
+      SELECT a.child, e.parent, a.depth + 1
+      FROM anc a JOIN edges e ON e.child = a.ancestor
+    )
+    SELECT ancestor, count(*) AS n_descendants, max(depth) AS max_depth
+    FROM anc GROUP BY ancestor
+"""
+
+
+@query("sql_recursive_hierarchy", oracle=_RECURSIVE_SQL, tags=("subquery", "sql", "recursive"))
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE, natively in BOTH engines (Spark 4 WITH RECURSIVE):
+    ancestor closure over the region←nation←{customer, supplier} hierarchy
+    — per ancestor, its transitive descendant count and depth.
+
+    Until now recursive CTEs appeared only on the ORACLE side (the CC /
+    PageRank checkers); this certifies the engine accepts the same SQL
+    dialect directly — a Flink-SQL user's hierarchy walks port verbatim.
+    The driver-loop operators (graph.connected_components) remain the
+    scale path for big graphs: Spark executes a recursive CTE as
+    iterative union steps without checkpoint hygiene or convergence
+    control, so at 100 TB prefer the explicit loop. Shared-dialect: the
+    query text IS the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
+
+
+_LATERAL_SQL = """
+    SELECT n.n_name, t.c_name, round(t.c_acctbal, 6) AS acctbal
+    FROM nation n,
+    LATERAL (SELECT c_name, c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+"""
+
+
+@query("sql_lateral_topk", oracle=_LATERAL_SQL, tags=("subquery", "sql", "lateral"))
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: top-2 customers
+    per nation, expressed as the SQL-standard lateral join rather than the
+    window-rank idiom (`win_topk_orders` is the same semantics the other
+    way). Catalyst decorrelates the lateral into a ranked join — no
+    per-outer-row re-execution. Shared-dialect: the text IS the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

@@ -514,3 +514,55 @@ def stream_async_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = async_enrich(ev, "user_id", "nation", lookup)
     out = enriched.groupBy("nation").agg(F.count("*").alias("n_events"))
     return run_to_memory(out, "she_stream_async_enrich", "complete")
+
+
+@query("stream_stream_left_join", oracle=None, tags=("streaming", "join", "outer"))
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join — the outer face of the windowed
+    stream join (Flink's windowed outer joins). Purchases with their
+    preceding clicks, KEEPING purchases that had none: outer rows can only
+    emit once the watermark proves no match will arrive, so both
+    watermarks + the time-range condition are mandatory (Spark rejects the
+    query otherwise — state could never be evicted). NULL click_id marks
+    the no-click purchases in the same result.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = c_user AND
+            c_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts
+            """
+        ),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "click_id",
+    )
+    out = run_to_memory(joined, "she_stream_left_join", "append")
+    return out.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("click_id").isNull(), 1).otherwise(0)).alias(
+            "n_unmatched"
+        ),
+    )
