@@ -441,3 +441,36 @@ def fn_try_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_linenumber", "try_div", "try_cast_int", "try_cast_back")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "fn_variant_json",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("functions", "json", "variant"),
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion of semi-structured data: `parse_json`
+    builds the binary variant encoding ONCE, then `variant_get` extracts
+    typed paths without re-parsing text per access — the modern engine
+    path for JSON-heavy event streams (vs `get_json_object`, which
+    re-parses the string per call; that legacy face is `fn_json_props`).
+    The oracle is DuckDB's native JSON extraction — same typed values.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )

@@ -174,3 +174,20 @@ def test_bucketed_join_query_has_no_join_exchange(spark, sf_dir):
     assert "SortMergeJoin" in p, p
     assert "Exchange hashpartitioning(o_orderkey" not in p, p
     assert "Exchange hashpartitioning(l_orderkey" not in p, p
+
+
+def test_kmeans_broadcasts_centroids_never_shuffles_vectors(spark, sf_dir):
+    """The assignment join must be a broadcast of the K-row centroid table
+    (BroadcastNestedLoopJoin over a K-row build side is the intended
+    cross-join shape) — a SortMergeJoin would mean the corpus shuffled."""
+    p = plan(spark, sf_dir, "llm_kmeans_lloyd")
+    assert "SortMergeJoin" not in p
+    assert "partial_" in p  # map-side argmin partials
+
+
+def test_gram_matrix_partial_aggregates_before_exchange(spark, sf_dir):
+    """The (i, j) cell sums must partial-aggregate map-side so the shuffle
+    carries ~2080 cells per partition, not the exploded pair stream."""
+    p = plan(spark, sf_dir, "llm_embedding_gram")
+    assert "partial_" in p
+    assert "BroadcastNestedLoopJoin" not in p
