@@ -784,3 +784,53 @@ def llm_dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tb, "d2")
         .select("d1", "d2", lev.alias("edit_dist"), F.round(sim, 6).alias("edit_sim"))
     )
+
+
+@query(
+    "llm_dedup_containment",
+    oracle=f"""
+    WITH sh AS ({_ORACLE_SHINGLES}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh
+                         AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.d1, s.d2,
+           round(CAST(s.n_shared AS DOUBLE) / sa.n, 6) AS containment
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.d1
+    WHERE CAST(s.n_shared AS DOUBLE) / sa.n >= 0.5
+    """,
+    tags=("llm", "dedup", "containment"),
+)
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment |A∩B| / |A| — catches SUB-document
+    duplication that symmetric Jaccard misses: a short doc quoted whole
+    inside a long one scores containment ≈ 1 while Jaccard ≈ |A|/|B| ≈ 0.
+    Directional by construction (d1 contained in d2 ≠ the reverse), so
+    both directions emit independently.
+
+    Same inverted-index economics as the Jaccard verify: source-blocked
+    shingle equi-join, pair counts from the index, one size join — never
+    an all-pairs product; at 100 TB the block key comes from LSH bands
+    instead of `source`.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("d1"), "source", "sh")
+    b = sh.select(F.col("doc_id").alias("d2"), "source", "sh")
+    shared = (
+        a.join(b, ["source", "sh"])
+        .filter(F.col("d1") != F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
+    cont = F.col("n_shared").cast("double") / F.col("na")
+    return (
+        shared.join(sa, "d1")
+        .filter(cont >= 0.5)
+        .select("d1", "d2", F.round(cont, 6).alias("containment"))
+    )

@@ -698,3 +698,65 @@ def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("tf"))
     )
+
+
+W_MULT = 2654435761  # deterministic per-bucket weight: centered mult-hash
+W_MOD = 1_000_003
+W_CENTER = W_MOD // 2
+
+
+@query(
+    "llm_quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 6))::BIGINT % {N_HASH_BUCKETS} AS bucket,
+             count(*) AS tf
+      FROM toks WHERE tok <> ''
+      GROUP BY doc_id, bucket
+    )
+    SELECT doc_id,
+           CAST(sum(tf * ((bucket * {W_MULT}) % {W_MOD} - {W_CENTER})) AS BIGINT)
+             AS logit_fp,
+           CAST(CASE WHEN sum(tf * ((bucket * {W_MULT}) % {W_MOD} - {W_CENTER})) > 0
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM feats GROUP BY doc_id
+    """,
+    tags=("llm", "text", "classifier"),
+)
+def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier scoring over hashed features — the
+    fastText-style filter shape (CCNet/GPT-3 pipelines score every doc
+    with a small linear model and keep by threshold). Features come from
+    `llm_feature_hashing`'s md5 buckets; weights are a deterministic
+    broadcast-sized vector (stand-in for trained weights — here derived
+    from a centered multiplicative hash so the oracle can recompute them);
+    the decision logit is an EXACT integer dot product, so the keep/drop
+    gate can never flip on float noise (the sigmoid is monotone —
+    thresholding the logit IS thresholding the probability).
+
+    Scale: weights are w·|buckets| values (KBs) — joined or broadcast;
+    scoring is one groupBy over the (doc, bucket, tf) stream. The whole
+    filter is two hash aggregations; no Python anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    bucket = F.expr(
+        f"cast(conv(substr(md5(tok), 1, 6), 16, 10) as bigint) % {N_HASH_BUCKETS}"
+    )
+    feats = (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = (F.col("bucket") * W_MULT) % W_MOD - W_CENTER
+    logit = F.sum(F.col("tf") * w)
+    return feats.groupBy("doc_id").agg(
+        logit.alias("logit_fp"),
+        F.when(logit > 0, 1).otherwise(0).cast("int").alias("keep"),
+    )

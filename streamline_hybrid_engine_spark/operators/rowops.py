@@ -237,3 +237,29 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@query(
+    "rowid_zip_with_index",
+    oracle="""
+    SELECT event_id,
+           row_number() OVER (ORDER BY event_id) - 1 AS idx
+    FROM events
+    """,
+    tags=("rowops", "index"),
+)
+def rowid_zip_with_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global row ids — Flink's ``DataSetUtils.zipWithIndex``
+    (two-pass: count per partition, then offset + local position). The
+    oracle's window form (`row_number() OVER (ORDER BY ...)`) funnels ALL
+    data through one task; the engine instead range-sorts (parallel
+    sampled range partitioning) and assigns ids with RDD ``zipWithIndex``
+    — the same two-pass count-then-offset scheme as the reference, one of
+    the few places an RDD is the genuinely right tool (the per-partition
+    position is physical, not relational). `monotonically_increasing_id`
+    is NOT this: its ids are unique but non-contiguous.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    ordered = ev.orderBy("event_id")
+    indexed = ordered.rdd.map(lambda r: r.event_id).zipWithIndex()
+    return spark.createDataFrame(indexed, "event_id bigint, idx bigint")
