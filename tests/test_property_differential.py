@@ -64,6 +64,20 @@ TEMPLATES = [
     """SELECT a, CAST(a & 255 AS BIGINT) AS band, CAST(a | 16 AS BIGINT) AS bor,
               bit_count(CAST(a AS BIGINT)) AS bits
        FROM t ORDER BY a NULLS FIRST, s NULLS FIRST, b NULLS FIRST""",
+    # multiset set ops (r3: intersectAll/exceptAll contract rows)
+    """SELECT x FROM (SELECT a AS x FROM t INTERSECT ALL SELECT b FROM t)
+       ORDER BY x NULLS FIRST""",
+    """SELECT x FROM (SELECT a AS x FROM t EXCEPT ALL SELECT b FROM t)
+       ORDER BY x NULLS FIRST""",
+    # edit distance (r3: llm_dedup_edit_verify) — null-guarded
+    """SELECT s, levenshtein(coalesce(s, ''), 'abc XYZ') AS lev
+       FROM t ORDER BY s NULLS FIRST, a NULLS FIRST, b NULLS FIRST""",
+    # TRY_CAST semantics on arbitrary strings (r3: fn_try_bundle)
+    """SELECT s, TRY_CAST(s AS INTEGER) AS ti
+       FROM t ORDER BY s NULLS FIRST, a NULLS FIRST, b NULLS FIRST""",
+    # exact interpolated median over generated ints (r3: agg_median_mode)
+    """SELECT s, round(median(a), 6) AS med, count(a) AS n
+       FROM t GROUP BY s ORDER BY s NULLS FIRST""",
 ]
 
 

@@ -165,3 +165,70 @@ def test_upsert_snapshot_equals_batch_totals(spark, sf_dir):
         .collect()
     }
     assert snap == batch and len(snap) > 0
+
+
+def test_stream_left_join_equals_batch_left_join(spark, sf_dir):
+    """LEFT OUTER stream-stream join vs the same left join in batch.
+
+    MATCHED pairs must agree exactly (they emit as they join). UNMATCHED
+    purchases emit only once the watermark proves no click can arrive, and
+    the final watermark stops 1 h short of max event time — so purchases
+    in that tail stay pending (correct streaming semantics, not loss).
+    The test pins: matched == batch; mature-unmatched ⊆ streamed-unmatched
+    ⊆ all-unmatched, per user."""
+    import pyspark.sql.functions as F
+
+    from streamline_hybrid_engine_spark.catalog import load_table
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    got = {
+        r.user_id: (r.n_pairs, r.n_unmatched)
+        for r in get_query("stream_stream_left_join").fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    j = p.join(
+        c,
+        (p.p_user == c.c_user)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 30 MINUTES"))
+        & (c.c_ts <= p.p_ts),
+        "left",
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    def batch_counts(frame):
+        return {
+            r.p_user: (r.n_pairs, r.n_unmatched)
+            for r in frame.groupBy("p_user")
+            .agg(
+                F.count("*").alias("n_pairs"),
+                F.sum(F.when(F.col("click_id").isNull(), 1).otherwise(0)).alias(
+                    "n_unmatched"
+                ),
+            )
+            .collect()
+        }
+
+    full = batch_counts(j)
+    # provably-closed boundary, conservatively: 1 h watermark delay + 30 m
+    # join range + one micro-batch of slack for watermark propagation
+    mature = batch_counts(
+        j.filter(F.col("p_ts") < F.lit(max_ts) - F.expr("INTERVAL 150 MINUTES"))
+    )
+    for user, (n_pairs, n_unmatched) in full.items():
+        s_pairs, s_unmatched = got.get(user, (0, 0))
+        # matched pairs emit as they join — exact in every region
+        assert s_pairs - s_unmatched == n_pairs - n_unmatched, user
+        # unmatched: everything provably closed must have emitted; nothing
+        # beyond the batch truth may emit
+        m_unmatched = mature.get(user, (0, 0))[1]
+        assert m_unmatched <= s_unmatched <= n_unmatched, user
