@@ -168,3 +168,78 @@ def cep_lite_error_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
             "user_id", "purchase_id", "error_id", F.round("gap_raw", 6).alias("gap_s")
         )
     )
+
+
+@query(
+    "ts_rollup_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS lo,
+             date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT t.hour, et.event_type
+      FROM bounds,
+           LATERAL unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t(hour),
+           (SELECT DISTINCT event_type FROM events) et
+    ),
+    agg AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_value_fp
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.hour, g.event_type,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n,
+           CAST(coalesce(a.sum_value_fp, 0) AS BIGINT) AS sum_value_fp,
+           CAST(CASE WHEN a.hour IS NULL THEN 1 ELSE 0 END AS INT) AS gap_filled
+    FROM grid g LEFT JOIN agg a
+      ON a.hour = g.hour AND a.event_type = g.event_type
+    """,
+    tags=("timewindow", "rollup", "gapfill"),
+)
+def ts_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous rollup WITH gap fill: hourly aggregates
+    per event type over the corpus's FULL hour grid — empty buckets
+    materialize as zero rows flagged `gap_filled` (dashboards and
+    downstream window math need the dense grid; a plain groupBy silently
+    drops empty buckets).
+
+    Shape: one pass aggregates (map-side partials), the dense grid comes
+    from `sequence(lo, hi)` × distinct keys — |hours|·|keys| rows built
+    from two broadcast scalars, never from the data volume — and one left
+    join plants the aggregates on the grid. At 100 TB the grid is still
+    tiny (hours × keys), so the join broadcasts the AGGREGATED side or the
+    grid, whichever is smaller; the raw stream is touched exactly once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias(
+            "sum_value_fp"
+        ),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")
+        ).alias("hour")
+    )
+    keys = ev.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(keys))
+    return grid.join(agg, ["hour", "event_type"], "left").select(
+        "hour",
+        "event_type",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("sum_value_fp", F.lit(0)).alias("sum_value_fp"),
+        F.when(F.col("n").isNull(), 1).otherwise(0).cast("int").alias(
+            "gap_filled"
+        ),
+    )

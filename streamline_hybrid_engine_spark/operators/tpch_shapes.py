@@ -96,3 +96,36 @@ def q19_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     both tables in full."""
     register_views(spark, sf_dir)
     return spark.sql(_Q19_SQL)
+
+
+_Q21_SQL = """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+"""
+
+
+@query("q21_waiting_supplier", oracle=_Q21_SQL, tags=("tpch", "sql"))
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the hardest classic subquery composition: an
+    EXISTS and a NOT EXISTS correlated to the SAME table in one query
+    (suppliers whose line shipped >60 days after the order date on a
+    finished multi-supplier order where no OTHER supplier was late;
+    ship-date lateness replaces the fixture-absent commit/receipt dates).
+    Catalyst plans the pair as a left-semi plus a null-safe left-anti join
+    against the same scan — the shape that exposes engines which
+    re-execute subqueries per outer row. Shared-dialect: text IS the
+    oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q21_SQL)
