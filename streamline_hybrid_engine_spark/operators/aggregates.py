@@ -579,3 +579,84 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(corr, 6).alias("corr_qty_price"),
         F.round(covar, 6).alias("covar_pop_qty_price"),
     )
+
+
+_PCTL_DISC_SQL = """
+    WITH ranked AS (
+      SELECT l_returnflag, l_quantity,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                          THEN l_quantity END), 6) AS q1_disc,
+           round(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                          THEN l_quantity END), 6) AS q2_disc,
+           round(max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                          THEN l_quantity END), 6) AS q3_disc,
+           max(n) AS n_rows
+    FROM ranked GROUP BY l_returnflag
+"""
+
+
+@query("agg_percentile_disc", oracle=_PCTL_DISC_SQL, tags=("agg", "percentile"))
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (PERCENTILE_DISC semantics — an actual data
+    value at rank ceil(p·n), verified to match DuckDB's `quantile_disc`
+    convention) next to the interpolated `agg_percentiles`. Quartile
+    fractions only: 0.25/0.5/0.75 are exact binary doubles, so ceil(p·n)
+    cannot drift by one ulp across engines the way 0.9·n can.
+    Shared-dialect window formulation — the text IS the oracle."""
+    from streamline_hybrid_engine_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_PCTL_DISC_SQL)
+
+
+_SKEW_SQL = """
+    WITH fx AS (
+      SELECT l_returnflag, CAST(floor(l_quantity * 1000) AS BIGINT) AS x
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+             CAST(sum(CAST(x * x * x AS DECIMAL(38,0))) AS DOUBLE) AS s3,
+             CAST(sum(CAST(x * x * x * x AS DECIMAL(38,0))) AS DOUBLE) AS s4
+      FROM fx GROUP BY l_returnflag
+    ),
+    m AS (
+      SELECT l_returnflag, n,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n)
+                    + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n)
+                    + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                    - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM s
+    )
+    SELECT l_returnflag, n,
+           round(m3 / (m2 * sqrt(m2)), 6) AS skewness_qty,
+           round(m4 / (m2 * m2) - 3, 6) AS kurtosis_qty
+    FROM m
+"""
+
+
+@query("agg_skew_kurtosis", oracle=_SKEW_SQL, tags=("agg", "statistics"))
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness + excess kurtosis, EXACT across engines: like
+    `agg_corr_covar`, the native streaming-moment aggregates differ in the
+    last ulps per engine/partitioning, so the four raw power sums are
+    accumulated as exact 128-bit integers over fixed-point values (per-row
+    x⁴ ≤ 6.25e18 stays inside int64; sums go to DECIMAL(38,0)/HUGEINT)
+    and one canonical closed form evaluates in double — identical inputs,
+    identical IEEE ops, identical result. Fixed-point scaling cancels:
+    both statistics are dimensionless. Shared-dialect: text IS the oracle.
+    Scale: one map-side partial agg; the shuffle carries 4 numbers per
+    group."""
+    from streamline_hybrid_engine_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SKEW_SQL)

@@ -166,3 +166,43 @@ def test_binned_range_join_plans_as_equi_join(spark, sf_dir):
 
     p = executed_plan(_QS["join_range_binned"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_percentile_disc_matches_duckdb_quantile_disc(spark, sf_dir, duck):
+    """The ceil(p*n) window formulation must reproduce DuckDB's native
+    quantile_disc on the same data."""
+    got = {
+        r.l_returnflag: (r.q1_disc, r.q2_disc, r.q3_disc)
+        for r in _QS["agg_percentile_disc"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        f: (q1, q2, q3)
+        for f, q1, q2, q3 in duck.execute(
+            """SELECT l_returnflag, quantile_disc(l_quantity, 0.25),
+                      quantile_disc(l_quantity, 0.5), quantile_disc(l_quantity, 0.75)
+               FROM lineitem GROUP BY l_returnflag"""
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_skew_kurtosis_matches_native_within_tolerance(spark, sf_dir):
+    """Exact power-sum formulation vs Spark's native population
+    skewness/kurtosis (same definitions, streaming accumulation)."""
+    got = {
+        r.l_returnflag: (r.skewness_qty, r.kurtosis_qty)
+        for r in _QS["agg_skew_kurtosis"].fn(spark, sf_dir).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    native = {
+        r.l_returnflag: (r.sk, r.ku)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.skewness("l_quantity").alias("sk"),
+            F.kurtosis("l_quantity").alias("ku"),
+        )
+        .collect()
+    }
+    for flag, (sk, ku) in got.items():
+        assert abs(sk - native[flag][0]) < 1e-4
+        assert abs(ku - native[flag][1]) < 1e-4
