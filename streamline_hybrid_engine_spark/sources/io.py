@@ -314,3 +314,57 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
     )
+
+
+@query(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN cents * 2 ELSE cents END)
+                AS BIGINT) AS cents_total
+    FROM base GROUP BY o_orderstatus
+    """,
+    tags=("sources", "sink", "partitioned", "overwrite"),
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (INSERT OVERWRITE ... PARTITION
+    semantics): write the full orders table partitioned by status, then
+    overwrite ONLY the 'O' partition with doubled cents — with
+    ``partitionOverwriteMode=dynamic`` the second write replaces exactly
+    the partitions it produces and leaves every other partition's files
+    untouched (static mode would truncate the whole table). The read-back
+    proves it: 'O' rows carry the new values, 'F'/'P' survive from write
+    one. This is the idempotent daily-reload primitive of a partitioned
+    lake — re-running a day's job replaces that day, never the table.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderstatus",
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), f"she_dynover_{os.path.basename(sf_dir)}"
+    )
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            o.filter(F.col("o_orderstatus") == "O")
+            .withColumn("cents", F.col("cents") * 2)
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(out)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("cents_total")
+    )

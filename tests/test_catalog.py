@@ -71,3 +71,36 @@ def test_parallelize_compute_raises_partition_floor(spark, sf_dir):
     # parallel=True flag routes through the helper
     via_flag = load_table(spark, sf_dir, "documents", parallel=True)
     assert via_flag.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_csv_permissive_captures_corrupt_records(spark, tmp_path):
+    """§2.1 robustness: PERMISSIVE mode surfaces malformed rows in
+    _corrupt_record instead of failing the scan; FAILFAST raises."""
+    import pyspark.sql.functions as F
+
+    p = tmp_path / "bad.csv"
+    p.write_text("1,alpha,10\n2,beta\nnot_an_int,gamma,30\n4,delta,40\n")
+    schema = "id int, name string, score int, _corrupt_record string"
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+        .cache()  # corrupt-record column requires a materialized scan
+    )
+    try:
+        n_bad = df.filter(F.col("_corrupt_record").isNotNull()).count()
+        n_good = df.filter(F.col("_corrupt_record").isNull()).count()
+        assert (n_good, n_bad) == (2, 2)
+    finally:
+        df.unpersist()
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        (
+            spark.read.schema("id int, name string, score int")
+            .option("mode", "FAILFAST")
+            .csv(str(p))
+            .collect()
+        )

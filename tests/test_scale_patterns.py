@@ -209,3 +209,42 @@ def test_cc_loop_width_scales_with_graph_size():
     assert widths == sorted(widths) and widths[-1] > widths[0]
     # ... and capped by cluster parallelism, never exploding past 8x
     assert _cc_width(n_edges=10**12, default_parallelism=32) == 8 * 32
+
+
+def test_exact_stats_partitioning_invariant(spark, sf_dir):
+    """The exact-integer-sum statistics (corr/covar, skew/kurtosis) must be
+    bit-identical under a different shuffle width — the property that
+    justifies their existence over the native streaming-moment aggs."""
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    for name in ("agg_corr_covar", "agg_skew_kurtosis"):
+        q = get_query(name).fn
+        a = sorted(map(tuple, q(spark, sf_dir).collect()))
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            b = sorted(map(tuple, q(spark, sf_dir).collect()))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", before)
+        assert a == b, name
+
+
+def test_connected_components_width_scales_with_edges(spark):
+    """cc_width drives the loop's shuffle width from the MEASURED graph;
+    the generic loop must keep the same labels at any width."""
+    from streamline_hybrid_engine_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = [(i, i + 1) for i in range(0, 30, 2)]  # 15 disjoint pairs
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    a = sorted(map(tuple, connected_components(df).collect()))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        b = sorted(map(tuple, connected_components(df).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert a == b
+    # pairs are (0,1),(2,3),…,(28,29): each component's min is the even id
+    assert all(label == v - (v % 2) for v, label in a)
