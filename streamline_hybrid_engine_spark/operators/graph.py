@@ -106,19 +106,25 @@ def connected_components(
                     "mid"
                 ),
             )
-            .coalesce(n_parts)
-            .localCheckpoint(eager=True)
         )
-        # pointer jump: label := label(label). `mid` values are vertex ids
-        # (mins over labels, which are ids), so the lookup always hits;
-        # coalesce is defensive.
-        ptr = stepped.select(F.col("vid").alias("pv"), F.col("mid").alias("pl"))
+        # pointer jump against the PREVIOUS round's (already checkpointed)
+        # labels: label' := prevL(mid). prevL(m) ≤ m and stays within the
+        # component, so the invariant holds; compression grows the reach
+        # per round Fibonacci-fashion (this round's table + last round's),
+        # still O(log diameter) rounds, and the round needs only ONE
+        # materialization instead of checkpointing the mid-step too (the
+        # second checkpoint doubled the loop's cost in long sessions).
+        # `mid` values are vertex ids (mins over labels, which are ids),
+        # so the lookup always hits; coalesce is defensive.
+        ptr = labels.select(F.col("vid").alias("pv"), F.col("label").alias("pl"))
         new_labels = (
             stepped.join(ptr, stepped.mid == ptr.pv, "left")
             .select(
                 "vid",
-                F.coalesce("pl", "mid").alias("label"),
-                (F.coalesce("pl", "mid") != F.col("old")).alias("moved"),
+                F.least(F.col("mid"), F.coalesce("pl", "mid")).alias("label"),
+                (
+                    F.least(F.col("mid"), F.coalesce("pl", "mid")) != F.col("old")
+                ).alias("moved"),
             )
             .coalesce(n_parts)
             .localCheckpoint(eager=True)
