@@ -19,6 +19,12 @@ EVENTS_JSON_SCHEMA = (
     " value double, props string"
 )
 
+#: JSON codec options — to_json's DEFAULT timestamp format truncates to
+#: milliseconds, silently losing the microsecond digits the rest of the
+#: engine treats as exact (verified by the broker-free round-trip test).
+#: Both directions must pin the same micro-precision format.
+JSON_CODEC_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+
 
 class KafkaConnectorMissing(RuntimeError):
     def __init__(self) -> None:
@@ -51,7 +57,9 @@ def read_events_kafka(
     except Exception as e:  # connector jar absent in this container
         raise KafkaConnectorMissing() from e
     return raw.select(
-        F.from_json(F.col("value").cast("string"), EVENTS_JSON_SCHEMA).alias("r")
+        F.from_json(
+            F.col("value").cast("string"), EVENTS_JSON_SCHEMA, JSON_CODEC_OPTS
+        ).alias("r")
     ).select("r.*")
 
 
@@ -62,7 +70,7 @@ def write_stream_kafka(
     for per-key ordering, value = full row as JSON."""
     out = df.select(
         F.col("user_id").cast("string").alias("key"),
-        F.to_json(F.struct("*")).alias("value"),
+        F.to_json(F.struct("*"), JSON_CODEC_OPTS).alias("value"),
     )
     try:
         return (

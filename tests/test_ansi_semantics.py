@@ -78,3 +78,29 @@ def test_jdbc_writer_fails_clearly_without_driver(spark):
         write_jdbc(
             spark.range(3), "jdbc:postgresql://localhost:5432/nodb", "t_out"
         )
+
+
+def test_kafka_value_codec_roundtrips_without_broker(spark, sf_dir):
+    """The Kafka builders' value codec (to_json(struct(*)) on write,
+    from_json(schema) on read — the DeserializationSchema analog) must
+    round-trip the events schema exactly. Testable with zero broker: the
+    codec is pure column expressions, identical in batch and streaming."""
+    import pyspark.sql.functions as F
+
+    from streamline_hybrid_engine_spark.catalog import load_table
+    from streamline_hybrid_engine_spark.sources.kafka import (
+        EVENTS_JSON_SCHEMA,
+        JSON_CODEC_OPTS,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    wire = ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.to_json(F.struct("*"), JSON_CODEC_OPTS).alias("value"),
+    )
+    back = wire.select(
+        F.from_json(F.col("value"), EVENTS_JSON_SCHEMA, JSON_CODEC_OPTS).alias("r")
+    ).select("r.*")
+    orig = sorted(map(tuple, ev.collect()))
+    rt = sorted(map(tuple, back.collect()))
+    assert rt == orig
