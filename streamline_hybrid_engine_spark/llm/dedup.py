@@ -834,3 +834,91 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= 0.5)
         .select("d1", "d2", F.round(cont, 6).alias("containment"))
     )
+
+
+@query(
+    "llm_minhash_calibration",
+    oracle=f"""
+    WITH sigs AS ({_ORACLE_SIGS}),
+    bands AS (
+      SELECT doc_id, seed // {BAND_ROWS} AS band,
+             md5(string_agg(mh::VARCHAR, '|' ORDER BY seed)) AS bandsig
+      FROM sigs GROUP BY doc_id, seed // {BAND_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT d1, d2,
+             round(count(CASE WHEN sa.mh = sb.mh THEN 1 END) / {N_SEEDS}.0, 6)
+               AS est_jaccard
+      FROM cand
+      JOIN sigs sa ON sa.doc_id = d1
+      JOIN sigs sb ON sb.doc_id = d2 AND sb.seed = sa.seed
+      GROUP BY d1, d2
+    ),
+    sh AS ({_ORACLE_SHINGLES}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT e.d1, e.d2, count(*) AS n_shared
+      FROM est e
+      JOIN sh a ON a.doc_id = e.d1
+      JOIN sh b ON b.doc_id = e.d2 AND b.sh = a.sh
+      GROUP BY e.d1, e.d2
+    )
+    SELECT e.d1, e.d2, e.est_jaccard,
+           round(CAST(coalesce(s.n_shared, 0) AS DOUBLE)
+                 / (sa.n + sb.n - coalesce(s.n_shared, 0)), 6) AS exact_jaccard,
+           round(abs(e.est_jaccard
+                 - CAST(coalesce(s.n_shared, 0) AS DOUBLE)
+                   / (sa.n + sb.n - coalesce(s.n_shared, 0))), 6) AS abs_err
+    FROM est e
+    LEFT JOIN shared s ON s.d1 = e.d1 AND s.d2 = e.d2
+    JOIN sizes sa ON sa.doc_id = e.d1
+    JOIN sizes sb ON sb.doc_id = e.d2
+    """,
+    tags=("llm", "dedup", "minhash", "calibration"),
+)
+def llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimation-quality audit: for every LSH candidate pair, the
+    signature-agreement Jaccard estimate NEXT TO the exact shingle Jaccard
+    and their absolute error — the calibration table a pipeline inspects
+    when tuning bands/rows (a drifting error distribution means the
+    band/row trade-off no longer matches the corpus).
+
+    Exact Jaccard here is computed on candidates only (the estimate is
+    free from the signatures already on the pair row; the exact side is
+    one inverted-index join over the candidate set) — the audit costs a
+    verify pass, never an all-pairs pass.
+    """
+    pairs = llm_dedup_minhash_pairs(spark, sf_dir)
+    sh = _doc_shingles(spark, sf_dir).drop("source")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("d1"), "sh")
+    b = sh.select(F.col("doc_id").alias("d2"), "sh")
+    shared = (
+        pairs.select("d1", "d2")
+        .join(a, "d1")
+        .join(b, ["d2", "sh"])
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
+    exact = F.coalesce("n_shared", F.lit(0)).cast("double") / (
+        F.col("na") + F.col("nb") - F.coalesce("n_shared", F.lit(0))
+    )
+    return (
+        pairs.join(shared, ["d1", "d2"], "left")
+        .join(sa, "d1")
+        .join(sb, "d2")
+        .select(
+            "d1",
+            "d2",
+            "est_jaccard",
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_err"),
+        )
+    )
