@@ -922,3 +922,65 @@ def llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_err"),
         )
     )
+
+
+@query(
+    "llm_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE sigs AS ({_ORACLE_SIGS}),
+    bands AS (
+      SELECT doc_id, seed // {BAND_ROWS} AS band,
+             md5(string_agg(mh::VARCHAR, '|' ORDER BY seed)) AS bandsig
+      FROM sigs GROUP BY doc_id, seed // {BAND_ROWS}
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
+    ),
+    und AS (SELECT d1, d2 FROM edges UNION ALL SELECT d2, d1 FROM edges),
+    reach AS (
+      SELECT doc_id AS a, doc_id AS b FROM documents
+      UNION
+      SELECT r.a, u.d2 FROM reach r JOIN und u ON u.d1 = r.b
+    ),
+    clusters AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+    quality AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    )
+    SELECT cluster_id, cluster_size, doc_id AS best_doc_id,
+           n_tokens AS best_n_tokens
+    FROM (
+      SELECT c.cluster_id, c.doc_id, q.n_tokens,
+             CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+               AS cluster_size,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.n_tokens DESC, c.doc_id) AS rk
+      FROM clusters c JOIN quality q ON q.doc_id = c.doc_id
+    ) WHERE rk = 1
+    """,
+    tags=("llm", "dedup", "survivor"),
+)
+def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked survivor selection: per duplicate cluster, keep the
+    BEST document (longest token count, ties to the smallest doc_id)
+    instead of `llm_dedup_keep`'s smallest-id policy — the policy real
+    pipelines want (among near-duplicates, retain the most complete copy).
+    Composition of the shared cluster labels with a quality signal, argmax
+    via `max_by` with a (quality, -id) struct — partial-aggregated
+    map-side, no window sort over clusters.
+    """
+    clusters = _shared(
+        spark, sf_dir, "clusters", lambda: _build_clusters(spark, sf_dir)
+    ).select("doc_id", "cluster_id")
+    quality = load_table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    joined = clusters.join(quality, "doc_id")
+    return joined.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"),
+        F.expr(
+            "max_by(doc_id, named_struct('q', n_tokens, 'negid', -doc_id))"
+        ).alias("best_doc_id"),
+        F.max("n_tokens").alias("best_n_tokens"),
+    )

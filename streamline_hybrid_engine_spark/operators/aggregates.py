@@ -660,3 +660,27 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SKEW_SQL)
+
+
+@query("agg_hll_merge", oracle=None, tags=("agg", "approx", "sketch"))
+def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit HLL sketch workflow (Datasketches): per-segment sketches
+    built with `hll_sketch_agg`, MERGED with `hll_union_agg`, estimated
+    with `hll_sketch_estimate` — the two-level shape a 100 TB pipeline
+    stores (sketch per partition/day, union at query time) which
+    `approx_count_distinct`'s one-shot form can't express. Rows-only by
+    design (sketch estimates have no cross-engine oracle); the companion
+    test bounds the merged estimate against the exact distinct count."""
+    o = load_table(spark, sf_dir, "orders")
+    per_seg = o.groupBy("o_orderstatus").agg(
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_distinct"),
+    )
+    merged = per_seg.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_total"),
+        F.sum("exact_distinct").alias("sum_segment_exact"),
+    )
+    return merged.select(
+        F.col("est_total").cast("long").alias("est_total"),
+        "sum_segment_exact",
+    )

@@ -352,3 +352,17 @@ def test_feature_hashing_conserves_token_mass(spark, sf_dir):
     ).agg(F.sum("n")).collect()[0][0]
     assert hashed_total == token_total
     assert fh.filter((F.col("bucket") < 0) | (F.col("bucket") >= 256)).count() == 0
+
+
+def test_hll_merged_estimate_bounds(spark, sf_dir):
+    """The merged HLL estimate must be within the sketch's error bound of
+    the true global distinct count (and ≤ the sum of per-segment exacts)."""
+    import pyspark.sql.functions as F
+
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    row = get_query("agg_hll_merge").fn(spark, sf_dir).collect()[0]
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact = o.select(F.countDistinct("o_custkey")).collect()[0][0]
+    assert abs(row.est_total - exact) <= max(3, 0.05 * exact)
+    assert row.est_total <= row.sum_segment_exact  # union ≤ sum of segments
