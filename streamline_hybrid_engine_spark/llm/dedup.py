@@ -984,3 +984,52 @@ def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("best_doc_id"),
         F.max("n_tokens").alias("best_n_tokens"),
     )
+
+
+@query(
+    "llm_dedup_cross_source",
+    oracle=f"""
+    WITH sigs AS ({_ORACLE_SIGS}),
+    bands AS (
+      SELECT doc_id, seed // {BAND_ROWS} AS band,
+             md5(string_agg(mh::VARCHAR, '|' ORDER BY seed)) AS bandsig
+      FROM sigs GROUP BY doc_id, seed // {BAND_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           count(*) AS n_dup_pairs
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.d1
+    JOIN documents db ON db.doc_id = c.d2
+    GROUP BY 1, 2
+    """,
+    tags=("llm", "dedup", "provenance"),
+)
+def llm_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pair counts per
+    (source, source) cell — the provenance view that tells a corpus owner
+    WHICH feeds copy from which (mirror sites, syndication, scraped
+    re-posts) and which dedup blocking key the corpus actually needs
+    (heavy off-diagonal mass ⇒ source-blocked verify stages miss
+    duplicates). Candidates from the LSH band join (never all-pairs);
+    the matrix itself is |sources|² cells, map-side aggregated. Cells are
+    unordered pairs (least/greatest) so A→B and B→A mass lands together.
+    """
+    pairs = llm_dedup_minhash_pairs(spark, sf_dir).select("d1", "d2")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    da = docs.select(F.col("doc_id").alias("d1"), F.col("source").alias("sa"))
+    db = docs.select(F.col("doc_id").alias("d2"), F.col("source").alias("sb"))
+    return (
+        pairs.join(da, "d1")
+        .join(db, "d2")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_dup_pairs"))
+    )
