@@ -556,3 +556,60 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("p_brand").agg(
         F.count("*").alias("n_lines"), dsum(rev, "revenue")
     )
+
+
+@query(
+    "join_asof_next_purchase",
+    oracle="""
+    SELECT c.event_id, c.user_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           CAST(p.ts AS TIMESTAMP) AS next_purchase_ts,
+           round(p.value, 6) AS next_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.ts >= c.ts
+    """,
+    tags=("joins", "asof"),
+)
+def join_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each click, the EARLIEST purchase by the
+    same user at ts >= click ts — the attribution-window direction
+    (`join_asof_last_purchase` looks backward; conversion analysis looks
+    forward). Same 100 TB-safe shape: union + one keyed window, a
+    following-frame `first(..., ignorenulls)` instead of a preceding-frame
+    `last` — never a pair-exploding join. kind sorts the click before a
+    same-instant purchase so `>=` includes it, matching DuckDB ASOF.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # kind 0 = click, 1 = purchase: at equal ts the click row precedes the
+    # purchase, so the following-frame first() sees it (>= semantics)
+    unioned = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    p_ts = F.when(F.col("kind") == 1, F.col("ts"))
+    p_val = F.when(F.col("kind") == 1, F.col("value"))
+    return (
+        unioned.withColumn(
+            "next_purchase_ts", F.first(p_ts, ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "next_purchase_value_raw", F.first(p_val, ignorenulls=True).over(w)
+        )
+        .filter(F.col("kind") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            "next_purchase_ts",
+            rnd("next_purchase_value_raw", "next_purchase_value"),
+        )
+    )
