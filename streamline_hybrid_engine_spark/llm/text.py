@@ -760,3 +760,42 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         logit.alias("logit_fp"),
         F.when(logit > 0, 1).otherwise(0).cast("int").alias("keep"),
     )
+
+
+from streamline_hybrid_engine_spark.registry import _REGISTRY as _REG  # noqa: E402
+
+_LANGID_ORACLE = _REG["llm_text_langid"].oracle
+
+
+@query(
+    "llm_langid_consistency",
+    oracle=f"""
+    WITH langid AS ({_LANGID_ORACLE})
+    SELECT lang_actual,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN lang_guess <> lang_actual THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatch,
+           round(CAST(sum(CASE WHEN lang_guess <> lang_actual THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS mismatch_rate
+    FROM langid GROUP BY lang_actual
+    """,
+    tags=("llm", "text", "langid", "audit"),
+)
+def llm_langid_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language audit: per declared language, how
+    often the marker-based detector disagrees — the metadata-quality check
+    a multilingual pipeline runs before trusting the `lang` column for
+    monolingual splits (mislabeled docs pollute per-language corpora).
+    Composes the langid operator's output with one aggregation; the oracle
+    wraps the langid oracle in a CTE so the two stay in sync by
+    construction (same pattern as the corpus-assembly query).
+    """
+    langid = llm_text_langid(spark, sf_dir)
+    mism = F.sum(
+        F.when(F.col("lang_guess") != F.col("lang_actual"), 1).otherwise(0)
+    )
+    return langid.groupBy("lang_actual").agg(
+        F.count("*").alias("n_docs"),
+        mism.alias("n_mismatch"),
+        F.round(mism.cast("double") / F.count("*"), 6).alias("mismatch_rate"),
+    )
