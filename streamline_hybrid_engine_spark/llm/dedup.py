@@ -1033,3 +1033,55 @@ def llm_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_dup_pairs"))
     )
+
+
+@query(
+    "llm_dedup_cluster_stats",
+    oracle=f"""
+    WITH RECURSIVE sigs AS ({_ORACLE_SIGS}),
+    bands AS (
+      SELECT doc_id, seed // {BAND_ROWS} AS band,
+             md5(string_agg(mh::VARCHAR, '|' ORDER BY seed)) AS bandsig
+      FROM sigs GROUP BY doc_id, seed // {BAND_ROWS}
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
+    ),
+    und AS (SELECT d1, d2 FROM edges UNION ALL SELECT d2, d1 FROM edges),
+    reach AS (
+      SELECT doc_id AS a, doc_id AS b FROM documents
+      UNION
+      SELECT r.a, u.d2 FROM reach r JOIN und u ON u.d1 = r.b
+    ),
+    clusters AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+    sizes AS (SELECT cluster_id, count(*) AS csize FROM clusters GROUP BY cluster_id)
+    SELECT csize AS cluster_size,
+           count(*) AS n_clusters,
+           CAST(csize * count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) * (csize - 1) AS BIGINT) AS n_removed_at_one_per_cluster
+    FROM sizes GROUP BY csize
+    """,
+    tags=("llm", "dedup", "report"),
+)
+def llm_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup topline report: cluster-size histogram — how many
+    clusters of each size exist, how many documents they hold, and how
+    many rows a keep-one-per-cluster policy removes. The first table in
+    every dedup write-up (duplication level, long-tail vs mega-cluster
+    shape — a mega-cluster row is the boilerplate alarm). Two aggregations
+    over the shared cluster labels; at 100 TB the histogram is |distinct
+    sizes| rows.
+    """
+    clusters = _shared(
+        spark, sf_dir, "clusters", lambda: _build_clusters(spark, sf_dir)
+    ).select("doc_id", "cluster_id")
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("csize"))
+    return sizes.groupBy(F.col("csize").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).alias("n_docs"),
+        (F.count("*") * (F.col("cluster_size") - 1)).alias(
+            "n_removed_at_one_per_cluster"
+        ),
+    )
