@@ -555,8 +555,9 @@ def _km_oracle() -> str:
     """Unrolled Lloyd's iterations as a CTE chain (KM_ROUNDS assign+update
     pairs). Centroid means are fixed-point micros (floor(sum(floor(x*1e6))
     / n) / 1e6 — grid doubles, identical cross-engine); assignment is
-    rank-1 over (distance, cid) so ties break to the smallest centroid id
-    in both engines."""
+    rank-1 over (floor(distance*1e6), cid) — the grid-floored distance
+    absorbs fold-order ulp noise and ties break to the smallest centroid
+    id in both engines."""
     ctes = [
         f"cent0 AS (SELECT vec_id AS cid,"
         f" list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv"
@@ -570,7 +571,7 @@ def _km_oracle() -> str:
             f" SELECT vec_id, cid FROM ("
             f"  SELECT e.vec_id, c.cid,"
             f"   row_number() OVER (PARTITION BY e.vec_id"
-            f"    ORDER BY {dist}, c.cid) AS rk"
+            f"    ORDER BY CAST(floor(({dist}) * 1000000) AS BIGINT), c.cid) AS rk"
             f"  FROM embeddings e CROSS JOIN {prev} c)"
             f" WHERE rk = 1)"
         )
@@ -626,7 +627,13 @@ def llm_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assign = None
     for r in range(1, KM_ROUNDS + 1):
-        dist = F.expr(_SQDIST.format(a="ed", b="cv"))
+        # argmin compares the squared distance FLOORED to the 1e-6 grid
+        # (exact-integer comparison convention): the 64-term fold order is
+        # engine/partitioning-dependent in the last ulps, and a near-tie
+        # between two centroids could otherwise round to a different
+        # argmin per engine — on the grid, near-ties resolve by cid
+        # identically on both sides
+        dist = F.floor(F.expr(_SQDIST.format(a="ed", b="cv")) * 1000000).cast("long")
         assign = (
             e.crossJoin(F.broadcast(cent))
             .select("vec_id", "ed", "cid", dist.alias("d"))

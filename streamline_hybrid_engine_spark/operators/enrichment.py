@@ -93,8 +93,8 @@ def async_enrich(
     oracle="""
     SELECT o.o_orderkey, o.o_custkey, n.n_name AS nation
     FROM orders o
-    JOIN customer c ON c.c_custkey = o.o_custkey
-    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
     """,
     tags=("streaming", "async", "enrichment"),
 )
@@ -102,7 +102,10 @@ def enrich_async_orders_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Async-I/O enrichment of orders with the customer's nation, the
     "service" being a deterministic broadcast dict (customer→nation — a
     dimension-bounded map, the async analog of `stream_static_enrich`'s
-    broadcast join). Oracle: the equivalent two-hop join."""
+    broadcast join). Oracle: the equivalent two-hop LEFT join — the lookup
+    emits NULL for a key the service doesn't know (Flink AsyncFunction
+    miss semantics), so the oracle must too; an inner join would silently
+    drop miss rows and only match by luck of FK-intact fixtures."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     dim = (

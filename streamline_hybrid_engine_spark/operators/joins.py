@@ -566,7 +566,11 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(p.ts AS TIMESTAMP) AS next_purchase_ts,
            round(p.value, 6) AS next_purchase_value
     FROM (SELECT * FROM events WHERE event_type = 'click') c
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, min_by(value, event_id) AS value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ) p
       ON c.user_id = p.user_id AND p.ts >= c.ts
     """,
     tags=("joins", "asof"),
@@ -579,6 +583,12 @@ def join_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     following-frame `first(..., ignorenulls)` instead of a preceding-frame
     `last` — never a pair-exploding join. kind sorts the click before a
     same-instant purchase so `>=` includes it, matching DuckDB ASOF.
+
+    Tie pinning: two purchases at the same (user_id, ts) would make the
+    attributed value partition-order-dependent, so event_id is the final
+    window sort key (smallest purchase event_id wins) and the oracle's
+    purchase side pre-aggregates same-instant purchases with
+    min_by(value, event_id) — both sides are total-ordered.
     """
     ev = load_table(spark, sf_dir, "events")
     # kind 0 = click, 1 = purchase: at equal ts the click row precedes the
@@ -592,7 +602,7 @@ def join_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "kind")
+        .orderBy("ts", "kind", "event_id")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     p_ts = F.when(F.col("kind") == 1, F.col("ts"))

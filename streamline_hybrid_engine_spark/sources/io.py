@@ -348,11 +348,21 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         "o_orderstatus",
     )
+    # keyed by applicationId so concurrent sessions on the same fixture
+    # never race on one directory, and a stale dir from a dead session
+    # can't leak foreign partitions into the read-back
     out = os.path.join(
-        tempfile.gettempdir(), f"she_dynover_{os.path.basename(sf_dir)}"
+        tempfile.gettempdir(),
+        f"she_dynover_{spark.sparkContext.applicationId}_{os.path.basename(sf_dir)}",
     )
-    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    # write one MUST truncate (a prior run's partitions must not survive):
+    # force static mode in case the session conf is already 'dynamic'
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (

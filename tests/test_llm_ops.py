@@ -292,24 +292,27 @@ def test_corpus_final_is_subset_of_quality_and_survivors(spark, sf_dir):
 
 
 def test_approx_percentile_close_to_exact(spark, sf_dir):
-    """Sketch percentiles must land within 1% of the exact interpolated
-    values at fixture scale (GK accuracy 10000 ⇒ rank error ≤ n/10000)."""
+    """The query's own error-bound verdicts (GK accuracy 10000 ⇒ rank
+    error ≤ n/10000 ⇒ value inside the exact [p−0.001, p+0.001] band)
+    must all be TRUE, and the exact-p50 anchor must match a direct
+    percentile computation."""
     import pyspark.sql.functions as F
 
-    approx = {
-        r.l_returnflag: (r.p50, r.p90, r.p99)
-        for r in _QS["agg_approx_percentile"].fn(spark, sf_dir).collect()
-    }
+    rows = _QS["agg_approx_percentile"].fn(spark, sf_dir).collect()
+    assert rows, "no groups"
+    for r in rows:
+        assert r.p50_ok and r.p90_ok and r.p99_ok, r
     from streamline_hybrid_engine_spark.catalog import load_table
 
-    exact_df = (
-        load_table(spark, sf_dir, "lineitem")
+    exact = {
+        e.l_returnflag: e.p
+        for e in load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("p"))
-    )
-    for r in exact_df.collect():
-        for a, e in zip(approx[r.l_returnflag], r.p):
-            assert abs(a - e) <= 0.01 * max(abs(e), 1.0), (r.l_returnflag, a, e)
+        .agg(F.expr("round(percentile(l_extendedprice, 0.5), 6)").alias("p"))
+        .collect()
+    }
+    for r in rows:
+        assert r.exact_p50 == exact[r.l_returnflag], r
 
 
 def test_kmeans_partitions_every_vector_exactly_once(spark, sf_dir):

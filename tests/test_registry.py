@@ -51,3 +51,97 @@ def test_entry_module_importable_without_spark_session():
 def test_docstrings_present():
     for name, q in all_queries().items():
         assert q.doc.strip(), f"{name} has no docstring"
+
+
+def _fake_qs(specs):
+    """name -> object with .oracle, preserving insertion (registry) order."""
+
+    class Q:
+        def __init__(self, oracle):
+            self.oracle = oracle
+
+    return {name: Q(oracle) for name, oracle in specs}
+
+
+def test_sweep_order_groups(tmp_path):
+    """The driver's 50-slot sweep depends on this ordering: prior-ERR
+    oracle-backed ids first, never-stamped oracle-backed next, stamped-green
+    after, rows-only dead last — registry order within each group."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import _sweep_order
+
+    qs = _fake_qs(
+        [
+            ("green_a", "SELECT 1"),
+            ("err_b", "SELECT 1"),
+            ("fresh_c", "SELECT 1"),
+            ("rowsonly_d", None),
+            ("fresh_e", "SELECT 1"),
+            ("err_rowsonly_f", None),
+        ]
+    )
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "green_a": {"hash_match": True, "err": None},
+                "err_b": {"hash_match": False, "err": "boom"},
+                "err_rowsonly_f": {"err": "no_oracle"},
+            }
+        )
+    )
+    order = _sweep_order(qs, correctness_dir=str(tmp_path))
+    # err_b leads (prior-ERR, oracle-backed); never-stamped oracle ids in
+    # registry order; stamped-green after; rows-only last (even a
+    # stamped-err rows-only id — re-sweeping it can only record no_oracle
+    # again)
+    assert order == [
+        "err_b",
+        "fresh_c",
+        "fresh_e",
+        "green_a",
+        "rowsonly_d",
+        "err_rowsonly_f",
+    ]
+
+
+def test_sweep_order_latest_stamp_wins(tmp_path):
+    """A later round's green stamp must clear an earlier round's err."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import _sweep_order
+
+    qs = _fake_qs([("x", "SELECT 1"), ("y", "SELECT 1")])
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"x": {"err": "boom"}})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"x": {"hash_match": True, "err": None}})
+    )
+    order = _sweep_order(qs, correctness_dir=str(tmp_path))
+    assert order == ["y", "x"]  # y never stamped ranks before green x
+
+
+def test_sweep_order_live_repo_state():
+    """r4 expectation on the real CORRECTNESS files: the two prior-ERR ids
+    lead the sweep (both are oracle-backed now), followed only by
+    never-stamped oracle-backed ids inside the 50-slot window; no rows-only
+    id appears before every oracle-backed id."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import _sweep_order
+
+    qs = all_queries()
+    order = _sweep_order(qs)
+    assert order[0] == "agg_approx_users"
+    assert order[1] == "agg_approx_percentile"
+    first_rows_only = next(
+        i for i, n in enumerate(order) if qs[n].oracle is None
+    )
+    assert all(qs[n].oracle is not None for n in order[:first_rows_only])
+    assert all(qs[n].oracle is None for n in order[first_rows_only:])
