@@ -10,6 +10,13 @@ line::
 ``value`` is the sum of per-query medians. Methodology matches BASELINE.md
 §A exactly: per query, 1 warm-up run (JVM/codegen/planning) then the median
 of 3 timed ``collect()`` runs. Compare against BASELINE.md §A.
+
+The JSON also carries a ``telemetry`` map (per query: 1-min load average
+sampled right before the warm-up, post-GC JVM heap, and the ratio vs the
+BASELINE.md §A.1 row) so a >2× reading is attributable inside the artifact
+itself: r1-r3 each had at least one heavy-tail query whose official number
+was inflated 1.5-4× purely by box load / bench-sequence state, and the
+adjudication needed an out-of-band idle re-run every time.
 """
 
 from __future__ import annotations
@@ -65,6 +72,46 @@ HEADLINE = (
     "join_range_binned",           # bucketized interval join (scale form)
 )
 
+#: BASELINE.md §A.1 rows (sf0.1 full-sequence medians, seconds) — kept in
+#: sync with that table so the artifact can carry ratio_vs_baseline.
+BASELINE_SEC = {
+    "agg_pricing_summary": 0.69,
+    "agg_global_revenue": 0.27,
+    "agg_count_distinct_users": 0.34,
+    "agg_rollup_nation_region": 0.36,
+    "topk_revenue_orders": 0.79,
+    "join_5way_regional_revenue": 0.55,
+    "join_asof_last_purchase": 0.63,
+    "win_rank_orders_per_cust": 0.60,
+    "win_tumble_1h_batch": 0.27,
+    "win_session_30m_batch": 1.20,
+    "llm_doc_token_stats": 0.24,
+    "llm_tfidf_top_terms": 1.16,
+    "llm_knn_cosine_label": 0.80,
+    "llm_knn_ivf": 2.17,
+    "llm_dedup_minhash_sig": 1.32,
+    "llm_dedup_minhash_pairs": 1.43,
+    "llm_dedup_simhash": 0.41,
+    "mm_decode_meta": 0.29,
+    "cep_pattern_abc": 1.14,
+    "llm_quality_repetition": 0.42,
+    "llm_pack_sequences": 0.24,
+    "llm_dedup_keep": 3.85,
+    "graph_pagerank_suppliers": 3.79,
+    "subquery_scalar_part_avg": 0.52,
+    "graph_triangle_count": 3.95,
+    "llm_pii_redact": 0.29,
+    "llm_sample_temperature": 0.56,
+    "llm_corpus_final": 4.63,
+    "cep_pattern_funnel4": 1.24,
+    "graph_connected_components": 2.09,
+    "enrich_async_orders_nation": 1.53,
+    "llm_kmeans_lloyd": 2.29,
+    "llm_embedding_gram": 0.74,
+    "llm_boilerplate_grams": 1.36,
+    "join_range_binned": 0.99,
+}
+
 
 def main() -> int:
     from streamline_hybrid_engine_spark.registry import all_queries
@@ -90,17 +137,60 @@ def main() -> int:
 
         gc.collect()
         try:
+            # leftover localCheckpoint blocks whose Python refs died between
+            # queries: unpersist NOW instead of waiting for ContextCleaner
+            for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+                rdd.unpersist(True)
+        except Exception:
+            pass
+        try:
             spark._jvm.System.gc()
         except Exception:
             pass
+        # settle: block/broadcast removal is ASYNC (ContextCleaner drains a
+        # reference queue in a background thread) — without this pause the
+        # cleanup RPCs run INSIDE the next timed query and small queries
+        # following checkpoint-heavy ones (minhash family) measured 2-3×
+        # slow (r4 repro: simhash 0.46 s with a 1 s settle, 1.17 s without;
+        # the r1-r3 heavy-tail "sequence inflation" was exactly this)
+        time.sleep(1.0)
+
+    def heap_used_mb() -> float | None:
+        """Post-GC JVM heap in MB (drop_run_state just ran System.gc)."""
+        try:
+            rt = spark._jvm.Runtime.getRuntime()
+            return round((rt.totalMemory() - rt.freeMemory()) / 1e6, 1)
+        except Exception:
+            return None
+
+    def cpu_counters() -> tuple[float, float] | None:
+        """(busy_cpu_seconds, steal_seconds) box-wide from /proc/stat.
+
+        Disambiguates a slow reading: wall stretched with busy flat and
+        steal up = hypervisor contention; busy up proportionally = the
+        query itself did more work. USER_HZ assumed 100 (Linux default).
+        """
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()[1:]
+            vals = [int(x) for x in parts]
+            idle = vals[3] + vals[4]  # idle + iowait
+            steal = vals[7] if len(vals) > 7 else 0
+            return (sum(vals) - idle) / 100.0, steal / 100.0
+        except Exception:
+            return None
 
     times: dict[str, float] = {}
+    telemetry: dict[str, dict] = {"_bench_start": {"load1": round(os.getloadavg()[0], 2)}}
     total = 0.0
     for name in names:
         fn = qs[name].fn
+        load1 = round(os.getloadavg()[0], 2)
         fn(spark, sf_dir).collect()  # warm-up: codegen + parquet footers
         drop_run_state()
         runs = []
+        c0 = cpu_counters()
+        wall0 = time.time()
         for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).collect()
@@ -109,9 +199,21 @@ def main() -> int:
             # a set of checkpoint blocks per run, and 4 accumulated sets
             # were enough to double the later runs' time
             drop_run_state()
+        c1 = cpu_counters()
         dt = round(sorted(runs)[1], 3)
         times[name] = dt
         total += dt
+        t = {"load1_before": load1, "heap_after_gc_mb": heap_used_mb()}
+        if c0 and c1:
+            # over the 3 timed runs + settles: busy cpu-s and steal-s
+            t["busy_cpu_s"] = round(c1[0] - c0[0], 1)
+            t["steal_s"] = round(c1[1] - c0[1], 2)
+            t["wall_s"] = round(time.time() - wall0, 1)
+        base = BASELINE_SEC.get(name)
+        if base:
+            t["baseline_sec"] = base
+            t["ratio_vs_baseline"] = round(dt / base, 2)
+        telemetry[name] = t
 
     # streaming throughput: drain the events fixture through the tumbling
     # window job (file source → watermark agg → memory sink); rows/s over
@@ -119,6 +221,7 @@ def main() -> int:
     # is part of the cost being measured).
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     fn = qs["stream_tumble_1h"].fn
+    stream_load1 = round(os.getloadavg()[0], 2)
     fn(spark, sf_dir).collect()  # warm-up
     # same methodology as the batch loop (median of 3 with inter-run GC):
     # a single drain's wall time swings ±40% with checkpoint-dir and
@@ -134,6 +237,10 @@ def main() -> int:
     stream_dt = sorted(runs)[1]
     times["stream_tumble_1h"] = round(stream_dt, 3)
     times["stream_events_per_sec"] = round(n_events / stream_dt, 1)
+    telemetry["stream_tumble_1h"] = {
+        "load1_before": stream_load1,
+        "heap_after_gc_mb": heap_used_mb(),
+    }
     total += stream_dt
 
     print(
@@ -144,6 +251,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "telemetry": telemetry,
             }
         )
     )

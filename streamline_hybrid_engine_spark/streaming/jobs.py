@@ -566,3 +566,168 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_unmatched"
         ),
     )
+
+
+#: RocksDB state store provider (SURVEY §4.1 checkpointing row) — Flink's
+#: production state backend is RocksDB with incremental checkpoints; Spark
+#: ships the same backend for Structured Streaming state. HDFS-backed
+#: in-memory state (the default) holds every key on-heap; RocksDB spills to
+#: local disk, which is what bounds executor memory when keyed state is
+#: larger than RAM (the 100 TB sessionization/dedup case).
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+def state_provider(spark: SparkSession, provider: str | None):
+    """Context manager: pin the state-store provider for jobs started inside.
+
+    The conf is read at STREAM START and then pinned into the checkpoint
+    (offsets/metadata), so it must be set before ``start()`` and a restarted
+    query keeps the provider it checkpointed with.
+    """
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        prev = spark.conf.get(_PROVIDER_CONF, None)
+        if provider:
+            spark.conf.set(_PROVIDER_CONF, provider)
+        try:
+            yield
+        finally:
+            if provider:
+                if prev is None:
+                    spark.conf.unset(_PROVIDER_CONF)
+                else:
+                    spark.conf.set(_PROVIDER_CONF, prev)
+
+    return cm()
+
+
+@query("stream_state_store_read", oracle=None, tags=("streaming", "state"))
+def stream_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queryable state (SURVEY §2.9's last "—" row): Flink exposed running
+    keyed state to external point queries via the queryable-state service
+    (flink-runtime .../query/). Spark's equivalent is the State Data
+    Source: every stateful operator's store inside a checkpoint is
+    readable as a batch DataFrame with ``spark.read.format("statestore")``
+    — state becomes a TABLE you join/aggregate instead of a KV endpoint
+    you probe (the scale-appropriate shape: state reads parallelize over
+    the store's partitions instead of hammering one service).
+
+    The job: per-(user, event_type) counts over the events stream,
+    checkpointed; after the availableNow drain the state store itself is
+    read back and flattened to scalar columns. The test asserts it equals
+    the batch groupBy — state IS the aggregate's memory, so reading it
+    must reproduce the aggregate.
+    """
+    ensure_runtime_confs(spark)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"she_statestore_{spark.sparkContext.applicationId}_{os.path.basename(sf_dir)}",
+    )
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    ev = read_events_stream(spark, sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("she_state_src")
+        .outputMode("complete")
+        .option("checkpointLocation", base)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(base)
+    # key/value are structs in the OPERATOR's layout, not the query's: the
+    # value carries the aggregation buffer's internal field names (count(*)
+    # aliased `n` is stored as field `count`); contract output re-projects
+    # to scalar columns per registry convention
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n"),
+    )
+
+
+@query("stream_sink_exactly_once", oracle=None, tags=("streaming", "sink", "2pc"))
+def stream_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once sink contract (Flink TwoPhaseCommitSinkFunction): a
+    replayed epoch must not duplicate rows. Spark's micro-batch analog of
+    2PC is (epoch id + idempotent commit): foreachBatch receives a stable
+    ``epoch_id`` per micro-batch, and the sink writes epoch ``N`` to a
+    directory keyed by ``N`` with overwrite — committing the same epoch
+    twice (the crash-between-commit-and-ack window 2PC exists for) lands
+    on the same path and replaces itself.
+
+    This query PROVES the property on the contract surface: drain the
+    purchases stream through the idempotent sink, snapshot the sink's
+    (row count, distinct event ids), then replay every epoch's commit a
+    second time with identical data, and emit both snapshots plus the
+    verdict — ``replay_is_noop`` must be true and n == distinct ids.
+    """
+    ensure_runtime_confs(spark)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"she_e1x_{spark.sparkContext.applicationId}_{os.path.basename(sf_dir)}",
+    )
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    ev = read_events_stream(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value"
+    )
+
+    def commit_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        # phase-2 commit, idempotent by construction: the epoch's dir is
+        # the transaction id; overwrite == re-commit replaces, never appends
+        batch_df.write.mode("overwrite").parquet(f"{base}/data/epoch={epoch_id}")
+
+    with tempfile.TemporaryDirectory(prefix="she_e1x_ckpt_") as ckpt:
+        q = (
+            purchases.writeStream.foreachBatch(commit_epoch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    sink = spark.read.parquet(f"{base}/data")
+    before = (
+        sink.agg(
+            F.count("*").alias("n_before"),
+            F.countDistinct("event_id").alias("distinct_before"),
+        )
+        .localCheckpoint(eager=True)  # pin: must predate the replay
+    )
+    # replay: re-commit every epoch with identical data (what a recovering
+    # driver does after a crash between commit and offset-log ack); the
+    # epoch must be materialized BEFORE the overwrite deletes its files,
+    # and re-read without partition discovery's synthetic `epoch` column
+    for d in sorted(os.listdir(f"{base}/data")):
+        if d.startswith("epoch="):
+            eid = int(d.split("=")[1])
+            replayed = (
+                spark.read.parquet(f"{base}/data/{d}")
+                .select("event_id", "user_id", "value")
+                .localCheckpoint(eager=True)
+            )
+            commit_epoch(replayed, eid)
+    after = spark.read.parquet(f"{base}/data").agg(
+        F.count("*").alias("n_after"),
+        F.countDistinct("event_id").alias("distinct_after"),
+    )
+    return before.crossJoin(after).select(
+        "n_before",
+        "n_after",
+        "distinct_after",
+        (
+            (F.col("n_before") == F.col("n_after"))
+            & (F.col("n_after") == F.col("distinct_after"))
+        ).alias("replay_is_noop"),
+    )

@@ -232,3 +232,150 @@ def test_stream_left_join_equals_batch_left_join(spark, sf_dir):
         # beyond the batch truth may emit
         m_unmatched = mature.get(user, (0, 0))[1]
         assert m_unmatched <= s_unmatched <= n_unmatched, user
+
+
+def test_state_store_read_equals_batch_agg(spark, sf_dir):
+    """Queryable state: reading the checkpoint's state store back as a
+    DataFrame must reproduce the aggregate it is the memory of."""
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    got = {
+        (r.user_id, r.event_type): r.n
+        for r in get_query("stream_state_store_read").fn(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.user_id, r.event_type): r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == batch and len(got) > 0
+
+
+def test_exactly_once_sink_replay_is_noop(spark, sf_dir):
+    """Re-committing every epoch must leave the sink byte-for-byte
+    equivalent: same row count, all event ids still unique."""
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    row = get_query("stream_sink_exactly_once").fn(spark, sf_dir).collect()[0]
+    assert row.replay_is_noop, row
+    n_purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert row.n_before == row.n_after == row.distinct_after == n_purchases
+
+
+def test_rocksdb_state_provider_parity(spark, sf_dir, tmp_path):
+    """SURVEY §4.1 checkpointing row: the same stateful job under the
+    RocksDB state-store provider must checkpoint RocksDB artifacts and
+    produce the identical result as the default (HDFS-backed) provider."""
+    import os
+
+    from streamline_hybrid_engine_spark.streaming.jobs import (
+        ROCKSDB_PROVIDER,
+        read_events_stream,
+        state_provider,
+    )
+
+    def run(ckpt, provider):
+        ev = read_events_stream(spark, sf_dir)
+        agg = ev.groupBy("event_type").agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sv")
+        )
+        name = f"she_rocks_{os.path.basename(ckpt)}"
+        with state_provider(spark, provider):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return sorted(tuple(r) for r in spark.table(name).collect())
+
+    rocks_ckpt = str(tmp_path / "rocks")
+    default_rows = run(str(tmp_path / "default"), None)
+    rocks_rows = run(rocks_ckpt, ROCKSDB_PROVIDER)
+    assert rocks_rows == default_rows and len(rocks_rows) > 0
+    # the checkpoint must actually carry RocksDB snapshots (.zip/.sst
+    # artifacts under state/), not the default provider's .delta files
+    state_files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(rocks_ckpt, "state"))
+        for f in fs
+    ]
+    assert any(f.endswith((".zip", ".sst")) for f in state_files), state_files
+    assert not any(f.endswith(".delta") for f in state_files), state_files
+
+
+@pytest.mark.parametrize("provider", ["default", "rocksdb"])
+def test_state_checkpoint_restart_resumes_not_reprocesses(
+    spark, sf_dir, tmp_path, provider
+):
+    """Checkpoint/restore parity (SURVEY §4.1): a restarted stateful query
+    must RESUME from checkpointed state — the second run reads only the new
+    file, yet its complete-mode output equals the full batch aggregate.
+    Identical behavior required from the default and RocksDB providers."""
+    import os
+
+    from streamline_hybrid_engine_spark.streaming.jobs import (
+        ROCKSDB_PROVIDER,
+        state_provider,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/a=0")
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    n_b = half_b.count()
+
+    name = f"she_restart_{provider}"
+    prov = ROCKSDB_PROVIDER if provider == "rocksdb" else None
+
+    def drain():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, event_type string, value double"
+            )
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        agg = stream.groupBy("event_type").agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sv")
+        )
+        with state_provider(spark, prov):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        processed = sum(p["numInputRows"] for p in (q.recentProgress or []))
+        return sorted(tuple(r) for r in spark.table(name).collect()), processed
+
+    first_rows, _ = drain()
+    half_b.coalesce(1).write.parquet(f"{src}/a=1")
+    second_rows, second_processed = drain()
+
+    batch = sorted(
+        tuple(r)
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sv"))
+        .collect()
+    )
+    assert second_rows == batch
+    assert second_rows != first_rows  # state genuinely advanced
+    # resume, not reprocess: run 2 ingested only the new file's rows
+    assert second_processed == n_b, (second_processed, n_b)
