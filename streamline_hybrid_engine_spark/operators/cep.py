@@ -301,4 +301,11 @@ def cep_pattern_abc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_to_memory(matches, "she_cep_pattern_abc_stream", "append")
+    from streamline_hybrid_engine_spark.streaming.jobs import stream_shuffle_width
+
+    return run_to_memory(
+        matches,
+        "she_cep_pattern_abc_stream",
+        "append",
+        stream_shuffle_width(spark, sf_dir),
+    )

@@ -58,22 +58,59 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_to_memory(df: DataFrame, name: str, output_mode: str) -> DataFrame:
-    """Drain a streaming DataFrame into a memory sink; return the result."""
+def stream_shuffle_width(spark: SparkSession, sf_dir: str) -> int:
+    """Stateful-stream shuffle width sized from INPUT VOLUME, not core count.
+
+    The state-store partition count is pinned into the checkpoint at the
+    first micro-batch, and every batch thereafter pays a per-partition
+    store open/commit fixed cost. Sizing it from the data (like
+    operators.graph.cc_width sizes the CC loop's shuffles) instead of the
+    session's core count keeps both regimes right: at cluster scale the
+    input is huge and the width lands on the core cap; on a bounded local
+    drain the fixed costs dominate — measured on the sf0.1 events drain:
+    32 partitions → 65-79k events/s, 8 → 86-137k (same result, state is
+    ~3600 windows×types keys spread over stores that are each nearly
+    empty). Target ≈ one partition per 4 MB of source parquet, floor 4
+    for parallelism, capped at the session's cores.
+    """
+    try:
+        input_bytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        input_bytes = 0
+    target = max(1, input_bytes // (4 << 20))
+    return max(4, min(spark.sparkContext.defaultParallelism, target))
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str, width: int | None = None
+) -> DataFrame:
+    """Drain a streaming DataFrame into a memory sink; return the result.
+
+    ``width`` (from stream_shuffle_width) pins the stateful shuffle/state
+    partition count for THIS job; the session conf is restored after the
+    drain so batch queries keep their own sizing.
+    """
     spark = df.sparkSession
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    with tempfile.TemporaryDirectory(prefix=f"she_ckpt_{name}_") as ckpt:
-        q = (
-            df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    if width:
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        with tempfile.TemporaryDirectory(prefix=f"she_ckpt_{name}_") as ckpt:
+            q = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        if width and prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -92,7 +129,7 @@ def stream_tumble_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
         .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
     )
-    return run_to_memory(agg, "she_stream_tumble_1h", "complete")
+    return run_to_memory(agg, "she_stream_tumble_1h", "complete", stream_shuffle_width(spark, sf_dir))
 
 
 @query("stream_static_enrich", oracle=None, tags=("streaming", "hybrid"))
@@ -117,7 +154,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", "event_type")
         .agg(F.count("*").alias("n_events"))
     )
-    return run_to_memory(enriched, "she_stream_static_enrich", "complete")
+    return run_to_memory(enriched, "she_stream_static_enrich", "complete", stream_shuffle_width(spark, sf_dir))
 
 
 def _staged_events_stream(spark: SparkSession, sf_dir: str, tag: str) -> DataFrame:
@@ -179,7 +216,7 @@ def stream_watermark_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("ws"), "n")
     )
-    return run_to_memory(agg, "she_stream_watermark_drop", "append")
+    return run_to_memory(agg, "she_stream_watermark_drop", "append", stream_shuffle_width(spark, sf_dir))
 
 
 @query("stream_user_session_state", oracle=None, tags=("streaming", "state"))
@@ -235,7 +272,7 @@ def stream_user_session_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_to_memory(out, "she_stream_user_session_state", "append")
+    return run_to_memory(out, "she_stream_user_session_state", "append", stream_shuffle_width(spark, sf_dir))
 
 
 @query("stream_sink_parquet", oracle=None, tags=("streaming", "sink"))
@@ -314,7 +351,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ),
     ).select("purchase_id", "click_id", "p_user", "p_ts", "c_ts")
-    return run_to_memory(joined, "she_stream_stream_interval_join", "append")
+    return run_to_memory(joined, "she_stream_stream_interval_join", "append", stream_shuffle_width(spark, sf_dir))
 
 
 @query("stream_dedup_events", oracle=None, tags=("streaming", "dedup"))
@@ -332,7 +369,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique_events"))
-    return run_to_memory(agg, "she_stream_dedup_events", "complete")
+    return run_to_memory(agg, "she_stream_dedup_events", "complete", stream_shuffle_width(spark, sf_dir))
 
 
 @query("stream_hop_15m", oracle=None, tags=("streaming",))
@@ -347,7 +384,7 @@ def stream_hop_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("ws"), "n")
     )
-    return run_to_memory(agg, "she_stream_hop_15m", "complete")
+    return run_to_memory(agg, "she_stream_hop_15m", "complete", stream_shuffle_width(spark, sf_dir))
 
 
 @query("stream_session_native", oracle=None, tags=("streaming", "session"))
@@ -369,7 +406,7 @@ def stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return run_to_memory(agg, "she_stream_session_native", "complete")
+    return run_to_memory(agg, "she_stream_session_native", "complete", stream_shuffle_width(spark, sf_dir))
 
 
 @query(
@@ -476,15 +513,23 @@ def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.rename(tmp, live)  # atomic publish: readers see old or new, never mixed
         shutil.rmtree(retired, ignore_errors=True)
 
-    with tempfile.TemporaryDirectory(prefix="she_upsert_ckpt_") as ckpt:
-        q = (
-            totals.writeStream.foreachBatch(publish)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stream_shuffle_width(spark, sf_dir))
+    )
+    try:
+        with tempfile.TemporaryDirectory(prefix="she_upsert_ckpt_") as ckpt:
+            q = (
+                totals.writeStream.foreachBatch(publish)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(f"{base}/live")
 
 
@@ -513,7 +558,7 @@ def stream_async_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir).select("event_id", "user_id")
     enriched = async_enrich(ev, "user_id", "nation", lookup)
     out = enriched.groupBy("nation").agg(F.count("*").alias("n_events"))
-    return run_to_memory(out, "she_stream_async_enrich", "complete")
+    return run_to_memory(out, "she_stream_async_enrich", "complete", stream_shuffle_width(spark, sf_dir))
 
 
 @query("stream_stream_left_join", oracle=None, tags=("streaming", "join", "outer"))
@@ -559,12 +604,79 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_user").alias("user_id"),
         "click_id",
     )
-    out = run_to_memory(joined, "she_stream_left_join", "append")
+    out = run_to_memory(joined, "she_stream_left_join", "append", stream_shuffle_width(spark, sf_dir))
     return out.groupBy("user_id").agg(
         F.count("*").alias("n_pairs"),
         F.sum(F.when(F.col("click_id").isNull(), 1).otherwise(0)).alias(
             "n_unmatched"
         ),
+    )
+
+
+@query("stream_update_changelog", oracle=None, tags=("streaming", "changelog"))
+def stream_update_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode as a changelog stream — the Flink
+    ``toRetractStream`` / upsert-stream face (SURVEY §1.1 changelog row):
+    each micro-batch emits ONLY the aggregate keys it changed, and a
+    downstream consumer reconstructs the table by last-writer-wins over
+    the (key, epoch) log — exactly the ``cdc_apply_latest`` pattern, here
+    fed by the engine's own streaming output instead of an external CDC
+    feed.
+
+    Input is the 3-file staged stream (date-disjoint micro-batches), so
+    update mode's selectivity is observable: each epoch's changelog
+    carries only that file's (day, event_type) keys — complete mode would
+    re-emit every key every epoch (the test pins the difference). The
+    returned DataFrame is the reconstructed table: per (day, event_type)
+    the latest count/sum, which must equal the batch aggregate.
+    """
+    ensure_runtime_confs(spark)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"she_updlog_{spark.sparkContext.applicationId}_{os.path.basename(sf_dir)}",
+    )
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    raw = _staged_events_stream(spark, sf_dir, "updlog")
+    agg = (
+        raw.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("day_start"), "event_type", "n", "sum_value")
+    )
+
+    def emit(batch_df: DataFrame, epoch_id: int) -> None:
+        # per-epoch overwrite: the changelog write is idempotent under
+        # epoch replay (same contract as stream_sink_exactly_once)
+        batch_df.write.mode("overwrite").parquet(f"{base}/log/epoch={epoch_id}")
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stream_shuffle_width(spark, sf_dir))
+    )
+    try:
+        with tempfile.TemporaryDirectory(prefix="she_updlog_ckpt_") as ckpt:
+            q = (
+                agg.writeStream.foreachBatch(emit)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    from pyspark.sql import Window
+
+    log = spark.read.parquet(f"{base}/log")  # partition col: epoch
+    rk = F.row_number().over(
+        Window.partitionBy("day_start", "event_type").orderBy(F.desc("epoch"))
+    )
+    return (
+        log.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("day_start", "event_type", "n", "sum_value")
     )
 
 
@@ -633,15 +745,23 @@ def stream_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     ev = read_events_stream(spark, sf_dir)
     counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
-    q = (
-        counts.writeStream.format("memory")
-        .queryName("she_state_src")
-        .outputMode("complete")
-        .option("checkpointLocation", base)
-        .trigger(availableNow=True)
-        .start()
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stream_shuffle_width(spark, sf_dir))
     )
-    q.awaitTermination()
+    try:
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("she_state_src")
+            .outputMode("complete")
+            .option("checkpointLocation", base)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     state = spark.read.format("statestore").load(base)
     # key/value are structs in the OPERATOR's layout, not the query's: the
     # value carries the aggregation buffer's internal field names (count(*)

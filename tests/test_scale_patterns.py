@@ -248,3 +248,28 @@ def test_connected_components_width_scales_with_edges(spark):
     assert a == b
     # pairs are (0,1),(2,3),…,(28,29): each component's min is the even id
     assert all(label == v - (v % 2) for v, label in a)
+
+
+def test_stream_shuffle_width_scales_with_input(spark, tmp_path, monkeypatch):
+    """stream_shuffle_width sizes state partitions from input volume:
+    floor 4 on tiny fixtures, growing with bytes, capped at session cores
+    — never a constant that starves a cluster or over-partitions a
+    bounded drain."""
+    import streamline_hybrid_engine_spark.streaming.jobs as jobs
+
+    cores = spark.sparkContext.defaultParallelism
+
+    def fake_size(bytes_):
+        monkeypatch.setattr(
+            jobs.os.path, "getsize", lambda _p: bytes_, raising=True
+        )
+
+    fake_size(1 << 20)  # 1 MB -> floor
+    assert jobs.stream_shuffle_width(spark, "/x") == 4
+    fake_size(40 << 20)  # 40 MB -> 10 partitions (4 MB each)
+    assert jobs.stream_shuffle_width(spark, "/x") == min(cores, 10)
+    fake_size(1 << 40)  # 1 TB -> capped at cores
+    assert jobs.stream_shuffle_width(spark, "/x") == cores
+    monkeypatch.undo()
+    # missing file -> floor, not a crash
+    assert jobs.stream_shuffle_width(spark, "/nonexistent-dir") == 4

@@ -379,3 +379,43 @@ def test_state_checkpoint_restart_resumes_not_reprocesses(
     assert second_rows != first_rows  # state genuinely advanced
     # resume, not reprocess: run 2 ingested only the new file's rows
     assert second_processed == n_b, (second_processed, n_b)
+
+
+def test_update_changelog_reconstructs_batch_and_is_selective(spark, sf_dir):
+    """UPDATE-mode changelog: last-writer-wins reconstruction must equal
+    the batch aggregate, and the raw log must show update-mode
+    SELECTIVITY — each epoch emitted only the keys it touched (the staged
+    micro-batches are date-disjoint, so no key repeats; complete mode
+    would have re-emitted every seen key every epoch)."""
+    import glob
+    import os
+
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    got = {
+        (r.day_start, r.event_type): (r.n, r.sum_value)
+        for r in get_query("stream_update_changelog").fn(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.day_start, r.event_type): (r.n, r.sum_value)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("day_start"), "event_type", "n", "sum_value")
+        .collect()
+    }
+    assert got == batch and len(got) > 0
+    # selectivity: the changelog has exactly one row per key (disjoint
+    # epochs never re-touch a day), across >= 2 epochs
+    base = [
+        d
+        for d in glob.glob(
+            os.path.join(
+                "/tmp", f"she_updlog_{spark.sparkContext.applicationId}_*"
+            )
+        )
+    ][0]
+    epochs = [d for d in os.listdir(f"{base}/log") if d.startswith("epoch=")]
+    assert len(epochs) >= 2, epochs
+    n_log_rows = spark.read.parquet(f"{base}/log").count()
+    assert n_log_rows == len(got), (n_log_rows, len(got))
