@@ -86,14 +86,25 @@ def _sweep_order(qs, correctness_dir: str | None = None) -> list[str]:
         except (OSError, ValueError):
             continue
 
-    def rank(name: str) -> int:
+    def rank(name: str) -> float:
         if qs[name].oracle is None:
             return 3
         if name not in latest_err:
-            return 1
+            # ids added THIS round yield their sweep slots to ids that have
+            # been waiting since earlier rounds (they register early in
+            # module order but joined the queue last); harmless once
+            # stamped — they leave this group entirely
+            return 1.5 if name in _NEW_THIS_ROUND else 1
         return 0 if latest_err[name] else 2
 
     return sorted(qs, key=lambda n: rank(n))  # stable: keeps registry order
+
+
+#: Oracle-backed ids first registered in the CURRENT round — ranked at the
+#: tail of the never-stamped group so long-queued ids stamp first under the
+#: driver's 50-slot cap. Prune entries once they appear in a CORRECTNESS
+#: file (stale entries are benign: the rank only applies while unstamped).
+_NEW_THIS_ROUND = frozenset({"graph_sssp_hops", "llm_chunk_overlap"})
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

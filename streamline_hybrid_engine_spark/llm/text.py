@@ -799,3 +799,64 @@ def llm_langid_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         mism.alias("n_mismatch"),
         F.round(mism.cast("double") / F.count("*"), 6).alias("mismatch_rate"),
     )
+
+
+CHUNK_WINDOW = 128  # tokens per training chunk
+CHUNK_STRIDE = 96   # 32-token overlap between consecutive chunks
+
+
+@query(
+    "llm_chunk_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks), {CHUNK_STRIDE})) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(len(toks[start + 1 : start + {CHUNK_WINDOW}]) AS BIGINT)
+             AS n_chunk_tokens,
+           md5(array_to_string(toks[start + 1 : start + {CHUNK_WINDOW}], ' '))
+             AS chunk_md5,
+           len(toks[start + 1 : start + {CHUNK_WINDOW}]) = {CHUNK_WINDOW}
+             AS is_full
+    FROM s
+    """,
+    tags=("llm", "text", "chunking"),
+)
+def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: cut each document into
+    {CHUNK_WINDOW}-token chunks on a {CHUNK_STRIDE}-token stride (32-token
+    overlap), the standard context-window preparation for embedding /
+    retrieval corpora — the in-document complement to `llm_pack_sequences`
+    (which packs ACROSS documents without overlap).
+
+    The overlap means a sentence straddling a chunk boundary appears
+    whole in the next chunk — dropped chunks lose no contiguous context.
+    `chunk_md5` fingerprints each chunk's exact text (md5 byte-identical
+    cross-engine), so the oracle checks content, not just counts; the
+    trailing partial chunk is flagged via `is_full`.
+
+    100 TB design: one projection + one explode per document — zero
+    shuffle, all codegen (sequence/slice/md5 are JVM built-ins); output
+    scales by ~len/stride ≈ 1.33× the token volume, the expected cost of
+    overlap. Chunks inherit the document's partitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    toks = F.split("text", " ")
+    t = docs.select("doc_id", toks.alias("toks"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(CHUNK_STRIDE)
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, CHUNK_WINDOW)
+    return (
+        t.select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+            (F.size(chunk) == CHUNK_WINDOW).alias("is_full"),
+        )
+    )

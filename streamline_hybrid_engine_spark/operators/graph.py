@@ -346,6 +346,97 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(row, "n_edges bigint, n_triangles bigint")
 
 
+N_SSSP = 4  # hop bound — keeps the oracle's BFS CTE finite
+
+_SSSP_ORACLE = f"""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+und AS (
+  SELECT 'c' || c AS src, 's' || s AS dst FROM edges
+  UNION ALL
+  SELECT 's' || s AS src, 'c' || c AS dst FROM edges
+),
+root AS (SELECT 'c' || min(c) AS v FROM edges),
+walk AS (
+  SELECT v, 0 AS d FROM root
+  UNION
+  SELECT u.dst, w.d + 1 FROM walk w JOIN und u ON u.src = w.v
+  WHERE w.d < {N_SSSP}
+)
+SELECT v AS vertex, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY v
+"""
+
+
+@query("graph_sssp_hops", oracle=_SSSP_ORACLE, tags=("graph", "iterative"))
+def graph_sssp_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded single-source shortest paths over the customer↔supplier
+    trading graph (source = smallest customer id, unit edge weights,
+    ≤ {N_SSSP} hops) — the fourth Gelly staple after PageRank, CC, and
+    triangle counting, and specifically the DELTA-iteration shape
+    (Flink ``DataSet.iterateDelta``, SURVEY §1.1): each round joins the
+    adjacency against only the FRONTIER (vertices first reached last
+    round), not the whole solution set.
+
+    Unit weights make BFS exact: the first round that reaches a vertex
+    assigns its final distance, so the per-round merge is a left-anti
+    join (newly-reached only) and never revises — hop counts are
+    integers, deterministic under any partitioning. The loop stops early
+    when a round reaches nothing new.
+
+    Scale design (100 TB): the adjacency is checkpointed once and never
+    re-shuffles; per round one join frontier⋈adjacency (frontier
+    broadcast while it fits — drop the hint and the same loop runs
+    co-partitioned) + one min-groupBy + one anti join, all bounded by
+    |E|; ``localCheckpoint`` truncates the growing lineage like the CC
+    and PageRank loops. The oracle's recursive CTE uses UNION (set)
+    semantics so its state is bounded by |V|×hops, not walk enumeration.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # same long-id vertex encoding as PageRank (even = customer 2k,
+    # odd = supplier 2k+1): 8-byte keys in the loop, names minted at the end
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    und = edges.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        edges.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    adj = und.localCheckpoint(eager=True)
+    root = edges.agg(F.min("c")).collect()[0][0]  # 1-row scalar, like the
+    # triangle total — the source vertex id, not a data loop
+    dist = spark.createDataFrame([(int(root), 0)], "v long, dist int")
+    frontier = dist
+    for _ in range(N_SSSP):
+        reached = (
+            adj.join(F.broadcast(frontier), adj.src == frontier.v)
+            .groupBy(F.col("dst").alias("nv"))
+            .agg((F.min("dist") + 1).alias("nd"))
+        )
+        fresh = (
+            reached.join(dist, reached.nv == dist.v, "left_anti")
+            .select(F.col("nv").alias("v"), F.col("nd").cast("int").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if fresh.limit(1).count() == 0:
+            break
+        dist = dist.union(fresh).localCheckpoint(eager=True)
+        frontier = fresh
+    name = F.when(
+        F.col("v") % 2 == 0,
+        F.concat(F.lit("c"), (F.col("v") / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("s"), ((F.col("v") - 1) / 2).cast("long").cast("string"))
+    )
+    return dist.select(name.alias("vertex"), F.col("dist").cast("long").alias("dist"))
+
+
 GAP_US = 600_000_000  # 10-minute session-chain gap, in microseconds
 
 _CC_ORACLE = f"""

@@ -104,3 +104,33 @@ def test_triangle_count_partitioning_invariant(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     assert a == b
+
+
+def test_sssp_hops_bfs_invariants(spark, sf_dir):
+    """BFS facts: one root at distance 0; levels within the hop bound and
+    contiguous; level 1 is exactly the root's neighbor set."""
+    import pyspark.sql.functions as F
+
+    from streamline_hybrid_engine_spark.catalog import load_table
+    from streamline_hybrid_engine_spark.operators.graph import N_SSSP
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    rows = get_query("graph_sssp_hops").fn(spark, sf_dir).collect()
+    dists = {r.vertex: r.dist for r in rows}
+    roots = [v for v, d in dists.items() if d == 0]
+    assert len(roots) == 1 and roots[0].startswith("c")
+    assert all(0 <= d <= N_SSSP for d in dists.values())
+    levels = {d for d in dists.values()}
+    assert levels == set(range(max(levels) + 1))  # contiguous BFS levels
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    root_key = int(roots[0][1:])
+    nbrs = {
+        f"s{r.l_suppkey}"
+        for r in o.filter(F.col("o_custkey") == root_key)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .select("l_suppkey")
+        .distinct()
+        .collect()
+    }
+    assert {v for v, d in dists.items() if d == 1} == nbrs

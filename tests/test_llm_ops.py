@@ -369,3 +369,37 @@ def test_hll_merged_estimate_bounds(spark, sf_dir):
     exact = o.select(F.countDistinct("o_custkey")).collect()[0][0]
     assert abs(row.est_total - exact) <= max(3, 0.05 * exact)
     assert row.est_total <= row.sum_segment_exact  # union ≤ sum of segments
+
+
+def test_chunk_overlap_covers_documents(spark, sf_dir):
+    """Chunk accounting: chunks per doc = ceil(n_toks/stride) over starts
+    < n_toks; every non-final chunk is full; the final chunk carries the
+    remainder; chunk 0's fingerprint is the document's first 128 tokens."""
+    import hashlib
+
+    from streamline_hybrid_engine_spark.catalog import load_table
+    from streamline_hybrid_engine_spark.llm.text import CHUNK_STRIDE, CHUNK_WINDOW
+
+    chunks = {}
+    for r in _QS["llm_chunk_overlap"].fn(spark, sf_dir).collect():
+        chunks.setdefault(r.doc_id, []).append(r)
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert set(chunks) == set(docs)
+    for doc_id, rows in chunks.items():
+        toks = docs[doc_id]
+        n = len(toks)
+        rows.sort(key=lambda r: r.chunk_id)
+        # starts are 0, stride, ... <= n-1
+        assert len(rows) == ((n - 1) // CHUNK_STRIDE) + 1
+        for r in rows:
+            start = r.chunk_id * CHUNK_STRIDE
+            expect = min(CHUNK_WINDOW, n - start)
+            assert r.n_chunk_tokens == expect, (doc_id, r, n)
+            assert r.is_full == (expect == CHUNK_WINDOW), (doc_id, r, n)
+        first = " ".join(toks[:CHUNK_WINDOW])
+        assert rows[0].chunk_md5 == hashlib.md5(first.encode()).hexdigest()

@@ -126,6 +126,41 @@ def test_sweep_order_latest_stamp_wins(tmp_path):
     assert order == ["y", "x"]  # y never stamped ranks before green x
 
 
+def test_sweep_order_new_round_ids_yield_slots():
+    """Ids first registered this round rank at the TAIL of the
+    never-stamped group: long-queued ids (the r3 LLM/mm block) must not be
+    displaced from the driver's 50-slot sweep by registry-order accident."""
+    import glob
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import _NEW_THIS_ROUND, _sweep_order
+
+    qs = all_queries()
+    order = _sweep_order(qs)
+    pos = {n: i for i, n in enumerate(order)}
+    stamped = set()
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        stamped.update(json.load(open(path)))
+    new_ids = [n for n in order if n in _NEW_THIS_ROUND and n not in stamped]
+    if not new_ids:
+        return  # all tail-listed ids stamped by a later round — rule is moot
+    fresh_old = [
+        n
+        for n in order
+        if qs[n].oracle is not None
+        and n not in stamped
+        and n not in _NEW_THIS_ROUND
+    ]
+    assert fresh_old, "no never-stamped old ids left — prune _NEW_THIS_ROUND"
+    worst_old = max(fresh_old, key=pos.get)
+    best_new = min(new_ids, key=pos.get)
+    assert pos[worst_old] < pos[best_new], (
+        f"new id {best_new}@{pos[best_new]} displaces {worst_old}@{pos[worst_old]}"
+    )
+
+
 def test_sweep_order_live_repo_state():
     """r4 expectation on the real CORRECTNESS files: the two prior-ERR ids
     lead the sweep (both are oracle-backed now), followed only by
