@@ -104,7 +104,14 @@ def _sweep_order(qs, correctness_dir: str | None = None) -> list[str]:
 #: tail of the never-stamped group so long-queued ids stamp first under the
 #: driver's 50-slot cap. Prune entries once they appear in a CORRECTNESS
 #: file (stale entries are benign: the rank only applies while unstamped).
-_NEW_THIS_ROUND = frozenset({"graph_sssp_hops", "llm_chunk_overlap"})
+_NEW_THIS_ROUND = frozenset(
+    {
+        "graph_sssp_hops",
+        "llm_chunk_overlap",
+        "dq_expectations_orders",
+        "fn_url_bundle",
+    }
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

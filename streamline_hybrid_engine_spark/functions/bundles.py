@@ -474,3 +474,64 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("int").alias("max_k"),
         )
     )
+
+
+@query(
+    "fn_url_bundle",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang || '&v=2#sec1' AS url,
+             source, lang
+      FROM documents
+    )
+    SELECT doc_id,
+           url,
+           source || '.example.com' AS host,
+           '/docs/' || doc_id AS path,
+           'lang=' || lang || '&v=2' AS query,
+           lang AS q_lang,
+           'https' AS protocol,
+           'sec1' AS fragment
+    FROM u
+    """,
+    tags=("functions", "url"),
+)
+def fn_url_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function surface (web-corpus pipelines live on this): assemble a
+    deterministic URL per document, then take it apart with `parse_url`
+    (HOST / PATH / QUERY / keyed QUERY / PROTOCOL / REF) — the JVM's
+    java.net parser inside codegen, the operator a crawl-derived corpus
+    uses for host-level dedup, per-domain sampling, and canonicalization.
+
+    The oracle cannot parse URLs (no parse_url in DuckDB); it states the
+    expected parts from the same construction instead — Spark must
+    round-trip assemble→parse back to exactly those strings, so a parser
+    quirk (dropped fragment, query-key miss, scheme case) hash-fails.
+    Zero shuffle, zero Python.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=2#sec1"),
+    )
+    part = lambda p: F.parse_url(F.col("url"), F.lit(p))  # noqa: E731
+    return (
+        docs.select("doc_id", url.alias("url"))
+        .select(
+            "doc_id",
+            "url",
+            part("HOST").alias("host"),
+            part("PATH").alias("path"),
+            part("QUERY").alias("query"),
+            F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
+            part("PROTOCOL").alias("protocol"),
+            part("REF").alias("fragment"),
+        )
+    )

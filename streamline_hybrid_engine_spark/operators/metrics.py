@@ -141,3 +141,101 @@ def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(cols)}, {stack}) AS (col_name, n_nulls, n_distinct)"
         )
     )
+
+
+@query(
+    "dq_expectations_orders",
+    oracle="""
+    SELECT 'orderkey_unique' AS constraint_name,
+           count(*) = count(DISTINCT o_orderkey) AS passed,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_fk_in_customer',
+           count(*) = 0,
+           CAST(count(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'totalprice_positive',
+           count(*) = 0,
+           CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_totalprice <= 0
+    UNION ALL
+    SELECT 'orderdate_in_range',
+           count(*) = 0,
+           CAST(count(*) AS BIGINT)
+    FROM orders
+    WHERE o_orderdate < DATE '1992-01-01' OR o_orderdate > DATE '1998-12-31'
+    UNION ALL
+    SELECT 'status_in_domain',
+           count(*) = 0,
+           CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_orderstatus NOT IN ('O', 'F', 'P')
+    """,
+    tags=("metrics", "quality", "expectations"),
+)
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (the Deequ/dbt-test
+    pattern): key uniqueness, FK containment, value range, date range, and
+    domain membership over ``orders``, each emitted as
+    (constraint_name, passed, n_violations) — the validation gate a
+    training-data pipeline runs before a table is allowed downstream.
+
+    All five constraints evaluate in ONE aggregation pass over orders plus
+    one broadcast semi-join for the FK check (conditional-count aggregates
+    — never five scans; the oracle's UNION ALL scans per constraint
+    instead, same rows). At 100 TB the shape is unchanged: conditional
+    counts ride the scan map-side, the FK probe broadcasts the dimension's
+    key column.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cust_keys = (
+        load_table(spark, sf_dir, "customer").select("c_custkey").distinct()
+    )
+    flagged = o.join(
+        F.broadcast(cust_keys),
+        o.o_custkey == cust_keys.c_custkey,
+        "left",
+    ).select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderstatus",
+        F.col("c_custkey").isNull().alias("fk_miss"),
+    )
+    viol = [
+        ("orderkey_unique", F.count("*") - F.countDistinct("o_orderkey")),
+        ("custkey_fk_in_customer", F.sum(F.when(F.col("fk_miss"), 1).otherwise(0))),
+        (
+            "totalprice_positive",
+            F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)),
+        ),
+        (
+            "orderdate_in_range",
+            F.sum(
+                F.when(
+                    (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+                    | (F.col("o_orderdate") > F.lit("1998-12-31").cast("date")),
+                    1,
+                ).otherwise(0)
+            ),
+        ),
+        (
+            "status_in_domain",
+            F.sum(
+                F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+            ),
+        ),
+    ]
+    wide = flagged.agg(
+        *[expr.cast("long").alias(f"v{i}") for i, (_, expr) in enumerate(viol)]
+    )
+    stack = ", ".join(f"'{name}', v{i}" for i, (name, _) in enumerate(viol))
+    return wide.select(
+        F.expr(f"stack({len(viol)}, {stack}) AS (constraint_name, n_violations)")
+    ).select(
+        "constraint_name",
+        (F.col("n_violations") == 0).alias("passed"),
+        "n_violations",
+    )

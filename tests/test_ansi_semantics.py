@@ -104,3 +104,19 @@ def test_kafka_value_codec_roundtrips_without_broker(spark, sf_dir):
     orig = sorted(map(tuple, ev.collect()))
     rt = sorted(map(tuple, back.collect()))
     assert rt == orig
+
+
+def test_avro_builder_fails_clearly_without_module(spark, tmp_path):
+    """spark-avro is external to the distribution and absent here; both
+    builders must raise the documented error, not a raw classpath stack."""
+    from streamline_hybrid_engine_spark.sources.avro import (
+        AvroModuleMissing,
+        read_avro,
+        write_avro,
+    )
+
+    with pytest.raises(AvroModuleMissing, match="spark-avro"):
+        read_avro(spark, str(tmp_path / "in.avro"))
+    df = spark.range(3)
+    with pytest.raises(AvroModuleMissing, match="spark-avro"):
+        write_avro(df, str(tmp_path / "out.avro"))
