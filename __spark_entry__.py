@@ -110,6 +110,7 @@ _NEW_THIS_ROUND = frozenset(
         "llm_chunk_overlap",
         "dq_expectations_orders",
         "fn_url_bundle",
+        "scan_blob_datasource",
     }
 )
 

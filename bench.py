@@ -70,6 +70,10 @@ HEADLINE = (
     "llm_embedding_gram",          # corpus gram matrix (PCA distributed half)
     "llm_boilerplate_grams",       # cross-doc boilerplate inverted index
     "join_range_binned",           # bucketized interval join (scale form)
+    # round-4 additions (baselines in BASELINE.md §A.1 r4 block)
+    "graph_sssp_hops",             # frontier/delta-iteration BFS
+    "llm_chunk_overlap",           # sliding-window chunking, zero shuffle
+    "dq_expectations_orders",      # one-pass expectation suite
 )
 
 #: BASELINE.md §A.1 rows (sf0.1 full-sequence medians, seconds) — kept in
@@ -110,6 +114,9 @@ BASELINE_SEC = {
     "llm_embedding_gram": 0.74,
     "llm_boilerplate_grams": 1.36,
     "join_range_binned": 0.99,
+    "graph_sssp_hops": 4.07,
+    "llm_chunk_overlap": 0.28,
+    "dq_expectations_orders": 0.64,
 }
 
 

@@ -111,3 +111,111 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("score").alias("sum_score"),
         F.max("score").alias("max_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Blob store source: BinaryType payloads + typed metadata (SURVEY §4.2's
+# "v2 DataSource for multimodal blobs", realized on the Python DS API)
+
+MODALITIES = ("image", "audio", "video")
+BLOBS_PER_MODALITY = 200
+BLOB_SHARDS = 4  # partitions per modality — 12 independent read tasks
+
+
+def _blob_bytes(modality: str, blob_id: int) -> bytes:
+    """Deterministic ASCII payload: the repeated '<modality>-<id>-' tag
+    truncated to 64 + (id*37 mod 448) bytes — reproducible from the row
+    KEY alone, so the oracle can rebuild and hash the exact bytes."""
+    n = 64 + (blob_id * 37) % 448
+    pat = f"{modality}-{blob_id}-"
+    return (pat * (n // len(pat) + 1))[:n].encode("ascii")
+
+
+def _register_blob(spark: SparkSession) -> None:
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _BlobPart(InputPartition):
+        def __init__(self, modality: str, mi: int, start: int, end: int) -> None:
+            self.modality, self.mi = modality, mi
+            self.start, self.end = start, end
+
+    class BlobStoreReader(DataSourceReader):
+        def __init__(self, options) -> None:
+            self.per_mod = int(options.get("per_modality", BLOBS_PER_MODALITY))
+            self.shards = int(options.get("shards", BLOB_SHARDS))
+
+        def partitions(self):
+            step = -(-self.per_mod // self.shards)  # ceil
+            return [
+                _BlobPart(m, mi, s, min(s + step, self.per_mod))
+                for mi, m in enumerate(MODALITIES)
+                for s in range(0, self.per_mod, step)
+            ]
+
+        def read(self, part):
+            for j in range(part.start, part.end):
+                blob_id = part.mi * self.per_mod + j
+                yield (blob_id, part.modality, _blob_bytes(part.modality, blob_id))
+
+    class BlobStoreSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "blob_store"
+
+        def schema(self) -> str:
+            return "blob_id BIGINT, modality STRING, payload BINARY"
+
+        def reader(self, schema):
+            return BlobStoreReader(self.options)
+
+    try:
+        spark.dataSource.register(BlobStoreSource)
+    except Exception:
+        pass  # already registered in this session
+
+
+@query(
+    "scan_blob_datasource",
+    oracle=f"""
+    WITH b AS (
+      SELECT m.modality, m.mi * {BLOBS_PER_MODALITY} + j.j AS blob_id
+      FROM (VALUES ('image', 0), ('audio', 1), ('video', 2)) m(modality, mi),
+           (SELECT unnest(range(0, {BLOBS_PER_MODALITY})) AS j) j
+    )
+    SELECT blob_id, modality,
+           CAST(64 + (blob_id * 37) % 448 AS BIGINT) AS n_bytes,
+           md5(substr(repeat(modality || '-' || blob_id || '-', 64),
+                      1, 64 + (blob_id * 37) % 448)) AS payload_md5
+    FROM b
+    """,
+    tags=("sources", "datasource", "multimodal"),
+)
+def scan_blob_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom BLOB source: BinaryType payloads with typed metadata through
+    the Python Data Source API — the multimodal ingestion face of
+    `scan_python_datasource` (SURVEY §4.2's "v2 DataSource for multimodal
+    blobs"). Partition planning is (modality × shard): 12 independent read
+    tasks, no driver bottleneck, exactly how a real object-store listing
+    would shard (prefix × key range); a real connector swaps
+    `_blob_bytes` for a GET.
+
+    The contract row hashes every payload (`md5` over the BINARY column,
+    JVM-side) next to its byte length; the oracle rebuilds the exact bytes
+    from the row key and hashes the same string — so the check covers the
+    full path: split planning, per-partition generation, Arrow binary
+    transfer, and byte-precise payload integrity. The mm_* kernels
+    (`mm_decode_meta`, `mm_ahash_dedup`) consume exactly this column
+    shape downstream.
+    """
+    _register_blob(spark)
+    df = spark.read.format("blob_store").load()
+    return df.select(
+        "blob_id",
+        "modality",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )

@@ -206,3 +206,30 @@ def test_skew_kurtosis_matches_native_within_tolerance(spark, sf_dir):
     for flag, (sk, ku) in got.items():
         assert abs(sk - native[flag][0]) < 1e-4
         assert abs(ku - native[flag][1]) < 1e-4
+
+
+def test_blob_datasource_partitions_and_payloads(spark, sf_dir):
+    """Blob source plumbing: (modality × shard) split planning yields 12
+    independent read tasks, and every payload's bytes round-trip Arrow
+    exactly as _blob_bytes generated them."""
+    from streamline_hybrid_engine_spark.sources.pydatasource import (
+        BLOB_SHARDS,
+        BLOBS_PER_MODALITY,
+        MODALITIES,
+        _blob_bytes,
+        _register_blob,
+    )
+
+    _register_blob(spark)
+    df = spark.read.format("blob_store").load()
+    assert df.rdd.getNumPartitions() == len(MODALITIES) * BLOB_SHARDS
+    rows = df.collect()
+    assert len(rows) == len(MODALITIES) * BLOBS_PER_MODALITY
+    for r in rows[:20]:
+        assert bytes(r.payload) == _blob_bytes(r.modality, r.blob_id)
+    # modality blocks are contiguous id ranges (mi*per + j)
+    for mi, m in enumerate(MODALITIES):
+        ids = sorted(r.blob_id for r in rows if r.modality == m)
+        assert ids == list(
+            range(mi * BLOBS_PER_MODALITY, (mi + 1) * BLOBS_PER_MODALITY)
+        )

@@ -22,7 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import BASELINE_SEC  # noqa: E402
 
-STEAL_CONTENTION_S = 5.0
+#: contention rule: steal above max(2 s, 5% of the window's busy-cpu time)
+#: marks a breach HOST-CONTENDED. Absolute floor for heavy queries, relative
+#: term for sub-second ones (2.5 s of steal in a 3-run window of a 0.4 s
+#: query IS the distortion; the same 2.5 s under 300 busy-cpu-s is not).
+STEAL_FLOOR_S = 2.0
+STEAL_BUSY_FRAC = 0.05
 
 
 def main() -> int:
@@ -41,7 +46,9 @@ def main() -> int:
         steal = t.get("steal_s")
         flag = ""
         if ratio and ratio > args.gate:
-            contended = steal is not None and steal > STEAL_CONTENTION_S
+            busy = t.get("busy_cpu_s") or 0.0
+            bar = max(STEAL_FLOOR_S, STEAL_BUSY_FRAC * busy)
+            contended = steal is not None and steal > bar
             flag = "HOST-CONTENDED" if contended else "BREACH"
             if not contended:
                 unexplained.append(name)
