@@ -100,10 +100,11 @@ def _sweep_order(qs, correctness_dir: str | None = None) -> list[str]:
     return sorted(qs, key=lambda n: rank(n))  # stable: keeps registry order
 
 
-#: Oracle-backed ids first registered in the CURRENT round — ranked at the
-#: tail of the never-stamped group so long-queued ids stamp first under the
-#: driver's 50-slot cap. Prune entries once they appear in a CORRECTNESS
-#: file (stale entries are benign: the rank only applies while unstamped).
+#: Oracle-backed ids whose oracle was FIRST ADDED in the current round —
+#: ranked at the tail of the never-stamped group so long-queued ids stamp
+#: first under the driver's 50-slot cap. Prune entries once they appear in
+#: a CORRECTNESS file (stale entries are benign: the rank only applies
+#: while unstamped).
 _NEW_THIS_ROUND = frozenset(
     {
         "graph_sssp_hops",
@@ -111,6 +112,8 @@ _NEW_THIS_ROUND = frozenset(
         "dq_expectations_orders",
         "fn_url_bundle",
         "scan_blob_datasource",
+        "win_session_two_phase",
+        "agg_hll_merge",  # rows-only r3 → error-bound oracle r4
     }
 )
 

@@ -717,25 +717,49 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SKEW_SQL)
 
 
-@query("agg_hll_merge", oracle=None, tags=("agg", "approx", "sketch"))
+@query(
+    "agg_hll_merge",
+    oracle="""
+    SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_total,
+           CAST((SELECT sum(n) FROM (
+              SELECT count(DISTINCT o_custkey) AS n
+              FROM orders GROUP BY o_orderstatus)) AS BIGINT)
+             AS sum_segment_exact,
+           TRUE AS merged_within_5pct
+    FROM orders
+    """,
+    tags=("agg", "approx", "sketch"),
+)
 def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit HLL sketch workflow (Datasketches): per-segment sketches
     built with `hll_sketch_agg`, MERGED with `hll_union_agg`, estimated
     with `hll_sketch_estimate` — the two-level shape a 100 TB pipeline
     stores (sketch per partition/day, union at query time) which
-    `approx_count_distinct`'s one-shot form can't express. Rows-only by
-    design (sketch estimates have no cross-engine oracle); the companion
-    test bounds the merged estimate against the exact distinct count."""
+    `approx_count_distinct`'s one-shot form can't express.
+
+    ERROR-BOUND oracle (same pattern as agg_approx_users): the merged
+    estimate itself has no cross-engine oracle, but the sketch CONTRACT —
+    union-then-estimate lands within 5% of the true global distinct — is
+    checked Spark-side and pinned TRUE by the oracle, next to two exact
+    anchors (global distinct; sum of per-segment distincts, which
+    over-counts customers ordering in several statuses — the overlap the
+    union dedups). Datasketches HLL is hash-based and order-insensitive:
+    deterministic for a fixture, the verdict cannot flake."""
     o = load_table(spark, sf_dir, "orders")
     per_seg = o.groupBy("o_orderstatus").agg(
         F.expr("hll_sketch_agg(o_custkey)").alias("sk"),
-        F.countDistinct("o_custkey").alias("exact_distinct"),
+        F.countDistinct("o_custkey").alias("seg_exact"),
     )
+    exact = o.agg(F.countDistinct("o_custkey").alias("exact_total"))
     merged = per_seg.agg(
-        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_total"),
-        F.sum("exact_distinct").alias("sum_segment_exact"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+        F.sum("seg_exact").alias("sum_segment_exact"),
     )
-    return merged.select(
-        F.col("est_total").cast("long").alias("est_total"),
+    return merged.crossJoin(exact).select(
+        "exact_total",
         "sum_segment_exact",
+        (
+            F.abs(F.col("est") - F.col("exact_total"))
+            <= F.col("exact_total") * F.lit(0.05)
+        ).alias("merged_within_5pct"),
     )

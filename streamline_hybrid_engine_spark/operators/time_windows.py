@@ -120,6 +120,117 @@ def win_session_30m_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute gap, in microseconds
+SESSION_SALT_BUCKET_US = 6 * 3600 * 1_000_000  # 6-hour time-salt buckets
+
+
+@query(
+    "win_session_two_phase",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                      >= INTERVAL '30 minutes'
+                  OR lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), numbered AS (
+      SELECT user_id, uts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY uts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           min(uts) AS session_start,
+           max(uts) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+    tags=("timewindow", "session", "skew"),
+)
+def win_session_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase sessionization (SURVEY §4.2's
+    "session-window skew salting", realized): identical sessions to
+    `win_session_30m_batch`, different physical plan for the hot-key case.
+
+    Native `session_window` (and the single gaps-and-islands window) hash
+    ALL of a user's events to one task — a bot user with 10⁸ events is a
+    straggler no AQE can split, because sessionization looks
+    order-dependent. It isn't: session merging is ASSOCIATIVE. Phase 1
+    sessionizes within (user, 6-hour time bucket) — the bucket is a
+    DETERMINISTIC salt, so the hottest key now bounds a task at one user ×
+    6 hours — emitting partial sessions (start, last_ts, n). Phase 2
+    re-merges ONLY the partials (rows = sessions, orders of magnitude
+    fewer than events) per user: a partial chains to its predecessor iff
+    its start is < gap after the predecessor's last event — exactly the
+    within-run criterion, because time-bucketing preserves event order, so
+    a bucket boundary can only split a run between two CONSECUTIVE events
+    and the merge test re-applies the same gap predicate to that same
+    event pair. Oracle: the standard single-pass gaps-and-islands — the
+    rewrite must be invisible.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    us = F.unix_micros("ts")
+    bucketed = ev.withColumn(
+        "bucket", F.floor(us / F.lit(SESSION_SALT_BUCKET_US))
+    ).withColumn("us", us)
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy("user_id", "bucket").orderBy("us", "event_id")
+    brk = (
+        F.when(
+            F.lag("us").over(w1).isNull()
+            | ((F.col("us") - F.lag("us").over(w1)) >= SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+    )
+    sid = F.sum(brk).over(
+        Window.partitionBy("user_id", "bucket")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    partials = (
+        bucketed.withColumn("sid", sid)
+        .groupBy("user_id", "bucket", "sid")
+        .agg(
+            F.min("us").alias("p_start"),
+            F.max("us").alias("p_last"),
+            F.count("*").alias("p_n"),
+        )
+    )
+    # phase 2 over partial sessions only: time order is (p_start) — buckets
+    # are disjoint time ranges, so partials of one user never interleave
+    w2 = Window.partitionBy("user_id").orderBy("p_start", "bucket", "sid")
+    brk2 = (
+        F.when(
+            F.lag("p_last").over(w2).isNull()
+            | ((F.col("p_start") - F.lag("p_last").over(w2)) >= SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+    )
+    gid = F.sum(brk2).over(
+        Window.partitionBy("user_id")
+        .orderBy("p_start", "bucket", "sid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        partials.withColumn("gid", gid)
+        .groupBy("user_id", "gid")
+        .agg(
+            F.timestamp_micros(F.min("p_start")).alias("session_start"),
+            F.timestamp_micros(F.max("p_last") + SESSION_GAP_US).alias(
+                "session_end"
+            ),
+            F.sum("p_n").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
 @query(
     "cep_lite_error_after_purchase",
     oracle="""

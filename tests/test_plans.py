@@ -191,3 +191,47 @@ def test_gram_matrix_partial_aggregates_before_exchange(spark, sf_dir):
     p = plan(spark, sf_dir, "llm_embedding_gram")
     assert "partial_" in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dq_expectations_single_pass_one_fact_scan(spark, sf_dir):
+    """The five constraints must ride ONE orders scan (conditional-count
+    aggregates) plus one broadcast of the customer key column — never five
+    scans like the oracle's UNION ALL."""
+    p = plan(spark, sf_dir, "dq_expectations_orders")
+    assert p.count("orders.parquet") == 1, p
+    assert "BroadcastExchange" in p or "BroadcastHashJoin" in p
+
+
+def test_url_bundle_zero_shuffle(spark, sf_dir):
+    """parse_url is row-local; the bundle must plan with no KEYED exchange
+    — the only allowed Exchange is parallelize_compute's round-robin
+    repartition of the single-row-group fixture (not a data shuffle)."""
+    p = plan(spark, sf_dir, "fn_url_bundle")
+    assert "Exchange hashpartitioning" not in p, p
+    assert "Exchange rangepartitioning" not in p, p
+
+
+def test_chunk_overlap_zero_shuffle(spark, sf_dir):
+    """Chunking is an explode per document: no keyed exchange — chunks
+    inherit the document partitioning (round-robin fixture repartition
+    excepted, as above)."""
+    p = plan(spark, sf_dir, "llm_chunk_overlap")
+    assert "Exchange hashpartitioning" not in p, p
+    assert "Exchange rangepartitioning" not in p, p
+    assert "Generate explode" in p or "Generate" in p
+
+
+def test_sssp_frontier_broadcasts_never_reshuffles_adjacency(spark, sf_dir):
+    """Delta iteration: each round broadcasts the frontier against the
+    checkpointed adjacency — the adjacency must never re-shuffle (no
+    hashpartitioning exchange on its src column feeding the join)."""
+    import pyspark.sql.functions as F
+
+    from streamline_hybrid_engine_spark.operators.graph import graph_sssp_hops
+
+    df = graph_sssp_hops(spark, sf_dir)
+    p = executed_plan(df)
+    # final select over the distance table: the per-round joins already ran
+    # (driver loop); what remains must be scan-of-checkpoint + project
+    assert "BroadcastNestedLoop" not in p
+    assert df.filter(F.col("dist") == 0).count() == 1

@@ -273,3 +273,22 @@ def test_stream_shuffle_width_scales_with_input(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
     # missing file -> floor, not a crash
     assert jobs.stream_shuffle_width(spark, "/nonexistent-dir") == 4
+
+
+def test_two_phase_sessions_equal_native_and_salt_the_shuffle(spark, sf_dir):
+    """The skew rewrite must be invisible in values (== native
+    session_window output) and visible in the plan: phase 1's window
+    partitions on (user_id, bucket) — the deterministic time salt — so no
+    single task owns a whole hot user."""
+    from streamline_hybrid_engine_spark.plans import executed_plan
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    two = get_query("win_session_two_phase").fn(spark, sf_dir)
+    native = get_query("win_session_30m_batch").fn(spark, sf_dir)
+    a = sorted(map(tuple, two.collect()))
+    b = sorted(map(tuple, native.collect()))
+    assert a == b and len(a) > 0
+    import re
+
+    p = executed_plan(two)
+    assert re.search(r"Exchange hashpartitioning\(user_id#\d+L?, bucket#", p), p
