@@ -680,6 +680,95 @@ def stream_update_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("stream_dynamic_rules", oracle=None, tags=("streaming", "broadcast-state"))
+def stream_dynamic_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic rule reconfiguration without restart — the Flink
+    BROADCAST-STATE pattern (BroadcastProcessFunction: a low-volume
+    control stream updates rules that a high-volume data stream is matched
+    against). Spark's micro-batch analog needs no special state: each
+    ``foreachBatch`` epoch RE-READS the current rules table (a tiny
+    broadcast-joined snapshot), so a rules publish between epochs takes
+    effect at the next micro-batch — the same freshness contract as
+    Flink's broadcast channel, minus any custom operator.
+
+    The job proves the reconfiguration in-band: epoch 0 runs with rule set
+    v1 (flag events with value >= 8) and its commit PUBLISHES v2 (per-type
+    thresholds, purchases >= 2); later epochs visibly match under v2. The
+    returned DataFrame aggregates the per-epoch matched rows by
+    (epoch, rule_version) — the test pins that epoch 0 used v1, epochs > 0
+    used v2, and that every match satisfied its epoch's own rules.
+
+    Scale: rules are dimension-sized (broadcast join per epoch); the data
+    stream never shuffles; re-reading rules per epoch costs one tiny scan
+    per micro-batch — the price of restart-free reconfiguration.
+    """
+    ensure_runtime_confs(spark)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"she_rules_{spark.sparkContext.applicationId}_{os.path.basename(sf_dir)}",
+    )
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+
+    def publish_rules(version: int, rules: list[tuple[str, float]]) -> None:
+        # atomic publish via temp-dir rename (same pattern as the upsert sink)
+        tmp = f"{base}/_rules_staging_{version}"
+        spark.createDataFrame(
+            [(et, thr, version) for et, thr in rules],
+            "event_type string, min_value double, rule_version int",
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        live, retired = f"{base}/rules", f"{base}/_rules_retired_{version}"
+        if os.path.exists(live):
+            os.rename(live, retired)
+        os.rename(tmp, live)
+        shutil.rmtree(retired, ignore_errors=True)
+
+    # v1: one catch-all threshold per known type
+    publish_rules(
+        1, [(t, 8.0) for t in ("view", "click", "purchase", "signup", "error")]
+    )
+
+    def match_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        rules = F.broadcast(spark.read.parquet(f"{base}/rules"))
+        matched = (
+            batch_df.join(rules, "event_type")
+            .filter(F.col("value") >= F.col("min_value"))
+            .select(
+                "event_id",
+                "event_type",
+                "value",
+                "rule_version",
+                F.lit(epoch_id).alias("epoch"),
+            )
+        )
+        matched.write.mode("overwrite").parquet(f"{base}/out/epoch={epoch_id}")
+        if epoch_id == 0:
+            # the control-plane update: takes effect from the NEXT epoch
+            publish_rules(2, [("purchase", 2.0), ("error", 0.0)])
+
+    raw = _staged_events_stream(spark, sf_dir, "rules")
+    with tempfile.TemporaryDirectory(prefix="she_rules_ckpt_") as ckpt:
+        q = (
+            raw.select("event_id", "event_type", "value")
+            .writeStream.foreachBatch(match_epoch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.read.parquet(f"{base}/out")  # partition col: epoch
+    return (
+        out.groupBy("epoch", "rule_version")
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.round(F.min("value"), 6).alias("min_matched_value"),
+        )
+        .select("epoch", "rule_version", "n_matched", "min_matched_value")
+    )
+
+
 #: RocksDB state store provider (SURVEY §4.1 checkpointing row) — Flink's
 #: production state backend is RocksDB with incremental checkpoints; Spark
 #: ships the same backend for Structured Streaming state. HDFS-backed

@@ -419,3 +419,21 @@ def test_update_changelog_reconstructs_batch_and_is_selective(spark, sf_dir):
     assert len(epochs) >= 2, epochs
     n_log_rows = spark.read.parquet(f"{base}/log").count()
     assert n_log_rows == len(got), (n_log_rows, len(got))
+
+
+def test_dynamic_rules_reconfigure_between_epochs(spark, sf_dir):
+    """Broadcast-state analog: epoch 0 must match under rule set v1, every
+    later epoch under v2 (published by epoch 0's commit), and each match
+    must satisfy its epoch's own thresholds."""
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    rows = get_query("stream_dynamic_rules").fn(spark, sf_dir).collect()
+    assert rows
+    epochs = {r.epoch for r in rows}
+    assert 0 in epochs and len(epochs) >= 2, epochs
+    for r in rows:
+        expected_version = 1 if r.epoch == 0 else 2
+        assert r.rule_version == expected_version, r
+        floor = 8.0 if r.rule_version == 1 else 0.0
+        assert r.min_matched_value >= floor, r
+        assert r.n_matched > 0, r
