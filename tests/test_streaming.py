@@ -437,3 +437,48 @@ def test_dynamic_rules_reconfigure_between_epochs(spark, sf_dir):
         floor = 8.0 if r.rule_version == 1 else 0.0
         assert r.min_matched_value >= floor, r
         assert r.n_matched > 0, r
+
+
+def test_state_store_read_works_over_rocksdb_checkpoints(spark, sf_dir, tmp_path):
+    """The State Data Source must read a ROCKSDB-backed checkpoint (a
+    different on-disk format than the default provider's .delta files)
+    back to the same aggregate state."""
+    import os
+
+    from streamline_hybrid_engine_spark.streaming.jobs import (
+        ROCKSDB_PROVIDER,
+        read_events_stream,
+        state_provider,
+        stream_shuffle_width,
+    )
+
+    ckpt = str(tmp_path / "rocks_state")
+    ev = read_events_stream(spark, sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    with state_provider(spark, ROCKSDB_PROVIDER):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("she_rocks_state_src")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    got = {
+        (r["key"]["user_id"], r["key"]["event_type"]): r["value"]["count"]
+        for r in state.collect()
+    }
+    batch = {
+        (r.user_id, r.event_type): r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == batch and len(got) > 0
+    state_files = [
+        f for dp, _, fs in os.walk(os.path.join(ckpt, "state")) for f in fs
+    ]
+    assert any(f.endswith((".zip", ".sst")) for f in state_files)
