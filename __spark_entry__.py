@@ -114,6 +114,7 @@ _NEW_THIS_ROUND = frozenset(
         "scan_blob_datasource",
         "win_session_two_phase",
         "agg_hll_merge",  # rows-only r3 → error-bound oracle r4
+        "cep_absence_no_error_after_purchase",
     }
 )
 

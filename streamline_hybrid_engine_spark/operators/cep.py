@@ -309,3 +309,63 @@ def cep_pattern_abc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
         stream_shuffle_width(spark, sf_dir),
     )
+
+
+ABSENCE_WINDOW_US = 30 * 60 * 1_000_000  # notFollowedBy ... within 30 minutes
+
+
+@query(
+    "cep_absence_no_error_after_purchase",
+    oracle=f"""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND NOT EXISTS (
+        SELECT 1 FROM events e
+        WHERE e.user_id = p.user_id
+          AND e.event_type = 'error'
+          AND CAST(e.ts AS TIMESTAMP) > CAST(p.ts AS TIMESTAMP)
+          AND epoch_us(CAST(e.ts AS TIMESTAMP))
+                - epoch_us(CAST(p.ts AS TIMESTAMP)) <= {ABSENCE_WINDOW_US}
+      )
+    """,
+    tags=("cep", "absence"),
+)
+def cep_absence_no_error_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABSENCE pattern — Flink CEP's ``notFollowedBy(...).within(30 min)``
+    (the famously-hard negative pattern: you can only assert "no error
+    followed" once the window has fully elapsed): purchases with NO error
+    event by the same user in the following 30 minutes — the
+    clean-checkout detector, complement of `cep_lite_error_after_purchase`.
+
+    Relationally, absence-within-window is an interval ANTI-join: probe
+    purchases against same-user errors in (ts, ts+30 min], keep the
+    non-matched. On a bounded input that is the complete answer; in
+    streaming the same predicate needs the watermark to pass ts+30 min
+    before a purchase may emit (the event-time timer Flink's NFA arms) —
+    the stream-stream left-outer join (`stream_stream_left_join`) is the
+    machinery that provides exactly that.
+
+    Scale: equi-key (user_id) anti-join with a time predicate — shuffles
+    bounded by |events|; a skew-heavy corpus applies the binned-range
+    rewrite (`join_range_binned`) to the probe side unchanged.
+    """
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    cond = (
+        (p.user_id == e.e_user)
+        & (e.e_ts > p.purchase_ts)
+        & (
+            F.unix_micros(e.e_ts) - F.unix_micros(p.purchase_ts)
+            <= ABSENCE_WINDOW_US
+        )
+    )
+    return p.join(e, cond, "left_anti")

@@ -105,3 +105,42 @@ def test_streaming_twin_equals_batch(spark, sf_dir):
         tuple(r) for r in qs["cep_pattern_abc_stream"].fn(spark, sf_dir).collect()
     }
     assert batch == stream and len(batch) > 0
+
+
+def test_absence_complements_presence(spark, sf_dir):
+    """The absence anti-join must be the exact complement of the
+    presence semi-join under the SAME interval predicate (error by the
+    same user in (ts, ts+30 min]) — together they partition the purchase
+    set. (cep_lite uses different semantics — strict contiguity, 10 min —
+    so the complement is asserted against the predicate itself.)"""
+    import pyspark.sql.functions as F
+
+    from streamline_hybrid_engine_spark.catalog import load_table
+    from streamline_hybrid_engine_spark.operators.cep import ABSENCE_WINDOW_US
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    cond = (
+        (p.user_id == e.e_user)
+        & (e.e_ts > p.purchase_ts)
+        & (F.unix_micros(e.e_ts) - F.unix_micros(p.purchase_ts) <= ABSENCE_WINDOW_US)
+    )
+    with_err = {r.purchase_id for r in p.join(e, cond, "left_semi").collect()}
+    without = {
+        r.purchase_id
+        for r in get_query("cep_absence_no_error_after_purchase")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    all_purchases = {r.purchase_id for r in p.collect()}
+    assert with_err.isdisjoint(without)
+    assert with_err | without == all_purchases
+    assert with_err and without  # fixture exercises both branches
