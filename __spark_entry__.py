@@ -115,6 +115,7 @@ _NEW_THIS_ROUND = frozenset(
         "win_session_two_phase",
         "agg_hll_merge",  # rows-only r3 → error-bound oracle r4
         "cep_absence_no_error_after_purchase",
+        "ts_interpolate_linear",
     }
 )
 

@@ -354,3 +354,147 @@ def ts_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_filled"
         ),
     )
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS lo,
+             date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT t.hour, et.event_type
+      FROM bounds,
+           LATERAL unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t(hour),
+           (SELECT DISTINCT event_type FROM events) et
+    ),
+    agg AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+             CAST(floor(CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE)
+                        / count(*)) AS BIGINT) AS mean_fp
+      FROM events GROUP BY 1, 2
+    ),
+    planted AS (
+      SELECT g.hour, g.event_type, a.mean_fp,
+             CAST(epoch(g.hour) // 3600 AS BIGINT) AS idx
+      FROM grid g LEFT JOIN agg a
+        ON a.hour = g.hour AND a.event_type = g.event_type
+    ),
+    nbrs AS (
+      SELECT hour, event_type, mean_fp, idx,
+             last_value(mean_fp IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             last_value(CASE WHEN mean_fp IS NOT NULL THEN idx END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pi,
+             first_value(mean_fp IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY idx
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN mean_fp IS NOT NULL THEN idx END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY idx
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ni
+      FROM planted
+    )
+    SELECT hour, event_type,
+           CASE WHEN mean_fp IS NOT NULL THEN 'actual'
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+                ELSE 'edge' END AS src,
+           CAST(CASE
+             WHEN mean_fp IS NOT NULL THEN mean_fp
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               CAST(floor(CAST(pv * (ni - idx) + nv * (idx - pi) AS DOUBLE)
+                          / (ni - pi)) AS BIGINT)
+             ELSE NULL END AS BIGINT) AS value_fp
+    FROM nbrs
+    """,
+    tags=("timewindow", "interpolate", "gapfill"),
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the dense hourly grid — the hypertable
+    `interpolate()` companion to `ts_rollup_gapfill`'s zero-fill: a gap
+    hour takes the value linearly between its nearest PRESENT hours
+    (time-weighted: pv·(ni−i) + nv·(i−pi) over ni−pi), hours before the
+    first / after the last observation are flagged `edge` and stay NULL —
+    interpolation never extrapolates.
+
+    Determinism: hourly means and the interpolation are fixed-point
+    integer arithmetic; the single division is an exact-integer numerator
+    over a small integer denominator evaluated in double and floored —
+    products stay ≤ ~1e13, exactly representable, so both engines floor
+    the same rational (repo convention, see llm_kmeans_lloyd).
+
+    Shape: one aggregation pass, the broadcast-scalar grid, and two
+    IGNORE-NULLS window sweeps per key (forward + backward) over
+    |hours|·|keys| GRID rows — never the raw volume. 100 TB: identical;
+    the grid is dashboard-sized regardless of input scale.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.floor(
+            F.sum(F.floor(F.col("value") * 1000000).cast("long")).cast("double")
+            / F.count("*")
+        )
+        .cast("long")
+        .alias("mean_fp")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")).alias("hour")
+    )
+    keys = ev.select("event_type").distinct()
+    planted = (
+        hours.crossJoin(F.broadcast(keys))
+        .join(agg, ["hour", "event_type"], "left")
+        .withColumn("idx", (F.unix_micros("hour") / F.lit(3_600_000_000)).cast("long"))
+    )
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("idx")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    present_idx = F.when(F.col("mean_fp").isNotNull(), F.col("idx"))
+    n = planted.select(
+        "hour",
+        "event_type",
+        "mean_fp",
+        "idx",
+        F.last("mean_fp", ignorenulls=True).over(back).alias("pv"),
+        F.last(present_idx, ignorenulls=True).over(back).alias("pi"),
+        F.first("mean_fp", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(present_idx, ignorenulls=True).over(fwd).alias("ni"),
+    )
+    interp = F.floor(
+        (
+            F.col("pv") * (F.col("ni") - F.col("idx"))
+            + F.col("nv") * (F.col("idx") - F.col("pi"))
+        ).cast("double")
+        / (F.col("ni") - F.col("pi"))
+    ).cast("long")
+    src = (
+        F.when(F.col("mean_fp").isNotNull(), "actual")
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), "interp")
+        .otherwise("edge")
+    )
+    return n.select(
+        "hour",
+        "event_type",
+        src.alias("src"),
+        F.when(F.col("mean_fp").isNotNull(), F.col("mean_fp"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .alias("value_fp"),
+    )

@@ -233,3 +233,50 @@ def test_blob_datasource_partitions_and_payloads(spark, sf_dir):
         assert ids == list(
             range(mi * BLOBS_PER_MODALITY, (mi + 1) * BLOBS_PER_MODALITY)
         )
+
+
+def test_interpolation_is_bounded_and_anchored(spark, sf_dir):
+    """Interpolated values must lie within [min(pv,nv), max(pv,nv)] of
+    their anchors, actual rows must carry the true hourly fixed-point
+    mean, and edges never extrapolate (NULL)."""
+    import pyspark.sql.functions as F
+
+    from streamline_hybrid_engine_spark.catalog import load_table
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    rows = get_query("ts_interpolate_linear").fn(spark, sf_dir).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.event_type, []).append(r)
+    ev = load_table(spark, sf_dir, "events")
+    means = {
+        (r.hour, r.event_type): r.m
+        for r in ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        )
+        .agg(
+            F.floor(
+                F.sum(F.floor(F.col("value") * 1000000).cast("long")).cast("double")
+                / F.count("*")
+            )
+            .cast("long")
+            .alias("m")
+        )
+        .collect()
+    }
+    n_interp = 0
+    for et, series in by_key.items():
+        series.sort(key=lambda r: r.hour)
+        for i, r in enumerate(series):
+            if r.src == "actual":
+                assert r.value_fp == means[(r.hour, et)], r
+            elif r.src == "edge":
+                assert r.value_fp is None, r
+            else:
+                n_interp += 1
+                pv = next(
+                    s.value_fp for s in reversed(series[:i]) if s.src == "actual"
+                )
+                nv = next(s.value_fp for s in series[i + 1 :] if s.src == "actual")
+                assert min(pv, nv) <= r.value_fp <= max(pv, nv), (r, pv, nv)
+    assert n_interp > 0  # the fixture actually has gaps
