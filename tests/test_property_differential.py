@@ -16,6 +16,13 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+# one-off deep fuzz: SHE_FUZZ_SCALE=10 multiplies every max_examples
+# (suite default 1 keeps CI fast; a pre-gate deep pass catches oracle
+# divergences the small budgets miss)
+import os
+
+_FUZZ = max(1, int(os.environ.get("SHE_FUZZ_SCALE", "1")))
+
 # value strategies: ints in both engines' comfortable range, short ASCII
 # strings (the shared collation-free zone), and nulls everywhere
 _ints = st.one_of(st.none(), st.integers(min_value=-(2**31), max_value=2**31 - 1))
@@ -104,7 +111,7 @@ def _canon(df: pd.DataFrame) -> list:
 
 @pytest.mark.parametrize("sql", TEMPLATES)
 @settings(
-    max_examples=15,
+    max_examples=15 * _FUZZ,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -163,7 +170,7 @@ def _ref_matches(rows, timeout_us):
 
 
 @settings(
-    max_examples=10,
+    max_examples=10 * _FUZZ,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -199,7 +206,7 @@ _patterns = st.sampled_from(
 
 
 @settings(
-    max_examples=8,
+    max_examples=8 * _FUZZ,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
