@@ -613,6 +613,69 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("stream_progress_metrics", oracle=None, tags=("streaming", "metrics"))
+def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming job observability (Flink's per-operator metrics / web UI
+    counters, SURVEY §2.2's accumulator row extended to streams): run the
+    watermarked tumbling aggregation over the 3-file staged stream and
+    surface each micro-batch's PROGRESS RECORD — input rows, rows dropped
+    by the watermark, state rows, and the event-time watermark itself —
+    as a queryable DataFrame. This is the operational contract a pipeline
+    owner actually monitors: batch 2 (the all-late file) must show its
+    rows in ``dropped_by_watermark``, and the watermark must be
+    non-decreasing across batches (both pinned by the test).
+
+    Metrics come from ``StreamingQuery.recentProgress`` — the engine's
+    own per-batch accounting (no second job, no sampling); at scale these
+    records are what you ship to the metrics store, one row per
+    micro-batch regardless of data volume.
+    """
+    ensure_runtime_confs(spark)
+    raw = _staged_events_stream(spark, sf_dir, "metrics")
+    agg = (
+        raw.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stream_shuffle_width(spark, sf_dir))
+    )
+    try:
+        with tempfile.TemporaryDirectory(prefix="she_progress_ckpt_") as ckpt:
+            q = (
+                agg.writeStream.format("memory")
+                .queryName("she_stream_progress_metrics")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            progress = list(q.recentProgress or [])
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    rows = []
+    for p in progress:
+        op = (p.get("stateOperators") or [{}])[0]
+        rows.append(
+            (
+                int(p["batchId"]),
+                int(p.get("numInputRows", 0)),
+                int(op.get("numRowsDroppedByWatermark", 0)),
+                int(op.get("numRowsTotal", 0)),
+                str((p.get("eventTime") or {}).get("watermark", "")),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "batch_id int, input_rows bigint, dropped_by_watermark bigint,"
+        " state_rows bigint, watermark string",
+    )
+
+
 @query("stream_update_changelog", oracle=None, tags=("streaming", "changelog"))
 def stream_update_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UPDATE output mode as a changelog stream — the Flink

@@ -482,3 +482,24 @@ def test_state_store_read_works_over_rocksdb_checkpoints(spark, sf_dir, tmp_path
         f for dp, _, fs in os.walk(os.path.join(ckpt, "state")) for f in fs
     ]
     assert any(f.endswith((".zip", ".sst")) for f in state_files)
+
+
+def test_progress_metrics_capture_drops_and_watermark(spark, sf_dir):
+    """The progress records must account for every staged input row, show
+    the all-late batch's rows as dropped-by-watermark, and carry a
+    non-decreasing event-time watermark."""
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    rows = sorted(
+        get_query("stream_progress_metrics").fn(spark, sf_dir).collect(),
+        key=lambda r: r.batch_id,
+    )
+    assert len(rows) >= 3  # three staged files -> three micro-batches
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r.input_rows for r in rows) == n_events
+    assert sum(r.dropped_by_watermark for r in rows) > 0
+    marks = [r.watermark for r in rows if r.watermark]
+    assert marks == sorted(marks)  # non-decreasing watermark
+    # the drop happens in the batch AFTER the watermark advanced past it
+    dropping = [r for r in rows if r.dropped_by_watermark > 0]
+    assert all(r.batch_id >= 2 for r in dropping), rows
