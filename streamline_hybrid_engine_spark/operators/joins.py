@@ -623,3 +623,70 @@ def join_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd("next_purchase_value_raw", "next_purchase_value"),
         )
     )
+
+
+@query(
+    "join_bloom_pruned_fact",
+    oracle=f"""
+    SELECT l_linestatus, count(*) AS n_lines,
+           {osum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#7' AND p_size <= 10
+    GROUP BY l_linestatus
+    """,
+    tags=("joins", "runtime_filter", "bloom"),
+)
+def join_bloom_pruned_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning (Flink's dynamic filtering /
+    runtime filter analog): a selective dimension predicate (brand+size
+    keeps ~1% of parts) is turned by Spark's InjectRuntimeFilter rule into
+    a bloom filter BUILT from the dim side at runtime and APPLIED inside
+    the fact scan — lineitem rows whose partkey cannot match are dropped
+    at the scan/filter stage BEFORE the join shuffle, the semi-join
+    reduction that matters at 100 TB (the shuffle carries ~1% of the fact
+    table instead of all of it).
+
+    Spark injects the filter only in the regime where it pays: the
+    creation side must NOT be broadcastable (a broadcast join needs no
+    runtime filter) and the application scan must be large. The fixture
+    sits in the opposite corner of both thresholds, so this query scales
+    the thresholds to put the tiny fixture in the 100 TB regime —
+    auto-broadcast off (≈ "dim exceeds the broadcast threshold") and
+    application-side floor 1 byte (production default 10 GB is right at
+    cluster scale). The confs are restored after the plan is
+    materialized — QueryExecution pins the physical plan at first
+    materialization, so the returned DataFrame keeps its bloom filter
+    while the session leaks nothing. Values are unaffected by the filter
+    (bloom false positives just fail the exact join predicate later) —
+    the oracle is the plain join, and the plan assertion (the
+    ``might_contain`` probe inside the fact-side Filter) lives in
+    tests/test_tpch_suite.py.
+    """
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        part = load_table(spark, sf_dir, "part").filter(
+            (F.col("p_brand") == "Brand#7") & (F.col("p_size") <= 10)
+        )
+        li = load_table(spark, sf_dir, "lineitem", parallel=True)
+        joined = li.join(part, li.l_partkey == part.p_partkey)
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        out = joined.groupBy("l_linestatus").agg(
+            F.count("*").alias("n_lines"), dsum(rev, "revenue")
+        )
+        # materialize the physical plan NOW, while the thresholds are set
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1,0 +1,47 @@
+"""Pins for the CMS sketch (operators/sketches.py) and runtime bloom-filter
+join pruning (join_bloom_pruned_fact) — value parity runs in
+test_parity_sf0001.py; these pin the scale mechanics and sketch guarantees.
+"""
+
+from __future__ import annotations
+
+from streamline_hybrid_engine_spark.plans import executed_plan
+from streamline_hybrid_engine_spark.registry import all_queries
+
+_QS = all_queries()
+
+
+def test_bloom_filter_probes_fact_side(spark, sf_dir):
+    """InjectRuntimeFilter must build a bloom filter from the selective
+    dim side and probe it in a Filter on the fact (lineitem) side —
+    the semi-join reduction that shrinks the join shuffle at 100 TB."""
+    p = executed_plan(_QS["join_bloom_pruned_fact"].fn(spark, sf_dir))
+    assert "might_contain" in p
+    assert "bloom_filter_agg" in p
+    probe = next(line for line in p.splitlines() if "might_contain" in line)
+    assert "l_partkey" in probe
+
+
+def test_bloom_filter_confs_restored(spark, sf_dir):
+    """The threshold overrides must not leak into the session (they would
+    silently re-plan every later broadcast join as SMJ)."""
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    _QS["join_bloom_pruned_fact"].fn(spark, sf_dir)
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+
+
+def test_cms_build_has_map_side_partials(spark, sf_dir):
+    """The sketch build's whole point at scale: every executor collapses
+    its slice to <= depth*width cells BEFORE the shuffle (partial_count
+    under the d*w-cell aggregate)."""
+    p = executed_plan(_QS["agg_cms_heavy_hitters"].fn(spark, sf_dir))
+    assert "partial_count" in p
+
+
+def test_cms_estimates_never_undercount(spark, sf_dir):
+    """CMS guarantee: estimate >= exact count for every key (collisions
+    only inflate). overcount must be non-negative everywhere."""
+    rows = _QS["agg_cms_heavy_hitters"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r["overcount"] >= 0 for r in rows)
+    assert all(r["cms_est"] >= r["exact_cnt"] for r in rows)
