@@ -74,6 +74,11 @@ HEADLINE = (
     "graph_sssp_hops",             # frontier/delta-iteration BFS
     "llm_chunk_overlap",           # sliding-window chunking, zero shuffle
     "dq_expectations_orders",      # one-pass expectation suite
+    # round-5 additions (baselines in BASELINE.md §A.1 r5 block)
+    "q8_market_share",             # 8-table TPC-H Q8 join
+    "q18_large_volume_customer",   # grouped-HAVING semi-join
+    "agg_cms_heavy_hitters",       # count-min sketch build + probe
+    "join_bloom_pruned_fact",      # runtime bloom semi-join reduction
 )
 
 #: BASELINE.md §A.1 rows (sf0.1 full-sequence medians, seconds) — kept in
@@ -117,6 +122,10 @@ BASELINE_SEC = {
     "graph_sssp_hops": 4.07,
     "llm_chunk_overlap": 0.28,
     "dq_expectations_orders": 0.64,
+    "q8_market_share": 0.97,
+    "q18_large_volume_customer": 1.39,
+    "agg_cms_heavy_hitters": 0.84,
+    "join_bloom_pruned_fact": 0.54,
 }
 
 
