@@ -1003,3 +1003,99 @@ def stream_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_after") == F.col("distinct_after"))
         ).alias("replay_is_noop"),
     )
+
+
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENV-BLOCKED (not a registered contract query): arbitrary keyed
+    state via the ``transformWithStateInPandas`` API
+    (Spark 4's successor to ``applyInPandasWithState``, and the closest
+    analog of Flink's ``KeyedProcessFunction`` with typed state
+    descriptors): a per-user purchase profile — running count, running
+    cents total, max single purchase — held in a typed ValueState that
+    SURVIVES across micro-batches and is updated incrementally, with
+    update-mode emission of only the keys each batch touched.
+
+    Why this API at 100 TB: state lives in named, schema'd stores
+    (ValueState/ListState/MapState with optional TTL) behind the RocksDB
+    provider — keyed state larger than executor RAM spills to local disk
+    with incremental checkpoints, the regime where the older
+    applyInPandasWithState's single unnamed state tuple and the default
+    on-heap HDFS backend both stop scaling. The input is the 3-file
+    staged stream, so cross-batch state survival is observable: a user
+    seen in batches 0 and 2 must emit a batch-2 row whose running count
+    includes batch 0 (tests/test_streaming.py pins this against the
+    batch groupBy).
+
+    Env limit (why this is NOT in the contract registry): the TWS Python
+    worker is a separate long-lived "driver worker" process that speaks
+    protobuf to the JVM state server, so it hard-requires the
+    ``google.protobuf`` package — absent in this container (verified:
+    the stream fails at STREAMING_PYTHON_RUNNER_INITIALIZATION with
+    ``ImportError: cannot import name 'descriptor' from
+    'google.protobuf'``). Same policy as the Kafka/JDBC/Avro builders:
+    the full implementation ships, the missing-dependency path raises a
+    clear error, and tests/test_streaming.py pins whichever branch this
+    environment can reach. applyInPandasWithState
+    (``stream_user_session_state``) remains the registered custom-state
+    contract row — it uses the classic Arrow worker protocol and needs no
+    protobuf.
+    """
+    try:  # the TWS driver worker imports this lazily and then crashes the
+        import google.protobuf  # noqa: F401, PLC0415
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise RuntimeError(
+            "transformWithStateInPandas requires the google.protobuf "
+            "package for its Python state-server protocol; install "
+            "protobuf to enable this operator (env-blocked here)"
+        ) from e
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class PurchaseProfile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "profile", "n long, cents long, max_cents long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents, max_cents = 0, 0, 0
+            if self._st.exists():
+                n, cents, max_cents = self._st.get()
+            for pdf in rows:
+                c = (pdf["value"] * 100).round().astype("int64")
+                n += len(pdf)
+                cents += int(c.sum())
+                if len(c):
+                    max_cents = max(max_cents, int(c.max()))
+            self._st.update((n, cents, max_cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_purchases": [n],
+                    "total_cents": [cents],
+                    "max_cents": [max_cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    raw = _staged_events_stream(spark, sf_dir, "tws")
+    purchases = raw.filter(F.col("event_type") == "purchase").select(
+        "user_id", "value"
+    )
+    out = purchases.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=PurchaseProfile(),
+        outputStructType=(
+            "user_id long, n_purchases long, total_cents long, max_cents long"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+    with state_provider(spark, ROCKSDB_PROVIDER):
+        return run_to_memory(
+            out,
+            "she_stream_tws",
+            "update",
+            stream_shuffle_width(spark, sf_dir),
+        )

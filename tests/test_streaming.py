@@ -503,3 +503,41 @@ def test_progress_metrics_capture_drops_and_watermark(spark, sf_dir):
     # the drop happens in the batch AFTER the watermark advanced past it
     dropping = [r for r in rows if r.dropped_by_watermark > 0]
     assert all(r.batch_id >= 2 for r in dropping), rows
+
+
+def test_transform_with_state_env_gate(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 TWS API) ships fully
+    implemented but hard-requires google.protobuf for its Python
+    state-server protocol. Whichever branch this environment supports
+    must behave: with protobuf absent the operator raises the documented
+    RuntimeError (never the opaque STREAMING_PYTHON_RUNNER init crash);
+    with protobuf present it must drain and agree with the batch
+    groupBy over the same purchases."""
+    import pytest
+
+    from streamline_hybrid_engine_spark.streaming.jobs import (
+        stream_transform_with_state,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            stream_transform_with_state(spark, sf_dir)
+        return
+    out = {
+        r["user_id"]: r
+        for r in stream_transform_with_state(spark, sf_dir).collect()
+    }
+    from streamline_hybrid_engine_spark.catalog import load_table
+    import pyspark.sql.functions as F
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    for r in batch:
+        assert out[r["user_id"]]["n_purchases"] == r["n"]
