@@ -378,3 +378,103 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"), F.sum("cents").alias("cents_total")
     )
+
+
+#: Morton (z-order) interleave over two 16-bit normalized keys — the
+#: space-filling-curve clustering used by lakehouse OPTIMIZE ZORDER BY:
+#: sorting by the interleaved code gives every contiguous slice of rows a
+#: bounded rectangle in (x, y) space, so per-file min/max column stats
+#: prune on BOTH columns (a single-column sort clusters one dimension and
+#: leaves the other's spans at full width). Bit math is portable integer
+#: arithmetic, emitted per dialect below and exact-equal cross-engine.
+ZBITS = 16
+
+
+def _morton_spark(x: str, y: str) -> str:
+    return " + ".join(
+        f"shiftleft(shiftright({x}, {b}) & 1, {2 * b})"
+        f" + shiftleft(shiftright({y}, {b}) & 1, {2 * b + 1})"
+        for b in range(ZBITS)
+    )
+
+
+def _morton_duck(x: str, y: str) -> str:
+    return " + ".join(
+        f"(((({x} >> {b}) & 1) << {2 * b}) + ((({y} >> {b}) & 1) << {2 * b + 1}))"
+        for b in range(ZBITS)
+    )
+
+
+_ZORDER_ORACLE = f"""
+    WITH mx AS (SELECT max(l_partkey) + 1 AS mp, max(l_suppkey) + 1 AS ms
+                FROM lineitem),
+         keyed AS (SELECT (l_partkey * {1 << ZBITS}) // mp AS x,
+                          (l_suppkey * {1 << ZBITS}) // ms AS y
+                   FROM lineitem, mx),
+         z AS (SELECT x, y, {_morton_duck("x", "y")} AS zval FROM keyed)
+    SELECT zval >> {2 * ZBITS - 3} AS zbucket,
+           count(*) AS n_rows,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max
+    FROM z
+    GROUP BY 1
+"""
+
+
+@query(
+    "lake_zorder_layout",
+    oracle=_ZORDER_ORACLE,
+    tags=("sources", "sink", "layout", "zorder"),
+)
+def lake_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered lake layout: lineitem keys normalized to a 16-bit
+    grid, Morton-interleaved, bucketed by the code's top 3 bits, written
+    partitioned-by-bucket with an in-file z sort, and read back for the
+    per-bucket occupancy rectangle.
+
+    The contract output IS the clustering proof: every z bucket's
+    (x_min..x_max, y_min..y_max) rectangle is bounded in BOTH dimensions
+    (top-3 z bits pin y's top 2 and x's top 1 — spans ≤ 2^14 and 2^15 on
+    the 2^16 grid; test-pinned), which is what makes min/max file stats
+    prune two-column predicates at 100 TB — a layout no single-column
+    sort achieves. Buckets are DETERMINISTIC integer math (unlike
+    repartitionByRange, whose sampled boundaries would not oracle), so
+    DuckDB reproduces the exact bucket map from the raw table; the
+    engine-side read-back equality additionally proves the sink
+    round-trip. ``sortWithinPartitions(zval)`` gives parquet row groups
+    within each bucket file ever-tighter rectangles — the recursive
+    property of the curve."""
+    li = load_table(spark, sf_dir, "lineitem", parallel=True).select(
+        "l_partkey", "l_suppkey"
+    )
+    mx = li.agg(
+        (F.max("l_partkey") + 1).alias("mp"),
+        (F.max("l_suppkey") + 1).alias("ms"),
+    )
+    keyed = li.crossJoin(F.broadcast(mx)).select(
+        F.expr(f"(l_partkey * {1 << ZBITS}) div mp").alias("x"),
+        F.expr(f"(l_suppkey * {1 << ZBITS}) div ms").alias("y"),
+    )
+    z = keyed.withColumn("zval", F.expr(_morton_spark("x", "y")))
+    z = z.withColumn(
+        "zbucket", F.shiftright("zval", 2 * ZBITS - 3).cast("long")
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"she_zorder_{spark.sparkContext.applicationId}_{os.path.basename(sf_dir)}",
+    )
+    (
+        z.repartition("zbucket")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .partitionBy("zbucket")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("zbucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
+    )

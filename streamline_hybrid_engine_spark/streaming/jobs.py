@@ -1099,3 +1099,40 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "update",
             stream_shuffle_width(spark, sf_dir),
         )
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle=None,
+    tags=("streaming", "dedup", "watermark"),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-BOUNDED streaming dedup: ``dropDuplicatesWithinWatermark`` —
+    the 100 TB-correct form of stream_dedup_events. Plain streaming
+    ``dropDuplicates`` keeps every seen key forever unless the event-time
+    column is part of the key (state grows with the key universe — the
+    classic unbounded-state leak of long-running ingestion jobs);
+    WithinWatermark instead guarantees dedup only among events whose
+    TIMESTAMPS differ by less than the watermark delay and EVICTS keys
+    once the watermark passes them, so state is bounded by delay × rate
+    regardless of the key universe. That matches what at-least-once
+    sources actually need — redeliveries arrive close together — and is
+    Flink's keyed-state + event-time-timer eviction made declarative.
+
+    Same staged 3-file drain as the watermark jobs so eviction across
+    micro-batches is exercised; output counts unique deliveries per type
+    within the horizon.
+    """
+    raw = _staged_events_stream(spark, sf_dir, "dwm")
+    deduped = raw.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(
+        F.count("*").alias("n_unique_events")
+    )
+    return run_to_memory(
+        agg,
+        "she_stream_dedup_within_watermark",
+        "complete",
+        stream_shuffle_width(spark, sf_dir),
+    )

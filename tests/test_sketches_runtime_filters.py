@@ -45,3 +45,16 @@ def test_cms_estimates_never_undercount(spark, sf_dir):
     assert rows
     assert all(r["overcount"] >= 0 for r in rows)
     assert all(r["cms_est"] >= r["exact_cnt"] for r in rows)
+
+
+def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
+    """The z-order property: each top-3-bit bucket pins y's top 2 bits
+    and x's top 1 bit, so on the 2^16 grid every bucket's rectangle
+    spans <= 2^14 in y and <= 2^15 in x — both dimensions bounded,
+    unlike any single-column sort."""
+    rows = _QS["lake_zorder_layout"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["y_max"] - r["y_min"] <= 1 << 14, r
+        assert r["x_max"] - r["x_min"] <= 1 << 15, r
+    assert sum(r["n_rows"] for r in rows) > 0
