@@ -107,6 +107,9 @@ def _sweep_order(qs, correctness_dir: str | None = None) -> list[str]:
 #: while unstamped).
 _NEW_THIS_ROUND = frozenset(
     {
+        # r4 additions (still unstamped — CORRECTNESS_r04 was never
+        # recorded; they stay behind the r3-queued ids and ahead of
+        # nothing, i.e. in registration order within this group)
         "graph_sssp_hops",
         "llm_chunk_overlap",
         "dq_expectations_orders",
@@ -116,6 +119,23 @@ _NEW_THIS_ROUND = frozenset(
         "agg_hll_merge",  # rows-only r3 → error-bound oracle r4
         "cep_absence_no_error_after_purchase",
         "ts_interpolate_linear",
+        # r5 additions — same policy: the LLM/mm block queued since r3
+        # fills the 50-slot sweep first
+        "q2_min_cost_supplier",
+        "q7_nation_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q10_returned_items",
+        "q11_important_stock",
+        "q13_customer_distribution",
+        "q15_top_supplier",
+        "q16_supplier_relationship",
+        "q18_large_volume_customer",
+        "q20_promotion_suppliers",
+        "q22_global_sales_opportunity",
+        "agg_cms_heavy_hitters",
+        "join_bloom_pruned_fact",
+        "lake_zorder_layout",
     }
 )
 
