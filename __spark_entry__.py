@@ -136,6 +136,7 @@ _NEW_THIS_ROUND = frozenset(
         "agg_cms_heavy_hitters",
         "join_bloom_pruned_fact",
         "lake_zorder_layout",
+        "win_session_dynamic_gap",
     }
 )
 

@@ -498,3 +498,71 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
         .alias("value_fp"),
     )
+
+
+@query(
+    "win_session_dynamic_gap",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN INTERVAL '60 minutes' ELSE INTERVAL '15 minutes'
+             END AS gap
+      FROM events
+    ), marked AS (
+      SELECT user_id, event_id, uts, gap,
+             max(uts + gap) OVER (PARTITION BY user_id ORDER BY uts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS prev_end
+      FROM g
+    ), numbered AS (
+      SELECT user_id, uts, gap,
+             sum(CASE WHEN prev_end IS NULL OR uts >= prev_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY uts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           min(uts) AS session_start,
+           max(uts + gap) AS session_end,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+    tags=("timewindow", "session", "dynamic"),
+)
+def win_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window with a DYNAMIC per-event gap — engagement events
+    (purchase/signup) hold a session open for 60 minutes, passive events
+    (click/view/error) only 15: each event contributes the interval
+    [ts, ts+gap(event)) and overlapping intervals merge, so the session's
+    end is the max contributed end, not last-event+constant.
+
+    This is the expression-gap form of ``session_window`` (the fixed-gap
+    row is win_session_30m_batch; Flink analog: a custom
+    ``SessionWindowTimeGapExtractor``). Oracle: interval-merge
+    gaps-and-islands — a session breaks where an event's start reaches
+    the RUNNING MAX of all previous ends (a lag of the end alone is
+    wrong: a long-gap event can outlive several short-gap successors).
+    Scale shape is identical to the fixed-gap session: one shuffle on
+    user_id, per-key ordered merge, no pair explosion; the same
+    two-phase salted decomposition (win_session_two_phase) applies when
+    a key is hot."""
+    ev = load_table(spark, sf_dir, "events")
+    # session_window requires CalendarIntervalType gaps — INTERVAL '..'
+    # literals parse as DayTimeIntervalType, so build via make_interval
+    gap = F.when(
+        F.col("event_type").isin("purchase", "signup"),
+        F.expr("make_interval(0, 0, 0, 0, 0, 60, 0)"),
+    ).otherwise(F.expr("make_interval(0, 0, 0, 0, 0, 15, 0)"))
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

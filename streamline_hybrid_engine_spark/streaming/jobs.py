@@ -1136,3 +1136,43 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         "complete",
         stream_shuffle_width(spark, sf_dir),
     )
+
+
+@query(
+    "stream_session_dynamic_gap",
+    oracle=None,
+    tags=("streaming", "session", "dynamic"),
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of win_session_dynamic_gap: ``session_window`` with a
+    per-event gap EXPRESSION in a watermarked streaming groupBy —
+    engagement events hold sessions open 60 minutes, passive ones 15.
+    State-side this is the same merging-session store as the fixed-gap
+    job; only the merge horizon varies per event (Flink analog:
+    ``SessionWindowTimeGapExtractor``). The watermark delay must cover
+    the LARGEST gap an event can contribute, or a still-open long-gap
+    session could be finalized early — hence 60 minutes here. Batch twin
+    carries the exact interval-merge oracle; streaming == batch
+    equivalence is test-pinned."""
+    ev = read_events_stream(spark, sf_dir)
+    gap = F.when(
+        F.col("event_type").isin("purchase", "signup"),
+        F.expr("make_interval(0, 0, 0, 0, 0, 60, 0)"),
+    ).otherwise(F.expr("make_interval(0, 0, 0, 0, 0, 15, 0)"))
+    agg = (
+        ev.withWatermark("ts", "60 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_to_memory(
+        agg,
+        "she_stream_session_dynamic_gap",
+        "complete",
+        stream_shuffle_width(spark, sf_dir),
+    )

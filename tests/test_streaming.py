@@ -541,3 +541,20 @@ def test_transform_with_state_env_gate(spark, sf_dir):
     )
     for r in batch:
         assert out[r["user_id"]]["n_purchases"] == r["n"]
+
+
+def test_stream_session_dynamic_gap_equals_batch(spark, sf_dir):
+    """Streaming dynamic-gap sessions must equal the oracle-checked batch
+    twin on the same bounded input."""
+    from streamline_hybrid_engine_spark.registry import all_queries
+
+    qs = all_queries()
+    stream = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in qs["stream_session_dynamic_gap"].fn(spark, sf_dir).collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in qs["win_session_dynamic_gap"].fn(spark, sf_dir).collect()
+    }
+    assert stream == batch
