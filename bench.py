@@ -196,8 +196,24 @@ def main() -> int:
         except Exception:
             return None
 
+    # start gate: the recurring heavy-tail inflation (r3 triangle 2.11×
+    # official vs 1.14× idle; an r5 probe put dedup_keep at 3.42× when the
+    # bench launched while a prior test JVM was still draining, 1.25×
+    # clean) happens when the sequence STARTS on a descending load spike —
+    # the first heavy queries then absorb the contention. Wait, bounded,
+    # for load1 < 1.5 and record what happened either way.
+    settle_waited = 0.0
+    while os.getloadavg()[0] >= 1.5 and settle_waited < 90.0:
+        time.sleep(5.0)
+        settle_waited += 5.0
+
     times: dict[str, float] = {}
-    telemetry: dict[str, dict] = {"_bench_start": {"load1": round(os.getloadavg()[0], 2)}}
+    telemetry: dict[str, dict] = {
+        "_bench_start": {
+            "load1": round(os.getloadavg()[0], 2),
+            "settle_waited_s": settle_waited,
+        }
+    }
     total = 0.0
     for name in names:
         fn = qs[name].fn
