@@ -500,11 +500,27 @@ def llm_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     i.e. what a training pipeline actually writes out. Exact duplicates are
     subsumed: identical texts have identical signatures, always share both
     LSH bands, and therefore land in one cluster. ``cluster_size`` carries
-    how many documents each survivor replaced (1 = unique)."""
-    labels = llm_dedup_clusters(spark, sf_dir)
-    return labels.filter(F.col("doc_id") == F.col("cluster_id")).select(
-        "doc_id", "cluster_size"
+    how many documents each survivor replaced (1 = unique).
+
+    Unlike llm_dedup_clusters (whose contract is every document's label,
+    needing the corpus-wide size window), the survivor list only needs
+    per-CLUSTER aggregates: sizes come from one groupBy over the CC
+    labels — already the component MINIMUM, so the representative id is
+    the grouping key itself — and the non-candidate tail enters as
+    size-1 rows via an anti join. That skips the full-corpus window sort
+    and the label join-back entirely; at 100 TB the groupBy input is the
+    LSH-candidate tail (≪ corpus), and the anti join is the same probe
+    the clusters path already does."""
+    pairs = llm_dedup_minhash_pairs(spark, sf_dir).select("d1", "d2")
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select("doc_id")
+    labels = connected_components(pairs, "d1", "d2")
+    reps = labels.groupBy(F.col("label").alias("doc_id")).agg(
+        F.count("*").alias("cluster_size")
     )
+    singles = docs.join(
+        labels.select(F.col("vid").alias("doc_id")), "doc_id", "left_anti"
+    ).select("doc_id", F.lit(1).cast("long").alias("cluster_size"))
+    return reps.unionByName(singles)
 
 
 @query(

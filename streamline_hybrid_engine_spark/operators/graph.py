@@ -76,8 +76,14 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        # no non-loop edges → no vertices to label (callers add singletons)
+        return pairs.select(
+            F.col("d1").alias("vid"), F.col("d1").alias("label")
+        )
     n_parts = cc_width(
-        n_edges=2 * pairs.count(),
+        n_edges=2 * n_pairs,
         default_parallelism=spark.sparkContext.defaultParallelism,
     )
     adj = (
@@ -90,7 +96,7 @@ def connected_components(
         .distinct()
         .select("vid", F.col("vid").alias("label"))
     )
-    for _ in range(max_rounds):
+    for round_idx in range(max_rounds):
         nbr_min = (
             adj.join(labels, adj.d2 == labels.vid)
             .groupBy(adj.d1.alias("vid"))
@@ -129,8 +135,13 @@ def connected_components(
             .coalesce(n_parts)
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.filter(F.col("moved")).limit(1).count()
         labels = new_labels.drop("moved")
+        # round 1 ALWAYS changes on a non-empty edge set (every edge's
+        # larger endpoint adopts a smaller label), so its convergence
+        # probe is a guaranteed-wasted job — skip it; later rounds check
+        if round_idx == 0:
+            continue
+        changed = new_labels.filter(F.col("moved")).limit(1).count()
         if changed == 0:
             break
     else:

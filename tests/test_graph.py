@@ -134,3 +134,16 @@ def test_sssp_hops_bfs_invariants(spark, sf_dir):
         .collect()
     }
     assert {v for v, d in dists.items() if d == 1} == nbrs
+
+
+def test_connected_components_empty_edges_short_circuit(spark):
+    """An empty (or all-self-loop) edge set must return an empty label
+    frame without running the loop — callers union in singletons."""
+    from streamline_hybrid_engine_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([(1, 1), (7, 7)], "src long, dst long")
+    out = connected_components(edges)
+    assert out.columns == ["vid", "label"]
+    assert out.count() == 0
