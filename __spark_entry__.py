@@ -137,6 +137,7 @@ _NEW_THIS_ROUND = frozenset(
         "join_bloom_pruned_fact",
         "lake_zorder_layout",
         "win_session_dynamic_gap",
+        "join_aqe_skew_split",
     }
 )
 

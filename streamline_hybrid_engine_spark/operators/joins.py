@@ -690,3 +690,84 @@ def join_bloom_pruned_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@query(
+    "join_aqe_skew_split",
+    oracle=f"""
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 10 < 8 THEN 1
+                  ELSE l_partkey END AS skew_key,
+             l_extendedprice, l_discount
+      FROM lineitem
+    )
+    SELECT p_brand,
+           count(*) AS n_rows,
+           {osum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM fact
+    JOIN part ON p_partkey = fact.skew_key
+    GROUP BY p_brand
+    """,
+    tags=("joins", "skew", "aqe"),
+)
+def join_aqe_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE runtime skew-join splitting (the automatic complement of the
+    manual salting in join_salted_skew): 80% of fact rows collapse onto
+    one part key, so that key's shuffle partition dwarfs its siblings.
+    ``OptimizeSkewedJoin`` measures map outputs at the shuffle boundary,
+    splits the oversized reduce partition into per-map-block sub-reads,
+    and DUPLICATES the matching dim rows per sub-split — runtime
+    mitigation with no query rewrite, no salt column, no prior knowledge
+    of the hot key. The 100 TB default posture: salt by hand only when
+    AQE's split granularity (one map output block) is still too coarse.
+
+    Three conditions, all learned the hard way and test-pinned:
+    (1) both join children must be Sort-over-shuffle directly — an
+    aggregate on the dim side breaks the rule's pattern match, so the
+    dim is the raw part scan (p_partkey unique); (2) the skewed
+    partition can only split along MAP block boundaries, so the fact
+    side must come from >1 map task — the explicit repartition stands in
+    for the thousands of input splits a real fact table has; (3)
+    fixture-regime thresholds (production defaults 256 MB / factor 5),
+    broadcast off so the join shuffles. Executed once inside the
+    function so the returned DataFrame keeps the finalized adaptive plan
+    (with its ``AQEShuffleRead skewed`` node) for the gate's collect;
+    values are split-invariant, the oracle is the plain join."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem", parallel=True)
+        skew = F.when(F.col("l_orderkey") % 10 < 8, F.lit(1)).otherwise(
+            F.col("l_partkey")
+        )
+        # multiple map outputs are what make a reduce partition splittable
+        fact = li.repartition(8).select(
+            skew.alias("skew_key"), "l_extendedprice", "l_discount"
+        )
+        dim = load_table(spark, sf_dir, "part").select(
+            F.col("p_partkey"), "p_brand"
+        )
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        out = (
+            fact.join(dim, fact.skew_key == dim.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("n_rows"), dsum(rev, "revenue"))
+        )
+        out.collect()  # finalize the adaptive plan under the skew confs
+        return out
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -58,3 +58,26 @@ def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
         assert r["y_max"] - r["y_min"] <= 1 << 14, r
         assert r["x_max"] - r["x_min"] <= 1 << 15, r
     assert sum(r["n_rows"] for r in rows) > 0
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
+    """The finalized adaptive plan must contain an 'AQEShuffleRead skewed'
+    node — proof OptimizeSkewedJoin split the hot key's partition into
+    per-map-block sub-reads (and duplicated dim rows per sub-split)."""
+    df = _QS["join_aqe_skew_split"].fn(spark, sf_dir)
+    p = executed_plan(df)
+    assert "isFinalPlan=true" in p
+    assert "skewed" in p, p[:2000]
+
+
+def test_aqe_skew_join_confs_restored(spark, sf_dir):
+    before = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    _QS["join_aqe_skew_split"].fn(spark, sf_dir)
+    after = {k: spark.conf.get(k) for k in before}
+    assert after == before
