@@ -219,3 +219,134 @@ def scan_blob_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("payload").cast("long").alias("n_bytes"),
         F.md5("payload").alias("payload_md5"),
     )
+
+
+#: batches emitted by the streaming source before it idles (bounded so the
+#: availableNow-style drain below terminates deterministically)
+STREAM_BATCHES = 5
+STREAM_ROWS_PER_BATCH = 200
+
+
+def _register_stream(spark: SparkSession) -> None:
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class TelemetryStreamReader(SimpleDataSourceStreamReader):
+        """Offset-tracked micro-batch reader: offset = rows emitted so far.
+        ``read(start)`` advances one deterministic batch;
+        ``readBetweenOffsets`` replays any committed range exactly —
+        REPLAYABILITY is the whole exactly-once contract of the API
+        (a failed batch is re-read from its offsets, same rows)."""
+
+        def initialOffset(self) -> dict:
+            return {"pos": 0}
+
+        def _rows(self, start: int, end: int):
+            # an ITERATOR over a list: the wrapper calls next() on an
+            # exhausted batch to validate the offset didn't advance, and
+            # pickles cached batches for executor replay — a generator
+            # fails the pickle, a bare list fails the next(); a list
+            # iterator satisfies both
+            return iter([(i, i % 7, (i * MULT) % MOD) for i in range(start, end)])
+
+        def read(self, start: dict):
+            pos = start["pos"]
+            cap = STREAM_BATCHES * STREAM_ROWS_PER_BATCH
+            end = min(pos + STREAM_ROWS_PER_BATCH, cap)
+            return self._rows(pos, end), {"pos": end}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            return self._rows(start["pos"], end["pos"])
+
+    class TelemetryStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_telemetry_stream"
+
+        def schema(self) -> str:
+            return "id BIGINT, bucket INT, score BIGINT"
+
+        def simpleStreamReader(self, schema):
+            return TelemetryStreamReader()
+
+    try:
+        spark.dataSource.register(TelemetryStreamSource)
+    except Exception:
+        pass  # already registered in this session
+
+
+@query(
+    "stream_python_datasource",
+    oracle=None,
+    tags=("streaming", "sources", "pydatasource"),
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING custom source via the Python Data Source API
+    (``simpleStreamReader`` — Spark 4): the streaming face of
+    scan_python_datasource. The reader tracks a monotonic offset dict,
+    emits one deterministic batch per trigger, and supports
+    ``readBetweenOffsets`` replay — the property that makes a custom
+    source exactly-once restartable (a failed epoch re-reads its exact
+    offset range). Flink analog: a user ``SourceFunction`` with
+    checkpointed offsets.
+
+    The drain stops when the bounded source stops advancing (5 batches ×
+    200 rows); the aggregate over the drained rows equals the batch
+    source's over the same id range — test-pinned, since the generator
+    arithmetic is shared. Scale: the simple reader API is
+    driver-executed prefetch with executor replay via
+    readBetweenOffsets; for high-throughput partitioned sources the full
+    ``streamReader`` (per-partition offsets) is the production path —
+    same registration surface."""
+    import tempfile
+    import time
+
+    _register_stream(spark)
+    raw = spark.readStream.format("synthetic_telemetry_stream").load()
+    agg = raw.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.sum("score").alias("sum_score"),
+    )
+    name = "she_stream_pyds"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    # 1000-row bounded drain over ~8 micro-batches: per-batch state-store
+    # open/commit fixed costs dominate, so pin a narrow stateful width
+    # (same reasoning as streaming.jobs.stream_shuffle_width)
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # custom drain: a simple stream reader prefetches ONE batch per
+    # trigger, so availableNow stops after the first 200 rows; run a
+    # continuous micro-batch trigger until the bounded source stops
+    # advancing (two consecutive empty batches), then stop. Bounded by
+    # the source itself (5 batches) + a 120 s hard cap.
+    with tempfile.TemporaryDirectory(prefix=f"she_ckpt_{name}_") as ckpt:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        # the source is bounded and its total is known — drain until the
+        # complete-mode sink holds every row (idle triggers commit no new
+        # batch, so "N empty batches" never observably happens), with a
+        # hard deadline as the safety net
+        cap = STREAM_BATCHES * STREAM_ROWS_PER_BATCH
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            time.sleep(0.2)
+            try:
+                drained = (
+                    spark.table(name).agg(F.sum("n")).collect()[0][0] or 0
+                )
+            except Exception:
+                drained = 0
+            if drained >= cap:
+                break
+        q.stop()
+        q.awaitTermination()
+        if prev_width is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+    return spark.table(name)

@@ -558,3 +558,29 @@ def test_stream_session_dynamic_gap_equals_batch(spark, sf_dir):
         for r in qs["win_session_dynamic_gap"].fn(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_stream_python_datasource_drains_bounded_source(spark, sf_dir):
+    """The streaming Python data source must drain all 5 deterministic
+    batches and agree with the batch source's generator arithmetic over
+    the same id range."""
+    from streamline_hybrid_engine_spark.registry import all_queries
+    from streamline_hybrid_engine_spark.sources.pydatasource import (
+        MOD,
+        MULT,
+        STREAM_BATCHES,
+        STREAM_ROWS_PER_BATCH,
+    )
+
+    rows = {
+        r["bucket"]: (r["n"], r["sum_score"])
+        for r in all_queries()["stream_python_datasource"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    cap = STREAM_BATCHES * STREAM_ROWS_PER_BATCH
+    expect = {}
+    for i in range(cap):
+        n, s = expect.get(i % 7, (0, 0))
+        expect[i % 7] = (n + 1, s + (i * MULT) % MOD)
+    assert rows == expect
