@@ -138,6 +138,7 @@ _NEW_THIS_ROUND = frozenset(
         "lake_zorder_layout",
         "win_session_dynamic_gap",
         "join_aqe_skew_split",
+        "udtf_polymorphic_firstk",
     }
 )
 

@@ -88,3 +88,62 @@ def udtf_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM she_docs_udtf d, LATERAL she_tokenize(d.text) t
         """
     )
+
+
+@query(
+    "udtf_polymorphic_firstk",
+    oracle="""
+    SELECT doc_id, toks[1] AS tok_1, toks[2] AS tok_2, toks[3] AS tok_3
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    """,
+    tags=("udf", "udtf", "polymorphic"),
+)
+def udtf_polymorphic_firstk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze``): the output schema is
+    computed at plan time FROM THE CALL'S ARGUMENTS — ``she_firstk(text,
+    3)`` materializes columns tok_1..tok_3, ``(text, 5)`` would produce
+    five, one registration serving every width. Flink analog: a
+    ``TableFunction`` with ``FunctionHint``-driven type inference; the
+    closest SQL notion is a table function with a dynamic row type.
+
+    ``analyze`` receives each argument's type AND literal value (k must
+    be foldable — enforced with a clear error), builds the StructType,
+    and Catalyst plans the lateral join against that schema like any
+    static UDTF: the Python boundary stays Arrow-batched, one row out
+    per document here (missing tokens → NULL, matching DuckDB's
+    out-of-bounds list index)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class FirstK:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            if k.value is None or not isinstance(k.value, int):
+                raise ValueError(
+                    "she_firstk(text, k): k must be an integer literal "
+                    "(the output schema is derived from it at plan time)"
+                )
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField(f"tok_{i + 1}", StringType())
+                        for i in range(k.value)
+                    ]
+                )
+            )
+
+        def eval(self, text: str, k: int):
+            toks = (text or "").split(" ")
+            yield tuple(
+                toks[i] if i < len(toks) else None for i in range(k)
+            )
+
+    spark.udtf.register("she_firstk", udtf(FirstK))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "she_docs_poly"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, f.* FROM she_docs_poly d, "
+        "LATERAL she_firstk(d.text, 3) f"
+    )
