@@ -139,6 +139,8 @@ _NEW_THIS_ROUND = frozenset(
         "win_session_dynamic_gap",
         "join_aqe_skew_split",
         "udtf_polymorphic_firstk",
+        "sql_pipe_syntax",
+        "agg_listagg_within_group",
     }
 )
 

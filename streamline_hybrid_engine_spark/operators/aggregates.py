@@ -763,3 +763,38 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("exact_total") * F.lit(0.05)
         ).alias("merged_within_5pct"),
     )
+
+
+@query(
+    "agg_listagg_within_group",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority) AS priorities,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("aggregates", "listagg"),
+)
+def agg_listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI LISTAGG ... WITHIN GROUP (Spark 4.0+): ordered string
+    aggregation with DISTINCT — the SQL-standard face of the
+    collect_list+sort_array convention used elsewhere in the registry
+    (agg_collect_types_per_user). The WITHIN GROUP order clause is what
+    makes the result deterministic under any partitioning; DuckDB's
+    equivalent is string_agg(DISTINCT ... ORDER BY ...). Distinct +
+    order compose per group after a map-side distinct expansion."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    joined.createOrReplaceTempView("she_listagg_src")
+    return joined.sparkSession.sql(
+        """
+        SELECT c_mktsegment,
+               listagg(DISTINCT o_orderpriority, '|')
+                 WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
+               count(*) AS n_orders
+        FROM she_listagg_src
+        GROUP BY c_mktsegment
+        """
+    )

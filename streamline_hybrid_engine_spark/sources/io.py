@@ -478,3 +478,41 @@ def lake_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").alias("y_min"),
         F.max("y").alias("y_max"),
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+    tags=("sources", "sql", "pipe"),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 / GoogleSQL-style `|>` chaining): the same
+    relational pipeline expressed as sequential stages instead of nested
+    clauses — the surface modern SQL users migrate toward, and proof the
+    engine's SQL entry point is the full Spark 4 dialect, not a subset.
+    Catalyst lowers pipes to the identical logical plan as the clause
+    form (same filter pushdown, same partial aggregation), so the oracle
+    is the standard-SQL spelling of the same query, fixed-point
+    convention included."""
+    from streamline_hybrid_engine_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |> EXTEND CAST(floor(l_extendedprice * (1 - l_discount) * 1000000)
+                       AS BIGINT) AS rev_fx
+        |> AGGREGATE count(*) AS n,
+                     round(CAST(sum(rev_fx) AS DOUBLE) / 1000000, 6) AS revenue
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, n, revenue
+        """
+    )
