@@ -1176,3 +1176,64 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "complete",
         stream_shuffle_width(spark, sf_dir),
     )
+
+
+@query(
+    "stream_stream_full_join",
+    oracle=None,
+    tags=("streaming", "join", "outer"),
+)
+def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join — both unmatched sides survive:
+    purchases with no prior click AND clicks that converted to no
+    purchase, in one result (the two-sided completion of
+    stream_stream_left_join). Each side's unmatched rows emit only when
+    ITS OWN watermark passes the row's join window, so both watermarks +
+    the time-range condition are mandatory and state on both sides is
+    evicted at the watermark — the same bounded-state discipline, twice.
+    Flink analog: coGroup-based windowed full outer join.
+
+    Output marks provenance: matched rows carry both ids; NULL click_id
+    = un-clicked purchase; NULL purchase_id = un-converted click.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = c_user AND
+            c_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts
+            """
+        ),
+        "fullOuter",
+    ).select(
+        "purchase_id",
+        F.coalesce("p_user", "c_user").alias("user_id"),
+        "click_id",
+        "p_ts",
+        "c_ts",
+    )
+    return run_to_memory(
+        joined,
+        "she_stream_stream_full_join",
+        "append",
+        stream_shuffle_width(spark, sf_dir),
+    )

@@ -584,3 +584,47 @@ def test_stream_python_datasource_drains_bounded_source(spark, sf_dir):
         n, s = expect.get(i % 7, (0, 0))
         expect[i % 7] = (n + 1, s + (i * MULT) % MOD)
     assert rows == expect
+
+
+def test_stream_full_join_matches_and_exclusive_unmatched(spark, sf_dir):
+    """FULL OUTER stream-stream join invariants vs batch: matched pairs
+    equal the batch inner interval join exactly; no id emits both as
+    matched and as unmatched; both unmatched directions are present."""
+    import pyspark.sql.functions as F
+
+    from streamline_hybrid_engine_spark.catalog import load_table
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    rows = get_query("stream_stream_full_join").fn(spark, sf_dir).collect()
+    matched = {
+        (r.purchase_id, r.click_id)
+        for r in rows
+        if r.purchase_id is not None and r.click_id is not None
+    }
+    unmatched_p = {r.purchase_id for r in rows if r.click_id is None}
+    unmatched_c = {r.click_id for r in rows if r.purchase_id is None}
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch_pairs = {
+        (r.purchase_id, r.click_id)
+        for r in p.join(
+            c,
+            (p.p_user == c.c_user)
+            & (c.c_ts >= p.p_ts - F.expr("INTERVAL 30 MINUTES"))
+            & (c.c_ts <= p.p_ts),
+        ).collect()
+    }
+    assert matched == batch_pairs and len(matched) > 0
+    assert not unmatched_p & {pid for pid, _ in matched}
+    assert not unmatched_c & {cid for _, cid in matched}
+    assert unmatched_p and unmatched_c
