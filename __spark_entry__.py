@@ -141,6 +141,8 @@ _NEW_THIS_ROUND = frozenset(
         "udtf_polymorphic_firstk",
         "sql_pipe_syntax",
         "agg_listagg_within_group",
+        "agg_mad_robust",
+        "win_nth_value_second_cheapest",
     }
 )
 

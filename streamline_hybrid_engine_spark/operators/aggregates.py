@@ -798,3 +798,53 @@ def agg_listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+@query(
+    "agg_mad_robust",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med_price
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           round(CAST(m.med_price AS DOUBLE), 6) AS med_price,
+           round(CAST(quantile_cont(abs(l.l_extendedprice - m.med_price), 0.5)
+                      AS DOUBLE), 6) AS mad_price
+    FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    GROUP BY l.l_returnflag, m.med_price
+    """,
+    tags=("aggregates", "robust"),
+)
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    statistic (stddev breaks under the heavy-tailed/outlier-ridden
+    columns real lakes have). Two-pass formulation: per-group exact
+    interpolated median, joined back, then the median of absolute
+    deviations — both passes shuffle on the SAME grouping key, so the
+    second agg reuses the first's partitioning. Interpolated medians on
+    identical doubles are identical arithmetic in both engines (the
+    agg_percentiles row verified percentile == quantile_cont), so no
+    fixed-point detour is needed; both engines spell the same
+    quantile-of-abs-deviation chain. Neither engine's native mad()/
+    median() is used: DuckDB's median is non-interpolating for even
+    counts while its mad interpolates — spelling the chain explicitly
+    sidesteps that asymmetry."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med_price_raw")
+    )
+    dev = li.join(med, "l_returnflag").select(
+        "l_returnflag",
+        "med_price_raw",
+        F.abs(F.col("l_extendedprice") - F.col("med_price_raw")).alias("adev"),
+    )
+    return dev.groupBy("l_returnflag", "med_price_raw").agg(
+        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad_price")
+    ).select(
+        "l_returnflag",
+        F.round(F.col("med_price_raw"), 6).alias("med_price"),
+        "mad_price",
+    )

@@ -301,3 +301,40 @@ def win_fill_forward_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame
             "last_purchase_micros"
         ),
     )
+
+
+@query(
+    "win_nth_value_second_cheapest",
+    oracle="""
+    SELECT DISTINCT l_partkey,
+           nth_value(l_extendedprice, 2) OVER (
+             PARTITION BY l_partkey
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_cheapest
+    FROM lineitem
+    """,
+    tags=("windows", "nth_value"),
+)
+def win_nth_value_second_cheapest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTH_VALUE over a full-partition frame: the second-cheapest line
+    price per part (NULL when a part has one line — nth_value's defined
+    miss behavior, unlike a rank-filter rewrite which would drop the
+    row). The order is total (price, orderkey, linenumber) so price
+    ties cannot flip which row is 'second' between engines; the frame
+    must be UNBOUNDED FOLLOWING because the default frame ends at
+    CURRENT ROW and would yield NULL for the first row of each
+    partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        li.select(
+            "l_partkey",
+            F.nth_value("l_extendedprice", 2).over(w).alias("second_cheapest"),
+        )
+        .distinct()
+    )
