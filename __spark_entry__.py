@@ -143,6 +143,7 @@ _NEW_THIS_ROUND = frozenset(
         "agg_listagg_within_group",
         "agg_mad_robust",
         "win_nth_value_second_cheapest",
+        "fn_xml_roundtrip",
     }
 )
 

@@ -535,3 +535,38 @@ def fn_url_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
             part("REF").alias("fragment"),
         )
     )
+
+
+@query(
+    "fn_xml_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE n_chars > 100
+    """,
+    tags=("functions", "xml", "roundtrip"),
+)
+def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML codec surface (Spark 4 ``to_xml``/``from_xml``): each document's
+    metadata serialized to an XML fragment and parsed back; the query
+    returns the ROUNDTRIPPED values, so the oracle is the plain
+    projection — any codec asymmetry (attribute ordering, type coercion,
+    whitespace) breaks the hash. Same roundtrip-identity pattern as the
+    CSV/JSON/ORC scan rows (sources/io.py), applied to the in-row codec
+    instead of the file format. DuckDB has no XML type, which is exactly
+    why the contract is shaped as a roundtrip: correctness is
+    expressible without the oracle ever seeing XML."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 100
+    )
+    xml_struct = F.struct("doc_id", "lang", "source", "n_chars")
+    schema = "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT"
+    parsed = docs.select(
+        F.from_xml(F.to_xml(xml_struct), schema).alias("x")
+    )
+    return parsed.select(
+        F.col("x.doc_id").alias("doc_id"),
+        F.col("x.lang").alias("lang"),
+        F.col("x.source").alias("source"),
+        F.col("x.n_chars").alias("n_chars"),
+    )
