@@ -85,6 +85,34 @@ TEMPLATES = [
     # exact interpolated median over generated ints (r3: agg_median_mode)
     """SELECT s, round(median(a), 6) AS med, count(a) AS n
        FROM t GROUP BY s ORDER BY s NULLS FIRST""",
+    # r5: two-level aggregation with the zero-preserving outer-join filter
+    # (q13 shape — moving the ON-clause filter to WHERE is the classic bug)
+    """SELECT c_count, count(*) AS custdist FROM (
+         SELECT t1.a, count(t2.b) AS c_count
+         FROM (SELECT DISTINCT a FROM t WHERE a IS NOT NULL) t1
+         LEFT JOIN t t2 ON t1.a = t2.a AND t2.b > 0
+         GROUP BY t1.a) g
+       GROUP BY c_count ORDER BY c_count""",
+    # r5: threshold-vs-global-aggregate (q11/q22 shape, exact ints)
+    """SELECT a, b FROM t
+       WHERE a > (SELECT CAST(floor(CAST(sum(b) AS DOUBLE) / count(*) ) AS BIGINT)
+                  FROM t WHERE b IS NOT NULL)
+       ORDER BY a NULLS FIRST, b NULLS FIRST, s NULLS FIRST""",
+    # r5: equality-to-max keeps all tied rows (q15 shape)
+    """SELECT s, a FROM t
+       WHERE a IS NOT NULL AND a = (SELECT max(a) FROM t)
+       ORDER BY s NULLS FIRST, a""",
+    # r5: DISTINCT aggregates (no shared ordered-LISTAGG spelling exists —
+    # Spark wants WITHIN GROUP, DuckDB wants in-call ORDER BY; the listagg
+    # contract row covers that pair with per-dialect text)
+    """SELECT count(DISTINCT a) AS da, sum(DISTINCT a) AS sa,
+              count(DISTINCT s) AS ds
+       FROM t""",
+    # r5: nth_value over a full frame with a total tiebreak
+    """SELECT DISTINCT nth_value(a, 2) OVER (
+         ORDER BY a NULLS FIRST, s NULLS FIRST, b NULLS FIRST
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_a
+       FROM t""",
 ]
 
 
