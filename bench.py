@@ -122,10 +122,10 @@ BASELINE_SEC = {
     "graph_sssp_hops": 4.07,
     "llm_chunk_overlap": 0.28,
     "dq_expectations_orders": 0.64,
-    "q8_market_share": 0.97,
-    "q18_large_volume_customer": 1.39,
-    "agg_cms_heavy_hitters": 0.84,
-    "join_bloom_pruned_fact": 0.54,
+    "q8_market_share": 0.36,
+    "q18_large_volume_customer": 0.92,
+    "agg_cms_heavy_hitters": 0.65,
+    "join_bloom_pruned_fact": 0.48,
 }
 
 
