@@ -144,6 +144,7 @@ _NEW_THIS_ROUND = frozenset(
         "agg_mad_robust",
         "win_nth_value_second_cheapest",
         "fn_xml_roundtrip",
+        "agg_histogram_equidepth",
     }
 )
 

@@ -848,3 +848,43 @@ def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("med_price_raw"), 6).alias("med_price"),
         "mad_price",
     )
+
+
+@query(
+    "agg_histogram_equidepth",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_totalprice,
+             ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT bucket, count(*) AS n,
+           round(min(o_totalprice), 6) AS lo,
+           round(max(o_totalprice), 6) AS hi
+    FROM ranked GROUP BY bucket
+    """,
+    tags=("aggregates", "histogram"),
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram (quantile buckets) — the complement of the
+    equi-width row (agg_histogram_bins) and the shape CBO statistics
+    collection actually uses: every bucket holds ~n/8 rows and the
+    bucket BOUNDARIES carry the distribution (skew shows as narrow hot
+    buckets, not empty cold ones). ntile over a totally-ordered window
+    (price, orderkey tiebreak) assigns identical buckets in both
+    engines because ntile is rank arithmetic, not value arithmetic.
+    At 100 TB the global sort is the cost — production stats collectors
+    switch to a mergeable quantile sketch (the agg_approx_percentile
+    row) and keep this exact form for medium dimensions."""
+    from pyspark.sql import Window  # noqa: PLC0415 — only histogram rows need it
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_totalprice", F.ntile(8).over(w).alias("bucket")
+    )
+    return ranked.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("o_totalprice"), 6).alias("lo"),
+        F.round(F.max("o_totalprice"), 6).alias("hi"),
+    )
