@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from streamline_hybrid_engine_spark.catalog import register_views
-from streamline_hybrid_engine_spark.functions.numeric import MICROS, osum
+from streamline_hybrid_engine_spark.functions.numeric import osum
 from streamline_hybrid_engine_spark.registry import query
 
 
@@ -452,8 +452,3 @@ _sql(
     the NOT EXISTS plans as a broadcast-able anti-join on custkey against
     the priority-filtered (pushed-down) orders scan.""",
 )
-
-# MICROS is imported for documentation symmetry with numeric.py consumers;
-# the SQL texts above inline the constant (1000000) because the string must
-# be identical on both engines.
-_ = MICROS

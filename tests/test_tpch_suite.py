@@ -79,7 +79,6 @@ def test_q13_customers_without_matching_orders_counted_in_zero_bucket(
     total_customers = sum(rows.values())
     from streamline_hybrid_engine_spark.catalog import register_views
 
-    spark2 = _QS["q13_customer_distribution"].fn  # noqa: F841 (registered)
     register_views(spark, sf_dir)
     expected_total = spark.table("customer").count()
     assert total_customers == expected_total
