@@ -145,6 +145,7 @@ _NEW_THIS_ROUND = frozenset(
         "win_nth_value_second_cheapest",
         "fn_xml_roundtrip",
         "agg_histogram_equidepth",
+        "fn_csv_codec_roundtrip",
     }
 )
 

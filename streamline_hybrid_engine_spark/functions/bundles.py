@@ -570,3 +570,33 @@ def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.source").alias("source"),
         F.col("x.n_chars").alias("n_chars"),
     )
+
+
+@query(
+    "fn_csv_codec_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE lang IS NOT NULL
+    """,
+    tags=("functions", "csv", "roundtrip"),
+)
+def fn_csv_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-row CSV codec (``to_csv``/``from_csv``) roundtrip-identity — the
+    row-level sibling of the file-level scan_csv_roundtrip and the XML
+    codec row: metadata serialized to a CSV line and parsed back, oracle
+    = the plain projection, so quoting/escaping/type-coercion asymmetry
+    breaks the hash. The codec matters operationally for message-queue
+    payloads (a Kafka value is exactly one CSV/JSON/XML line — the
+    env-blocked kafka.py builders use the JSON twin of this codec)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    )
+    line = F.to_csv(F.struct("doc_id", "lang", "n_chars"))
+    schema = "doc_id BIGINT, lang STRING, n_chars BIGINT"
+    parsed = docs.select(F.from_csv(line, schema).alias("c"))
+    return parsed.select(
+        F.col("c.doc_id").alias("doc_id"),
+        F.col("c.lang").alias("lang"),
+        F.col("c.n_chars").alias("n_chars"),
+    )
