@@ -516,3 +516,58 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         verts.unionByName(singles)
         .select("event_id", "component_id", size.alias("component_size"))
     )
+
+
+K_CORE = 3  # peel threshold — vertices surviving need >= 3 distinct neighbors
+
+
+@query("graph_kcore", oracle=None, tags=("graph", "iterative"))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition (k=3) of the customer↔supplier trading graph
+    — the Gelly-adjacent dense-subgraph primitive (community cores, spam
+    rings, bot cliques): iteratively PEEL vertices with fewer than k
+    distinct neighbors until no vertex falls below k; what survives is
+    the k-core. Deterministic regardless of peel order (the k-core is
+    unique — the maximal subgraph of min-degree ≥ k), so the result is
+    partitioning-stable without any tiebreak machinery.
+
+    Rows-only in the driver gate: the peel is a DELETION fixpoint, which
+    monotone-append recursive CTEs cannot express — the exact oracle
+    lives in tests/test_graph.py as a pure-Python peel over the same
+    edges. Scale design mirrors the CC/SSSP loops: the edge list is
+    checkpointed once; each round is one degree groupBy + one semi-join
+    to drop edges touching peeled vertices, both bounded by |E|, and the
+    loop runs O(peel-depth) rounds (shallow on heavy-tailed graphs,
+    where most mass survives round 1 or dies immediately);
+    ``localCheckpoint`` truncates lineage per round and the loop stops
+    the first round nothing peels."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    und = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(50):  # peel depth bound; trading graphs are shallow
+        deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= K_CORE).select("src")
+        n_before = und.count()
+        und = (
+            und.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if und.count() == n_before:
+            break
+    deg = und.groupBy("src").agg(F.count("*").alias("core_degree"))
+    return deg.select(F.col("src").alias("vertex"), "core_degree")
+

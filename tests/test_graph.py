@@ -147,3 +147,44 @@ def test_connected_components_empty_edges_short_circuit(spark):
     out = connected_components(edges)
     assert out.columns == ["vid", "label"]
     assert out.count() == 0
+
+
+def test_kcore_matches_pure_python_peel(spark, sf_dir):
+    """Exact oracle for the rows-only k-core id: the same peel computed
+    in pure Python over the same edge set must agree vertex-for-vertex
+    (the k-core is unique, so any correct peel order matches)."""
+    import pyspark.sql.functions as F
+
+    from streamline_hybrid_engine_spark.catalog import load_table
+    from streamline_hybrid_engine_spark.operators.graph import K_CORE
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    got = {
+        r["vertex"]: r["core_degree"]
+        for r in get_query("graph_kcore").fn(spark, sf_dir).collect()
+    }
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+        .collect()
+    )
+    adj: dict = {}
+    for r in pairs:
+        adj.setdefault(r.src, set()).add(r.dst)
+        adj.setdefault(r.dst, set()).add(r.src)
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v, ns in adj.items() if len(ns) < K_CORE]:
+            for n in adj.pop(v):
+                adj[n].discard(v)
+            changed = True
+    assert got == {v: len(ns) for v, ns in adj.items()}
+    assert all(d >= K_CORE for d in got.values())
