@@ -146,6 +146,7 @@ _NEW_THIS_ROUND = frozenset(
         "fn_xml_roundtrip",
         "agg_histogram_equidepth",
         "fn_csv_codec_roundtrip",
+        "ts_retention_cohorts",
     }
 )
 

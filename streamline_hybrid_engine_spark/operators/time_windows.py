@@ -566,3 +566,60 @@ def win_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "ts_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS act_day
+      FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.act_day) AS BIGINT) AS day_offset,
+           count(*) AS n_active_users
+    FROM firsts f
+    JOIN activity a ON a.user_id = f.user_id
+    WHERE date_diff('day', f.cohort_day, a.act_day) <= 7
+    GROUP BY f.cohort_day, day_offset
+    """,
+    tags=("timewindow", "cohort"),
+)
+def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort analysis — the canonical product-analytics rollup
+    the reference's SQL users run daily: users grouped by first-seen DAY
+    (their cohort; the fixture's events span one month, so day
+    granularity is what yields a real cohort matrix), counted as active
+    per subsequent day offset (≤ 7). Offsets are exact integer date
+    subtraction, so no calendar-interval ambiguity exists between
+    engines.
+
+    Scale shape: one groupBy(user) for first-seen, one distinct over
+    (user, month) — both shuffle on user_id so ONE partitioning serves
+    both sides and the join is co-partitioned; the final rollup's key
+    space is cohorts × offsets (tiny). At 100 TB this is incremental:
+    the firsts table is a running MERGE (new users only) and each day
+    appends to activity — exactly the cdc_apply_latest / upsert-sink
+    pattern elsewhere in the registry."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("act_day")
+    ).distinct()
+    joined = firsts.join(activity, "user_id").withColumn(
+        "day_offset",
+        F.datediff(F.col("act_day"), F.col("cohort_day")).cast("long"),
+    )
+    return (
+        joined.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_active_users"))
+    )
