@@ -147,6 +147,7 @@ _NEW_THIS_ROUND = frozenset(
         "agg_histogram_equidepth",
         "fn_csv_codec_roundtrip",
         "ts_retention_cohorts",
+        "ts_linear_attribution",
     }
 )
 

@@ -623,3 +623,76 @@ def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count("*").alias("n_active_users"))
     )
+
+
+@query(
+    "ts_linear_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts,
+             CAST(floor(value * 1000000) AS BIGINT) AS value_fx
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    touched AS (
+      SELECT p.purchase_id, p.value_fx, c.click_id,
+             count(*) OVER (PARTITION BY p.purchase_id) AS n_touches
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.c_ts BETWEEN p.p_ts - INTERVAL 30 MINUTE AND p.p_ts
+    )
+    SELECT click_id,
+           count(*) AS n_purchases,
+           CAST(sum(value_fx // n_touches) AS BIGINT) AS attributed_micros
+    FROM touched
+    GROUP BY click_id
+    """,
+    tags=("timewindow", "attribution"),
+)
+def ts_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — each purchase's value split
+    EQUALLY across the clicks that preceded it within a 30-minute
+    window, summed per click (the ad-tech revenue-crediting workload;
+    first-touch and last-touch are the as-of joins, this is the
+    many-touch completion). The per-touch share is integer division of
+    fixed-point micros (``value_fx div n_touches``) — exact and
+    identical cross-engine, where a double division would ulp-flake the
+    sum; the deliberate remainder (up to n-1 micros per purchase) stays
+    unassigned exactly as both engines compute it.
+
+    Scale shape: the touch set comes from the SAME bounded interval
+    join as join_interval_events (user equi-key + time-range predicate
+    — never a pair explosion past the window), the per-purchase touch
+    count is a window over the purchase key, and the final rollup
+    shuffles on click_id. At 100 TB the binned form (join_range_binned)
+    replaces the raw range join, unchanged semantics."""
+    from pyspark.sql import Window  # noqa: PLC0415 — only this row needs it
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("value_fx"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    touched = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).withColumn(
+        "n_touches", F.count("*").over(Window.partitionBy("purchase_id"))
+    )
+    share = F.expr("value_fx div n_touches")
+    return touched.groupBy("click_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(share).cast("long").alias("attributed_micros"),
+    )
