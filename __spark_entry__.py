@@ -148,6 +148,7 @@ _NEW_THIS_ROUND = frozenset(
         "fn_csv_codec_roundtrip",
         "ts_retention_cohorts",
         "ts_linear_attribution",
+        "win_ratio_to_report",
     }
 )
 

@@ -338,3 +338,48 @@ def win_nth_value_second_cheapest(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .distinct()
     )
+
+
+@query(
+    "win_ratio_to_report",
+    oracle="""
+    WITH fx AS (
+      SELECT event_id, user_id,
+             CAST(floor(value * 1000000) AS BIGINT) AS v_fx
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT event_id, user_id,
+           round(CAST(v_fx AS DOUBLE)
+                 / CAST(sum(v_fx) OVER (PARTITION BY user_id) AS DOUBLE),
+                 6) AS share_of_user_spend
+    FROM fx
+    """,
+    tags=("windows", "ratio"),
+)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO_TO_REPORT: each purchase as a share of its user's total
+    spend — the window-aggregate-as-denominator idiom (Oracle SQL's
+    ratio_to_report, spelled as value / sum() OVER in both engines).
+    Numerator and denominator are exact fixed-point longs (the window
+    sum of longs is order-independent), so the single double division
+    happens on identical operands — putting the raw doubles through the
+    window sum instead would ulp-drift with partition order. One
+    shuffle on user_id, frame-less window (whole partition), no sort
+    required."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    fx = ev.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("v_fx"),
+    )
+    w = Window.partitionBy("user_id")
+    return fx.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.col("v_fx").cast("double") / F.sum("v_fx").over(w).cast("double"),
+            6,
+        ).alias("share_of_user_spend"),
+    )
