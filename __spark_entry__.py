@@ -149,6 +149,7 @@ _NEW_THIS_ROUND = frozenset(
         "ts_retention_cohorts",
         "ts_linear_attribution",
         "win_ratio_to_report",
+        "win_topk_with_ties",
     }
 )
 

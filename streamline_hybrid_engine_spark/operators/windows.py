@@ -383,3 +383,43 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_of_user_spend"),
     )
+
+
+@query(
+    "win_topk_with_ties",
+    oracle="""
+    SELECT user_id, event_id, round(value, 6) AS value, rnk
+    FROM (
+      SELECT user_id, event_id, value,
+             CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC)
+                  AS BIGINT) AS rnk
+      FROM events WHERE event_type = 'purchase'
+    ) t
+    WHERE rnk <= 3
+    """,
+    tags=("windows", "topk", "ties"),
+)
+def win_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 purchases per user WITH TIES (SQL-standard FETCH FIRST …
+    WITH TIES semantics): rank() keeps every row tied at the cut, so a
+    user with four purchases at the third-highest value returns all
+    four — row_number-based top-k (win_topk_orders) would
+    nondeterministically drop one without a tiebreak column. The two
+    semantics answer different questions ("the top-3 VALUES' rows" vs
+    "exactly 3 rows") and a migrating workload needs both. Identical
+    plan shape: one user_id shuffle, per-partition sort, rank filter
+    pushed into the window via the limit-pushdown rule."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"))
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.rank().over(w).alias("rnk"),
+            rnd("value", "value"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", "value", F.col("rnk").cast("long").alias("rnk"))
+    )
