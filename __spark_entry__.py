@@ -150,6 +150,7 @@ _NEW_THIS_ROUND = frozenset(
         "ts_linear_attribution",
         "win_ratio_to_report",
         "win_topk_with_ties",
+        "set_union_schema_drift",
     }
 )
 

@@ -165,3 +165,42 @@ def set_except_all_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _ordered_partkeys(spark, sf_dir, 1)
     b = _ordered_partkeys(spark, sf_dir, 2)
     return a.exceptAll(b)
+
+
+@query(
+    "set_union_schema_drift",
+    oracle="""
+    SELECT o_orderkey AS id, 'with_priority' AS generation,
+           o_orderpriority AS priority,
+           round(o_totalprice, 6) AS totalprice
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey AS id, 'legacy' AS generation,
+           NULL AS priority,
+           round(o_totalprice, 6) AS totalprice
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("setops", "schema_evolution"),
+)
+def set_union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union: ``unionByName(allowMissingColumns=True)`` over
+    two generations of the same feed where the older one lacks a column
+    — the missing side is NULL-padded BY NAME, not by position. This is
+    the in-query face of schema evolution (the on-read face is
+    scan_merge_schema): positional unionAll over drifted schemas
+    silently misaligns columns, the classic lake-ingestion bug. The
+    oracle spells the padding explicitly; at 100 TB this is how a
+    backfill reads five years of a feed whose schema grew."""
+    o = load_table(spark, sf_dir, "orders")
+    current = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("id"),
+        F.lit("with_priority").alias("generation"),
+        F.col("o_orderpriority").alias("priority"),
+        F.round("o_totalprice", 6).alias("totalprice"),
+    )
+    legacy = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("id"),
+        F.lit("legacy").alias("generation"),
+        F.round("o_totalprice", 6).alias("totalprice"),
+    )
+    return current.unionByName(legacy, allowMissingColumns=True)
