@@ -151,6 +151,7 @@ _NEW_THIS_ROUND = frozenset(
         "win_ratio_to_report",
         "win_topk_with_ties",
         "set_union_schema_drift",
+        "win_running_distinct_types",
     }
 )
 

@@ -423,3 +423,57 @@ def win_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("user_id", "event_id", "value", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+@query(
+    "win_running_distinct_types",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id) = 1
+                  THEN 1 ELSE 0 END AS first_of_type
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(sum(first_of_type) OVER (
+             PARTITION BY user_id ORDER BY uts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS n_types_seen
+    FROM flagged
+    """,
+    tags=("windows", "distinct", "running"),
+)
+def win_running_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) — how many distinct event types each user
+    has seen as of every event. Neither engine supports DISTINCT inside
+    a window frame, so this is the standard two-window rewrite: flag
+    each (user, type)'s FIRST occurrence (row_number = 1 under a total
+    order), then running-sum the flags per user — exactly one distinct
+    increment per type, integer-exact, same spelling both engines.
+    Scale shape: both windows partition by user_id (the second is a
+    prefix of the first's key), so one shuffle serves the pair and the
+    per-user sort is reused."""
+    ev = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias(
+            "first_of_type"
+        ),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("first_of_type").over(w_run).cast("long").alias("n_types_seen"),
+    )
