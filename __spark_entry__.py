@@ -152,6 +152,7 @@ _NEW_THIS_ROUND = frozenset(
         "win_topk_with_ties",
         "set_union_schema_drift",
         "win_running_distinct_types",
+        "dq_sequence_gaps",
     }
 )
 

@@ -239,3 +239,45 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_violations") == 0).alias("passed"),
         "n_violations",
     )
+
+
+@query(
+    "dq_sequence_gaps",
+    oracle="""
+    WITH f AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'
+    ),
+    lagged AS (
+      SELECT k, lag(k) OVER (ORDER BY k) AS prev_k FROM f
+    )
+    SELECT prev_k + 1 AS gap_start,
+           CAST(k - prev_k - 1 AS BIGINT) AS gap_len
+    FROM lagged
+    WHERE prev_k IS NOT NULL AND k - prev_k > 1
+    """,
+    tags=("metrics", "dq", "gaps"),
+)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap detection (gaps-and-islands, the gaps half — the
+    session operator family is the islands half): every maximal run of
+    ids MISSING from the F-status order stream, as (gap_start, gap_len).
+    The completeness check every CDC/ingestion pipeline runs — a gap in
+    an expected-dense sequence is a dropped batch. One lag over a total
+    order; gaps are unique by start so the result needs no tiebreak.
+    At 100 TB the global sort is avoided the usual way: range-partition
+    by id, detect gaps within partitions, then compare only the 2·P
+    boundary rows on the driver."""
+    f = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select(F.col("o_orderkey").alias("k"))
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    lagged = f.select(
+        "k", F.lag("k").over(Window.orderBy("k")).alias("prev_k")
+    )
+    return lagged.filter(
+        F.col("prev_k").isNotNull() & (F.col("k") - F.col("prev_k") > 1)
+    ).select(
+        (F.col("prev_k") + 1).alias("gap_start"),
+        (F.col("k") - F.col("prev_k") - 1).cast("long").alias("gap_len"),
+    )
