@@ -153,6 +153,7 @@ _NEW_THIS_ROUND = frozenset(
         "set_union_schema_drift",
         "win_running_distinct_types",
         "dq_sequence_gaps",
+        "agg_bitmap_distinct",
     }
 )
 

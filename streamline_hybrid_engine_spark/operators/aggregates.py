@@ -888,3 +888,40 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 6).alias("lo"),
         F.round(F.max("o_totalprice"), 6).alias("hi"),
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("aggregates", "bitmap", "distinct"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregates (Spark 4's
+    bitmap_bucket_number / bitmap_construct_agg / bitmap_count): ids
+    hash to (bucket, bit) positions, each bucket folds to one 4 KB
+    bitmap map-side, buckets merge associatively, and the count is the
+    summed popcount — exact like count(DISTINCT) but MERGEABLE like a
+    sketch, which is the property that matters at 100 TB: partial
+    bitmaps combine across partitions/days without re-expanding rows
+    (count DISTINCT's expand-and-dedup carries every distinct id
+    through the shuffle; HLL merges but is approximate — bitmaps are
+    the exact middle when the id domain is dense integers). The oracle
+    is the plain count(DISTINCT): the bitmap path must be value-
+    IDENTICAL, not approximately so."""
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_users")
+    )
