@@ -154,6 +154,7 @@ _NEW_THIS_ROUND = frozenset(
         "win_running_distinct_types",
         "dq_sequence_gaps",
         "agg_bitmap_distinct",
+        "join_null_safe_eq",
     }
 )
 

@@ -771,3 +771,49 @@ def join_aqe_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    WITH keyed AS (
+      SELECT o_orderkey, nullif(o_orderpriority, '4-NOT SPECIFIED') AS prio
+      FROM orders
+    ),
+    dim AS (
+      SELECT DISTINCT nullif(o_orderpriority, '4-NOT SPECIFIED') AS prio,
+             CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                  THEN 'unspecified' ELSE 'stated' END AS prio_class
+      FROM orders
+    )
+    SELECT dim.prio_class, count(*) AS n_orders
+    FROM keyed
+    JOIN dim ON keyed.prio IS NOT DISTINCT FROM dim.prio
+    GROUP BY dim.prio_class
+    """,
+    tags=("joins", "null_safe"),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of silently vanishing — the semantic a
+    plain inner join gets wrong when the join key is legitimately
+    nullable (here: order priority with 'NOT SPECIFIED' normalized to
+    NULL). Every order survives the join, including the NULL-priority
+    class; the count by class proves it (a plain equi-join would drop
+    the whole 'unspecified' bucket). Spark plans ``eqNullSafe`` as a
+    hash join on a null-safe key wrapper — same shuffle shape as plain
+    equality, no nested-loop penalty; DuckDB's IS NOT DISTINCT FROM is
+    the identical ANSI semantic."""
+    o = load_table(spark, sf_dir, "orders")
+    prio = F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED"))
+    keyed = o.select("o_orderkey", prio.alias("prio"))
+    dim = o.select(
+        prio.alias("d_prio"),
+        F.when(
+            F.col("o_orderpriority") == "4-NOT SPECIFIED", "unspecified"
+        )
+        .otherwise("stated")
+        .alias("prio_class"),
+    ).distinct()
+    joined = keyed.join(dim, keyed.prio.eqNullSafe(dim.d_prio))
+    return joined.groupBy("prio_class").agg(F.count("*").alias("n_orders"))
