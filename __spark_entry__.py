@@ -155,6 +155,7 @@ _NEW_THIS_ROUND = frozenset(
         "dq_sequence_gaps",
         "agg_bitmap_distinct",
         "join_null_safe_eq",
+        "fn_map_type_bundle",
     }
 )
 

@@ -600,3 +600,49 @@ def fn_csv_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.lang").alias("lang"),
         F.col("c.n_chars").alias("n_chars"),
     )
+
+
+@query(
+    "fn_map_type_bundle",
+    oracle="""
+    SELECT event_id,
+           CAST(3 AS INTEGER) AS n_keys,
+           'k,type,uid' AS keys_sorted,
+           event_type AS type_val,
+           CAST(user_id AS VARCHAR) AS uid_val,
+           CAST(json_extract(props, '$.k') AS VARCHAR) AS k_val,
+           CAST(4 AS INTEGER) AS n_keys_merged
+    FROM events
+    WHERE event_type = 'signup'
+    """,
+    tags=("functions", "map"),
+)
+def fn_map_type_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface — the container type the array/struct/VARIANT
+    bundles don't cover: build a map from columns, then size /
+    map_keys / element_at / map_concat, projected back to scalars. The
+    oracle never sees a map (roundtrip-identity pattern, like the
+    XML/CSV codec rows): it recomputes each scalar from the base
+    columns, so any asymmetry in map construction, key ordering
+    (map_keys is sorted explicitly — map iteration order is undefined),
+    lookup, or merge breaks the value hash. Map columns at 100 TB are
+    the schema-flexible alternative to VARIANT when keys are bounded —
+    all-JVM here, no UDF."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    )
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+        F.lit("k"), F.get_json_object("props", "$.k"),
+    )
+    merged = F.map_concat(m, F.create_map(F.lit("src"), F.lit("events")))
+    return ev.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(m, "type").alias("type_val"),
+        F.element_at(m, "uid").alias("uid_val"),
+        F.element_at(m, "k").alias("k_val"),
+        F.size(merged).alias("n_keys_merged"),
+    )
