@@ -156,6 +156,7 @@ _NEW_THIS_ROUND = frozenset(
         "agg_bitmap_distinct",
         "join_null_safe_eq",
         "fn_map_type_bundle",
+        "fn_lambda_bundle",
     }
 )
 

@@ -646,3 +646,40 @@ def fn_map_type_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").alias("k_val"),
         F.size(merged).alias("n_keys_merged"),
     )
+
+
+@query(
+    "fn_lambda_bundle",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(t, x -> length(x) > 4)) AS INTEGER) AS n_long,
+           CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS total_chars,
+           len(list_filter(t, x -> length(x) > 8)) > 0 AS has_very_long,
+           len(list_filter(t, x -> length(x) = 0)) = 0 AS all_nonempty
+    FROM toks
+    """,
+    tags=("functions", "lambda", "higher_order"),
+)
+def fn_lambda_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order lambda functions over arrays — filter, fold
+    (aggregate), exists, forall — the JVM-side row-wise compute that
+    replaces per-row Python in a training pipeline (the array bundle
+    covers transform/min/max; these are the predicate/fold forms).
+    Spark's exists/forall are spelled in DuckDB as filtered-length
+    tests, and the fold result is an exact integer sum, so every output
+    is hash-comparable despite the dialects naming their lambdas
+    differently. Zero shuffle, whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(t, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.aggregate(
+            t, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("total_chars"),
+        F.exists(t, lambda x: F.length(x) > 8).alias("has_very_long"),
+        F.forall(t, lambda x: F.length(x) > 0).alias("all_nonempty"),
+    )
