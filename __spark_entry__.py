@@ -157,6 +157,7 @@ _NEW_THIS_ROUND = frozenset(
         "join_null_safe_eq",
         "fn_map_type_bundle",
         "fn_lambda_bundle",
+        "limit_offset_pagination",
     }
 )
 

@@ -95,3 +95,33 @@ def topk_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "o_orderkey")
         .limit(10)
     )
+
+
+@query(
+    "limit_offset_pagination",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 6) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50 OFFSET 100
+    """,
+    tags=("sort_limit", "pagination"),
+)
+def limit_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination (page 3 of 50 by price) — the API-serving
+    access pattern. The page is only well-defined under a TOTAL order
+    (price ties broken by key), the same discipline as every top-k row;
+    without the tiebreak, page boundaries shift between runs and
+    engines. Spark executes offset+limit as a single take of
+    offset+limit rows then a drop — fine for page-sized offsets; deep
+    pagination at 100 TB uses keyset continuation instead (WHERE key >
+    last_seen ORDER BY key LIMIT n), which stays O(page) regardless of
+    depth — this row certifies the OFFSET semantics, the docstring
+    carries the scale guidance."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .select("o_orderkey", rnd("o_totalprice", "totalprice"))
+        .offset(100)
+        .limit(50)
+    )
