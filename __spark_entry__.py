@@ -105,59 +105,21 @@ def _sweep_order(qs, correctness_dir: str | None = None) -> list[str]:
 #: first under the driver's 50-slot cap. Prune entries once they appear in
 #: a CORRECTNESS file (stale entries are benign: the rank only applies
 #: while unstamped).
-_NEW_THIS_ROUND = frozenset(
+_NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # r4 additions (still unstamped — CORRECTNESS_r04 was never
-        # recorded; they stay behind the r3-queued ids and ahead of
-        # nothing, i.e. in registration order within this group)
-        "graph_sssp_hops",
-        "llm_chunk_overlap",
-        "dq_expectations_orders",
-        "fn_url_bundle",
-        "scan_blob_datasource",
-        "win_session_two_phase",
-        "agg_hll_merge",  # rows-only r3 → error-bound oracle r4
-        "cep_absence_no_error_after_purchase",
-        "ts_interpolate_linear",
-        # r5 additions — same policy: the LLM/mm block queued since r3
-        # fills the 50-slot sweep first
-        "q2_min_cost_supplier",
-        "q7_nation_volume_shipping",
-        "q8_market_share",
-        "q9_product_profit",
-        "q10_returned_items",
-        "q11_important_stock",
-        "q13_customer_distribution",
-        "q15_top_supplier",
-        "q16_supplier_relationship",
-        "q18_large_volume_customer",
-        "q20_promotion_suppliers",
-        "q22_global_sales_opportunity",
-        "agg_cms_heavy_hitters",
-        "join_bloom_pruned_fact",
-        "lake_zorder_layout",
-        "win_session_dynamic_gap",
-        "join_aqe_skew_split",
-        "udtf_polymorphic_firstk",
-        "sql_pipe_syntax",
-        "agg_listagg_within_group",
-        "agg_mad_robust",
-        "win_nth_value_second_cheapest",
-        "fn_xml_roundtrip",
-        "agg_histogram_equidepth",
-        "fn_csv_codec_roundtrip",
-        "ts_retention_cohorts",
-        "ts_linear_attribution",
-        "win_ratio_to_report",
-        "win_topk_with_ties",
-        "set_union_schema_drift",
-        "win_running_distinct_types",
-        "dq_sequence_gaps",
-        "agg_bitmap_distinct",
-        "join_null_safe_eq",
-        "fn_map_type_bundle",
-        "fn_lambda_bundle",
-        "limit_offset_pagination",
+        # r6 additions — the 47-id r4/r5 backlog (never driver-stamped,
+        # CORRECTNESS_r04 was never recorded) must fill the 50-slot sweep
+        # first; these take whatever slots remain.
+        "limit_keyset_pagination",
+        "cep_match_recognize_text",
+        "graph_label_propagation",
+        "llm_ann_pq",
+        "win_pattern_islands",
+        "agg_theta_sketch_ops",
+        "ts_asof_downsample",
+        "dq_anomaly_mad_window",
+        "fn_collation_bundle",
+        "ivm_incremental_agg_merge",
     }
 )
 

@@ -275,18 +275,27 @@ def main() -> int:
     }
     total += stream_dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "telemetry": telemetry,
-            }
-        )
-    )
+    # The driver records only the LAST ~2000 chars of stdout and parses the
+    # final line as the bench JSON. r5's single line with telemetry inlined
+    # was 3.4k chars → truncated → BENCH_r05.json parsed:null, losing the
+    # official total + medians. So: telemetry goes to a sidecar file AND a
+    # preceding stdout line (greppable either way), and the LAST line is the
+    # minified summary alone (~1.3k chars — fits with headroom).
+    telemetry_line = json.dumps({"telemetry": telemetry}, separators=(",", ":"))
+    try:
+        with open(os.path.join(_REPO, "BENCH_TELEMETRY.json"), "w") as f:
+            f.write(telemetry_line + "\n")
+    except OSError:
+        pass
+    print(telemetry_line)
+    summary = {
+        "metric": "headline_query_wall_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(summary, separators=(",", ":")))
     return 0
 
 

@@ -385,8 +385,12 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: recursive-CTE transitive closure (exactly the min reachable
     node per doc). Output: every document with its cluster representative
-    and cluster size. In sweep mode the final label table is shared with
-    llm_dedup_keep via ``_shared``.
+    and cluster size. In sweep mode the label table is cached via
+    ``_shared`` so repeat calls within a sweep reuse it; llm_dedup_keep
+    deliberately does NOT consume it — its r5 rewrite runs its own CC pass
+    over the minhash pairs because its contract needs only per-cluster
+    aggregates (no corpus-wide size window), which is cheaper than joining
+    back through this full label table.
     """
     return _shared(
         spark, sf_dir, "clusters", lambda: _build_clusters(spark, sf_dir)

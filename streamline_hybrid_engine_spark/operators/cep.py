@@ -311,6 +311,164 @@ def cep_pattern_abc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# MATCH_RECOGNIZE text face — the SQL:2016 row-pattern surface (Flink SQL /
+# Trino / Oracle expose CEP this way). Spark has no MATCH_RECOGNIZE; this
+# compiles the pattern-spec TEXT down to the same PatternSpec NFA the
+# programmatic API uses, so SQL-CEP users keep their spec strings and get
+# the identical (oracle-checked) machine.
+
+_MR_UNIT_US = {
+    "SECOND": 1_000_000,
+    "MINUTE": 60_000_000,
+    "HOUR": 3_600_000_000,
+    "DAY": 86_400_000_000,
+}
+
+
+def parse_match_recognize(spec_text: str) -> tuple[PatternSpec, str, str]:
+    """Parse a MATCH_RECOGNIZE-ish clause into (PatternSpec, partition_col,
+    order_col).
+
+    Supported grammar (the subset the NFA executes — anything else raises,
+    never silently degrades)::
+
+        MATCH_RECOGNIZE (
+          PARTITION BY <col>
+          ORDER BY <col>
+          PATTERN (A B C ...)
+          WITHIN INTERVAL '<n>' SECOND|MINUTE|HOUR|DAY
+          DEFINE A AS event_type = '<literal>', B AS ...
+        )
+
+    Semantics are the NFA's documented ones: relaxed contiguity, greedy
+    after-match-skip-past-match, WITHIN anchored at the first step — the
+    same defaults as ONE ROW PER MATCH / AFTER MATCH SKIP PAST LAST ROW.
+    Each pattern variable must be defined exactly once as an equality on
+    ``event_type`` (quantifiers/alternation are future surface; the parser
+    rejects them loudly)."""
+    import re
+
+    body_m = re.search(
+        r"MATCH_RECOGNIZE\s*\((.*)\)\s*$", spec_text.strip(),
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not body_m:
+        raise ValueError("spec must be MATCH_RECOGNIZE ( ... )")
+    body = body_m.group(1)
+
+    def clause(pat: str, name: str) -> str:
+        m = re.search(pat, body, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise ValueError(f"missing or malformed {name} clause")
+        return m.group(1).strip()
+
+    part_col = clause(r"PARTITION\s+BY\s+([a-zA-Z_][\w]*)", "PARTITION BY")
+    order_col = clause(r"ORDER\s+BY\s+([a-zA-Z_][\w]*)", "ORDER BY")
+    pattern = clause(r"PATTERN\s*\(([^)]*)\)", "PATTERN")
+    n_m = re.search(
+        r"WITHIN\s+INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)S?",
+        body,
+        re.IGNORECASE,
+    )
+    if not n_m:
+        raise ValueError("missing or malformed WITHIN INTERVAL clause")
+    timeout_us = int(n_m.group(1)) * _MR_UNIT_US[n_m.group(2).upper()]
+    define = clause(r"DEFINE\s+(.*)$", "DEFINE")
+
+    variables = pattern.split()
+    if any(re.search(r"[+*?{|]", v) for v in variables):
+        raise ValueError(
+            "quantifiers/alternation are not supported; pattern variables "
+            "must be a plain sequence"
+        )
+    def split_outside_quotes(s: str) -> list[str]:
+        parts, buf, in_q = [], [], False
+        for ch in s:
+            if ch == "'":
+                in_q = not in_q
+            if ch == "," and not in_q:
+                parts.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        parts.append("".join(buf))
+        return parts
+
+    defs: dict[str, str] = {}
+    for item in split_outside_quotes(define):
+        d_m = re.fullmatch(
+            r"\s*([a-zA-Z_][\w]*)\s+AS\s+event_type\s*=\s*'([^']*)'\s*",
+            item,
+            re.IGNORECASE,
+        )
+        if not d_m:
+            raise ValueError(
+                f"unsupported DEFINE entry {item!r}: only "
+                "\"<Var> AS event_type = '<literal>'\" is compilable"
+            )
+        var, etype = d_m.group(1), d_m.group(2)
+        if var in defs:
+            raise ValueError(f"variable {var} defined twice")
+        defs[var] = etype
+    undefined = [v for v in variables if v not in defs]
+    if undefined:
+        raise ValueError(f"PATTERN variables without DEFINE: {undefined}")
+    steps = tuple(defs[v] for v in variables)
+    return compile_pattern(steps, timeout_us), part_col, order_col
+
+
+def match_recognize(events: DataFrame, spec_text: str) -> DataFrame:
+    """Run a MATCH_RECOGNIZE spec string over an events DataFrame — the
+    text face of :func:`match_pattern`."""
+    spec, part_col, order_col = parse_match_recognize(spec_text)
+    if part_col != "user_id" or order_col != "ts":
+        raise ValueError(
+            "this fixture surface executes PARTITION BY user_id ORDER BY ts; "
+            f"got PARTITION BY {part_col} ORDER BY {order_col}"
+        )
+    return match_pattern(events, spec)
+
+
+#: the contract spec string — a pattern NOT otherwise instantiated
+#: (signup → view → error within 48 h), proving the text face compiles
+#: arbitrary sequences, not just the two precompiled ids.
+MR_SPEC_TEXT = """
+MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts
+  PATTERN (S V E)
+  WITHIN INTERVAL '48' HOUR
+  DEFINE S AS event_type = 'signup',
+         V AS event_type = 'view',
+         E AS event_type = 'error'
+)
+"""
+
+#: hand-declared twin of MR_SPEC_TEXT — the oracle is generated from THIS,
+#: never from the parser's output, so a mis-parse (wrong step order, wrong
+#: timeout unit) diverges the Spark result from the oracle and the hash
+#: gate catches it.
+_MR_EXPECTED = compile_pattern(("signup", "view", "error"), 48 * 3_600_000_000)
+
+
+@query(
+    "cep_match_recognize_text",
+    oracle=pattern_oracle(_MR_EXPECTED),
+    tags=("cep", "sql"),
+)
+def cep_match_recognize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text CEP: a MATCH_RECOGNIZE spec string (SQL:2016 row-pattern
+    subset — the Flink SQL / Trino surface) compiled by
+    :func:`parse_match_recognize` to the SAME PatternSpec NFA as the
+    programmatic API, then executed by the shared Arrow runner. The
+    oracle is generated from a hand-declared spec (``_MR_EXPECTED``)
+    INDEPENDENT of the parser, so the parse itself is value-checked end
+    to end against the recursive-CTE machine. Scale = match_pattern's:
+    one shuffle on the partition key, linear per-key scan, O(1) state."""
+    return match_recognize(load_table(spark, sf_dir, "events"), MR_SPEC_TEXT)
+
+
 ABSENCE_WINDOW_US = 30 * 60 * 1_000_000  # notFollowedBy ... within 30 minutes
 
 

@@ -125,3 +125,53 @@ def limit_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(100)
         .limit(50)
     )
+
+
+#: keyset cursor: the last row of the previous page in the
+#: (price DESC, orderkey ASC) total order. Fixed literals so the predicate
+#: is a pushable parquet filter; any (price, key) works the same way.
+_KEYSET_PRICE = 420_000.0
+_KEYSET_KEY = 0
+
+
+@query(
+    "limit_keyset_pagination",
+    oracle=f"""
+    SELECT o_orderkey, round(o_totalprice, 6) AS totalprice
+    FROM orders
+    WHERE o_totalprice < {_KEYSET_PRICE}
+       OR (o_totalprice = {_KEYSET_PRICE} AND o_orderkey > {_KEYSET_KEY})
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+    tags=("sort_limit", "pagination"),
+)
+def limit_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-continuation pagination — the scale-safe page fetch that
+    `limit_offset_pagination`'s docstring promises. The client carries the
+    last row of the previous page as a cursor in the (price DESC, key ASC)
+    total order; the next page is ``WHERE (price, key) AFTER cursor ORDER
+    BY ... LIMIT n``, expanded to the row-comparison disjunction
+    ``price < p OR (price = p AND key > k)`` (Spark has no tuple
+    comparison over mixed ASC/DESC).
+
+    Why this is the 100 TB pagination: OFFSET d re-sorts and discards a
+    d-row prefix on every page — O(d) per page, O(pages²) for a full
+    crawl. The keyset predicate instead pushes to the parquet scan
+    (PushedFilters: row groups whose price-range stats fall entirely
+    above the cursor are skipped — plan-pinned) and the remaining rows
+    flow into ``TakeOrderedAndProject``: per-partition 50-row heaps + one
+    driver merge, never a global sort, O(page) at any depth. Same result
+    contract as the OFFSET form when the cursor is the OFFSET boundary
+    row."""
+    o = load_table(spark, sf_dir, "orders")
+    after_cursor = (F.col("o_totalprice") < _KEYSET_PRICE) | (
+        (F.col("o_totalprice") == _KEYSET_PRICE)
+        & (F.col("o_orderkey") > _KEYSET_KEY)
+    )
+    return (
+        o.filter(after_cursor)
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .select("o_orderkey", rnd("o_totalprice", "totalprice"))
+        .limit(50)
+    )

@@ -351,30 +351,38 @@ _sql(
 # --- Q18: large-volume customers --------------------------------------------
 
 _Q18 = """
+    WITH big AS (SELECT l_orderkey,
+                        sum(CAST(floor(l_quantity * 1000000) AS BIGINT))
+                          AS qty_fx
+                 FROM lineitem
+                 GROUP BY l_orderkey
+                 HAVING sum(CAST(floor(l_quantity * 1000000)
+                                 AS BIGINT)) > 150000000)
     SELECT c_name, c_custkey, o_orderkey, o_orderdate,
            round(o_totalprice, 2) AS totalprice,
-           round(CAST(sum(CAST(floor(l_quantity * 1000000) AS BIGINT))
-                      AS DOUBLE) / 1000000, 6) AS sum_qty
-    FROM customer
-    JOIN orders ON c_custkey = o_custkey
-    JOIN lineitem ON o_orderkey = l_orderkey
-    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
-                         GROUP BY l_orderkey
-                         HAVING sum(CAST(floor(l_quantity * 1000000)
-                                         AS BIGINT)) > 150000000)
-    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+           round(CAST(qty_fx AS DOUBLE) / 1000000, 6) AS sum_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
 """
 
 _sql(
     "q18_large_volume_customer",
     _Q18,
-    """TPC-H Q18 shape: IN over a grouped-HAVING subquery on the same fact
-    table. The qualifying-orders side is an exact integer threshold
-    (quantity micros > 150M), plans as a semi-join on orderkey, and both
-    the subquery agg and the outer agg shuffle on the SAME key — one
-    partitioning serves the grouped filter, the semi-join, and the final
-    group-by. The orderkey-grouped HAVING is the memory-bounded way to
-    find big orders at 100 TB (never a window over the whole fact).""",
+    """TPC-H Q18 shape: large-volume customers via a grouped-HAVING filter
+    on the fact table. The textbook form (IN-subquery + outer re-aggregate
+    over the customer⋈orders⋈lineitem join) computes the per-order sum
+    TWICE — and because the outer GROUP BY carries the customer columns,
+    its shuffle key differs from the subquery's, so the exchange cannot be
+    reused (measured r5: 1.49x baseline, plan showed a second full
+    lineitem pass broadcast back in). Since the outer grouping is keyed by
+    o_orderkey (unique per group), the per-order sum the HAVING already
+    computed IS sum_qty — so the rewrite carries it out of the CTE and the
+    outer query is two dimension joins with no second aggregate and no
+    second lineitem scan. One wide shuffle total (lineitem by orderkey);
+    the ~thousandth-selectivity `big` side then broadcasts into orders.
+    The orderkey-grouped HAVING is the memory-bounded way to find big
+    orders at 100 TB (never a window over the whole fact).""",
 )
 
 

@@ -26,6 +26,7 @@ the source format supports it.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 from streamline_hybrid_engine_spark.registry import query
@@ -75,10 +76,9 @@ def _register(spark: SparkSession) -> None:
         def reader(self, schema):
             return SyntheticTelemetryReader(self.options)
 
-    try:
-        spark.dataSource.register(SyntheticTelemetrySource)
-    except Exception:
-        pass  # already registered in this session
+    # re-registering the same name is an overwrite, not an error (verified
+    # on PySpark 4.1) — no except needed; real failures must propagate
+    spark.dataSource.register(SyntheticTelemetrySource)
 
 
 @query(
@@ -172,10 +172,9 @@ def _register_blob(spark: SparkSession) -> None:
         def reader(self, schema):
             return BlobStoreReader(self.options)
 
-    try:
-        spark.dataSource.register(BlobStoreSource)
-    except Exception:
-        pass  # already registered in this session
+    # re-registering the same name is an overwrite, not an error (verified
+    # on PySpark 4.1) — no except needed; real failures must propagate
+    spark.dataSource.register(BlobStoreSource)
 
 
 @query(
@@ -268,10 +267,9 @@ def _register_stream(spark: SparkSession) -> None:
         def simpleStreamReader(self, schema):
             return TelemetryStreamReader()
 
-    try:
-        spark.dataSource.register(TelemetryStreamSource)
-    except Exception:
-        pass  # already registered in this session
+    # re-registering the same name is an overwrite, not an error (verified
+    # on PySpark 4.1) — no except needed; real failures must propagate
+    spark.dataSource.register(TelemetryStreamSource)
 
 
 @query(
@@ -319,34 +317,50 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trigger, so availableNow stops after the first 200 rows; run a
     # continuous micro-batch trigger until the bounded source stops
     # advancing (two consecutive empty batches), then stop. Bounded by
-    # the source itself (5 batches) + a 120 s hard cap.
-    with tempfile.TemporaryDirectory(prefix=f"she_ckpt_{name}_") as ckpt:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(processingTime="100 milliseconds")
-            .start()
-        )
-        # the source is bounded and its total is known — drain until the
-        # complete-mode sink holds every row (idle triggers commit no new
-        # batch, so "N empty batches" never observably happens), with a
-        # hard deadline as the safety net
-        cap = STREAM_BATCHES * STREAM_ROWS_PER_BATCH
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            time.sleep(0.2)
-            try:
-                drained = (
-                    spark.table(name).agg(F.sum("n")).collect()[0][0] or 0
-                )
-            except Exception:
-                drained = 0
-            if drained >= cap:
-                break
-        q.stop()
-        q.awaitTermination()
+    # the source itself (5 batches) + a 120 s hard cap. The width
+    # override restores in finally — an exception mid-drain must not
+    # leak width=4 into every later query in the session (and a None
+    # prior value means the key was unset, so unset it again).
+    drained = 0
+    cap = STREAM_BATCHES * STREAM_ROWS_PER_BATCH
+    try:
+        with tempfile.TemporaryDirectory(prefix=f"she_ckpt_{name}_") as ckpt:
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="100 milliseconds")
+                .start()
+            )
+            # the source is bounded and its total is known — drain until
+            # the complete-mode sink holds every row (idle triggers
+            # commit no new batch, so "N empty batches" never observably
+            # happens), with a hard deadline as the safety net
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                time.sleep(0.2)
+                try:
+                    drained = (
+                        spark.table(name).agg(F.sum("n")).collect()[0][0] or 0
+                    )
+                except AnalysisException:
+                    # memory sink table not materialized yet (first batch
+                    # pending) — anything else is a real failure and
+                    # propagates
+                    drained = 0
+                if drained >= cap:
+                    break
+            q.stop()
+            q.awaitTermination()
+    finally:
         if prev_width is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+    if drained < cap:
+        raise TimeoutError(
+            f"bounded stream drained only {drained}/{cap} rows before the "
+            "120 s deadline — refusing to return a silently-partial table"
+        )
     return spark.table(name)

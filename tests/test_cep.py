@@ -144,3 +144,81 @@ def test_absence_complements_presence(spark, sf_dir):
     assert with_err.isdisjoint(without)
     assert with_err | without == all_purchases
     assert with_err and without  # fixture exercises both branches
+
+
+# --- MATCH_RECOGNIZE text face ----------------------------------------------
+
+
+def test_match_recognize_parses_to_expected_spec():
+    from streamline_hybrid_engine_spark.operators.cep import (
+        MR_SPEC_TEXT,
+        parse_match_recognize,
+    )
+
+    spec, part, order = parse_match_recognize(MR_SPEC_TEXT)
+    assert part == "user_id" and order == "ts"
+    assert spec.steps == ("signup", "view", "error")
+    assert spec.timeout_us == 48 * 3_600_000_000
+
+
+def test_match_recognize_units_and_whitespace():
+    from streamline_hybrid_engine_spark.operators.cep import parse_match_recognize
+
+    spec, _, _ = parse_match_recognize(
+        "MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts "
+        "PATTERN (A B) WITHIN INTERVAL '90' MINUTES "
+        "DEFINE A AS event_type = 'view', B AS event_type = 'click')"
+    )
+    assert spec.steps == ("view", "click")
+    assert spec.timeout_us == 90 * 60_000_000
+
+
+def test_match_recognize_rejects_bad_specs():
+    import pytest
+
+    from streamline_hybrid_engine_spark.operators.cep import parse_match_recognize
+
+    base = (
+        "MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts PATTERN ({pat}) "
+        "WITHIN INTERVAL '1' HOUR DEFINE {defs})"
+    )
+    ok_defs = "A AS event_type = 'view', B AS event_type = 'click'"
+    # quantifiers/alternation must be rejected loudly, never silently dropped
+    with pytest.raises(ValueError, match="quantifiers"):
+        parse_match_recognize(base.format(pat="A+ B", defs=ok_defs))
+    # undefined pattern variable
+    with pytest.raises(ValueError, match="without DEFINE"):
+        parse_match_recognize(base.format(pat="A B C", defs=ok_defs))
+    # non-event_type predicate is not compilable
+    with pytest.raises(ValueError, match="unsupported DEFINE"):
+        parse_match_recognize(
+            base.format(pat="A B", defs="A AS score > 3, B AS event_type = 'x'")
+        )
+    # missing WITHIN
+    with pytest.raises(ValueError, match="WITHIN"):
+        parse_match_recognize(
+            "MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts PATTERN (A B) "
+            "DEFINE A AS event_type = 'view', B AS event_type = 'click')"
+        )
+
+
+def test_match_recognize_equals_programmatic_api(spark, sf_dir):
+    """The text face and compile_pattern must produce identical matches
+    for the same (steps, timeout)."""
+    from streamline_hybrid_engine_spark.catalog import load_table
+    from streamline_hybrid_engine_spark.operators.cep import (
+        compile_pattern,
+        match_pattern,
+        match_recognize,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    text = (
+        "MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts "
+        "PATTERN (V P) WITHIN INTERVAL '6' HOUR "
+        "DEFINE V AS event_type = 'view', P AS event_type = 'purchase')"
+    )
+    via_text = {tuple(r) for r in match_recognize(ev, text).collect()}
+    spec = compile_pattern(("view", "purchase"), 6 * 3_600_000_000)
+    via_api = {tuple(r) for r in match_pattern(ev, spec).collect()}
+    assert via_text == via_api and via_text

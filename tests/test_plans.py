@@ -58,6 +58,18 @@ def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in p
 
 
+def test_keyset_pagination_pushes_cursor_filter_no_prefix_sort(spark, sf_dir):
+    """Keyset continuation must (a) push the cursor disjunction into the
+    parquet scan — row groups entirely above the cursor price are skipped
+    by stats — and (b) plan the page cut as TakeOrderedAndProject, never a
+    global sort + offset drop of the prefix."""
+    p = plan(spark, sf_dir, "limit_keyset_pagination")
+    pushed = p.split("PushedFilters:")[1][:400]
+    assert "o_totalprice" in pushed, pushed
+    assert "TakeOrderedAndProject" in p
+    assert "GlobalLimit" not in p  # the cut is the TakeOrdered, not sort+limit
+
+
 def test_semi_anti_plan_as_joins(spark, sf_dir):
     assert "LeftSemi" in plan(spark, sf_dir, "join_semi_customers_with_orders")
     assert "LeftAnti" in plan(spark, sf_dir, "join_anti_customers_without_orders")

@@ -165,10 +165,14 @@ def test_sweep_order_new_round_ids_yield_slots():
 
 
 def test_sweep_order_live_repo_state():
-    """r4 expectation on the real CORRECTNESS files: the two prior-ERR ids
-    lead the sweep (both are oracle-backed now), followed only by
-    never-stamped oracle-backed ids inside the 50-slot window; no rows-only
-    id appears before every oracle-backed id."""
+    """Invariants on the REAL CORRECTNESS files, derived from disk (not
+    hardcoded to any round's stamp state — the driver writes a new stamp
+    file after each round's final commit, legitimately reordering the
+    sweep): prior-ERR oracle-backed ids lead, then every never-stamped
+    oracle-backed id precedes every stamped-green one, and no rows-only id
+    appears before any oracle-backed id."""
+    import glob
+    import json
     import sys
 
     sys.path.insert(0, "/root/repo")
@@ -176,10 +180,41 @@ def test_sweep_order_live_repo_state():
 
     qs = all_queries()
     order = _sweep_order(qs)
-    assert order[0] == "agg_approx_users"
-    assert order[1] == "agg_approx_percentile"
-    first_rows_only = next(
-        i for i, n in enumerate(order) if qs[n].oracle is None
+    pos = {n: i for i, n in enumerate(order)}
+
+    latest: dict[str, dict] = {}
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        latest.update(json.load(open(path)))
+
+    def group(name: str) -> int:
+        if qs[name].oracle is None:
+            return 3  # rows-only: dead last
+        rec = latest.get(name)
+        if rec is None:
+            return 1  # never stamped
+        return 0 if rec.get("err") else 2  # prior-ERR leads; green after
+
+    groups_seen = [group(n) for n in order]
+    assert groups_seen == sorted(groups_seen), (
+        "sweep order violates group ordering derived from on-disk stamps"
     )
-    assert all(qs[n].oracle is not None for n in order[:first_rows_only])
-    assert all(qs[n].oracle is None for n in order[first_rows_only:])
+    # registry order preserved inside each group, except group 1 where
+    # _NEW_THIS_ROUND ids are deliberately pushed to the group's tail
+    from __spark_entry__ import _NEW_THIS_ROUND
+
+    reg_pos = {n: i for i, n in enumerate(qs)}
+    for g in (0, 1, 2, 3):
+        members = [n for n in order if group(n) == g]
+        if g == 1:
+            old = [n for n in members if n not in _NEW_THIS_ROUND]
+            new = [n for n in members if n in _NEW_THIS_ROUND]
+            assert members == old + new, "new-round ids must yield slots"
+            for part in (old, new):
+                assert [reg_pos[n] for n in part] == sorted(
+                    reg_pos[n] for n in part
+                )
+        else:
+            assert [reg_pos[n] for n in members] == sorted(
+                reg_pos[n] for n in members
+            )
+    del pos

@@ -25,10 +25,15 @@ def test_q10_topk_is_take_ordered_not_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in p
 
 
-def test_q18_in_subquery_plans_as_semi_join(spark, sf_dir):
-    """IN over the grouped-HAVING subquery must decorrelate to a semi
-    join on orderkey — not a per-row subquery re-execution."""
-    assert "LeftSemi" in plan(spark, sf_dir, "q18_large_volume_customer")
+def test_q18_single_lineitem_pass_no_reaggregate(spark, sf_dir):
+    """The r6 rewrite carries the per-order sum out of the grouped-HAVING
+    CTE, so the fact table must be scanned ONCE and aggregated ONCE — the
+    textbook IN-subquery form re-scanned and re-aggregated lineitem in the
+    outer query (r5 measured 1.49x baseline). The small qualifying-orders
+    side then broadcasts into its joins."""
+    p = plan(spark, sf_dir, "q18_large_volume_customer")
+    assert p.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in p
 
 
 def test_q22_not_exists_plans_as_anti_join(spark, sf_dir):
