@@ -174,6 +174,56 @@ def _bands_with_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def per_row_band_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bandsig) computed entirely PER ROW — the
+    streaming-safe form of :func:`_bands_with_sig`.
+
+    The batch path explodes shingles and groupBy-mins them (right at rest:
+    the explode keeps rows narrow and the agg combines map-side). A
+    STREAM can't run that unwatermarked groupBy in append mode, so here
+    the whole signature folds inside one row: tokenize → distinct
+    3-gram shingles → one md5 each → Carter-Wegman (h1, h2) → 16
+    permutation-mins via ``aggregate`` over the array → band digests.
+    Identical values to the batch frame by construction (same shingle
+    set, same hash arithmetic, same band digest text) — test-pinned.
+    Zero shuffle: per-doc work scales with doc length only, so at 100 TB
+    this maps over the corpus with no exchange at all. Docs with <3
+    tokens have no shingles (batch: dropped by the explode) and are
+    FILTERED here — they never enter any bucket, i.e. trivially kept.
+    """
+    n_bands = N_SEEDS // BAND_ROWS
+    hs = (
+        f"transform(array_distinct({_SHINGLES}), s -> struct("
+        "cast(conv(substr(md5(s), 1, 12), 16, 10) as bigint) as h1, "
+        "cast(conv(substr(md5(s), 13, 12), 16, 10) as bigint) as h2))"
+    )
+    # fold each permutation's min inside the row; 2^60 sentinel is above
+    # any real h1 + k*h2 (≤ 2^48 + 15·2^48 = 2^52)
+    sig = (
+        f"transform(sequence(0, {N_SEEDS - 1}), k -> "
+        f"aggregate(hs, cast({1 << 60} as bigint), "
+        "(acc, x) -> least(acc, x.h1 + k * x.h2)))"
+    )
+    return (
+        docs.withColumn("toks", F.split("text", " "))
+        .filter(F.expr("size(toks) >= 3"))
+        .withColumn("hs", F.expr(hs))
+        .withColumn("sig", F.expr(sig))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {n_bands - 1}), b -> "
+                    f"struct(b as band, md5(array_join(transform("
+                    f"slice(sig, b * {BAND_ROWS} + 1, {BAND_ROWS}), "
+                    f"x -> cast(x as string)), '|')) as bandsig))"
+                )
+            ).alias("bs"),
+        )
+        .select("doc_id", "bs.band", "bs.bandsig")
+    )
+
+
 @query(
     "llm_dedup_minhash_sig",
     oracle=_ORACLE_SIGS,

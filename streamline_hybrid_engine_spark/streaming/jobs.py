@@ -1237,3 +1237,92 @@ def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
         stream_shuffle_width(spark, sf_dir),
     )
+
+
+DOCUMENTS_RAW_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a micro-batch stream (ingestion-pipeline face)."""
+    ensure_runtime_confs(spark)
+    return (
+        spark.readStream.schema(DOCUMENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+@query(
+    "stream_dedup_minhash_lsh",
+    oracle=None,
+    tags=("streaming", "llm", "dedup", "state"),
+)
+def stream_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup dedup — the MinHash-LSH family's ingestion face
+    (batch twin: llm_dedup_minhash_pairs on the same slice; equivalence is
+    test-pinned).
+
+    Pipeline: per-row band signatures (zero-shuffle fold,
+    llm.dedup.per_row_band_signatures — a stream cannot run the batch
+    path's unwatermarked shingle groupBy) → ONE shuffle keying each band
+    row by its (band, bandsig) bucket → ``applyInPandasWithState`` holds
+    per-bucket keyed state = the first-arrived doc_id; every later doc
+    hitting the bucket is flagged as a near-dup THERE → the drained
+    verdicts reduce to per-doc keep/drop (a doc is dropped if ANY of its
+    bands hit an occupied bucket — same OR-over-bands rule that makes
+    batch LSH candidates). First-arrival-wins is the streaming survivor
+    rule (batch uses min doc_id; the bounded fixture drain arrives in
+    doc_id order, so the two agree — the equivalence test relies on
+    this).
+
+    State per bucket is ONE long — |state| is bounded by the number of
+    distinct band signatures, not the corpus, and a production job with
+    an event-time column would evict buckets via timeouts the same way
+    stream_dedup_within_watermark's horizon does (the fixture's documents
+    carry no timestamp, so NoTimeout keeps the contract honest rather
+    than faking a clock). Docs under 3 tokens have no shingles, enter no
+    bucket, and are trivially kept (not emitted). Flink analog: keyed
+    ProcessFunction holding a seen-signature ValueState per LSH bucket.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from streamline_hybrid_engine_spark.llm.dedup import per_row_band_signatures
+
+    def bucket_keeper(key, pdfs, state: GroupState):
+        first = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            rows.extend(pdf["doc_id"].tolist())
+        rows.sort()  # within-batch arrival tiebreak: smallest doc_id wins
+        out = []
+        for doc_id in rows:
+            out.append((int(doc_id), int(key[0]), first is not None))
+            if first is None:
+                first = int(doc_id)
+        state.update((first,))
+        if out:
+            yield pd.DataFrame(out, columns=["doc_id", "band", "hit_occupied"])
+
+    bands = per_row_band_signatures(read_documents_stream(spark, sf_dir))
+    verdicts = bands.groupBy("band", "bandsig").applyInPandasWithState(
+        bucket_keeper,
+        outputStructType="doc_id long, band int, hit_occupied boolean",
+        stateStructType="first_doc long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = run_to_memory(
+        verdicts,
+        "she_stream_dedup_minhash_lsh",
+        "append",
+        stream_shuffle_width(spark, sf_dir),
+    )
+    # stateless post-reduction (downstream stage in production): OR the
+    # per-band verdicts into the per-doc keep/drop decision
+    return drained.groupBy("doc_id").agg(
+        F.max("hit_occupied").alias("is_near_dup")
+    )

@@ -628,3 +628,58 @@ def test_stream_full_join_matches_and_exclusive_unmatched(spark, sf_dir):
     assert not unmatched_p & {pid for pid, _ in matched}
     assert not unmatched_c & {cid for _, cid in matched}
     assert unmatched_p and unmatched_c
+
+
+def test_per_row_band_signatures_match_batch_band_frame(spark, sf_dir):
+    """The streaming-safe per-row signature fold must produce the exact
+    (doc_id, band, bandsig) set the batch explode+groupBy path does —
+    same shingles, same Carter-Wegman arithmetic, same digest text."""
+    from streamline_hybrid_engine_spark.catalog import load_table
+    from streamline_hybrid_engine_spark.llm.dedup import (
+        _bands_with_sig,
+        per_row_band_signatures,
+    )
+
+    batch = {
+        (r["doc_id"], r["band"], r["bandsig"])
+        for r in _bands_with_sig(spark, sf_dir)
+        .select("doc_id", "band", "bandsig")
+        .collect()
+    }
+    per_row = {
+        (r["doc_id"], r["band"], r["bandsig"])
+        for r in per_row_band_signatures(
+            load_table(spark, sf_dir, "documents")
+        ).collect()
+    }
+    assert per_row == batch and per_row
+
+
+def test_stream_dedup_minhash_lsh_equals_batch_lsh(spark, sf_dir):
+    """Streaming LSH dedup == batch LSH on the bounded slice: a doc is
+    flagged near-dup iff it appears as the LARGER side of at least one
+    batch candidate pair (bucket occupied by an earlier = smaller doc_id),
+    and every banded doc gets exactly one verdict."""
+    from streamline_hybrid_engine_spark.catalog import load_table
+    from streamline_hybrid_engine_spark.llm.dedup import per_row_band_signatures
+    from streamline_hybrid_engine_spark.registry import all_queries
+
+    qs = all_queries()
+    verdicts = {
+        r["doc_id"]: r["is_near_dup"]
+        for r in qs["stream_dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    batch_dups = {
+        r["d2"]
+        for r in qs["llm_dedup_minhash_pairs"].fn(spark, sf_dir).collect()
+    }
+    banded_docs = {
+        r["doc_id"]
+        for r in per_row_band_signatures(load_table(spark, sf_dir, "documents"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert set(verdicts) == banded_docs
+    assert {d for d, dup in verdicts.items() if dup} == batch_dups
+    assert batch_dups  # fixture must exercise the drop branch
