@@ -76,9 +76,14 @@ HEADLINE = (
     "dq_expectations_orders",      # one-pass expectation suite
     # round-5 additions (baselines in BASELINE.md §A.1 r5 block)
     "q8_market_share",             # 8-table TPC-H Q8 join
-    "q18_large_volume_customer",   # grouped-HAVING semi-join
+    "q18_large_volume_customer",   # grouped-HAVING, single-pass since r6
     "agg_cms_heavy_hitters",       # count-min sketch build + probe
     "join_bloom_pruned_fact",      # runtime bloom semi-join reduction
+    # round-6 additions (baselines in BASELINE.md §A.1 r6 block)
+    "graph_label_propagation",     # 4-round synchronous LPA
+    "llm_ann_pq",                  # product-quantization ADC top-10
+    "dq_anomaly_mad_window",       # bucketed robust anomaly detection
+    "agg_theta_sketch_ops",        # KMV set algebra, single fused pass
 )
 
 #: BASELINE.md §A.1 rows (sf0.1 full-sequence medians, seconds) — kept in
@@ -126,6 +131,10 @@ BASELINE_SEC = {
     "q18_large_volume_customer": 0.92,
     "agg_cms_heavy_hitters": 0.65,
     "join_bloom_pruned_fact": 0.48,
+    "graph_label_propagation": 4.70,
+    "llm_ann_pq": 1.14,
+    "dq_anomaly_mad_window": 1.16,
+    "agg_theta_sketch_ops": 0.89,
 }
 
 

@@ -30,3 +30,44 @@ Layout:
 __version__ = "0.1.0"
 
 from streamline_hybrid_engine_spark.registry import all_queries, get_query  # noqa: F401
+
+#: Library-facing primitives (lazy — resolving a name imports only its
+#: module, so `import streamline_hybrid_engine_spark` stays light and the
+#: driver's pre-session import path pulls in no pandas-UDF modules).
+#: These are the reusable, any-DataFrame building blocks behind the
+#: registry's fixture-bound contract queries; see README "Library API".
+_LAZY_EXPORTS = {
+    # joins / skew
+    "salted_join": "streamline_hybrid_engine_spark.operators.skew",
+    # enrichment
+    "async_enrich": "streamline_hybrid_engine_spark.operators.enrichment",
+    # graph
+    "connected_components": "streamline_hybrid_engine_spark.operators.graph",
+    "cc_width": "streamline_hybrid_engine_spark.operators.graph",
+    # sessions / time
+    "sessionize": "streamline_hybrid_engine_spark.operators.time_windows",
+    # CDC
+    "cdc_apply": "streamline_hybrid_engine_spark.operators.rowops",
+    # CEP
+    "compile_pattern": "streamline_hybrid_engine_spark.operators.cep",
+    "match_pattern": "streamline_hybrid_engine_spark.operators.cep",
+    "match_recognize": "streamline_hybrid_engine_spark.operators.cep",
+    "parse_match_recognize": "streamline_hybrid_engine_spark.operators.cep",
+    # dedup
+    "minhash_dedup": "streamline_hybrid_engine_spark.llm.dedup",
+    "per_row_band_signatures": "streamline_hybrid_engine_spark.llm.dedup",
+}
+
+__all__ = ["all_queries", "get_query", *sorted(_LAZY_EXPORTS)]
+
+
+def __getattr__(name: str):
+    """PEP 562 lazy re-export of the library primitives."""
+    mod = _LAZY_EXPORTS.get(name)
+    if mod is None:
+        raise AttributeError(
+            f"module {__name__!r} has no attribute {name!r}"
+        )
+    import importlib
+
+    return getattr(importlib.import_module(mod), name)

@@ -683,3 +683,53 @@ def fn_lambda_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists(t, lambda x: F.length(x) > 8).alias("has_very_long"),
         F.forall(t, lambda x: F.length(x) > 0).alias("all_nonempty"),
     )
+
+
+@query(
+    "fn_collation_bundle",
+    oracle="""
+    WITH mixed AS (
+      SELECT lang,
+             CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS mc
+      FROM documents
+    )
+    SELECT lang,
+           count(DISTINCT lower(mc)) AS n_src_ci,
+           count(DISTINCT mc) AS n_src_cs,
+           count(*) FILTER (lower(mc) = lower('SRC0')) AS n_eq_src0_ci,
+           count(*) FILTER (contains(lower(mc), lower('C1'))) AS n_contains_c1_ci,
+           count(*) FILTER (mc ILIKE 'sRc2%') AS n_ilike_src2
+    FROM mixed GROUP BY lang
+    """,
+    tags=("functions", "collation"),
+)
+def fn_collation_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware string semantics (Spark 4's collation engine —
+    the migration face for workloads coming from CI-collated warehouse
+    columns): equality, DISTINCT, contains/startswith and ILIKE under
+    ``UTF8_LCASE``, exercised against a deliberately mixed-case column
+    (even doc_ids upper-cased) so case-sensitive and case-insensitive
+    answers genuinely differ (n_src_ci counts half of n_src_cs).
+
+    Cross-engine method: Spark runs the REAL collation surface
+    (``collate(col, 'UTF8_LCASE')`` comparisons — which Catalyst
+    evaluates with collation-aware equality all the way into hash
+    aggregates); DuckDB's oracle folds with lower() — for the ASCII
+    fixture domain the two definitions provably coincide, making the
+    collation path value-checked rather than merely smoke-run. Scale:
+    collated equality is a per-row key transform; DISTINCT under
+    collation shuffles the collation key exactly like any distinct —
+    no plan-shape difference vs binary strings."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    mc = F.when(
+        F.col("doc_id") % 2 == 0, F.upper("source")
+    ).otherwise(F.col("source"))
+    mixed = docs.select("lang", mc.alias("mc"))
+    ci = F.expr("collate(mc, 'UTF8_LCASE')")
+    return mixed.groupBy("lang").agg(
+        F.countDistinct(ci).alias("n_src_ci"),
+        F.countDistinct("mc").alias("n_src_cs"),
+        F.count_if(ci == "SRC0").alias("n_eq_src0_ci"),
+        F.count_if(F.contains(ci, F.lit("C1"))).alias("n_contains_c1_ci"),
+        F.count_if(F.col("mc").ilike("sRc2%")).alias("n_ilike_src2"),
+    )

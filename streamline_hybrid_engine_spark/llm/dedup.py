@@ -224,6 +224,46 @@ def per_row_band_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
+def minhash_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Library primitive: end-to-end MinHash-LSH near-dup clustering over
+    any (id, text) DataFrame — shingle → signature → band buckets →
+    candidate pairs → connected components. Returns (id, cluster_id):
+    ``cluster_id`` is the cluster's minimum id; survivors of a
+    keep-one-per-cluster policy are the rows where id == cluster_id, and
+    docs with no near-dup (or under 3 tokens) are their own singleton
+    cluster.
+
+    The composition is exactly the oracle-checked contract chain
+    (llm_dedup_minhash_sig → _pairs → _clusters → _keep) with the
+    fixture plumbing removed: per-row signatures (zero shuffle), ONE
+    band-bucket equi-join for candidates (never all-pairs), pointer-
+    jumping CC on the candidate graph (O(log diameter) rounds) — the
+    architecture that survives 100 TB. Tune via module constants
+    (N_SEEDS/BAND_ROWS set the jaccard capture curve)."""
+    ids = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    bands = per_row_band_signatures(ids)
+    a = bands.select(F.col("doc_id").alias("d1"), "band", "bandsig")
+    b = bands.select(F.col("doc_id").alias("d2"), "band", "bandsig")
+    pairs = (
+        a.join(b, ["band", "bandsig"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    labels = connected_components(pairs, "d1", "d2")
+    matched = labels.select(
+        F.col("vid").alias(id_col), F.col("label").alias("cluster_id")
+    )
+    singles = (
+        docs.select(F.col(id_col))
+        .join(matched.select(id_col), id_col, "left_anti")
+        .select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    )
+    return matched.unionByName(singles)
+
+
 @query(
     "llm_dedup_minhash_sig",
     oracle=_ORACLE_SIGS,

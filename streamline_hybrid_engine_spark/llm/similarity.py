@@ -670,3 +670,149 @@ def llm_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign.groupBy(F.col("cid").alias("cluster_id")).agg(
         F.count("*").alias("n_members"), F.min("vec_id").alias("min_member")
     )
+
+
+PQ_M = 8  # subspaces
+PQ_D = 8  # dims per subspace (8 × 8 = 64)
+
+
+@query(
+    "llm_ann_pq",
+    oracle=f"""
+    WITH cents AS ({_ORACLE_CENTROIDS}),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    lut AS (
+      SELECT m.m, c.label AS c_label, c.cvec,
+             list_sum(list_transform(range(1, {PQ_D + 1}),
+               j -> CAST(qe[m.m * {PQ_D} + j] AS DOUBLE) * cvec[m.m * {PQ_D} + j])) AS qdot
+      FROM cents c, (SELECT unnest(range(0, {PQ_M})) AS m) m, q
+    ),
+    enc AS (
+      SELECT vec_id, label, m, qdot,
+             row_number() OVER (PARTITION BY vec_id, m
+                                ORDER BY sqd, c_label) AS rn
+      FROM (
+        SELECT e.vec_id, e.label, l.m, l.c_label, l.qdot,
+               list_sum(list_transform(range(1, {PQ_D + 1}),
+                 j -> (CAST(e.embedding[l.m * {PQ_D} + j] AS DOUBLE) - l.cvec[l.m * {PQ_D} + j])
+                    * (CAST(e.embedding[l.m * {PQ_D} + j] AS DOUBLE) - l.cvec[l.m * {PQ_D} + j]))) AS sqd
+        FROM embeddings e, lut l
+        WHERE e.vec_id <> 0
+      )
+    )
+    SELECT vec_id, label,
+           round(CAST(sum(CAST(floor(qdot * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS adc_cos
+    FROM enc WHERE rn = 1
+    GROUP BY vec_id, label
+    ORDER BY sum(CAST(floor(qdot * 1000000) AS BIGINT)) DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("llm", "knn", "pq"),
+)
+def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) — the FAISS-PQ memory lever next to `llm_knn_ivf`'s routing
+    lever: vectors compress to {PQ_M} sub-codes ({PQ_M} bytes at K≤256 vs
+    256 bytes float32 — 32×), and query scoring never decompresses a
+    vector, it sums {PQ_M} small table lookups.
+
+    Codebooks: the 64-dim space splits into {PQ_M} subspaces × {PQ_D}
+    dims; subspace m's codebook is the per-label centroid SLICE (the same
+    fixed-assignment "training" the IVF row uses — k-means-free but the
+    real PQ structure; 10 labels = K of 10 per subspace). Encoding picks
+    each subspace's nearest sub-centroid by squared L2 (ties to the
+    smaller label — deterministic). The query builds a (m, code) → dot
+    lookup table against its OWN sub-slices; a vector's approximate
+    cosine is the micros-floored integer sum of its {PQ_M} looked-up
+    contributions (fixed-point so the cross-subspace sum is
+    order-independent in both engines).
+
+    100 TB shape: centroids + LUT are K×{PQ_M} rows — broadcast;
+    encoding is a map-side argmin per (vector, subspace) via partial
+    min_by (one shuffle of (vec_id, m) code rows, no windows); scoring +
+    top-10 is TakeOrderedAndProject. Production difference is only the
+    codebook source (trained k-means per subspace) and K=256; the
+    dataflow is exactly this."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(F.col("x").cast("double") * 1_000_000).cast("long")
+                    ).cast("double")
+                    / F.count("*")
+                )
+                / 1_000_000.0
+            ).alias("cc")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cc"))), lambda s: s.cc
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("c_label"), "cvec")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    # LUT: (m, c_label, csub, qdot) — K×M rows, broadcast everywhere
+    lut = (
+        cent.crossJoin(ms)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "m",
+            "c_label",
+            F.expr(f"slice(cvec, m * {PQ_D} + 1, {PQ_D})").alias("csub"),
+            F.expr(
+                f"aggregate(zip_with(slice(qe, m * {PQ_D} + 1, {PQ_D}),"
+                f" slice(cvec, m * {PQ_D} + 1, {PQ_D}),"
+                " (x, y) -> CAST(x AS DOUBLE) * y),"
+                " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            ).alias("qdot"),
+        )
+    )
+    sub = (
+        e.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "label",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {PQ_M - 1}), m -> "
+                    f"struct(m, transform(slice(embedding, m * {PQ_D} + 1, {PQ_D}),"
+                    " x -> CAST(x AS DOUBLE)) AS sv))"
+                )
+            ).alias("s"),
+        )
+        .select("vec_id", "label", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    )
+    sqd = F.expr(
+        "aggregate(zip_with(sv, csub, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    # encode + score in one partial-aggregating pass: nearest sub-centroid's
+    # query dot, floored to micros, summed across subspaces
+    contrib = (
+        sub.join(F.broadcast(lut), "m")
+        .withColumn("sqd", sqd)
+        .groupBy("vec_id", "label", "m")
+        .agg(
+            F.min_by("qdot", F.struct("sqd", "c_label")).alias("qdot")
+        )
+    )
+    return (
+        contrib.groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.floor(F.col("qdot") * 1_000_000).cast("long")).alias("adc_fx")
+        )
+        .orderBy(F.desc("adc_fx"), "vec_id")
+        .limit(10)
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.col("adc_fx").cast("double") / 1_000_000, 6).alias("adc_cos"),
+        )
+    )

@@ -571,3 +571,122 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = und.groupBy("src").agg(F.count("*").alias("core_degree"))
     return deg.select(F.col("src").alias("vertex"), "core_degree")
 
+
+
+LPA_ROUNDS = 4
+
+
+def _lpa_round_sql(prev: str) -> str:
+    """One synchronous LPA round (DuckDB dialect): each vertex adopts the
+    most frequent label among its neighbors + itself, ties to the
+    smallest label. Unrolled per round — a deletion-free but
+    argmax-per-group update that recursive CTEs can't express in one
+    self-reference (the counts and the per-group max would both need the
+    recursive table)."""
+    return f"""(
+      SELECT v, l FROM (
+        SELECT u.dst AS v, p.l AS l,
+               row_number() OVER (PARTITION BY u.dst
+                                  ORDER BY count(*) DESC, p.l) AS rn
+        FROM {prev} p JOIN und u ON u.src = p.v
+        GROUP BY u.dst, p.l
+      ) t WHERE rn = 1
+    )"""
+
+
+_LPA_ORACLE = f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+und AS (
+  SELECT c AS src, s AS dst FROM edges
+  UNION ALL SELECT s, c FROM edges
+  UNION ALL SELECT v, v FROM (SELECT c AS v FROM edges UNION SELECT s FROM edges)
+),
+r0 AS (SELECT DISTINCT src AS v, src AS l FROM und),
+r1 AS {_lpa_round_sql("r0")},
+r2 AS {_lpa_round_sql("r1")},
+r3 AS {_lpa_round_sql("r2")},
+r4 AS {_lpa_round_sql("r3")}
+SELECT CASE WHEN v % 2 = 0 THEN 'c' || CAST(v // 2 AS VARCHAR)
+            ELSE 's' || CAST((v - 1) // 2 AS VARCHAR) END AS vertex,
+       CASE WHEN l % 2 = 0 THEN 'c' || CAST(l // 2 AS VARCHAR)
+            ELSE 's' || CAST((l - 1) // 2 AS VARCHAR) END AS community
+FROM r4
+"""
+
+
+@query(
+    "graph_label_propagation",
+    oracle=_LPA_ORACLE,
+    tags=("graph", "iterative"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection over the customer↔supplier
+    trading graph — the third Gelly flagship (after PageRank and CC;
+    Gelly ships it as ``LabelPropagation``). Synchronous variant, made
+    fully deterministic: each round EVERY vertex adopts the most frequent
+    label among its neighbors plus itself (the self-vote damps the
+    oscillation synchronous LPA suffers on bipartite graphs), ties broken
+    by smallest label; fixed {LPA_ROUNDS} rounds so the oracle is finite —
+    the same determinism contract as the fixed-point PageRank (async LPA,
+    the textbook default, is order-dependent and could never pass a
+    value-hash gate).
+
+    Per round: one join of the (broadcast) label table to the
+    checkpointed self-looped adjacency, one count per (vertex, label),
+    one per-vertex argmax window partitioned on the vertex — all bounded
+    by |E|, no global sort, same 100 TB loop shape as
+    :func:`graph_pagerank_suppliers` (drop the broadcast when |V| labels
+    outgrow executors and the round becomes a co-partitioned shuffle
+    join). Oracle: the identical rounds unrolled as SQL (see
+    :func:`_lpa_round_sql` for why not a recursive CTE)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    verts = (
+        edges.select(F.col("c").alias("v"))
+        .union(edges.select(F.col("s").alias("v")))
+        .distinct()
+    )
+    und = (
+        edges.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .union(edges.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .union(verts.select(F.col("v").alias("src"), F.col("v").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = verts.select("v", F.col("v").alias("l"))
+    w = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("l"))
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            und.join(F.broadcast(labels), und.src == labels.v)
+            .groupBy(F.col("dst").alias("v2"), "l")
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("v2").alias("v"), "l", "cnt")
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "l")
+            .localCheckpoint(eager=True)
+        )
+
+    def name(col: str):
+        return F.when(
+            F.col(col) % 2 == 0,
+            F.concat(F.lit("c"), (F.col(col) / 2).cast("long").cast("string")),
+        ).otherwise(
+            F.concat(
+                F.lit("s"), ((F.col(col) - 1) / 2).cast("long").cast("string")
+            )
+        )
+
+    return labels.select(name("v").alias("vertex"), name("l").alias("community"))

@@ -281,3 +281,87 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("prev_k") + 1).alias("gap_start"),
         (F.col("k") - F.col("prev_k") - 1).cast("long").alias("gap_len"),
     )
+
+
+ANOMALY_K = 3.0  # flag beyond 3 robust sigmas
+MAD_SIGMA = 1.4826  # MAD → sigma for normal data
+
+
+@query(
+    "dq_anomaly_mad_window",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1, 2
+    ),
+    dev AS (
+      SELECT e.event_type, s.day, s.med,
+             quantile_cont(abs(e.value - s.med), 0.5) AS mad
+      FROM events e
+      JOIN stats s ON e.event_type = s.event_type
+                  AND date_trunc('day', CAST(e.ts AS TIMESTAMP)) = s.day
+      GROUP BY 1, 2, 3
+    )
+    SELECT e.event_id, e.event_type, d.day, round(e.value, 6) AS value,
+           round(abs(e.value - d.med) / ({MAD_SIGMA} * d.mad), 6) AS robust_z
+    FROM events e
+    JOIN dev d ON e.event_type = d.event_type
+              AND date_trunc('day', CAST(e.ts AS TIMESTAMP)) = d.day
+    WHERE d.mad > 0
+      AND abs(e.value - d.med) > {ANOMALY_K} * {MAD_SIGMA} * d.mad
+    """,
+    tags=("dq", "robust"),
+)
+def dq_anomaly_mad_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: flag events whose value sits more than
+    3 robust sigmas (MAD × 1.4826) from the MEDIAN of their
+    (event_type, day) peer window — the data-quality tripwire that
+    survives the heavy-tailed columns where mean/stddev z-scores drown
+    (one whale purchase inflates stddev until nothing else flags).
+
+    The "window" is a calendar-day bucket, deliberately: a true sliding
+    per-row median needs a re-sort per row and does not distribute,
+    while bucketed medians are two grouped aggregates shuffling on the
+    SAME (type, day) key the events already group by downstream —
+    time-local sensitivity with a 100 TB-viable plan, the same trade
+    `ts_rollup_gapfill` makes. Three passes over events, all
+    equi-shuffles; degenerate windows (MAD = 0: over half the bucket at
+    the median) are excluded rather than dividing by zero. Median
+    arithmetic is interpolated-identical across engines (see
+    agg_mad_robust)."""
+    ev = load_table(spark, sf_dir, "events", parallel=True).select(
+        "event_id",
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        "value",
+    )
+    med = ev.groupBy("event_type", "day").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(med, ["event_type", "day"])
+        .groupBy("event_type", "day", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    return (
+        ev.join(mad, ["event_type", "day"])
+        .filter(
+            (F.col("mad") > 0)
+            & (
+                F.abs(F.col("value") - F.col("med"))
+                > ANOMALY_K * MAD_SIGMA * F.col("mad")
+            )
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "day",
+            F.round("value", 6).alias("value"),
+            F.round(
+                F.abs(F.col("value") - F.col("med"))
+                / (MAD_SIGMA * F.col("mad")),
+                6,
+            ).alias("robust_z"),
+        )
+    )

@@ -176,17 +176,43 @@ def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
         F.round(F.col("value") * 1000000).cast("long").alias("v"),
     )
-    last = lg.groupBy("user_id").agg(
-        F.expr(
-            "max_by(named_struct('op', op, 'v', v, 'uts', uts),"
-            " named_struct('u', uts, 'e', event_id))"
-        ).alias("last")
-    )
-    return last.filter(F.col("last.op") == "U").select(
+    return cdc_apply(lg, keys=["user_id"], seq=["uts", "event_id"]).select(
         "user_id",
-        F.col("last.v").alias("value_micros"),
-        F.col("last.uts").alias("updated_at"),
+        F.col("v").alias("value_micros"),
+        F.col("uts").alias("updated_at"),
     )
+
+
+def cdc_apply(
+    changes: DataFrame,
+    keys: list[str],
+    seq: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Library primitive: materialize a CDC log into its last-writer-wins
+    snapshot. ``changes`` carries key columns, a total-ordering sequence
+    (``seq`` — e.g. [commit_ts, lsn]; MUST be unique per key or the
+    winner is undefined), an ``op_col`` whose ``delete_op`` value marks
+    deletes, and arbitrary payload columns. Returns one row per
+    surviving key with the winning row's payload; keys whose final op is
+    a delete vanish.
+
+    Plan: ONE ``max_by`` hash aggregate with the seq struct as the
+    ordering key — partial-aggregated map-side (each partition keeps one
+    candidate per key), never a row_number window sorting the whole log:
+    the difference between O(n) and O(n log n) per partition on a 100 TB
+    changelog. Streaming face: stream_upsert_snapshot."""
+    payload = [c for c in changes.columns if c not in keys]
+    last = changes.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(*payload), F.struct(*[F.col(s) for s in seq])
+        ).alias("_last")
+    )
+    snap = last.select(*keys, "_last.*")
+    if op_col in payload:
+        snap = snap.filter(F.col(op_col) != delete_op).drop(op_col)
+    return snap
 
 
 @query(

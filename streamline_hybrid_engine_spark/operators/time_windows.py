@@ -107,14 +107,30 @@ def win_session_30m_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``session_window`` end = last event + gap, and a gap of exactly 30m
     starts a new session (end-exclusive) → oracle breaks on ``diff >= gap``.
     """
-    ev = load_table(spark, sf_dir, "events")
+    return sessionize(
+        load_table(spark, sf_dir, "events"), "ts", ["user_id"], "30 minutes"
+    )
+
+
+def sessionize(
+    df: DataFrame, ts_col: str, keys: list[str], gap: str = "30 minutes"
+) -> DataFrame:
+    """Library primitive: group ``df`` into per-key sessions separated by
+    ``gap`` of inactivity; returns one row per session with
+    (keys..., session_start, session_end, n_events). Works unchanged on
+    batch and streaming DataFrames (``session_window`` is valid in both
+    plans — add a watermark on ``ts_col`` first for streaming). Gap may
+    also be a Column expression for per-event dynamic gaps
+    (win_session_dynamic_gap's form). One shuffle on the keys; for
+    whale-key skew use the two-phase salted form win_session_two_phase
+    documents."""
     return (
-        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        df.groupBy(F.session_window(ts_col, gap).alias("_w"), *keys)
         .agg(F.count("*").alias("n_events"))
         .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            *keys,
+            F.col("_w.start").alias("session_start"),
+            F.col("_w.end").alias("session_end"),
             "n_events",
         )
     )
@@ -695,4 +711,83 @@ def ts_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return touched.groupBy("click_id").agg(
         F.count("*").alias("n_purchases"),
         F.sum(share).cast("long").alias("attributed_micros"),
+    )
+
+
+@query(
+    "ts_asof_downsample",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS uts,
+             arg_max(value, event_id) AS v
+      FROM events GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(date_trunc('hour', min(uts)), max(uts),
+                                    INTERVAL 1 HOUR)) AS grid_ts
+      FROM obs GROUP BY user_id
+    )
+    SELECT g.user_id, g.grid_ts, round(o.v, 6) AS asof_value
+    FROM grid g
+    ASOF LEFT JOIN obs o ON g.user_id = o.user_id AND g.grid_ts >= o.uts
+    """,
+    tags=("timeseries", "asof"),
+)
+def ts_asof_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of downsampling: resample each user's irregular event series to
+    an hourly grid, each grid point carrying the LAST observed value
+    at-or-before it (sample-and-hold — how tick data becomes bars and
+    sensor streams become dashboards; distinct from `ts_rollup_gapfill`'s
+    per-bucket aggregate+fill and `ts_interpolate_linear`'s line fit).
+    Same-timestamp observations dedup to the max-event_id row first so
+    the as-of pick is total-ordered; grid points before a user's first
+    observation stay NULL.
+
+    Implementation is the UNION-MARKER pattern, not a join: grid markers
+    interleave with observations in one (user → ts, marker-last) sort and
+    ``last(ignorenulls)`` carries the value forward — one shuffle on
+    user_id, one per-partition sort, zero join (the per-key as-of join
+    `join_asof_last_purchase` uses the same trick; a 100 TB resample
+    inherits its skew story). The oracle cross-checks with a genuinely
+    different algorithm — DuckDB's native ASOF LEFT JOIN — so a
+    fencepost bug in either formulation (at-or-before vs strictly-
+    before, marker-vs-event tie order) breaks the hash."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy("user_id", "ts").agg(
+        F.max_by("value", "event_id").alias("v")
+    )
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.date_trunc("hour", F.min("ts")).alias("t0"), F.max("ts").alias("t1"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(t0, t1, interval 1 hour)")).alias("grid_ts"),
+        )
+    )
+    unioned = obs.select(
+        "user_id", F.col("ts").alias("pt"), F.lit(0).alias("marker"), "v"
+    ).unionByName(
+        grid.select(
+            "user_id",
+            F.col("grid_ts").alias("pt"),
+            F.lit(1).alias("marker"),
+            F.lit(None).cast("double").alias("v"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("pt", "marker")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("held", F.last("v", ignorenulls=True).over(w))
+        .filter(F.col("marker") == 1)
+        .select(
+            "user_id",
+            F.col("pt").alias("grid_ts"),
+            F.round("held", 6).alias("asof_value"),
+        )
     )

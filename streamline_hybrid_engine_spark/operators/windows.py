@@ -477,3 +477,57 @@ def win_running_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("first_of_type").over(w_run).cast("long").alias("n_types_seen"),
     )
+
+
+@query(
+    "win_pattern_islands",
+    oracle="""
+    WITH grp AS (
+      SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS uts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           - row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS island
+      FROM events
+    )
+    SELECT user_id, event_type,
+           min(uts) AS island_start, max(uts) AS island_end,
+           count(*) AS n_events, min(event_id) AS first_event_id
+    FROM grp
+    GROUP BY user_id, event_type, island
+    """,
+    tags=("windows", "islands"),
+)
+def win_pattern_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE same-type events per
+    user (the classic streak/run-length detector: consecutive logins,
+    uninterrupted error bursts). The Tabibitosan double-row_number trick
+    — overall rank minus per-type rank is constant exactly along an
+    unbroken run of that type — turns run detection into a plain groupBy,
+    no self-join and no per-row loop; islands report their span, size and
+    first event.
+
+    Scale: two windows over the SAME (user_id → ts, event_id) sort — one
+    user_id shuffle, one per-partition sort serves both (the second
+    window adds only a per-(user, type) rank pass) — then a hash
+    aggregate on (user, type, island). Total-ordered by the event_id
+    tiebreak, so islands are engine-stable. The streaming analog of a
+    run break is a session gap: `stream_session_dynamic_gap` carries
+    that face."""
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    grp = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("island"),
+    )
+    return grp.groupBy("user_id", "event_type", "island").agg(
+        F.min("ts").alias("island_start"),
+        F.max("ts").alias("island_end"),
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event_id"),
+    ).drop("island")

@@ -55,6 +55,7 @@ _QUERY_MODULES = (
     "streamline_hybrid_engine_spark.operators.tpch_shapes",
     "streamline_hybrid_engine_spark.operators.tpch_suite",
     "streamline_hybrid_engine_spark.operators.sketches",
+    "streamline_hybrid_engine_spark.operators.ivm",
     "streamline_hybrid_engine_spark.sources.pydatasource",
     "streamline_hybrid_engine_spark.functions.bundles",
     "streamline_hybrid_engine_spark.functions.udfs",

@@ -188,3 +188,17 @@ def test_kcore_matches_pure_python_peel(spark, sf_dir):
             changed = True
     assert got == {v: len(ns) for v, ns in adj.items()}
     assert all(d >= K_CORE for d in got.values())
+
+
+def test_label_propagation_labels_propagate_and_cover(spark, sf_dir):
+    """Every vertex gets exactly one community; labels genuinely
+    propagate (fewer communities than vertices); each community label is
+    a real vertex id from the graph."""
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    rows = get_query("graph_label_propagation").fn(spark, sf_dir).collect()
+    verts = {r["vertex"] for r in rows}
+    comms = {r["community"] for r in rows}
+    assert len(rows) == len(verts)  # one row per vertex
+    assert len(comms) < len(verts)  # propagation actually merged labels
+    assert comms <= verts  # labels are vertex ids, not invented values

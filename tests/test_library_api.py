@@ -1,0 +1,145 @@
+"""The library-facing API: top-level primitives composable on ANY
+DataFrame, without reading operator modules (VERDICT r5 #9). Each test
+builds a toy frame from scratch — no fixture coupling — so these double
+as usage examples for the README."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_top_level_imports_are_lazy_and_complete():
+    import streamline_hybrid_engine_spark as she
+
+    for name in she.__all__:
+        assert getattr(she, name) is not None
+
+
+def test_sessionize_on_toy_frame(spark):
+    from streamline_hybrid_engine_spark import sessionize
+
+    df = spark.createDataFrame(
+        [(1, _ts(0)), (1, _ts(10)), (1, _ts(50)), (2, _ts(5))],
+        "user_id long, ts timestamp",
+    )
+    out = {
+        (r["user_id"], r["session_start"].minute): r["n_events"]
+        for r in sessionize(df, "ts", ["user_id"], "30 minutes").collect()
+    }
+    # user 1: events at :00/:10 share a session, :50 starts a new one
+    assert out == {(1, 0): 2, (1, 50): 1, (2, 5): 1}
+
+
+def test_cdc_apply_on_toy_log(spark):
+    from streamline_hybrid_engine_spark import cdc_apply
+
+    log = spark.createDataFrame(
+        [
+            (1, 1, "U", 10),
+            (1, 2, "U", 20),  # winner for key 1
+            (2, 1, "U", 5),
+            (2, 3, "D", 0),  # key 2 deleted last — vanishes
+            (3, 7, "U", 9),
+        ],
+        "k long, seq long, op string, v long",
+    )
+    snap = {
+        r["k"]: r["v"]
+        for r in cdc_apply(log, keys=["k"], seq=["seq"]).collect()
+    }
+    assert snap == {1: 20, 3: 9}
+
+
+def test_minhash_dedup_on_toy_corpus(spark):
+    from streamline_hybrid_engine_spark import minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tail"),  # near-dup of 1 (shares almost all shingles)
+            (3, "completely different text about spark engines at scale"),
+            (4, "xy"),  # <3 tokens: no shingles, singleton by definition
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in minhash_dedup(docs).collect()}
+    assert out[1] == 1 and out[2] == 1  # clustered, min-id representative
+    assert out[3] == 3 and out[4] == 4  # singletons
+    survivors = {d for d, c in out.items() if d == c}
+    assert survivors == {1, 3, 4}
+
+
+def test_salted_join_equals_plain_join(spark):
+    from streamline_hybrid_engine_spark import salted_join
+
+    big = spark.createDataFrame(
+        [(k, i) for i in range(50) for k in (1, 1, 2)], "k long, payload long"
+    )
+    small = spark.createDataFrame([(1, "a"), (2, "b")], "sk long, tag string")
+    plain = big.join(small, big.k == small.sk).select("k", "payload", "tag")
+    salted = salted_join(big, small, "k", "sk", n_salts=4).select(
+        "k", "payload", "tag"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_match_recognize_on_toy_events(spark):
+    from streamline_hybrid_engine_spark import match_recognize
+
+    ev = spark.createDataFrame(
+        [
+            (10, _ts(0), 1, "view"),
+            (11, _ts(1), 1, "click"),
+            (12, _ts(2), 1, "view"),  # relaxed contiguity: skipped
+            (13, _ts(3), 1, "purchase"),
+            (14, _ts(4), 2, "click"),  # no view first: never matches
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    text = (
+        "MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts "
+        "PATTERN (V C P) WITHIN INTERVAL '1' HOUR "
+        "DEFINE V AS event_type = 'view', C AS event_type = 'click', "
+        "P AS event_type = 'purchase')"
+    )
+    rows = match_recognize(ev, text).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["user_id"], r["view_id"], r["click_id"], r["purchase_id"]) == (
+        1,
+        10,
+        11,
+        13,
+    )
+
+
+def test_connected_components_on_toy_edges(spark):
+    from streamline_hybrid_engine_spark import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    labels = {
+        r["vid"]: r["label"] for r in connected_components(edges).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_async_enrich_on_toy_frame(spark):
+    from streamline_hybrid_engine_spark import async_enrich
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    out = {
+        r["k"]: r["name"]
+        for r in async_enrich(df, "k", "name", {1: "a", 2: "b"}).collect()
+    }
+    assert out == {1: "a", 2: "b", 3: None}

