@@ -120,6 +120,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "dq_anomaly_mad_window",
         "fn_collation_bundle",
         "ivm_incremental_agg_merge",
+        "join_existence_mark",
     }
 )
 

@@ -636,8 +636,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per round: one join of the (broadcast) label table to the
     checkpointed self-looped adjacency, one count per (vertex, label),
-    one per-vertex argmax window partitioned on the vertex — all bounded
-    by |E|, no global sort, same 100 TB loop shape as
+    one per-vertex argmax HASH aggregate (max_by, partial map-side — no
+    window, no sort) — all bounded by |E|, same 100 TB loop shape as
     :func:`graph_pagerank_suppliers` (drop the broadcast when |V| labels
     outgrow executors and the round becomes a co-partitioned shuffle
     join). Oracle: the identical rounds unrolled as SQL (see
@@ -664,18 +664,25 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     labels = verts.select("v", F.col("v").alias("l"))
-    w = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("l"))
     for _ in range(LPA_ROUNDS):
         votes = (
             und.join(F.broadcast(labels), und.src == labels.v)
             .groupBy(F.col("dst").alias("v2"), "l")
             .agg(F.count("*").alias("cnt"))
-            .select(F.col("v2").alias("v"), "l", "cnt")
         )
+        # per-vertex argmax as a HASH AGGREGATE (max_by over the
+        # (cnt, -l) struct — max count, ties to the smaller label), not a
+        # row_number window: partial max_by reduces map-side and there is
+        # no per-partition sort (same rewrite as llm_knn_ivf's top-1
+        # picks). Locally the rounds are join-dominated so wall time is
+        # flat; at cluster scale the dropped sort is the win
         labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("v", "l")
+            votes.groupBy(F.col("v2").alias("v"))
+            .agg(
+                F.max_by(
+                    "l", F.struct(F.col("cnt"), (-F.col("l")).alias("nl"))
+                ).alias("l")
+            )
             .localCheckpoint(eager=True)
         )
 

@@ -183,3 +183,37 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-outer-row re-execution. Shared-dialect: the text IS the oracle."""
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+_MARK_JOIN_SQL = """
+    SELECT c_custkey, c_mktsegment,
+           EXISTS(SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT') AS has_urgent,
+           EXISTS(SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 420000) AS has_big_ticket
+    FROM customer c
+"""
+
+
+@query(
+    "join_existence_mark",
+    oracle=_MARK_JOIN_SQL,
+    tags=("subquery", "join", "existence"),
+)
+def join_existence_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARK JOIN (ExistenceJoin): EXISTS in the SELECT list — keep EVERY
+    probe row and attach a boolean per subquery instead of filtering
+    (semi/anti joins answer "which rows"; the mark join answers "which
+    rows, annotated" — the segmentation/feature-flag shape, and the
+    remaining member of the join-type family the suite had not yet
+    certified). Spark decorrelates each EXISTS to an ExistenceJoin — a
+    hash join emitting probe ⟕ exists-bit with build-side dedup, never a
+    row-multiplying outer join + groupBy (plan-pinned); two marks against
+    the same fact table become two ExistenceJoins over one orders scan
+    subtree each, both shuffling on the custkey the probe already
+    carries. Shared-dialect text: DuckDB plans the same shape as its
+    native MARK join, and the query text IS the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_MARK_JOIN_SQL)

@@ -247,3 +247,11 @@ def test_sssp_frontier_broadcasts_never_reshuffles_adjacency(spark, sf_dir):
     # (driver loop); what remains must be scan-of-checkpoint + project
     assert "BroadcastNestedLoop" not in p
     assert df.filter(F.col("dist") == 0).count() == 1
+
+
+def test_mark_join_plans_as_existence_join_not_outer_groupby(spark, sf_dir):
+    """EXISTS in the SELECT list must decorrelate to ExistenceJoin (probe
+    rows preserved, one boolean per subquery) — never a row-multiplying
+    outer join re-aggregated back down."""
+    p = optimized(spark, sf_dir, "join_existence_mark")
+    assert "ExistenceJoin" in p
