@@ -107,20 +107,14 @@ def _sweep_order(qs, correctness_dir: str | None = None) -> list[str]:
 #: while unstamped).
 _NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # r6 additions — the 47-id r4/r5 backlog (never driver-stamped,
-        # CORRECTNESS_r04 was never recorded) must fill the 50-slot sweep
-        # first; these take whatever slots remain.
-        "limit_keyset_pagination",
-        "cep_match_recognize_text",
-        "graph_label_propagation",
-        "llm_ann_pq",
-        "win_pattern_islands",
-        "agg_theta_sketch_ops",
-        "ts_asof_downsample",
-        "dq_anomaly_mad_window",
-        "fn_collation_bundle",
-        "ivm_incremental_agg_merge",
-        "join_existence_mark",
+        # r7 additions. The 8 unstamped r6 ids (ts_asof_downsample,
+        # cep_match_recognize_text, graph_label_propagation,
+        # dq_anomaly_mad_window, agg_theta_sketch_ops,
+        # ivm_incremental_agg_merge, fn_collation_bundle, llm_ann_pq) left
+        # this set at the r7 open: they are now the long-queued backlog and
+        # must occupy the sweep's first 8 slots.
+        "cep_match_recognize_quantified",
+        "llm_dedup_semantic",
     }
 )
 
