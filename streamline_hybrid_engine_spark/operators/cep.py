@@ -25,6 +25,7 @@ window-expressible (each transition depends on post-previous-row state).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import cached_property
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -326,27 +327,30 @@ _MR_UNIT_US = {
 }
 
 
-def parse_match_recognize(spec_text: str) -> tuple[PatternSpec, str, str]:
-    """Parse a MATCH_RECOGNIZE-ish clause into (PatternSpec, partition_col,
-    order_col).
+def parse_match_recognize(spec_text: str):
+    """Parse a MATCH_RECOGNIZE-ish clause into (spec, partition_col,
+    order_col) where spec is a :class:`PatternSpec` (plain sequence) or a
+    :class:`QuantifiedPatternSpec` (any variable quantified).
 
-    Supported grammar (the subset the NFA executes — anything else raises,
+    Supported grammar (the subset the NFAs execute — anything else raises,
     never silently degrades)::
 
         MATCH_RECOGNIZE (
           PARTITION BY <col>
           ORDER BY <col>
-          PATTERN (A B C ...)
+          PATTERN (A B+ C{1,3} D? ...)
           WITHIN INTERVAL '<n>' SECOND|MINUTE|HOUR|DAY
           DEFINE A AS event_type = '<literal>', B AS ...
         )
 
-    Semantics are the NFA's documented ones: relaxed contiguity, greedy
-    after-match-skip-past-match, WITHIN anchored at the first step — the
-    same defaults as ONE ROW PER MATCH / AFTER MATCH SKIP PAST LAST ROW.
-    Each pattern variable must be defined exactly once as an equality on
-    ``event_type`` (quantifiers/alternation are future surface; the parser
-    rejects them loudly)."""
+    Quantifiers: ``+`` (1..∞), ``*`` (0..∞), ``?`` (0..1), ``{m}``,
+    ``{m,}``, ``{m,n}`` — on any variable except the last (greedy emission
+    on the final variable needs lookahead; rejected loudly). Alternation
+    and grouping are not compilable. Semantics are the NFAs' documented
+    ones: relaxed contiguity, greedy after-match-skip-past-match, WITHIN
+    anchored at the first matched event — the same defaults as ONE ROW PER
+    MATCH / AFTER MATCH SKIP PAST LAST ROW. Each pattern variable must be
+    defined exactly once as an equality on ``event_type``."""
     import re
 
     body_m = re.search(
@@ -376,12 +380,35 @@ def parse_match_recognize(spec_text: str) -> tuple[PatternSpec, str, str]:
     timeout_us = int(n_m.group(1)) * _MR_UNIT_US[n_m.group(2).upper()]
     define = clause(r"DEFINE\s+(.*)$", "DEFINE")
 
-    variables = pattern.split()
-    if any(re.search(r"[+*?{|]", v) for v in variables):
-        raise ValueError(
-            "quantifiers/alternation are not supported; pattern variables "
-            "must be a plain sequence"
+    tokens = pattern.split()
+    variables, bounds = [], []
+    for tok in tokens:
+        t_m = re.fullmatch(
+            r"([a-zA-Z_][\w]*)(\+|\*|\?|\{\d+(?:,\d*)?\})?", tok
         )
+        if not t_m:
+            raise ValueError(
+                f"unsupported PATTERN token {tok!r}: alternation/grouping "
+                "are not compilable; quantifiers are +, *, ?, {m}, {m,}, {m,n}"
+            )
+        var, q = t_m.group(1), t_m.group(2)
+        if q is None:
+            mn, mx = 1, 1
+        elif q == "+":
+            mn, mx = 1, None
+        elif q == "*":
+            mn, mx = 0, None
+        elif q == "?":
+            mn, mx = 0, 1
+        else:
+            nums = q[1:-1].split(",")
+            if len(nums) == 1:
+                mn = mx = int(nums[0])
+            else:
+                mn = int(nums[0])
+                mx = int(nums[1]) if nums[1] else None
+        variables.append(var)
+        bounds.append((mn, mx))
     def split_outside_quotes(s: str) -> list[str]:
         parts, buf, in_q = [], [], False
         for ch in s:
@@ -414,8 +441,16 @@ def parse_match_recognize(spec_text: str) -> tuple[PatternSpec, str, str]:
     undefined = [v for v in variables if v not in defs]
     if undefined:
         raise ValueError(f"PATTERN variables without DEFINE: {undefined}")
-    steps = tuple(defs[v] for v in variables)
-    return compile_pattern(steps, timeout_us), part_col, order_col
+    if all(b == (1, 1) for b in bounds):
+        steps = tuple(defs[v] for v in variables)
+        return compile_pattern(steps, timeout_us), part_col, order_col
+    spec = compile_quantified(
+        tuple(
+            (v, defs[v], mn, mx) for v, (mn, mx) in zip(variables, bounds)
+        ),
+        timeout_us,
+    )
+    return spec, part_col, order_col
 
 
 def match_recognize(events: DataFrame, spec_text: str) -> DataFrame:
@@ -467,6 +502,356 @@ def cep_match_recognize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     to end against the recursive-CTE machine. Scale = match_pattern's:
     one shuffle on the partition key, linear per-key scan, O(1) state."""
     return match_recognize(load_table(spark, sf_dir, "events"), MR_SPEC_TEXT)
+
+
+# ---------------------------------------------------------------------------
+# Quantified patterns — SQL:2016 row-pattern quantifiers (`B+`, `B?`, `B*`,
+# `B{m,n}`; Flink CEP's Pattern.oneOrMore / times(m,n) / optional). The
+# plain PatternSpec NFA tracks only a phase; repetition needs a counter per
+# quantified variable, so this is a counter-NFA: state = (phase, anchor,
+# per-slot captures), where a quantified slot captures (first_id, last_id,
+# cnt) and a plain slot captures one id. Same contract as PatternSpec: the
+# Python advance() and the generated DuckDB recursive CTE are two renderings
+# of ONE spec, so every instantiation is oracle-checkable by construction.
+
+
+@dataclass(frozen=True)
+class QSlot:
+    """One pattern variable with repetition bounds. ``max_ct is None``
+    means unbounded (`+` / `*`); ``min_ct == 0`` means skippable
+    (`?` / `*`)."""
+
+    var: str
+    etype: str
+    min_ct: int
+    max_ct: int | None
+
+    @property
+    def quantified(self) -> bool:
+        """True when the slot may capture >1 event (3 capture columns
+        first/last/cnt instead of one id)."""
+        return self.max_ct is None or self.max_ct > 1
+
+
+@dataclass(frozen=True)
+class QuantifiedPatternSpec:
+    """Counter-NFA over distinct event types with relaxed contiguity,
+    greedy after-match-skip-past-match and WITHIN anchored at the first
+    matched event — the same defaults as :class:`PatternSpec`, plus
+    repetition. Determinism: event types are distinct across slots, so any
+    event can transition at most one way (absorb into the current slot if
+    its count is below max, or jump forward to its own slot when every
+    slot in between is skippable and the current slot has reached min).
+
+    The FINAL slot must be plain (``{1,1}``): a greedy quantifier on the
+    last variable only emits once a non-absorbable event arrives, which
+    needs one-event lookahead and is not streamable row-at-a-time —
+    ``compile_quantified`` rejects it loudly rather than degrade."""
+
+    slots: tuple[QSlot, ...]
+    timeout_us: int
+
+    @property
+    def n(self) -> int:
+        return len(self.slots)
+
+    @cached_property
+    def _slot_by_type(self) -> dict[str, int]:
+        return {s.etype: i for i, s in enumerate(self.slots)}
+
+    @cached_property
+    def _cap_offset(self) -> tuple[int, ...]:
+        """Offset of each slot's capture block inside the flat caps list."""
+        offs, at = [], 0
+        for s in self.slots:
+            offs.append(at)
+            at += 3 if s.quantified else 1
+        return tuple(offs)
+
+    @cached_property
+    def _cap_len(self) -> int:
+        return self._cap_offset[-1] + (3 if self.slots[-1].quantified else 1)
+
+    @cached_property
+    def _skip_ok(self) -> tuple[tuple[bool, ...], ...]:
+        """skip_ok[p][j]: every slot strictly between p and j is min 0."""
+        return tuple(
+            tuple(
+                j > p and all(self.slots[r].min_ct == 0 for r in range(p + 1, j))
+                for j in range(self.n)
+            )
+            for p in range(self.n)
+        )
+
+    def _slot_cols(self, s: QSlot) -> list[str]:
+        if s.quantified:
+            return [f"{s.var}_first_id", f"{s.var}_last_id", f"{s.var}_cnt"]
+        return [f"{s.var}_id"]
+
+    @cached_property
+    def match_columns(self) -> list[str]:
+        cols = ["user_id"]
+        for s in self.slots:
+            cols.extend(self._slot_cols(s))
+        cols.append("span_s")
+        return cols
+
+    @cached_property
+    def match_schema(self) -> str:
+        parts = ["user_id long"]
+        for s in self.slots:
+            parts.extend(f"{c} long" for c in self._slot_cols(s))
+        parts.append("span_s double")
+        return ", ".join(parts)
+
+    def initial_state(self) -> tuple:
+        return (0, None) + (None,) * self._cap_len
+
+    def _count_in(self, caps: list, phase: int) -> int:
+        off = self._cap_offset[phase]
+        if self.slots[phase].quantified:
+            return caps[off + 2] or 0
+        return 0 if caps[off] is None else 1
+
+    def advance(self, state: tuple, etype: str, uts: int, eid: int):
+        """One transition; returns (new_state, match_or_None). Mirrored
+        expression-for-expression by :func:`quantified_oracle`."""
+        phase, first_us, *caps = state
+        if first_us is not None and uts - first_us > self.timeout_us:
+            phase, first_us, caps = 0, None, [None] * self._cap_len
+        j = self._slot_by_type.get(etype)
+        if j is None:
+            return (phase, first_us, *caps), None
+        cnt = self._count_in(caps, phase)
+        mx = self.slots[j].max_ct
+        if j == phase:
+            go = mx is None or cnt < mx
+        else:
+            go = (
+                self._skip_ok[phase][j]
+                and cnt >= self.slots[phase].min_ct
+            )
+        if not go:
+            return (phase, first_us, *caps), None
+        if first_us is None:
+            first_us = uts
+        off = self._cap_offset[j]
+        if self.slots[j].quantified:
+            if caps[off] is None:
+                caps[off] = eid
+            caps[off + 1] = eid
+            caps[off + 2] = (caps[off + 2] or 0) + 1
+        else:
+            caps[off] = eid
+        if j == self.n - 1:
+            out: list = []
+            for i, s in enumerate(self.slots):
+                o = self._cap_offset[i]
+                out.extend(caps[o : o + (3 if s.quantified else 1)])
+            out.append(round((uts - first_us) / 1e6, 6))
+            return self.initial_state(), tuple(out)
+        return (j, first_us, *caps), None
+
+
+def compile_quantified(
+    entries: tuple[tuple[str, str, int, int | None], ...], timeout_us: int
+) -> QuantifiedPatternSpec:
+    """Build a QuantifiedPatternSpec from (var, event_type, min, max)
+    tuples; ``max=None`` = unbounded. Validation is loud (the house rule:
+    reject, never silently degrade)."""
+    if len(entries) < 2:
+        raise ValueError("a pattern needs at least 2 slots")
+    slots = tuple(QSlot(v.lower(), e, int(mn), mx) for v, e, mn, mx in entries)
+    if len({s.etype for s in slots}) != len(slots):
+        raise ValueError("slot event types must be distinct (determinism)")
+    if len({s.var for s in slots}) != len(slots):
+        raise ValueError("slot variables must be distinct (column naming)")
+    for s in slots:
+        if s.min_ct < 0 or (s.max_ct is not None and s.max_ct < max(s.min_ct, 1)):
+            raise ValueError(f"bad bounds on {s.var}: {{{s.min_ct},{s.max_ct}}}")
+    last = slots[-1]
+    if last.min_ct != 1 or last.max_ct != 1:
+        raise ValueError(
+            "the final pattern variable cannot be quantified: greedy "
+            "emission would need one-event lookahead (not streamable)"
+        )
+    return QuantifiedPatternSpec(slots, int(timeout_us))
+
+
+def quantified_oracle(spec: QuantifiedPatternSpec) -> str:
+    """Render the counter-NFA as a DuckDB recursive-CTE scan — the
+    quantified sibling of :func:`pattern_oracle`, generated from the same
+    spec object the Arrow runner executes."""
+    n, t_us = spec.n, spec.timeout_us
+    reset = f"(s.first_us IS NOT NULL AND e.uts - s.first_us > {t_us})"
+    rstate = f"(CASE WHEN {reset} THEN 0 ELSE s.state END)"
+    rfirst = f"(CASE WHEN {reset} THEN NULL ELSE s.first_us END)"
+
+    def rcap(col: str) -> str:
+        return f"(CASE WHEN {reset} THEN NULL ELSE s.{col} END)"
+
+    def cnt_expr(p: int) -> str:
+        if spec.slots[p].quantified:
+            return f"COALESCE({rcap(f'n{p}')}, 0)"
+        return f"(CASE WHEN {rcap(f'c{p}')} IS NULL THEN 0 ELSE 1 END)"
+
+    def go(j: int) -> str:
+        sj = spec.slots[j]
+        jumps = [
+            f"({rstate} = {p} AND {cnt_expr(p)} >= {spec.slots[p].min_ct})"
+            for p in range(j)
+            if spec._skip_ok[p][j]
+        ]
+        if j < n - 1:
+            # the machine never rests at the final slot (emit resets), so
+            # its stay/absorb branch is statically dead — omitted.
+            stay = (
+                f"{rstate} = {j}"
+                if sj.max_ct is None
+                else f"({rstate} = {j} AND {cnt_expr(j)} < {sj.max_ct})"
+            )
+            jumps = [stay, *jumps]
+        alts = " OR ".join(jumps)
+        return f"(e.event_type = '{sj.etype}' AND ({alts}))"
+
+    gos = [go(j) for j in range(n)]
+    emit = gos[n - 1]
+
+    state_case = (
+        "CASE\n      WHEN " + emit + " THEN 0\n"
+        + "\n".join(
+            f"      WHEN {gos[j]} THEN {j}" for j in range(n - 1)
+        )
+        + f"\n      ELSE {rstate}\n    END AS state"
+    )
+    any_nonlast = "(" + " OR ".join(gos[: n - 1]) + ")"
+    first_case = (
+        f"CASE WHEN {emit} THEN NULL "
+        f"WHEN {any_nonlast} THEN COALESCE({rfirst}, e.uts) "
+        f"ELSE {rfirst} END AS first_us"
+    )
+
+    cap_cases, m_cases, base_caps, out_cols = [], [], [], []
+    for i, s in enumerate(spec.slots[:-1]):
+        if s.quantified:
+            f_, l_, n_ = rcap(f"f{i}"), rcap(f"l{i}"), rcap(f"n{i}")
+            cap_cases += [
+                f"CASE WHEN {emit} THEN NULL WHEN {gos[i]} "
+                f"THEN COALESCE({f_}, e.event_id) ELSE {f_} END AS f{i}",
+                f"CASE WHEN {emit} THEN NULL WHEN {gos[i]} "
+                f"THEN e.event_id ELSE {l_} END AS l{i}",
+                f"CASE WHEN {emit} THEN NULL WHEN {gos[i]} "
+                f"THEN COALESCE({n_}, 0) + 1 ELSE {n_} END AS n{i}",
+            ]
+            m_cases += [
+                f"CASE WHEN {emit} THEN {f_} ELSE NULL END AS m_f{i}",
+                f"CASE WHEN {emit} THEN {l_} ELSE NULL END AS m_l{i}",
+                f"CASE WHEN {emit} THEN {n_} ELSE NULL END AS m_n{i}",
+            ]
+            base_caps += [f"f{i}", f"l{i}", f"n{i}"]
+            out_cols += [
+                f"m_f{i} AS {s.var}_first_id",
+                f"m_l{i} AS {s.var}_last_id",
+                f"m_n{i} AS {s.var}_cnt",
+            ]
+        else:
+            c_ = rcap(f"c{i}")
+            cap_cases.append(
+                f"CASE WHEN {emit} THEN NULL WHEN {gos[i]} "
+                f"THEN e.event_id ELSE {c_} END AS c{i}"
+            )
+            m_cases.append(f"CASE WHEN {emit} THEN {c_} ELSE NULL END AS m_c{i}")
+            base_caps.append(f"c{i}")
+            out_cols.append(f"m_c{i} AS {s.var}_id")
+    m_cases.append(
+        f"CASE WHEN {emit} THEN e.event_id ELSE NULL END AS m_last"
+    )
+    m_cases.append(
+        f"CASE WHEN {emit} THEN e.uts - COALESCE({rfirst}, e.uts) "
+        "ELSE NULL END AS m_span_us"
+    )
+    out_cols.append(f"m_last AS {spec.slots[-1].var}_id")
+
+    m_names = [c.rsplit(" AS ", 1)[1] for c in m_cases]
+    base_nulls = ",\n         ".join(
+        ["CAST(NULL AS BIGINT) AS first_us"]
+        + [f"CAST(NULL AS BIGINT) AS {c}" for c in base_caps + m_names]
+    )
+    all_cases = ",\n    ".join([state_case, first_case, *cap_cases, *m_cases])
+    out_select = ",\n       ".join(out_cols)
+
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS uts,
+         row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+  FROM events
+),
+scan AS (
+  SELECT user_id, 0 AS rn, 0 AS state,
+         {base_nulls}
+  FROM (SELECT DISTINCT user_id FROM ev)
+  UNION ALL
+  SELECT e.user_id, e.rn,
+    {all_cases}
+  FROM scan s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+)
+SELECT user_id,
+       {out_select},
+       round(m_span_us / 1000000.0, 6) AS span_s
+FROM scan WHERE m_span_us IS NOT NULL
+"""
+
+
+#: contract spec for the quantified face: signup, 1+ views, 1-2 clicks,
+#: optional error, purchase — exercises unbounded `+`, bounded `{m,n}`,
+#: zero-min `?` and plain anchors in one pattern.
+MR_QUANT_SPEC_TEXT = """
+MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts
+  PATTERN (S V+ C{1,2} E? P)
+  WITHIN INTERVAL '96' HOUR
+  DEFINE S AS event_type = 'signup',
+         V AS event_type = 'view',
+         C AS event_type = 'click',
+         E AS event_type = 'error',
+         P AS event_type = 'purchase'
+)
+"""
+
+#: hand-declared twin of MR_QUANT_SPEC_TEXT — the oracle generates from
+#: THIS, never from the parser's output (same independence rule as
+#: _MR_EXPECTED: a mis-parse diverges Spark from the oracle and the hash
+#: gate catches it).
+_MR_QUANT_EXPECTED = compile_quantified(
+    (
+        ("s", "signup", 1, 1),
+        ("v", "view", 1, None),
+        ("c", "click", 1, 2),
+        ("e", "error", 0, 1),
+        ("p", "purchase", 1, 1),
+    ),
+    96 * 3_600_000_000,
+)
+
+
+@query(
+    "cep_match_recognize_quantified",
+    oracle=quantified_oracle(_MR_QUANT_EXPECTED),
+    tags=("cep", "sql"),
+)
+def cep_match_recognize_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with quantifiers — `PATTERN (S V+ C{1,2} E? P)
+    WITHIN 96h`: the SQL:2016 repetition surface (Flink CEP
+    Pattern.oneOrMore / times(1,2) / optional) compiled by
+    :func:`parse_match_recognize` into a counter-NFA
+    (:class:`QuantifiedPatternSpec`) and run by the SAME Arrow runner as
+    the plain patterns. Quantified variables emit (first_id, last_id,
+    cnt); skipped optionals emit NULLs. Oracle = the identical counter
+    machine rendered as a DuckDB recursive-CTE scan from a hand-declared
+    spec independent of the parser. Scale unchanged from match_pattern:
+    one shuffle on user_id, linear per-key scan, O(1) state per key."""
+    return match_recognize(load_table(spark, sf_dir, "events"), MR_QUANT_SPEC_TEXT)
 
 
 ABSENCE_WINDOW_US = 30 * 60 * 1_000_000  # notFollowedBy ... within 30 minutes

@@ -183,9 +183,17 @@ def test_match_recognize_rejects_bad_specs():
         "WITHIN INTERVAL '1' HOUR DEFINE {defs})"
     )
     ok_defs = "A AS event_type = 'view', B AS event_type = 'click'"
-    # quantifiers/alternation must be rejected loudly, never silently dropped
-    with pytest.raises(ValueError, match="quantifiers"):
-        parse_match_recognize(base.format(pat="A+ B", defs=ok_defs))
+    # alternation/grouping must be rejected loudly, never silently dropped
+    with pytest.raises(ValueError, match="alternation"):
+        parse_match_recognize(base.format(pat="A|B B", defs=ok_defs))
+    with pytest.raises(ValueError, match="alternation"):
+        parse_match_recognize(base.format(pat="(A B)+ B", defs=ok_defs))
+    # a quantified FINAL variable needs lookahead — rejected, not degraded
+    with pytest.raises(ValueError, match="final pattern variable"):
+        parse_match_recognize(base.format(pat="A B+", defs=ok_defs))
+    # zero-width max is meaningless
+    with pytest.raises(ValueError, match="bad bounds"):
+        parse_match_recognize(base.format(pat="A{0} B", defs=ok_defs))
     # undefined pattern variable
     with pytest.raises(ValueError, match="without DEFINE"):
         parse_match_recognize(base.format(pat="A B C", defs=ok_defs))
@@ -222,3 +230,124 @@ def test_match_recognize_equals_programmatic_api(spark, sf_dir):
     spec = compile_pattern(("view", "purchase"), 6 * 3_600_000_000)
     via_api = {tuple(r) for r in match_pattern(ev, spec).collect()}
     assert via_text == via_api and via_text
+
+
+# -- quantified patterns (counter-NFA) --------------------------------------
+
+
+def _qspec(entries, timeout_h=24):
+    from streamline_hybrid_engine_spark.operators.cep import compile_quantified
+
+    return compile_quantified(entries, timeout_h * 3_600_000_000)
+
+
+def _qrun(spec, seq):
+    """Run (etype, hours, event_id) rows through advance(); return matches."""
+    st, out = spec.initial_state(), []
+    for etype, h, eid in seq:
+        st, m = spec.advance(st, etype, int(h * 3_600_000_000), eid)
+        if m is not None:
+            out.append(m)
+    return out
+
+
+def test_quantified_plus_absorbs_all_repeats():
+    spec = _qspec((("a", "view", 1, None), ("b", "purchase", 1, 1)))
+    out = _qrun(spec, [("view", 0, 1), ("view", 1, 2), ("view", 2, 3), ("purchase", 3, 4)])
+    # a_first, a_last, a_cnt, b_id, span
+    assert out == [(1, 3, 3, 4, 3 * 3600.0)]
+
+
+def test_quantified_bounded_stops_absorbing_at_max():
+    spec = _qspec((("a", "view", 1, 2), ("b", "purchase", 1, 1)))
+    out = _qrun(spec, [("view", 0, 1), ("view", 1, 2), ("view", 2, 3), ("purchase", 3, 4)])
+    # third view is skipped (relaxed contiguity), capture stops at 2
+    assert out == [(1, 2, 2, 4, 3 * 3600.0)]
+
+
+def test_quantified_min_not_met_blocks_jump():
+    spec = _qspec((("a", "view", 2, 3), ("b", "purchase", 1, 1)))
+    assert _qrun(spec, [("view", 0, 1), ("purchase", 1, 2)]) == []
+    out = _qrun(spec, [("view", 0, 1), ("view", 1, 2), ("purchase", 2, 3)])
+    assert out == [(1, 2, 2, 3, 2 * 3600.0)]
+
+
+def test_quantified_optional_slot_emits_nulls_when_skipped():
+    spec = _qspec(
+        (("a", "signup", 1, 1), ("b", "error", 0, 1), ("c", "purchase", 1, 1))
+    )
+    out = _qrun(spec, [("signup", 0, 1), ("purchase", 1, 2)])
+    assert out == [(1, None, 2, 3600.0)]
+    out = _qrun(spec, [("signup", 0, 1), ("error", 0.5, 9), ("purchase", 1, 2)])
+    assert out == [(1, 9, 2, 3600.0)]
+
+
+def test_quantified_star_start_anchors_at_first_matched_event():
+    spec = _qspec((("a", "view", 0, None), ("b", "purchase", 1, 1)))
+    # purchase alone matches: a_* NULL, span 0 (anchor = the emitting event)
+    assert _qrun(spec, [("purchase", 5, 7)]) == [(None, None, None, 7, 0.0)]
+
+
+def test_quantified_timeout_resets_and_restarts():
+    spec = _qspec((("a", "view", 1, None), ("b", "purchase", 1, 1)), timeout_h=24)
+    out = _qrun(
+        spec,
+        [("view", 0, 1), ("view", 1, 2), ("view", 30, 3), ("purchase", 31, 4)],
+    )
+    # first attempt expired at +30h; the expiring view starts a new match
+    assert out == [(3, 3, 1, 4, 3600.0)]
+
+
+def test_quantified_greedy_non_overlapping():
+    spec = _qspec((("a", "view", 1, None), ("b", "purchase", 1, 1)))
+    out = _qrun(
+        spec,
+        [("view", 0, 1), ("purchase", 1, 2), ("view", 2, 3), ("purchase", 3, 4)],
+    )
+    assert out == [(1, 1, 1, 2, 3600.0), (3, 3, 1, 4, 3600.0)]
+
+
+def test_quantified_text_equals_hand_declared_spec():
+    from streamline_hybrid_engine_spark.operators.cep import (
+        _MR_QUANT_EXPECTED,
+        MR_QUANT_SPEC_TEXT,
+        parse_match_recognize,
+    )
+
+    spec, part_col, order_col = parse_match_recognize(MR_QUANT_SPEC_TEXT)
+    assert (spec, part_col, order_col) == (_MR_QUANT_EXPECTED, "user_id", "ts")
+
+
+def test_quantifier_token_forms():
+    from streamline_hybrid_engine_spark.operators.cep import parse_match_recognize
+
+    base = (
+        "MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts PATTERN ({pat}) "
+        "WITHIN INTERVAL '1' HOUR DEFINE A AS event_type = 'view', "
+        "B AS event_type = 'click', C AS event_type = 'purchase')"
+    )
+    for pat, bounds in [
+        ("A+ B C", (1, None)),
+        ("A* B C", (0, None)),
+        ("A? B C", (0, 1)),
+        ("A{3} B C", (3, 3)),
+        ("A{2,} B C", (2, None)),
+        ("A{2,5} B C", (2, 5)),
+    ]:
+        spec, _, _ = parse_match_recognize(base.format(pat=pat))
+        a = spec.slots[0]
+        assert (a.min_ct, a.max_ct) == bounds, pat
+
+
+def test_quantified_registry_face_runs(spark, sf_dir):
+    """The registry id must return rows with the documented shape (v_cnt
+    >= 1, c_cnt in 1..2, nullable e_id) — value parity vs the generated
+    recursive-CTE oracle is test_parity_sf0001's job."""
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    rows = get_query("cep_match_recognize_quantified").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.v_cnt >= 1 and r.v_first_id is not None
+        assert 1 <= r.c_cnt <= 2
+        assert r.span_s <= 96 * 3600.0
