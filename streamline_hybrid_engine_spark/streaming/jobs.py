@@ -82,13 +82,19 @@ def stream_shuffle_width(spark: SparkSession, sf_dir: str) -> int:
 
 
 def run_to_memory(
-    df: DataFrame, name: str, output_mode: str, width: int | None = None
+    df: DataFrame,
+    name: str,
+    output_mode: str,
+    width: int | None = None,
+    progress_out: list | None = None,
 ) -> DataFrame:
     """Drain a streaming DataFrame into a memory sink; return the result.
 
     ``width`` (from stream_shuffle_width) pins the stateful shuffle/state
     partition count for THIS job; the session conf is restored after the
-    drain so batch queries keep their own sizing.
+    drain so batch queries keep their own sizing. ``progress_out``, when
+    given, receives the query's recentProgress records (per-batch state /
+    watermark accounting — what tests assert bounded state against).
     """
     spark = df.sparkSession
     for q in spark.streams.active:
@@ -108,6 +114,8 @@ def run_to_memory(
                 .start()
             )
             q.awaitTermination()
+            if progress_out is not None:
+                progress_out.extend(q.recentProgress or [])
     finally:
         if width and prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -1279,13 +1287,14 @@ def stream_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     this).
 
     State per bucket is ONE long — |state| is bounded by the number of
-    distinct band signatures, not the corpus, and a production job with
-    an event-time column would evict buckets via timeouts the same way
-    stream_dedup_within_watermark's horizon does (the fixture's documents
-    carry no timestamp, so NoTimeout keeps the contract honest rather
-    than faking a clock). Docs under 3 tokens have no shingles, enter no
-    bucket, and are trivially kept (not emitted). Flink analog: keyed
-    ProcessFunction holding a seen-signature ValueState per LSH bucket.
+    distinct band signatures, not the corpus. This variant holds buckets
+    forever (NoTimeout): on an unbounded stream state grows with the
+    signature universe — ``stream_dedup_minhash_lsh_ttl`` is the
+    production form, evicting buckets via EventTimeTimeout once the
+    watermark passes their horizon. Docs under 3 tokens have no
+    shingles, enter no bucket, and are trivially kept (not emitted).
+    Flink analog: keyed ProcessFunction holding a seen-signature
+    ValueState per LSH bucket.
     """
     import pandas as pd  # noqa: PLC0415 — worker-side import
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -1326,3 +1335,154 @@ def stream_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drained.groupBy("doc_id").agg(
         F.max("hit_occupied").alias("is_near_dup")
     )
+
+
+#: TTL parameters for the evicting LSH dedup: a bucket lives HORIZON
+#: beyond the event time of its last touch; the watermark trails the
+#: stream by DELAY. Both are event-time quantities — no wall clock.
+LSH_TTL_HORIZON_MS = 60 * 60 * 1000
+LSH_TTL_DELAY = "10 minutes"
+
+#: deterministic synthetic event time for the documents fixture (it has no
+#: timestamp column): doc_id minutes after T0 — arrival order == event-time
+#: order, the ingestion-stream shape. Pure function of doc_id, so it can be
+#: re-derived after any projection.
+LSH_TTL_T0 = "2024-01-01 00:00:00"
+_INGEST_TS = (
+    f"timestamp '{LSH_TTL_T0}' + make_interval(0, 0, 0, 0, 0, doc_id, 0)"
+)
+
+
+def staged_documents_stream(spark: SparkSession, sf_dir: str, tag: str) -> DataFrame:
+    """documents.parquet staged as three doc_id-range files (mtime-pinned
+    ascending) read one file per micro-batch — with event time assigned as
+    doc_id minutes, each batch covers a disjoint ascending time range, so
+    the watermark advances between batches and event-time timers fire."""
+    ensure_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0]  # 1-row scalar: split bounds
+    stage = os.path.join(
+        tempfile.gettempdir(), f"she_{tag}_stage_{os.path.basename(sf_dir)}"
+    )
+    import shutil
+    import time as _time
+
+    shutil.rmtree(stage, ignore_errors=True)
+    cut1, cut2 = hi // 3, 2 * hi // 3
+    parts = (
+        ("00_early", F.col("doc_id") <= cut1),
+        ("01_mid", (F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2)),
+        ("02_late", F.col("doc_id") > cut2),
+    )
+    now = _time.time()
+    for i, (name, cond) in enumerate(parts):
+        docs.filter(cond).coalesce(1).write.parquet(f"{stage}/{name}")
+        for f in os.listdir(f"{stage}/{name}"):
+            os.utime(f"{stage}/{name}/{f}", (now + i * 10, now + i * 10))
+    return (
+        spark.readStream.schema(DOCUMENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+
+
+def lsh_ttl_dedup(
+    spark: SparkSession, sf_dir: str, progress_out: list | None = None
+) -> DataFrame:
+    """Shared implementation of ``stream_dedup_minhash_lsh_ttl`` — split
+    out so tests can capture per-batch progress (state rows, watermark)
+    through ``progress_out``."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from streamline_hybrid_engine_spark.llm.dedup import per_row_band_signatures
+
+    horizon_ms = LSH_TTL_HORIZON_MS
+
+    def bucket_keeper(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()  # GC: the watermark passed this bucket's horizon
+            return
+        wm = state.getCurrentWatermarkMs()
+        first, expiry = state.get if state.exists else (None, None)
+        if expiry is not None and expiry <= wm:
+            # stale on arrival (timer simply hasn't fired yet this batch,
+            # or data and timer landed in the same batch): self-evict so
+            # semantics depend on event time only, never on timer races
+            first, expiry = None, None
+        rows = []
+        for pdf in pdfs:
+            ms = (
+                pd.to_datetime(pdf["ingest_ts"])
+                .astype("datetime64[ns]")
+                .astype("int64")
+                // 1_000_000
+            ).tolist()
+            rows.extend(zip(pdf["doc_id"].tolist(), ms))
+        rows.sort()  # ts is monotone in doc_id: arrival == event-time order
+        out = []
+        last_ms = None
+        for doc_id, ms in rows:
+            out.append((int(doc_id), int(key[0]), first is not None))
+            if first is None:
+                first = int(doc_id)
+            last_ms = ms
+        expiry = max(expiry or 0, last_ms + horizon_ms)
+        state.update((first, expiry))
+        state.setTimeoutTimestamp(max(expiry, wm + 1))
+        if out:
+            yield pd.DataFrame(out, columns=["doc_id", "band", "hit_occupied"])
+
+    bands = per_row_band_signatures(
+        staged_documents_stream(spark, sf_dir, "lshttl")
+    ).withColumn("ingest_ts", F.expr(_INGEST_TS))
+    verdicts = (
+        bands.withWatermark("ingest_ts", LSH_TTL_DELAY)
+        .groupBy("band", "bandsig")
+        .applyInPandasWithState(
+            bucket_keeper,
+            outputStructType="doc_id long, band int, hit_occupied boolean",
+            stateStructType="first_doc long, expiry_ms long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    drained = run_to_memory(
+        verdicts,
+        "she_stream_dedup_minhash_lsh_ttl",
+        "append",
+        stream_shuffle_width(spark, sf_dir),
+        progress_out=progress_out,
+    )
+    return drained.groupBy("doc_id").agg(
+        F.max("hit_occupied").alias("is_near_dup")
+    )
+
+
+@query(
+    "stream_dedup_minhash_lsh_ttl",
+    oracle=None,
+    tags=("streaming", "llm", "dedup", "state", "watermark"),
+)
+def stream_dedup_minhash_lsh_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash-LSH near-dup dedup with EVENT-TIME TTL eviction —
+    the state-bounded production form of ``stream_dedup_minhash_lsh``
+    (which holds buckets forever). Each band bucket's keyed state carries
+    (first_doc, expiry); every touch extends expiry to event_time +
+    1 hour; an EventTimeTimeout timer fires once the watermark (10 min
+    delay) passes expiry and removes the bucket, so |state| is bounded by
+    horizon × ingest rate instead of distinct-signatures-ever — the same
+    discipline as ``stream_dedup_within_watermark``, applied to LSH
+    buckets. A bucket touched by data AFTER its horizon self-evicts on
+    arrival (checked against the current watermark), so dedup semantics
+    are pure event-time — a near-dup is only suppressed if it lands
+    within the horizon of the bucket's last occupant — and never depend
+    on timer/data batch races. Event time is assigned deterministically
+    (doc_id minutes after T0: the fixture carries no timestamps; no wall
+    clock involved); the 3-file doc_id-range staging makes the watermark
+    advance between micro-batches so eviction is actually exercised (the
+    test pins streaming == a pure-Python watermark simulation, eviction
+    count > 0, and final state rows < buckets touched). Flink analog:
+    keyed ProcessFunction + event-time timer clearing ValueState."""
+    return lsh_ttl_dedup(spark, sf_dir)

@@ -683,3 +683,83 @@ def test_stream_dedup_minhash_lsh_equals_batch_lsh(spark, sf_dir):
     assert set(verdicts) == banded_docs
     assert {d for d, dup in verdicts.items() if dup} == batch_dups
     assert batch_dups  # fixture must exercise the drop branch
+
+
+def test_stream_dedup_minhash_lsh_ttl_matches_watermark_simulation(spark, sf_dir):
+    """The TTL variant's verdicts must equal a pure-Python replay of the
+    event-time contract: per batch (doc_id-range file), a bucket is
+    occupied iff its expiry (last touch + horizon) is still ahead of the
+    watermark (max event time through PRIOR batches - delay). Also pins
+    that eviction is actually exercised (re-occupations > 0) and that
+    state is bounded: buckets are removed during the drain and the final
+    state is strictly smaller than the buckets-touched universe."""
+    from collections import defaultdict
+
+    from streamline_hybrid_engine_spark.catalog import load_table
+    from streamline_hybrid_engine_spark.llm.dedup import per_row_band_signatures
+    from streamline_hybrid_engine_spark.streaming.jobs import (
+        LSH_TTL_HORIZON_MS,
+        lsh_ttl_dedup,
+    )
+
+    progress = []
+    verdicts = {
+        r["doc_id"]: r["is_near_dup"]
+        for r in lsh_ttl_dedup(spark, sf_dir, progress_out=progress).collect()
+    }
+
+    rows = per_row_band_signatures(load_table(spark, sf_dir, "documents")).collect()
+    hi = max(r["doc_id"] for r in rows)
+    cut1, cut2 = hi // 3, 2 * hi // 3
+    t0_ms = 1_704_067_200_000  # 2024-01-01 00:00:00 UTC
+    delay_ms = 10 * 60 * 1000
+
+    def ts_ms(doc_id):
+        return t0_ms + doc_id * 60_000
+
+    batches = [[], [], []]
+    for r in rows:
+        b = 0 if r["doc_id"] <= cut1 else 1 if r["doc_id"] <= cut2 else 2
+        batches[b].append((r["doc_id"], r["band"], r["bandsig"]))
+
+    wm, state, flags, reoccupations = 0, {}, defaultdict(bool), 0
+    for batch in batches:
+        by_bucket = defaultdict(list)
+        for doc_id, band, sig in batch:
+            by_bucket[(band, sig)].append(doc_id)
+        for bucket, docs in by_bucket.items():
+            first, expiry = state.get(bucket, (None, None))
+            if expiry is not None and expiry <= wm:
+                first, expiry = None, None
+                reoccupations += 1
+            docs.sort()
+            last = None
+            for d in docs:
+                flags[d] |= first is not None
+                if first is None:
+                    first = d
+                last = ts_ms(d)
+            state[bucket] = (first, max(expiry or 0, last + LSH_TTL_HORIZON_MS))
+        wm = max(wm, max(ts_ms(d) for d, _, _ in batch) - delay_ms)
+
+    assert verdicts == dict(flags)
+    assert reoccupations > 0  # fixture exercises evict-then-reoccupy
+    # bounded state: buckets were removed during the drain, and the final
+    # state holds strictly fewer rows than the buckets-touched universe
+    ops = [
+        (p.get("stateOperators") or [{}])[0]
+        for p in progress
+        if p.get("stateOperators")
+    ]
+    assert sum(int(op.get("numRowsRemoved", 0)) for op in ops) > 0
+    assert 0 < int(ops[-1].get("numRowsTotal", 0)) < len(state)
+    # a TTL dup always shares a bucket with an earlier doc, so the TTL
+    # dup set must be a subset of the hold-forever (= batch LSH) dup set
+    from streamline_hybrid_engine_spark.registry import all_queries
+
+    batch_dups = {
+        r["d2"]
+        for r in all_queries()["llm_dedup_minhash_pairs"].fn(spark, sf_dir).collect()
+    }
+    ttl_dups = {d for d, dup in flags.items() if dup}
+    assert ttl_dups <= batch_dups
