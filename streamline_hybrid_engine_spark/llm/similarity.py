@@ -251,6 +251,35 @@ def llm_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def label_centroids(e: DataFrame) -> DataFrame:
+    """Per-label centroids in fixed point (floor-µ mean of floor-µ
+    components — integer-exact, so Spark and DuckDB agree bitwise),
+    as (c_label, cvec). The coarse quantizer shared by the IVF and
+    SemDeDup operators; its DuckDB twin is ``_ORACLE_CENTROIDS``."""
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(F.col("x").cast("double") * 1_000_000).cast("long")
+                    ).cast("double")
+                    / F.count("*")
+                )
+                / 1_000_000.0
+            ).alias("cc")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cc"))), lambda s: s.cc
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("c_label"), "cvec")
+    )
+
+
 _ORACLE_CENTROIDS = """
     SELECT label,
            list(cc ORDER BY pos) AS cvec
@@ -304,31 +333,8 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     growth bounded, AQE splits hot cells. Deterministic tie-breaking
     (dot desc, id asc) keeps the oracle exact.
     """
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "embeddings")
-    cent = (
-        e.select("label", F.posexplode("embedding").alias("pos", "x"))
-        .groupBy("label", "pos")
-        .agg(
-            (
-                F.floor(
-                    F.sum(
-                        F.floor(F.col("x").cast("double") * 1_000_000).cast("long")
-                    ).cast("double")
-                    / F.count("*")
-                )
-                / 1_000_000.0
-            ).alias("cc")
-        )
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cc"))), lambda s: s.cc
-            ).alias("cvec")
-        )
-        .select(F.col("label").alias("c_label"), "cvec")
-    )
+    cent = label_centroids(e)
     cdot = F.expr(_DOT.format(a="embedding", b="cvec"))
     # Top-1 picks are hash AGGREGATES (max_by with a deterministic
     # (score desc, id asc) tie-break encoded as struct(score, -id)), not
@@ -815,4 +821,137 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             F.round(F.col("adc_fx").cast("double") / 1_000_000, 6).alias("adc_cos"),
         )
+    )
+
+
+#: SemDeDup in-cell cosine threshold — calibrated to the synthetic
+#: fixture (same-label cosines top out near 0.48; production corpora use
+#: ~0.9+, same pipeline).
+SEM_TAU = 0.25
+
+
+@query(
+    "llm_dedup_semantic",
+    oracle=f"""
+    WITH RECURSIVE cents AS ({_ORACLE_CENTROIDS}),
+    assigned AS (
+      SELECT vec_id, embedding, label AS cell, cdot
+      FROM (
+        SELECT e.vec_id, e.embedding, c.label,
+               {_ODOT.format(a="e.embedding", b="c.cvec")} AS cdot,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_ODOT.format(a="e.embedding", b="c.cvec")} DESC, c.label
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    edges AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_ODOT.format(a="a.embedding", b="b.embedding")} >= {{tau}}
+    ),
+    und AS (SELECT d1, d2 FROM edges UNION ALL SELECT d2, d1 FROM edges),
+    reach AS (
+      SELECT vec_id AS a, vec_id AS b FROM assigned
+      UNION
+      SELECT r.a, u.d2 FROM reach r JOIN und u ON u.d1 = r.b
+    ),
+    labels AS (SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a),
+    keepers AS (
+      SELECT cluster_id, vec_id AS keep_id,
+             CAST(n AS BIGINT) AS cluster_size
+      FROM (
+        SELECT l.cluster_id, l.vec_id,
+               count(*) OVER (PARTITION BY l.cluster_id) AS n,
+               row_number() OVER (
+                 PARTITION BY l.cluster_id ORDER BY a.cdot, l.vec_id
+               ) AS rn
+        FROM labels l JOIN assigned a ON a.vec_id = l.vec_id
+      ) WHERE rn = 1
+    )
+    SELECT l.vec_id, a.cell, l.cluster_id, k.cluster_size,
+           l.vec_id = k.keep_id AS keep
+    FROM labels l
+    JOIN assigned a ON a.vec_id = l.vec_id
+    JOIN keepers k ON k.cluster_id = l.cluster_id
+    """.replace("{tau}", str(SEM_TAU)),
+    tags=("llm", "dedup", "embedding", "semantic"),
+)
+def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup as ONE pipeline — the SemDeDup shape (Abbas et al.
+    2023: k-means-cluster the embeddings, threshold pairwise cosine
+    WITHIN each cluster, keep one representative per duplicate group —
+    the member least similar to its cluster centroid, maximizing
+    diversity of the survivors):
+
+    1. coarse cells: the per-label fixed-assignment quantizer shared
+       with llm_knn_ivf (broadcast K×d centroid table, map-side argmax —
+       no shuffle, and the dot to the OWN centroid rides along free);
+    2. in-cell cosine pairs ≥ τ (cell-blocked, salted self-join — never
+       all-pairs: |cell| ≈ N/K bounds pair growth, AQE splits hot cells);
+    3. connected components over the pair graph (shared Gelly-CC loop,
+       candidates-only iteration);
+    4. survivor per component: min (cdot, vec_id) — the SemDeDup
+       keep-farthest-from-centroid rule, deterministic tie-break.
+
+    Completes the dedup matrix's semantic column: exact (hash), lexical
+    (MinHash/SimHash/n-gram), containment — and now embedding-space,
+    where paraphrases that hash apart embed together. Output per vector:
+    cell, duplicate-cluster id/size, keep verdict. Oracle: the same
+    pipeline unrolled — fixed-assignment centroids, threshold join,
+    recursive-CTE closure, window-ranked survivor."""
+    from streamline_hybrid_engine_spark.operators.graph import connected_components
+    from streamline_hybrid_engine_spark.operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = label_centroids(e)
+    cdot = F.expr(_DOT.format(a="embedding", b="cvec"))
+    # one pass: nearest cell AND the dot to it (struct max_by on
+    # (cdot, -label) — partial-aggregating, no row_number window)
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("cdot", cdot)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("c_label").alias("cell"), F.col("cdot")),
+                F.struct(F.col("cdot"), (-F.col("c_label")).alias("nl")),
+            ).alias("s"),
+            F.first(F.expr(_TO_DOUBLE.format(v="embedding"))).alias("ed"),
+        )
+        .select("vec_id", F.col("s.cell").alias("cell"), F.col("s.cdot").alias("cdot"), "ed")
+    )
+    # read three times below (edge join both sides + survivor/cell lookups)
+    assigned = assigned.localCheckpoint(eager=False)
+    a = assigned.select(F.col("vec_id").alias("d1"), "cell", F.col("ed").alias("ea"))
+    b = assigned.select(
+        F.col("vec_id").alias("d2"), F.col("cell").alias("b_cell"), F.col("ed").alias("eb")
+    )
+    pdot = F.expr(_DOT_D.format(a="ea", b="eb"))
+    edges = (
+        salted_join(a, b, "cell", "b_cell", n_salts=8)
+        .filter(F.col("d1") < F.col("d2"))
+        .filter(pdot >= SEM_TAU)
+        .select("d1", "d2")
+    )
+    labels = connected_components(edges, "d1", "d2").select(
+        F.col("vid").alias("vec_id"), F.col("label").alias("cluster_id")
+    )
+    singletons = assigned.select("vec_id").join(
+        labels.select("vec_id"), "vec_id", "left_anti"
+    ).select("vec_id", F.col("vec_id").alias("cluster_id"))
+    all_labels = labels.unionByName(singletons)
+    ranked = all_labels.join(assigned.select("vec_id", "cell", "cdot"), "vec_id")
+    keepers = ranked.groupBy("cluster_id").agg(
+        F.min_by("vec_id", F.struct("cdot", "vec_id")).alias("keep_id"),
+        F.count("*").alias("cluster_size"),
+    )
+    return ranked.join(keepers, "cluster_id").select(
+        "vec_id",
+        "cell",
+        "cluster_id",
+        "cluster_size",
+        (F.col("vec_id") == F.col("keep_id")).alias("keep"),
     )

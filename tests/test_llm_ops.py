@@ -430,3 +430,42 @@ def test_pq_adc_ranking_is_informative(spark, sf_dir):
         for r in get_query("llm_ann_pq").fn(spark, sf_dir).collect()
     ]
     assert np.mean(picks) >= vals.mean() + 0.5 * vals.std()
+
+
+def test_semantic_dedup_semdedup_invariants(spark, sf_dir):
+    """SemDeDup contract (value parity vs the unrolled oracle is
+    test_parity's job): exactly one keeper per cluster; the keeper is the
+    member LEAST similar to its cell centroid (diversity rule, vec_id
+    tie-break); clusters never span cells unless linked through edges —
+    and the fixture must exercise multi-member clusters."""
+    import pyspark.sql.functions as F
+
+    from streamline_hybrid_engine_spark.catalog import load_table
+    from streamline_hybrid_engine_spark.llm.similarity import (
+        _DOT,
+        label_centroids,
+    )
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    out = get_query("llm_dedup_semantic").fn(spark, sf_dir).toPandas()
+    assert len(out) == out.vec_id.nunique()  # one verdict per vector
+    by_cluster = out.groupby("cluster_id")
+    assert (by_cluster.keep.sum() == 1).all()  # exactly one survivor
+    assert (by_cluster.size() == by_cluster.cluster_size.first()).all()
+    assert (out.cluster_id <= out.vec_id).all()  # rep = min member id
+    assert (out.cluster_size > 1).any()  # fixture exercises real dedup
+
+    # keeper = argmin (cdot, vec_id) within the cluster
+    e = load_table(spark, sf_dir, "embeddings")
+    cdots = {
+        r["vec_id"]: r["cdot"]
+        for r in e.crossJoin(F.broadcast(label_centroids(e)))
+        .withColumn("cdot", F.expr(_DOT.format(a="embedding", b="cvec")))
+        .groupBy("vec_id")
+        .agg(F.max("cdot").alias("cdot"))
+        .collect()
+    }
+    for cid, grp in by_cluster:
+        want = min((cdots[v], v) for v in grp.vec_id)[1]
+        got = grp[grp.keep].vec_id.iloc[0]
+        assert got == want, (cid, got, want)
