@@ -50,12 +50,17 @@ _LAZY_EXPORTS = {
     "cdc_apply": "streamline_hybrid_engine_spark.operators.rowops",
     # CEP
     "compile_pattern": "streamline_hybrid_engine_spark.operators.cep",
+    "compile_quantified": "streamline_hybrid_engine_spark.operators.cep",
     "match_pattern": "streamline_hybrid_engine_spark.operators.cep",
     "match_recognize": "streamline_hybrid_engine_spark.operators.cep",
     "parse_match_recognize": "streamline_hybrid_engine_spark.operators.cep",
     # dedup
     "minhash_dedup": "streamline_hybrid_engine_spark.llm.dedup",
     "per_row_band_signatures": "streamline_hybrid_engine_spark.llm.dedup",
+    # incremental view maintenance
+    "ivm_merge": "streamline_hybrid_engine_spark.operators.ivm",
+    # pagination
+    "keyset_page": "streamline_hybrid_engine_spark.operators.sort_limit",
 }
 
 __all__ = ["all_queries", "get_query", *sorted(_LAZY_EXPORTS)]

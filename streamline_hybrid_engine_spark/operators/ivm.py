@@ -33,6 +33,36 @@ from streamline_hybrid_engine_spark.registry import query
 #: history/delta split point — deltas are orders from 1997 onward.
 IVM_CUTOFF = "1997-01-01"
 
+_MERGE_OPS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def ivm_merge(
+    state: DataFrame, delta: DataFrame, keys: list[str], merges: dict[str, str]
+) -> DataFrame:
+    """Merge two partial-aggregate tables (identical schemas) into one —
+    the library face of incremental view maintenance. ``merges`` names
+    each measure column's merge operator: ``"sum"`` (for SUM and COUNT
+    partials), ``"min"``, ``"max"``. Non-algebraic measures must be
+    carried as their mergeable state (AVG as a (sum, count) pair and
+    re-derived after the merge) — a column with no listed operator is a
+    loud error, never silently dropped.
+
+    Scale: both inputs are aggregates keyed on ``keys``; the merge is
+    one unionByName + re-aggregate on the SAME key, so the shuffle
+    reuses the grouping and state size is bounded by key cardinality,
+    not history length (the point of IVM at 100 TB)."""
+    bad = {c: op for c, op in merges.items() if op not in _MERGE_OPS}
+    if bad:
+        raise ValueError(f"unknown merge operators: {bad} (use sum/min/max)")
+    for df, side in ((state, "state"), (delta, "delta")):
+        missing = set(df.columns) - set(keys) - set(merges)
+        if missing:
+            raise ValueError(
+                f"{side} has columns with no merge operator: {sorted(missing)}"
+            )
+    aggs = [_MERGE_OPS[op](c).alias(c) for c, op in merges.items()]
+    return state.unionByName(delta).groupBy(*keys).agg(*aggs)
+
 _MEASURES = """
            sum(CAST(floor(o_totalprice * 1000000) AS BIGINT)) AS sum_fx,
            count(*) AS n_orders,
@@ -85,14 +115,11 @@ def ivm_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit(IVM_CUTOFF).cast("timestamp")
     state = partials(o.filter(F.col("o_orderdate") < cutoff))
     delta = partials(o.filter(F.col("o_orderdate") >= cutoff))
-    merged = (
-        state.unionByName(delta)
-        .groupBy("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.sum("sum_fx").alias("sum_fx"),
-            F.sum("n_orders").alias("n_orders"),
-            F.max("max_price").alias("max_price"),
-        )
+    merged = ivm_merge(
+        state,
+        delta,
+        keys=["o_orderstatus", "o_orderpriority"],
+        merges={"sum_fx": "sum", "n_orders": "sum", "max_price": "max"},
     )
     return merged.select(
         "o_orderstatus",

@@ -127,6 +127,47 @@ def limit_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def keyset_page(
+    df: DataFrame,
+    order_by: list[tuple[str, str]],
+    n: int,
+    cursor: tuple | None = None,
+) -> DataFrame:
+    """One page of keyset-continuation pagination — the library face of
+    ``limit_keyset_pagination``. ``order_by`` is the TOTAL order as
+    (column, 'asc'|'desc') pairs — include a unique key last, or page
+    boundaries are undefined; ``cursor`` is the last row of the previous
+    page as a tuple aligned with ``order_by`` (None = first page).
+
+    The row comparison "strictly after cursor" expands to the pushable
+    disjunction ``c1 after v1 OR (c1 = v1 AND c2 after v2) OR ...``
+    (Spark has no tuple comparison over mixed directions), applied
+    BEFORE the sort, so the parquet scan prunes row groups and the
+    sort+limit fuses into TakeOrderedAndProject: per-partition n-row
+    heaps + one driver merge — O(page) at any depth, never the O(depth)
+    re-sort-and-discard of OFFSET."""
+    dirs = {d for _, d in order_by}
+    if not dirs <= {"asc", "desc"}:
+        raise ValueError(f"order_by directions must be asc/desc, got {dirs}")
+    if cursor is not None:
+        if len(cursor) != len(order_by):
+            raise ValueError(
+                f"cursor arity {len(cursor)} != order_by arity {len(order_by)}"
+            )
+        pred, eq = None, None
+        for (col, d), v in zip(order_by, cursor):
+            after = F.col(col) > F.lit(v) if d == "asc" else F.col(col) < F.lit(v)
+            clause = after if eq is None else eq & after
+            pred = clause if pred is None else pred | clause
+            same = F.col(col) == F.lit(v)
+            eq = same if eq is None else eq & same
+        df = df.filter(pred)
+    sort_cols = [
+        F.col(c).asc() if d == "asc" else F.col(c).desc() for c, d in order_by
+    ]
+    return df.orderBy(*sort_cols).limit(n)
+
+
 #: keyset cursor: the last row of the previous page in the
 #: (price DESC, orderkey ASC) total order. Fixed literals so the predicate
 #: is a pushable parquet filter; any (price, key) works the same way.
@@ -165,13 +206,10 @@ def limit_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract as the OFFSET form when the cursor is the OFFSET boundary
     row."""
     o = load_table(spark, sf_dir, "orders")
-    after_cursor = (F.col("o_totalprice") < _KEYSET_PRICE) | (
-        (F.col("o_totalprice") == _KEYSET_PRICE)
-        & (F.col("o_orderkey") > _KEYSET_KEY)
+    page = keyset_page(
+        o,
+        [("o_totalprice", "desc"), ("o_orderkey", "asc")],
+        50,
+        cursor=(_KEYSET_PRICE, _KEYSET_KEY),
     )
-    return (
-        o.filter(after_cursor)
-        .orderBy(F.desc("o_totalprice"), "o_orderkey")
-        .select("o_orderkey", rnd("o_totalprice", "totalprice"))
-        .limit(50)
-    )
+    return page.select("o_orderkey", rnd("o_totalprice", "totalprice"))

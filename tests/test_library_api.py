@@ -143,3 +143,77 @@ def test_async_enrich_on_toy_frame(spark):
         for r in async_enrich(df, "k", "name", {1: "a", 2: "b"}).collect()
     }
     assert out == {1: "a", 2: "b", 3: None}
+
+
+def test_ivm_merge_on_toy_partials(spark):
+    from streamline_hybrid_engine_spark import ivm_merge
+
+    state = spark.createDataFrame(
+        [("a", 10, 2, 7), ("b", 5, 1, 5)], "k string, s long, n long, mx long"
+    )
+    delta = spark.createDataFrame(
+        [("a", 3, 1, 9), ("c", 1, 1, 1)], "k string, s long, n long, mx long"
+    )
+    out = {
+        r["k"]: (r["s"], r["n"], r["mx"])
+        for r in ivm_merge(
+            state, delta, keys=["k"], merges={"s": "sum", "n": "sum", "mx": "max"}
+        ).collect()
+    }
+    assert out == {"a": (13, 3, 9), "b": (5, 1, 5), "c": (1, 1, 1)}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no merge operator"):
+        ivm_merge(state, delta, keys=["k"], merges={"s": "sum", "n": "sum"})
+    with pytest.raises(ValueError, match="unknown merge"):
+        ivm_merge(
+            state, delta, keys=["k"], merges={"s": "avg", "n": "sum", "mx": "max"}
+        )
+
+
+def test_keyset_page_walks_all_pages(spark):
+    """Walking pages by cursor must enumerate exactly the full sorted
+    order, no gaps, no repeats — the keyset-pagination contract."""
+    from streamline_hybrid_engine_spark import keyset_page
+
+    rows = [(i % 3, i) for i in range(10)]  # ties on v, unique id
+    df = spark.createDataFrame(rows, "v long, id long")
+    order = [("v", "desc"), ("id", "asc")]
+    want = sorted(rows, key=lambda r: (-r[0], r[1]))
+
+    got, cursor = [], None
+    while True:
+        page = [tuple(r) for r in keyset_page(df, order, 4, cursor).collect()]
+        if not page:
+            break
+        got.extend(page)
+        cursor = page[-1]
+    assert got == want
+
+    import pytest
+
+    with pytest.raises(ValueError, match="arity"):
+        keyset_page(df, order, 4, cursor=(1,))
+    with pytest.raises(ValueError, match="asc/desc"):
+        keyset_page(df, [("v", "down")], 4)
+
+
+def test_compile_quantified_on_toy_events(spark):
+    from streamline_hybrid_engine_spark import compile_quantified, match_pattern
+
+    spec = compile_quantified(
+        (("a", "view", 1, None), ("b", "purchase", 1, 1)), 24 * 3_600_000_000
+    )
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "view", _ts(0)),
+            (1, 11, "view", _ts(5)),
+            (1, 12, "purchase", _ts(9)),
+        ],
+        "user_id long, event_id long, event_type string, ts timestamp",
+    )
+    [r] = match_pattern(df, spec).collect()
+    assert (r["a_first_id"], r["a_last_id"], r["a_cnt"], r["b_id"]) == (10, 11, 2, 12)
