@@ -453,6 +453,64 @@ def parse_match_recognize(spec_text: str):
     return spec, part_col, order_col
 
 
+def format_match_recognize(
+    spec, part_col: str = "user_id", order_col: str = "ts"
+) -> str:
+    """Render a PatternSpec / QuantifiedPatternSpec back to MATCH_RECOGNIZE
+    text — the inverse of :func:`parse_match_recognize` (round-trip
+    ``parse(format(spec)) == spec`` is fuzz-pinned). Plain specs carry no
+    variable names, so synthetic ``Vi`` variables are generated (spec
+    equality is on steps+timeout, unaffected); quantified specs print
+    their own slot vars and bounds. The timeout renders in the largest
+    unit that divides it exactly."""
+    for unit, us in (
+        ("DAY", 86_400_000_000),
+        ("HOUR", 3_600_000_000),
+        ("MINUTE", 60_000_000),
+        ("SECOND", 1_000_000),
+    ):
+        if spec.timeout_us % us == 0:
+            within = f"WITHIN INTERVAL '{spec.timeout_us // us}' {unit}"
+            break
+    else:
+        raise ValueError(f"timeout {spec.timeout_us} is not whole seconds")
+
+    def qsuffix(mn: int, mx: int | None) -> str:
+        if (mn, mx) == (1, 1):
+            return ""
+        if (mn, mx) == (1, None):
+            return "+"
+        if (mn, mx) == (0, None):
+            return "*"
+        if (mn, mx) == (0, 1):
+            return "?"
+        if mx is None:
+            return f"{{{mn},}}"
+        return f"{{{mn}}}" if mn == mx else f"{{{mn},{mx}}}"
+
+    if isinstance(spec, QuantifiedPatternSpec):
+        entries = [
+            (s.var, s.etype, qsuffix(s.min_ct, s.max_ct)) for s in spec.slots
+        ]
+    else:
+        entries = [
+            (f"v{i}", etype, "") for i, etype in enumerate(spec.steps)
+        ]
+    pattern = " ".join(f"{v.upper()}{q}" for v, _, q in entries)
+    defines = ",\n         ".join(
+        f"{v.upper()} AS event_type = '{e}'" for v, e, _ in entries
+    )
+    return (
+        "MATCH_RECOGNIZE (\n"
+        f"  PARTITION BY {part_col}\n"
+        f"  ORDER BY {order_col}\n"
+        f"  PATTERN ({pattern})\n"
+        f"  {within}\n"
+        f"  DEFINE {defines}\n"
+        ")"
+    )
+
+
 def match_recognize(events: DataFrame, spec_text: str) -> DataFrame:
     """Run a MATCH_RECOGNIZE spec string over an events DataFrame — the
     text face of :func:`match_pattern`."""

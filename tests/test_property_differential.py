@@ -277,3 +277,203 @@ def test_cep_generated_oracle_matches_spark(spark, rows, steps, timeout_h):
     duck.register("events", pdf)
     want = sorted(tuple(r) for r in duck.execute(pattern_oracle(spec)).fetchall())
     assert got == want
+
+
+# ---- r6/r7 surface fuzz: quantified CEP, collation, theta/KMV -------------
+
+_QSPECS = [
+    # (entries, note) — last slot always plain (engine contract)
+    ((("a", "view", 1, None), ("b", "purchase", 1, 1)), "plus"),
+    ((("a", "view", 1, 3), ("b", "purchase", 1, 1)), "bounded"),
+    ((("a", "view", 2, None), ("b", "click", 0, 1), ("c", "purchase", 1, 1)), "min2-opt"),
+    ((("a", "view", 0, None), ("b", "purchase", 1, 1)), "star"),
+    (
+        (
+            ("a", "error", 1, 1),
+            ("b", "view", 1, 2),
+            ("c", "click", 0, 1),
+            ("d", "purchase", 1, 1),
+        ),
+        "mixed4",
+    ),
+]
+
+
+@settings(
+    max_examples=8 * _FUZZ,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=_sequences,
+    spec_i=st.integers(min_value=0, max_value=len(_QSPECS) - 1),
+    timeout_h=st.sampled_from([1, 10, 1000]),
+)
+def test_cep_quantified_oracle_matches_spark(spark, rows, spec_i, timeout_h):
+    """Quantified-pattern differential: random (counter-NFA spec, timeout,
+    sequence) through the Spark Arrow runner vs the GENERATED DuckDB
+    recursive-CTE oracle — the r7 sibling of
+    test_cep_generated_oracle_matches_spark, covering absorb/max-stop,
+    min-gate jumps, zero-min skips and timeout resets under fuzz."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from streamline_hybrid_engine_spark.operators.cep import (
+        compile_quantified,
+        match_pattern,
+        quantified_oracle,
+    )
+
+    spec = compile_quantified(_QSPECS[spec_i][0], timeout_h * 3_600_000_000)
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (u, eid, t, t0 + dt.timedelta(minutes=m))
+        for eid, (u, t, m) in enumerate(rows)
+    ]
+    sdf = spark.createDataFrame(
+        data, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    got = sorted(tuple(r) for r in match_pattern(sdf, spec).collect())
+    pdf = pd.DataFrame(data, columns=["user_id", "event_id", "event_type", "ts"])
+    duck = duckdb.connect()
+    duck.register("events", pdf)
+    want = sorted(
+        tuple(r) for r in duck.execute(quantified_oracle(spec)).fetchall()
+    )
+    assert got == want
+
+
+_q_bounds = st.one_of(
+    st.just((1, 1)),
+    st.just((1, None)),
+    st.just((0, None)),
+    st.just((0, 1)),
+    st.tuples(st.integers(1, 4), st.integers(0, 3)).map(
+        lambda t: (t[0], t[0] + t[1])
+    ),
+    st.integers(1, 4).map(lambda m: (m, None)),
+)
+
+
+@settings(max_examples=30 * _FUZZ, deadline=None)
+@given(
+    n=st.integers(min_value=2, max_value=5),
+    bounds=st.lists(_q_bounds, min_size=5, max_size=5),
+    timeout_min=st.integers(min_value=1, max_value=10_000),
+)
+def test_match_recognize_format_parse_roundtrip(n, bounds, timeout_min):
+    """parse(format(spec)) == spec for random quantified specs — pins the
+    text face's printer/parser pair (quantifier suffix spellings, unit
+    choice for WITHIN, var casing) against each other."""
+    from streamline_hybrid_engine_spark.operators.cep import (
+        compile_quantified,
+        format_match_recognize,
+        parse_match_recognize,
+    )
+
+    etypes = ["view", "click", "purchase", "error", "signup"][:n]
+    entries = tuple(
+        (f"x{i}", e, *bounds[i]) for i, e in enumerate(etypes[:-1])
+    ) + ((f"x{n - 1}", etypes[-1], 1, 1),)
+    spec = compile_quantified(entries, timeout_min * 60_000_000)
+    text = format_match_recognize(spec)
+    parsed, part, order = parse_match_recognize(text)
+    assert (part, order) == ("user_id", "ts")
+    if all(b == (1, 1) for b in bounds[: n - 1]):
+        # all-plain patterns parse to the plain NFA (by design): compare
+        # the semantic content instead of the class
+        assert parsed.steps == tuple(s.etype for s in spec.slots)
+        assert parsed.timeout_us == spec.timeout_us
+    else:
+        assert parsed == spec
+
+
+_ci_strs = st.one_of(
+    st.none(),
+    st.text(alphabet="aAbBcC xyZ01", min_size=0, max_size=8),
+)
+
+
+@settings(
+    max_examples=15 * _FUZZ,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(_ci_strs, min_size=0, max_size=25), lit=st.sampled_from(["aB c", "ab", "XY", ""]))
+def test_collation_ci_equals_lower_fold(spark, duck_mem, rows, lit):
+    """Spark's UTF8_LCASE collation surface (equality, DISTINCT,
+    contains, ILIKE) vs DuckDB lower-folds — the cross-engine definition
+    the fn_collation_bundle oracle rests on, here under fuzz (mixed-case
+    ASCII, nulls, empty strings) instead of the fixture's source ids."""
+    import pyspark.sql.functions as F
+
+    pdf = pd.DataFrame({"s": rows}).astype("object")
+    # pandas coerces None-only frames oddly; force object strings
+    sdf = spark.createDataFrame(
+        [(v,) for v in rows], schema="s string"
+    )
+    ci = F.expr("collate(s, 'UTF8_LCASE')")
+    got = (
+        spark.createDataFrame([(v,) for v in rows], schema="s string")
+        .agg(
+            F.countDistinct(ci).alias("d_ci"),
+            F.count_if(ci == lit).alias("n_eq"),
+            F.count_if(F.contains(ci, F.lit("aB"))).alias("n_ct"),
+            F.count_if(F.col("s").ilike("%aB%")).alias("n_il"),
+        )
+        .collect()[0]
+    )
+    duck_mem.register("tc", pdf)
+    want = duck_mem.execute(
+        f"""SELECT count(DISTINCT lower(s)) AS d_ci,
+                  count(*) FILTER (lower(s) = lower('{lit}')) AS n_eq,
+                  count(*) FILTER (contains(lower(s), lower('aB'))) AS n_ct,
+                  count(*) FILTER (s ILIKE '%aB%') AS n_il
+           FROM tc"""
+    ).fetchone()
+    assert tuple(got) == tuple(want)
+
+
+@settings(max_examples=25 * _FUZZ, deadline=None)
+@given(
+    a_keys=st.lists(st.integers(0, 5000), max_size=40),
+    b_keys=st.lists(st.integers(0, 5000), max_size=40),
+)
+def test_theta_kmv_identities(a_keys, b_keys):
+    """Theta/KMV estimator identities under fuzz, against an INDEPENDENT
+    Python md5 implementation of the kept-hash rule: inclusion-exclusion
+    (est_union = est_a + est_b - est_intersect), difference
+    (est_a_minus_b = est_a - est_intersect), monotonicity
+    (est_intersect <= min(est_a, est_b)), and mergeability — the sketch
+    of A∪B IS the union of kept hashes, so estimating A∪B directly must
+    equal the flag-arithmetic est_union the contract row computes."""
+    import hashlib
+
+    from streamline_hybrid_engine_spark.operators.sketches import (
+        THETA_MAX,
+        THETA_RATE,
+    )
+
+    def kept(k: int) -> bool:
+        return (
+            int(hashlib.md5(str(k).encode()).hexdigest()[:12], 16)
+            < THETA_MAX // THETA_RATE
+        )
+
+    A, B = set(a_keys), set(b_keys)
+    est_a = sum(kept(k) for k in A) * THETA_RATE
+    est_b = sum(kept(k) for k in B) * THETA_RATE
+    est_union = sum(kept(k) for k in A | B) * THETA_RATE
+    est_int = sum(kept(k) for k in A & B) * THETA_RATE
+    est_diff = sum(kept(k) for k in A - B) * THETA_RATE
+    assert est_union == est_a + est_b - est_int
+    assert est_diff == est_a - est_int
+    assert est_int <= min(est_a, est_b)
+    # flag-arithmetic form (the contract row's single-pass aggregate)
+    flag_union = (
+        sum(kept(k) for k in A) * THETA_RATE
+        + sum(kept(k) for k in B - A) * THETA_RATE
+    )
+    assert flag_union == est_union
