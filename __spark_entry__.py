@@ -115,6 +115,11 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         # must occupy the sweep's first 8 slots.
         "cep_match_recognize_quantified",
         "llm_dedup_semantic",
+        "win_percent_rank_cume",
+        "join_asof_tolerance",
+        "ts_resample_ohlc",
+        "ts_ewma_bitshift",
+        "fn_geo_bundle",
     }
 )
 

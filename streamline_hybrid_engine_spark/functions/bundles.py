@@ -733,3 +733,130 @@ def fn_collation_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.contains(ci, F.lit("C1"))).alias("n_contains_c1_ci"),
         F.count_if(F.col("mc").ilike("sRc2%")).alias("n_ilike_src2"),
     )
+
+
+#: geohash base32 alphabet (no a/i/l/o) — public standard.
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+#: 15 bits per axis -> 30 bits -> 6 geohash characters; zoom-10 tiles.
+_GH_BITS = 15
+_TILE_Z = 1 << 10
+
+
+@query(
+    "fn_geo_bundle",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id,
+             (value * 7) % 180 - 90 AS lat,
+             (value * 13) % 360 - 180 AS lon
+      FROM events
+    ),
+    quant AS (
+      SELECT event_id, lat, lon,
+             least(CAST(floor((lat + 90) / 180 * {1 << _GH_BITS}) AS BIGINT),
+                   {(1 << _GH_BITS) - 1}) AS ilat,
+             least(CAST(floor((lon + 180) / 360 * {1 << _GH_BITS}) AS BIGINT),
+                   {(1 << _GH_BITS) - 1}) AS ilon
+      FROM pts
+    ),
+    coded AS (
+      SELECT event_id, lat, lon, ilat, ilon,
+             list_sum(list_transform(range(0, {_GH_BITS}), k ->
+               (((ilon >> k) & 1) << (2 * k + 1))
+               + (((ilat >> k) & 1) << (2 * k)))) AS code
+      FROM quant
+    )
+    SELECT event_id,
+           round(lat, 6) AS lat, round(lon, 6) AS lon,
+           substr('{_GH32}', CAST(((code >> 25) & 31) + 1 AS INT), 1)
+           || substr('{_GH32}', CAST(((code >> 20) & 31) + 1 AS INT), 1)
+           || substr('{_GH32}', CAST(((code >> 15) & 31) + 1 AS INT), 1)
+           || substr('{_GH32}', CAST(((code >> 10) & 31) + 1 AS INT), 1)
+           || substr('{_GH32}', CAST(((code >> 5) & 31) + 1 AS INT), 1)
+           || substr('{_GH32}', CAST((code & 31) + 1 AS INT), 1) AS geohash6,
+           least(CAST(floor((lon + 180) / 360 * {_TILE_Z}) AS BIGINT),
+                 {_TILE_Z - 1}) AS tile_x,
+           least(CAST(floor((90 - lat) / 180 * {_TILE_Z}) AS BIGINT),
+                 {_TILE_Z - 1}) AS tile_y,
+           lat BETWEEN 10 AND 60 AND lon BETWEEN -30 AND 60 AS in_bbox
+    FROM coded
+    """,
+    tags=("functions", "geo"),
+)
+def fn_geo_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial partitioning primitives — the integer-exact subset a
+    100 TB geo pipeline needs for LAYOUT (where rows go), before any
+    geometry library enters: geohash encoding, tile ids, bbox predicate.
+    Points derive deterministically from the events fixture (value-keyed
+    pseudo-coordinates; the fixture has no lat/lon columns).
+
+    - geohash6: NOT the textbook bisection loop — the k-th bisection bit
+      of an axis IS the k-th bit of floor(normalized * 2^15), so the
+      hash is one quantization + a bit-interleave fold + base32 lookup,
+      all integer ops (engine-identical by construction, no trig, no
+      float boundary). Interleave = Σ lon_bit<<(2k+1) | lat_bit<<(2k).
+    - tile_x / tile_y: zoom-10 equirectangular tile ids (floor of the
+      normalized axis × 1024, clamped) — the web-mercator x is exactly
+      this; y is documented equirect (mercator y needs ln/tan — a
+      transcendental whose libm rounding differs across engines, the
+      same reason the haversine stays out: this bundle promises
+      bit-exactness).
+    - in_bbox: pure comparisons.
+
+    All per-row scalar expressions — zero shuffle, codegen'd end to end;
+    groupBy(geohash_prefix) / (tile_x, tile_y) is then an ordinary
+    shuffle key, which is the entire point: spatial locality becomes
+    partition locality."""
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    n = 1 << _GH_BITS
+    pts = ev.select(
+        "event_id",
+        ((F.col("value") * 7) % 180 - 90).alias("lat"),
+        ((F.col("value") * 13) % 360 - 180).alias("lon"),
+    )
+    quant = pts.select(
+        "event_id",
+        "lat",
+        "lon",
+        F.least(
+            F.floor((F.col("lat") + 90) / 180 * n).cast("long"), F.lit(n - 1)
+        ).alias("ilat"),
+        F.least(
+            F.floor((F.col("lon") + 180) / 360 * n).cast("long"), F.lit(n - 1)
+        ).alias("ilon"),
+    )
+    coded = quant.withColumn(
+        "code",
+        F.expr(
+            f"aggregate(sequence(0, {_GH_BITS - 1}), CAST(0 AS BIGINT), "
+            "(acc, k) -> acc + shiftleft((shiftright(ilon, k) & 1), 2 * k + 1) "
+            "+ shiftleft((shiftright(ilat, k) & 1), 2 * k))"
+        ),
+    )
+    gh = F.concat(
+        *[
+            F.substring(
+                F.lit(_GH32),
+                (F.shiftright("code", s).bitwiseAND(31) + 1).cast("int"),
+                1,
+            )
+            for s in (25, 20, 15, 10, 5, 0)
+        ]
+    )
+    return coded.select(
+        "event_id",
+        F.round("lat", 6).alias("lat"),
+        F.round("lon", 6).alias("lon"),
+        gh.alias("geohash6"),
+        F.least(
+            F.floor((F.col("lon") + 180) / 360 * _TILE_Z).cast("long"),
+            F.lit(_TILE_Z - 1),
+        ).alias("tile_x"),
+        F.least(
+            F.floor((90 - F.col("lat")) / 180 * _TILE_Z).cast("long"),
+            F.lit(_TILE_Z - 1),
+        ).alias("tile_y"),
+        (
+            F.col("lat").between(10, 60) & F.col("lon").between(-30, 60)
+        ).alias("in_bbox"),
+    )

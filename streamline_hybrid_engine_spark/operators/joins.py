@@ -817,3 +817,77 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     joined = keyed.join(dim, keyed.prio.eqNullSafe(dim.d_prio))
     return joined.groupBy("prio_class").agg(F.count("*").alias("n_orders"))
+
+
+#: as-of tolerance: a purchase older than this (vs the click) is too
+#: stale to attribute — the match becomes NULL, like pandas
+#: merge_asof(tolerance=...) / kdb wj within-window semantics.
+ASOF_TOLERANCE_US = 2 * 3_600_000_000
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    SELECT c.event_id, c.user_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           CASE WHEN epoch_us(CAST(c.ts AS TIMESTAMP))
+                     - epoch_us(CAST(p.ts AS TIMESTAMP)) <= {ASOF_TOLERANCE_US}
+                THEN CAST(p.ts AS TIMESTAMP) END AS last_purchase_ts,
+           CASE WHEN epoch_us(CAST(c.ts AS TIMESTAMP))
+                     - epoch_us(CAST(p.ts AS TIMESTAMP)) <= {ASOF_TOLERANCE_US}
+                THEN round(p.value, 6) END AS last_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+    tags=("joins", "asof"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (pandas ``merge_asof(tolerance=2h)`` /
+    kdb ``wj`` semantics — the form attribution pipelines actually need:
+    a purchase 3 days before a click should not be credited): the latest
+    same-user purchase at ts <= click ts, but only if it is at most 2
+    hours stale — otherwise the click matches NOTHING (NULLs), exactly
+    as if the old purchase weren't there.
+
+    Same 100 TB-safe plan as join_asof_last_purchase (union + running
+    ``last ignorenulls`` window — one user_id shuffle, zero pair
+    explosion); the tolerance is a post-window predicate that NULLs the
+    carried match, NOT a filter on rows (every click stays in the
+    output). The correct-but-unscalable alternative — an interval join
+    on (user, ts-2h <= p.ts <= ts) + argmax — shuffles candidate PAIRS;
+    this shuffles events once. Oracle: DuckDB ASOF LEFT JOIN with the
+    staleness CASE applied to the single match it returns (the latest
+    candidate is the only one tolerance can accept — later purchases
+    would have matched instead)."""
+    ev = load_table(spark, sf_dir, "events")
+    unioned = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "purchase", 0).otherwise(1).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p_ts = F.when(F.col("kind") == 0, F.col("ts"))
+    p_val = F.when(F.col("kind") == 0, F.col("value"))
+    fresh = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_ts"))
+        <= ASOF_TOLERANCE_US
+    )
+    return (
+        unioned.withColumn("last_ts", F.last(p_ts, ignorenulls=True).over(w))
+        .withColumn("last_val", F.last(p_val, ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.when(fresh, F.col("last_ts")).alias("last_purchase_ts"),
+            F.when(fresh, F.round("last_val", 6)).alias("last_purchase_value"),
+        )
+    )

@@ -791,3 +791,140 @@ def ts_asof_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("held", 6).alias("asof_value"),
         )
     )
+
+
+#: OHLC bar width — 6 hours, epoch-aligned (integer bucket key, so no
+#: engine timezone/origin semantics are in play).
+OHLC_BUCKET_S = 6 * 3600
+
+
+@query(
+    "ts_resample_ohlc",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT user_id, value,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // {OHLC_BUCKET_S * 1_000_000})
+               * {OHLC_BUCKET_S} AS bucket_start_s,
+             first_value(value) OVER (
+               PARTITION BY user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // {OHLC_BUCKET_S * 1_000_000}
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS o,
+             first_value(value) OVER (
+               PARTITION BY user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // {OHLC_BUCKET_S * 1_000_000}
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS c
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, bucket_start_s,
+           round(max(o), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(max(c), 6) AS close,
+           count(*) AS n_trades
+    FROM bucketed
+    GROUP BY user_id, bucket_start_s
+    """,
+    tags=("timeseries", "resample"),
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling — the canonical time-series downsample (kdb/
+    InfluxDB/TimescaleDB candlestick rollup): per user and 6-hour
+    epoch-aligned bucket, the first (open), max (high), min (low) and
+    last (close) purchase value plus the trade count.
+
+    Open/close are ONE hash aggregate via min_by/max_by over the
+    (ts, event_id) struct — order-by-another-column aggregation without
+    a window sort, the same partial-aggregating pattern as the IVF/LPA
+    argmaxes: at 100 TB this is a single shuffle on (user, bucket) with
+    map-side combine, no per-partition sort at all (a first_value window
+    would sort every partition). The bucket key is integer epoch
+    arithmetic (floor to 21600 s), deliberately NOT engine date-trunc
+    functions — no timezone/origin semantics to diverge. Tie rows at the
+    same (ts, event_id) cannot exist (event_id unique), so open/close
+    are total-order deterministic."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    bucket = (
+        F.floor(F.unix_micros("ts") / (OHLC_BUCKET_S * 1_000_000))
+        * OHLC_BUCKET_S
+    ).alias("bucket_start_s")
+    tiebreak = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id", bucket).agg(
+        F.round(F.min_by("value", tiebreak), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max_by("value", tiebreak), 6).alias("close"),
+        F.count("*").alias("n_trades"),
+    )
+
+
+@query(
+    "ts_ewma_bitshift",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_id,
+             CAST(floor(value * 1000000) AS BIGINT) AS fx,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS rn
+      FROM events
+    ),
+    scan AS (
+      SELECT user_id, event_id, rn, fx AS y FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.rn, (e.fx + s.y) >> 1
+      FROM scan s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+    )
+    SELECT user_id, event_id, round(CAST(y AS DOUBLE) / 1000000, 6) AS ewma
+    FROM scan
+    """,
+    tags=("timeseries", "iterative"),
+)
+def ts_ewma_bitshift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α = 1/2) per user over the
+    event stream — smoothing, the time-series primitive windows cannot
+    express (y_t depends on y_{t-1}, a scan not a frame). Made exactly
+    reproducible by fixed-point + bit-shift: y_0 = fx_0,
+    y_t = (fx_t + y_{t-1}) >> 1 on floor-µ longs — arithmetic shift is
+    floor-division by 2 in BOTH engines (verified on negatives), so
+    every smoothed value is integer-exact cross-engine, where a float
+    α-blend would drift.
+
+    Plan: ONE shuffle on user_id, then the whole recurrence folds inside
+    a single row per user — sorted collect_list + an ``aggregate`` that
+    appends each smoothed value to its accumulator array — and
+    posexplodes back to per-event rows. Per-key memory = events-per-key
+    (the same bound every per-key scan here has); keys parallelize
+    across executors. Oracle: the recurrence as a recursive-CTE scan.
+    Flink analog: keyed ProcessFunction carrying last-EWMA ValueState —
+    `stream_user_session_state` is the streaming face of that pattern."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("fx"),
+    )
+    folded = (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr(
+                "array_sort(collect_list(struct(ts, event_id, fx)))"
+            ).alias("arr")
+        )
+        .withColumn(
+            "ys",
+            F.expr(
+                "aggregate(arr, CAST(array() AS ARRAY<BIGINT>), (acc, s) -> "
+                "acc || array(CASE WHEN size(acc) = 0 THEN s.fx "
+                "ELSE shiftright(s.fx + element_at(acc, size(acc)), 1) END))"
+            ),
+        )
+    )
+    return folded.select(
+        "user_id", F.posexplode(F.expr("arrays_zip(arr, ys)"))
+    ).select(
+        "user_id",
+        F.col("col.arr.event_id").alias("event_id"),
+        F.round(F.col("col.ys").cast("double") / 1_000_000, 6).alias("ewma"),
+    )

@@ -531,3 +531,37 @@ def win_pattern_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min("event_id").alias("first_event_id"),
     ).drop("island")
+
+
+@query(
+    "win_percent_rank_cume",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)
+    """,
+    tags=("windows",),
+)
+def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position analytics: percent_rank ((rank-1)/(n-1)) and
+    cume_dist (rows ≤ current / n) per customer ordered by price — the
+    distribution-position pair that completes the ranking family (rank/
+    dense_rank/ntile are earlier rows). Both are VALUE-determined: tied
+    prices share pr/cd, so no synthetic tiebreak is needed for the
+    values to be engine-stable (the convention's unique-tiebreak rule
+    applies to row-identity functions like row_number, not these).
+    Division by (n-1)/n on exact integer ranks → identical doubles both
+    engines, rounded 6. One shuffle on o_custkey, one sort, both
+    functions plus the count share the frame."""
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    wc = Window.partitionBy("o_custkey")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.count("*").over(wc).alias("n"),
+    )

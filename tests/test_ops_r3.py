@@ -280,3 +280,65 @@ def test_interpolation_is_bounded_and_anchored(spark, sf_dir):
                 nv = next(s.value_fp for s in series[i + 1 :] if s.src == "actual")
                 assert min(pv, nv) <= r.value_fp <= max(pv, nv), (r, pv, nv)
     assert n_interp > 0  # the fixture actually has gaps
+
+
+def test_geo_bundle_geohash_matches_textbook_values(spark):
+    """The non-iterative bit-interleave geohash must equal the standard
+    bisection geohash on published reference points."""
+    from streamline_hybrid_engine_spark.functions.bundles import _GH32, _GH_BITS
+
+    def gh6_ref(lat, lon):
+        # textbook bisection, written independently of the operator
+        lat_rng, lon_rng = [-90.0, 90.0], [-180.0, 180.0]
+        bits, out = [], []
+        for i in range(30):
+            rng, v = (lon_rng, lon) if i % 2 == 0 else (lat_rng, lat)
+            mid = (rng[0] + rng[1]) / 2
+            bits.append(1 if v >= mid else 0)
+            rng[0 if v >= mid else 1] = mid
+        for i in range(6):
+            out.append(_GH32[int("".join(map(str, bits[5 * i : 5 * i + 5])), 2)])
+        return "".join(out)
+
+    cases = [(57.64911, 10.40744), (40.689247, -74.044502), (0.0, 0.0)]
+    n = 1 << _GH_BITS
+    sdf = spark.createDataFrame(cases, "lat double, lon double")
+    import pyspark.sql.functions as F
+
+    got = (
+        sdf.select(
+            "lat",
+            "lon",
+            F.least(
+                F.floor((F.col("lat") + 90) / 180 * n).cast("long"), F.lit(n - 1)
+            ).alias("ilat"),
+            F.least(
+                F.floor((F.col("lon") + 180) / 360 * n).cast("long"), F.lit(n - 1)
+            ).alias("ilon"),
+        )
+        .withColumn(
+            "code",
+            F.expr(
+                f"aggregate(sequence(0, {_GH_BITS - 1}), CAST(0 AS BIGINT), "
+                "(acc, k) -> acc + shiftleft((shiftright(ilon, k) & 1), 2 * k + 1) "
+                "+ shiftleft((shiftright(ilat, k) & 1), 2 * k))"
+            ),
+        )
+        .withColumn(
+            "gh",
+            F.concat(
+                *[
+                    F.substring(
+                        F.lit(_GH32),
+                        (F.shiftright("code", s).bitwiseAND(31) + 1).cast("int"),
+                        1,
+                    )
+                    for s in (25, 20, 15, 10, 5, 0)
+                ]
+            ),
+        )
+        .collect()
+    )
+    for r in got:
+        assert r["gh"] == gh6_ref(r["lat"], r["lon"]), (r["lat"], r["lon"])
+    assert [r["gh"] for r in got[:2]] == ["u4pruy", "dr5r7p"]
