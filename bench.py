@@ -84,6 +84,14 @@ HEADLINE = (
     "llm_ann_pq",                  # product-quantization ADC top-10
     "dq_anomaly_mad_window",       # bucketed robust anomaly detection
     "agg_theta_sketch_ops",        # KMV set algebra, single fused pass
+    # round-7 additions (baselines in BASELINE.md §A.1 r7 block)
+    "cep_match_recognize_quantified",  # counter-NFA quantified pattern
+    "llm_dedup_semantic",          # SemDeDup: cells + cosine + CC + survivor
+    "win_percent_rank_cume",       # relative-position window pair
+    "join_asof_tolerance",         # as-of with staleness bound
+    "ts_resample_ohlc",            # candlestick rollup (min_by/max_by)
+    "ts_ewma_bitshift",            # fixed-point EWMA scan
+    "fn_geo_bundle",               # geohash/tile/bbox integer bundle
 )
 
 #: BASELINE.md §A.1 rows (sf0.1 full-sequence medians, seconds) — kept in
@@ -135,6 +143,13 @@ BASELINE_SEC = {
     "llm_ann_pq": 1.14,
     "dq_anomaly_mad_window": 1.16,
     "agg_theta_sketch_ops": 0.89,
+    "cep_match_recognize_quantified": 1.29,
+    "llm_dedup_semantic": 4.66,
+    "win_percent_rank_cume": 0.98,
+    "join_asof_tolerance": 0.38,
+    "ts_resample_ohlc": 0.29,
+    "ts_ewma_bitshift": 0.86,
+    "fn_geo_bundle": 0.92,
 }
 
 
