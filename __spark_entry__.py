@@ -120,6 +120,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "ts_resample_ohlc",
         "ts_ewma_bitshift",
         "fn_geo_bundle",
+        "join_scd2_point_in_time",
+        "dq_freshness_lag",
+        "sql_group_by_all",
     }
 )
 

@@ -891,3 +891,83 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fresh, F.round("last_val", 6)).alias("last_purchase_value"),
         )
     )
+
+
+@query(
+    "join_scd2_point_in_time",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts,
+             CAST(round(value * 1000000) AS BIGINT) AS v
+      FROM events WHERE event_type <> 'error'
+    ),
+    hist AS (
+      SELECT user_id, v, uts AS valid_from,
+             lead(uts) OVER (PARTITION BY user_id ORDER BY uts, event_id)
+               AS valid_to
+      FROM log
+    ),
+    probes AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS pts
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT p.event_id, p.user_id, p.pts AS error_ts,
+           h.v AS dim_value_micros, h.valid_from AS dim_valid_from
+    FROM probes p
+    LEFT JOIN hist h
+      ON h.user_id = p.user_id
+     AND h.valid_from <= p.pts
+     AND (h.valid_to IS NULL OR p.pts < h.valid_to)
+    """,
+    tags=("joins", "scd2", "asof"),
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) dimension join — the warehouse question
+    SCD2 history exists to answer: for each fact (error events), which
+    dimension VERSION (cdc_scd2_history's intervals over the non-error
+    log) was valid at the fact's timestamp. Flink's temporal-table join
+    (`FOR SYSTEM_TIME AS OF`) and every lakehouse PIT join are this
+    shape.
+
+    Spark-first plan: NOT an interval join — versions don't need their
+    valid_to at all. Union version-start rows with probe rows, one
+    (user_id → ts, kind, event_id) sort, running ``last(ignorenulls)``
+    of the version struct carries (value, valid_from) into each probe —
+    same-instant versions resolve by event_id order, a version at
+    exactly the probe ts applies (kind sorts it first), probes before
+    any version get NULLs. One shuffle, zero pair explosion — at 100 TB
+    an interval join would re-shuffle candidate PAIRS per version
+    overlap. Oracle: the genuinely different algorithm — LEFT JOIN on
+    interval CONTAINMENT against the lead()-closed history — so a
+    fencepost bug in either form (inclusive start, exclusive end,
+    empty same-instant intervals) breaks the hash."""
+    ev = load_table(spark, sf_dir, "events")
+    versions = ev.filter(F.col("event_type") != "error").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v"),
+        F.lit(0).alias("kind"),
+    )
+    probes = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", F.lit(None).cast("long").alias("v"),
+        F.lit(1).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ver = F.when(F.col("kind") == 0, F.struct(F.col("v"), F.col("ts").alias("vf")))
+    return (
+        versions.unionByName(probes)
+        .withColumn("dim", F.last(ver, ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("error_ts"),
+            F.col("dim.v").alias("dim_value_micros"),
+            F.col("dim.vf").alias("dim_valid_from"),
+        )
+    )

@@ -365,3 +365,56 @@ def dq_anomaly_mad_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("robust_z"),
         )
     )
+
+
+#: freshness SLA: a source lagging the corpus high-water mark by more
+#: than this is stale (pipeline-health gate, pure event-time arithmetic).
+FRESHNESS_SLA_S = 12 * 3600
+
+
+@query(
+    "dq_freshness_lag",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT event_type AS source,
+             max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us,
+             count(*) AS n_rows
+      FROM events GROUP BY event_type
+    ),
+    hwm AS (SELECT max(max_us) AS hwm_us FROM per_source)
+    SELECT source, n_rows,
+           CAST((hwm_us - max_us) // 1000000 AS BIGINT) AS lag_s,
+           (hwm_us - max_us) // 1000000 > {FRESHNESS_SLA_S} AS is_stale,
+           CAST(to_timestamp(max_us // 1000000) AS TIMESTAMP) AS last_seen
+    FROM per_source, hwm
+    """,
+    tags=("dq", "freshness"),
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-freshness monitoring — the first data-quality gate every
+    ingestion pipeline runs: per source (event_type as the feed id), the
+    last-seen event time, its lag behind the corpus high-water mark, and
+    an SLA verdict (stale if > 12 h behind). Pure event-time integer
+    arithmetic — no wall clock, so the check is reproducible (the hash
+    gate could never pin `now() - max(ts)`).
+
+    Plan: one partial-aggregating groupBy (max + count combine
+    map-side), then the one-row high-water mark broadcast-crossed back —
+    the same tiny-scalar crossJoin shape as the scalar-subquery rows. At
+    100 TB: the groupBy shuffles |sources| rows, nothing else moves."""
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    per_source = ev.groupBy(F.col("event_type").alias("source")).agg(
+        F.max(F.unix_micros("ts")).alias("max_us"),
+        F.count("*").alias("n_rows"),
+    )
+    hwm = per_source.agg(F.max("max_us").alias("hwm_us"))
+    lag_s = ((F.col("hwm_us") - F.col("max_us")) / 1_000_000).cast("long")
+    return per_source.crossJoin(F.broadcast(hwm)).select(
+        "source",
+        "n_rows",
+        lag_s.alias("lag_s"),
+        (lag_s > FRESHNESS_SLA_S).alias("is_stale"),
+        F.timestamp_seconds((F.col("max_us") / 1_000_000).cast("long")).alias(
+            "last_seen"
+        ),
+    )

@@ -516,3 +516,40 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT l_returnflag, n, revenue
         """
     )
+
+
+@query(
+    "sql_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(extract(YEAR FROM l_shipdate) AS INTEGER) AS ship_year,
+           count(*) AS n,
+           round(CAST(sum(CAST(floor(l_quantity * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS sum_qty
+    FROM lineitem
+    GROUP BY ALL
+    """,
+    tags=("sources", "sql"),
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — the modern-SQL convenience both Spark 4 and DuckDB
+    resolve identically (every non-aggregate select item becomes a
+    grouping key, computed expressions included): here the oracle text
+    IS the Spark text, so the resolution rule itself is value-checked
+    cross-engine — a divergence in which items each engine infers as
+    keys would change the row set and break the hash. Plan-wise it
+    lowers to the ordinary hash aggregate (same partial/final split,
+    same shuffle on the inferred keys); there is nothing extra to pay
+    for the sugar."""
+    from streamline_hybrid_engine_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(extract(YEAR FROM l_shipdate) AS INTEGER) AS ship_year,
+               count(*) AS n,
+               round(CAST(sum(CAST(floor(l_quantity * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS sum_qty
+        FROM lineitem
+        GROUP BY ALL
+        """
+    )

@@ -1486,3 +1486,52 @@ def stream_dedup_minhash_lsh_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     count > 0, and final state rows < buckets touched). Flink analog:
     keyed ProcessFunction + event-time timer clearing ValueState."""
     return lsh_ttl_dedup(spark, sf_dir)
+
+
+@query(
+    "stream_ohlc_6h",
+    oracle=None,
+    tags=("streaming", "timeseries", "window"),
+)
+def stream_ohlc_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming candlesticks — the live face of ``ts_resample_ohlc``:
+    watermarked 6-hour tumbling windows per user over purchase events,
+    open/close via the same min_by/max_by-over-(ts, event_id) hash
+    aggregate (both are declarative aggregates with partial merge, so
+    they run in streaming state exactly like sum/count — each window
+    holds ONE candidate struct per extreme, not the events). Window
+    starts are epoch-aligned, so the batch twin's integer bucket key
+    equals ``unix_seconds(window.start)`` — streaming == batch
+    equivalence is test-pinned on that key. At scale this is the
+    standard watermark + tumbling-agg state shape: state = open windows
+    × users, evicted as the watermark passes."""
+    ev = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    tiebreak = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.round(F.min_by("value", tiebreak), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", tiebreak), 6).alias("close"),
+            F.count("*").alias("n_trades"),
+        )
+        .select(
+            "user_id",
+            F.unix_seconds(F.col("w.start")).alias("bucket_start_s"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_trades",
+        )
+    )
+    return run_to_memory(
+        agg,
+        "she_stream_ohlc_6h",
+        "complete",
+        stream_shuffle_width(spark, sf_dir),
+    )

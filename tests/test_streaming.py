@@ -763,3 +763,15 @@ def test_stream_dedup_minhash_lsh_ttl_matches_watermark_simulation(spark, sf_dir
     }
     ttl_dups = {d for d, dup in flags.items() if dup}
     assert ttl_dups <= batch_dups
+
+
+def test_stream_ohlc_equals_batch_ohlc(spark, sf_dir):
+    """Streaming candlesticks must equal the batch OHLC rollup on the
+    bounded drain (hybrid promise), keyed by the shared epoch-aligned
+    integer bucket."""
+    from streamline_hybrid_engine_spark.registry import all_queries
+
+    qs = all_queries()
+    stream = {tuple(r) for r in qs["stream_ohlc_6h"].fn(spark, sf_dir).collect()}
+    batch = {tuple(r) for r in qs["ts_resample_ohlc"].fn(spark, sf_dir).collect()}
+    assert stream == batch and stream
