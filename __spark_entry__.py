@@ -123,6 +123,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "join_scd2_point_in_time",
         "dq_freshness_lag",
         "sql_group_by_all",
+        "ts_linear_trend",
+        "llm_dedup_url_canonical",
     }
 )
 

@@ -1195,3 +1195,126 @@ def llm_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_removed_at_one_per_cluster"
         ),
     )
+
+
+@query(
+    "llm_dedup_url_canonical",
+    oracle="""
+    WITH messy AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'https://' || source || '.Example.COM/p/' || (doc_id % 10) || '?b=2&a=1'
+               WHEN 1 THEN 'HTTPS://' || source || '.example.com:443/p/' || (doc_id % 10) || '?a=1&b=2#frag'
+               WHEN 2 THEN 'https://' || upper(source) || '.example.com/p/' || (doc_id % 10) || '/?a=1&utm_source=x&b=2'
+               ELSE 'https://' || source || '.EXAMPLE.com/p/' || (doc_id % 10) || '?b=2&fbclid=abc&a=1'
+             END AS url
+      FROM documents
+    ),
+    split AS (
+      SELECT doc_id, url,
+             split_part(split_part(url, '#', 1), '?', 1) AS base,
+             split_part(split_part(url, '#', 1), '?', 2) AS query
+      FROM messy
+    ),
+    parts AS (
+      SELECT doc_id, url, query,
+             regexp_replace(
+               lower(array_to_string(list_slice(string_split(base, '/'), 1, 3), '/')),
+               ':443$', '') AS scheme_host,
+             CASE WHEN len(string_split(base, '/')) > 3
+                  THEN regexp_replace(
+                    '/' || array_to_string(
+                      list_slice(string_split(base, '/'), 4,
+                                 len(string_split(base, '/'))), '/'),
+                    '/$', '')
+                  ELSE '' END AS path
+      FROM split
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             scheme_host || path || '?' || array_to_string(
+               list_sort(list_filter(string_split(query, '&'),
+                 p -> NOT (p LIKE 'utm_%' OR p LIKE 'fbclid%'))), '&')
+               AS canonical_url
+      FROM parts
+    )
+    SELECT c.doc_id, c.url, c.canonical_url,
+           g.n_dups, c.doc_id = g.keep_id AS keep
+    FROM canon c
+    JOIN (SELECT canonical_url, count(*) AS n_dups, min(doc_id) AS keep_id
+          FROM canon GROUP BY canonical_url) g
+      ON g.canonical_url = c.canonical_url
+    """,
+    tags=("llm", "dedup", "url"),
+)
+def llm_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the crawl-pipeline step BEFORE any
+    content dedup: the same page arrives under scheme/host case
+    variants, an explicit :443, tracking parameters (utm_*, fbclid),
+    shuffled query order, fragments, and trailing slashes; canonicalize
+    and the variants collapse. Messy URLs are assembled deterministically
+    per doc (4 variant grammars over source + doc_id%10 paths, so real
+    multi-doc groups exist); the canonicalizer is a GENERIC string
+    pipeline (not a re-derivation from the construction): strip
+    fragment → split query → lowercase scheme+host ONLY (paths stay
+    case-significant in general; these are numeric) → drop :443 → drop
+    tracking params → sort surviving params → strip trailing slash.
+    Both engines run their own spelling of that pipeline (split /
+    higher-order filter / sort / join), so a canonicalizer bug in either
+    breaks the hash. Plan: zero-shuffle canonicalization, one groupBy on
+    the canonical key, one join back — survivor = min doc_id, the exact
+    dedup convention (llm_dedup_exact_docs) applied to the URL key."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    variant = F.col("doc_id") % 4
+    pid = (F.col("doc_id") % 10).cast("string")
+    messy = (
+        F.when(
+            variant == 0,
+            F.concat(F.lit("https://"), F.col("source"), F.lit(".Example.COM/p/"), pid, F.lit("?b=2&a=1")),
+        )
+        .when(
+            variant == 1,
+            F.concat(F.lit("HTTPS://"), F.col("source"), F.lit(".example.com:443/p/"), pid, F.lit("?a=1&b=2#frag")),
+        )
+        .when(
+            variant == 2,
+            F.concat(F.lit("https://"), F.upper("source"), F.lit(".example.com/p/"), pid, F.lit("/?a=1&utm_source=x&b=2")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://"), F.col("source"), F.lit(".EXAMPLE.com/p/"), pid, F.lit("?b=2&fbclid=abc&a=1")),
+        )
+    )
+    base = "substring_index(substring_index(url, '#', 1), '?', 1)"
+    qry = (
+        "CASE WHEN instr(substring_index(url, '#', 1), '?') > 0 "
+        "THEN substring_index(substring_index(url, '#', 1), '?', -1) "
+        "ELSE '' END"
+    )
+    canon = docs.select("doc_id", messy.alias("url")).selectExpr(
+        "doc_id",
+        "url",
+        f"regexp_replace(lower(concat_ws('/', slice(split({base}, '/'), 1, 3))),"
+        " ':443$', '') AS scheme_host",
+        f"CASE WHEN size(split({base}, '/')) > 3 "
+        f"THEN regexp_replace(concat('/', concat_ws('/', "
+        f"slice(split({base}, '/'), 4, size(split({base}, '/')) - 3))), '/$', '') "
+        "ELSE '' END AS path",
+        f"array_join(array_sort(filter(split({qry}, '&'), "
+        "p -> NOT (p LIKE 'utm_%' OR p LIKE 'fbclid%'))), '&') AS params",
+    ).select(
+        "doc_id",
+        "url",
+        F.concat(
+            F.col("scheme_host"), F.col("path"), F.lit("?"), F.col("params")
+        ).alias("canonical_url"),
+    )
+    groups = canon.groupBy("canonical_url").agg(
+        F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id")
+    )
+    return canon.join(groups, "canonical_url").select(
+        "doc_id",
+        "url",
+        "canonical_url",
+        "n_dups",
+        (F.col("doc_id") == F.col("keep_id")).alias("keep"),
+    )

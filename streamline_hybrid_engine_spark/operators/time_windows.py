@@ -928,3 +928,85 @@ def ts_ewma_bitshift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("col.arr.event_id").alias("event_id"),
         F.round(F.col("col.ys").cast("double") / 1_000_000, 6).alias("ewma"),
     )
+
+
+#: regression epoch origin — x = seconds since this instant (slope is
+#: shift-invariant; the intercept is defined AT this origin).
+TREND_T0 = "2024-01-01 00:00:00"
+
+
+@query(
+    "ts_linear_trend",
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+                  - epoch_us(TIMESTAMP '{TREND_T0}') // 1000000 AS HUGEINT) AS x,
+             CAST(round(value * 100) AS HUGEINT) AS y
+      FROM events
+    ),
+    sums AS (
+      SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_points,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS slope_cents_per_s,
+           round(CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS DOUBLE)
+                 / CAST(n * (n * sxx - sx * sx) AS DOUBLE) / 100, 6) AS intercept
+    FROM sums
+    """,
+    tags=("timeseries", "regression"),
+)
+def ts_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key least-squares trend (slope + intercept of value over
+    time) — the drift detector behind capacity forecasts and KPI
+    monitors (the reference-era analog is a windowed regression UDAF;
+    SQL engines ship it as regr_slope/regr_intercept, whose FLOAT sum
+    order differs across engines and partitionings).
+
+    Exactness: every sum (n, Σx, Σy, Σxy, Σx²) accumulates in
+    DECIMAL(38,0) over integer x (seconds since a fixed origin — slope
+    is shift-invariant, and the small offset keeps cross-products far
+    from overflow at any per-key cardinality) and integer y (cents).
+    Slope and intercept each become ONE division of identical exact
+    integers → identical doubles, where regr_slope's running float
+    moments would drift under Spark's partial aggregation. Plan: one
+    partial-aggregating groupBy — five integer sums combine map-side,
+    |users| rows shuffle, nothing else."""
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    dec = "decimal(38,0)"
+    pts = ev.select(
+        "user_id",
+        (
+            F.unix_seconds("ts")
+            - F.unix_seconds(F.lit(TREND_T0).cast("timestamp"))
+        )
+        .cast(dec)
+        .alias("x"),
+        F.round(F.col("value") * 100).cast(dec).alias("y"),
+    )
+    sums = pts.groupBy("user_id").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return sums.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_points"),
+        F.round(num.cast("double") / den.cast("double"), 9).alias(
+            "slope_cents_per_s"
+        ),
+        F.round(
+            (F.col("sy") * den - num * F.col("sx")).cast("double")
+            / (F.col("n") * den).cast("double")
+            / 100,
+            6,
+        ).alias("intercept"),
+    )
