@@ -336,10 +336,12 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     cent = label_centroids(e)
     cdot = F.expr(_DOT.format(a="embedding", b="cvec"))
-    # Top-1 picks are hash AGGREGATES (max_by with a deterministic
-    # (score desc, id asc) tie-break encoded as struct(score, -id)), not
-    # row_number windows: partial max_by reduces map-side, so no full sort
-    # and no 2.5M-row windowed shuffle — the pattern that survives 100 TB.
+    # Top-1 picks are partial/final max_by AGGREGATES (deterministic
+    # (score desc, id asc) tie-break as struct(score, -id)), not
+    # row_number windows. Physically a struct ordering key executes as
+    # SortAggregate (grouping-key sort; r7 plan audit) — the map-side
+    # combine is what matters: one candidate per vec_id crosses the
+    # shuffle instead of the 2.5M scored rows a window would move.
     assigned = (
         e.crossJoin(F.broadcast(cent))
         .withColumn("cdot", cdot)
@@ -909,7 +911,8 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = label_centroids(e)
     cdot = F.expr(_DOT.format(a="embedding", b="cvec"))
     # one pass: nearest cell AND the dot to it (struct max_by on
-    # (cdot, -label) — partial-aggregating, no row_number window)
+    # (cdot, -label) — partial-aggregating, no row_number window;
+    # SortAggregate physically, see llm_knn_ivf note)
     assigned = (
         e.crossJoin(F.broadcast(cent))
         .withColumn("cdot", cdot)

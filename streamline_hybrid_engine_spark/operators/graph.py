@@ -636,8 +636,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per round: one join of the (broadcast) label table to the
     checkpointed self-looped adjacency, one count per (vertex, label),
-    one per-vertex argmax HASH aggregate (max_by, partial map-side — no
-    window, no sort) — all bounded by |E|, same 100 TB loop shape as
+    one per-vertex argmax max_by aggregate (partial map-side — no window;
+    physically SortAggregate under the struct tie-break, grouping-key
+    sort only, combine intact — r7 plan audit) — all bounded by |E|, same 100 TB loop shape as
     :func:`graph_pagerank_suppliers` (drop the broadcast when |V| labels
     outgrow executors and the round becomes a co-partitioned shuffle
     join). Oracle: the identical rounds unrolled as SQL (see

@@ -832,12 +832,14 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch-aligned bucket, the first (open), max (high), min (low) and
     last (close) purchase value plus the trade count.
 
-    Open/close are ONE hash aggregate via min_by/max_by over the
-    (ts, event_id) struct — order-by-another-column aggregation without
-    a window sort, the same partial-aggregating pattern as the IVF/LPA
-    argmaxes: at 100 TB this is a single shuffle on (user, bucket) with
-    map-side combine, no per-partition sort at all (a first_value window
-    would sort every partition). The bucket key is integer epoch
+    Open/close are ONE partial/final aggregate via min_by/max_by over
+    the (ts, event_id) struct. Physical note (plan-pinned): a STRUCT
+    ordering key makes Spark pick SortAggregate, not HashAggregate (the
+    agg buffer isn't UnsafeRow-mutable) — the per-partition sort is on
+    the GROUPING key only and the map-side combine is fully intact, so
+    the 100 TB win over a first_value window stands where it matters:
+    one combined row per (user, bucket) crosses the shuffle instead of
+    every event, and there is no (user → ts) window sort after it. The bucket key is integer epoch
     arithmetic (floor to 21600 s), deliberately NOT engine date-trunc
     functions — no timezone/origin semantics to diverge. Tie rows at the
     same (ts, event_id) cannot exist (event_id unique), so open/close

@@ -255,3 +255,59 @@ def test_mark_join_plans_as_existence_join_not_outer_groupby(spark, sf_dir):
     outer join re-aggregated back down."""
     p = optimized(spark, sf_dir, "join_existence_mark")
     assert "ExistenceJoin" in p
+
+
+def test_ohlc_is_partial_aggregate_no_window(spark, sf_dir):
+    """OHLC open/close must be a partial/final min_by/max_by aggregate
+    with map-side combine (struct ordering keys execute as SortAggregate
+    — grouping-key sort only, combine intact) and exactly one exchange;
+    never a first_value window plan."""
+    p = plan(spark, sf_dir, "ts_resample_ohlc")
+    assert "partial_min_by" in p and "partial_max_by" in p
+    assert "Window" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_geo_bundle_zero_shuffle(spark, sf_dir):
+    """The geo bundle is per-row scalar compute: no hash exchange (the
+    catalog's round-robin widening of the single fixture file is the
+    only allowed repartition)."""
+    p = plan(spark, sf_dir, "fn_geo_bundle")
+    assert "Exchange hashpartitioning" not in p
+    assert "Window" not in p and "Aggregate" not in p
+
+
+def test_scd2_pit_join_is_single_shuffle_no_join(spark, sf_dir):
+    """The point-in-time lookup must be the union+window plan (one
+    user_id exchange), never a physical join of probes to versions —
+    a join here means candidate-pair explosion at scale."""
+    p = plan(spark, sf_dir, "join_scd2_point_in_time")
+    assert "Window" in p
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in p, j
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_linear_trend_partial_final_split(spark, sf_dir):
+    """The five moment sums must combine map-side: two HashAggregate
+    levels around one exchange, nothing else moving."""
+    p = plan(spark, sf_dir, "ts_linear_trend")
+    assert p.count("HashAggregate") >= 2
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_tolerance_no_pair_join(spark, sf_dir):
+    """Tolerance as-of must keep the union+window plan — the interval
+    pair-join alternative is the scale-killer it exists to avoid."""
+    p = plan(spark, sf_dir, "join_asof_tolerance")
+    assert "Window" in p
+    for j in ("SortMergeJoin", "BroadcastHashJoin"):
+        assert j not in p, j
+
+
+def test_ewma_single_shuffle(spark, sf_dir):
+    """The EWMA fold: one exchange to the user, fold + posexplode stay
+    in the same stage (no second exchange, no window)."""
+    p = plan(spark, sf_dir, "ts_ewma_bitshift")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Window" not in p
