@@ -92,6 +92,11 @@ HEADLINE = (
     "ts_resample_ohlc",            # candlestick rollup (min_by/max_by)
     "ts_ewma_bitshift",            # fixed-point EWMA scan
     "fn_geo_bundle",               # geohash/tile/bbox integer bundle
+    "join_scd2_point_in_time",     # temporal-table PIT join (union+window)
+    "dq_freshness_lag",            # source freshness SLA gate
+    "sql_group_by_all",            # inferred grouping keys
+    "ts_linear_trend",             # exact-integer least squares per key
+    "llm_dedup_url_canonical",     # crawl URL canonicalization dedup
 )
 
 #: BASELINE.md §A.1 rows (sf0.1 full-sequence medians, seconds) — kept in
@@ -150,6 +155,11 @@ BASELINE_SEC = {
     "ts_resample_ohlc": 0.29,
     "ts_ewma_bitshift": 0.86,
     "fn_geo_bundle": 0.92,
+    "join_scd2_point_in_time": 0.63,
+    "dq_freshness_lag": 0.48,
+    "sql_group_by_all": 0.31,
+    "ts_linear_trend": 0.60,
+    "llm_dedup_url_canonical": 0.58,
 }
 
 
