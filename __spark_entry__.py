@@ -125,6 +125,10 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "sql_group_by_all",
         "ts_linear_trend",
         "llm_dedup_url_canonical",
+        "win_range_numeric_frame",
+        "agg_filter_clause",
+        "llm_vocab_oov",
+        "dq_benford_digits",
     }
 )
 

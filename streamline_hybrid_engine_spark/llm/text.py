@@ -860,3 +860,72 @@ def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.size(chunk) == CHUNK_WINDOW).alias("is_full"),
         )
     )
+
+
+#: vocabulary size for the coverage gate.
+VOCAB_K = 200
+
+
+@query(
+    "llm_vocab_oov",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(DISTINCT doc_id) AS df
+        FROM toks GROUP BY tok
+      ) ORDER BY df DESC, tok LIMIT {VOCAB_K}
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           count(*) FILTER (v.tok IS NULL) AS n_oov,
+           round(CAST(count(*) FILTER (v.tok IS NULL) AS DOUBLE)
+                 / count(*), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    GROUP BY t.doc_id
+    """,
+    tags=("llm", "text", "vocab"),
+)
+def llm_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV-rate gate — the tokenizer-fit check a
+    training pipeline runs before committing to a vocab: build the
+    top-{VOCAB_K} document-frequency vocabulary (ties broken by token,
+    so the cut is total-ordered and engine-stable), then score every
+    document's out-of-vocabulary token rate against it. High-OOV docs
+    are the ones a fixed tokenizer will shred into bytes.
+
+    Plan: token DF is one explode + (token, doc) distinct-count
+    aggregate; the top-K cut is TakeOrderedAndProject (per-partition
+    heaps, no global sort); the vocabulary (KBs) BROADCASTS into the
+    per-token membership join, so the corpus-side explode never
+    shuffles for the lookup — per-doc aggregation is the only wide
+    exchange. The same shape at 100 TB with a 100k-entry vocab: still
+    broadcast-sized. oov_rate divides two exact integers → identical
+    doubles."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), "tok")
+        .limit(VOCAB_K)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count_if(F.col("in_vocab").isNull()).alias("n_oov"),
+            F.round(
+                F.count_if(F.col("in_vocab").isNull()).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

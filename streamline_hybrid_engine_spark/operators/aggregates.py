@@ -925,3 +925,49 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_users")
     )
+
+
+@query(
+    "agg_filter_clause",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_all,
+           count(*) FILTER (l_quantity > 25) AS n_bulk,
+           count(*) FILTER (l_discount = 0) AS n_full_price,
+           round(CAST(sum(CAST(floor(l_extendedprice * 1000000) AS BIGINT))
+                 FILTER (l_tax > 0.04) AS DOUBLE) / 1000000, 6) AS rev_high_tax,
+           CAST(count(DISTINCT l_suppkey) FILTER (l_linestatus = 'F')
+                AS BIGINT) AS n_supp_finished
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregates", "sql"),
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL:2003 aggregate FILTER clause — per-aggregate predicates
+    in ONE pass over the fact (the idiom that replaces N self-joins or
+    N CASE-wrapped sums with declared intent), including a filtered
+    DISTINCT aggregate. Catalyst lowers every FILTER to a conditional
+    update of that aggregate's buffer inside the same partial/final
+    hash aggregate — one scan, one shuffle on the group key, however
+    many filtered measures ride along; the filtered count-distinct adds
+    the usual expand for distinct, nothing more. The filtered SUM uses
+    the floor-µ convention so values hash exactly."""
+    from streamline_hybrid_engine_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n_all,
+               count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+               count(*) FILTER (WHERE l_discount = 0) AS n_full_price,
+               round(CAST(sum(CAST(floor(l_extendedprice * 1000000) AS BIGINT))
+                     FILTER (WHERE l_tax > 0.04) AS DOUBLE) / 1000000, 6)
+                 AS rev_high_tax,
+               CAST(count(DISTINCT l_suppkey) FILTER (WHERE l_linestatus = 'F')
+                    AS BIGINT) AS n_supp_finished
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )

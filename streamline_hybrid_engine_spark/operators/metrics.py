@@ -418,3 +418,76 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_seen"
         ),
     )
+
+
+#: Benford first-digit expectations log10(1 + 1/d), d = 1..9 — embedded
+#: as identical literals in BOTH dialects so every downstream float op
+#: runs on bit-identical operands (no engine log10 in the query).
+_BENFORD_P = (
+    "0.301029995663981", "0.176091259055681", "0.1249387366083",
+    "0.096910013008056", "0.079181246047625", "0.066946789630613",
+    "0.057991946977687", "0.051152522447381", "0.045757490560675",
+)
+_BENFORD_CASE = "CASE d " + " ".join(
+    f"WHEN {i + 1} THEN {p}" for i, p in enumerate(_BENFORD_P)
+) + " END"
+
+
+@query(
+    "dq_benford_digits",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS INTEGER) AS d
+      FROM orders
+    ),
+    counts AS (
+      SELECT d, count(*) AS n_obs FROM digits GROUP BY d
+    ),
+    tot AS (SELECT sum(n_obs) AS n FROM counts)
+    SELECT d, n_obs,
+           round(CAST(n AS DOUBLE) * ({_BENFORD_CASE}), 6) AS n_expected,
+           round((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * ({_BENFORD_CASE}))
+                 * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * ({_BENFORD_CASE}))
+                 / (CAST(n AS DOUBLE) * ({_BENFORD_CASE})), 6) AS chi2_term
+    FROM counts, tot
+    """,
+    tags=("dq", "benford"),
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of order totals — the
+    fraud/fabrication screen auditors run on financial facts: observed
+    leading-digit counts vs n·log10(1+1/d), with the per-digit χ²
+    contribution (a synthetic uniform price generator fails this
+    spectacularly — which is itself the point: the operator SHOWS the
+    deviation, the threshold is the analyst's).
+
+    Determinism discipline: the leading digit comes from the INTEGER
+    cents string (integer formatting is identical across engines;
+    casting the raw double to string is not, and log10-of-data would
+    hand the result to each engine's libm) — and the Benford
+    probabilities are embedded as identical 15-digit literals in both
+    dialects, so every float op runs on bit-identical operands. Plan:
+    one map-side-combining 9-group aggregate + a broadcast scalar
+    total; nothing else moves at any scale."""
+    ev = load_table(spark, sf_dir, "orders", parallel=True)
+    digits = ev.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count("*").alias("n_obs"))
+    tot = counts.agg(F.sum("n_obs").alias("n"))
+    p_d = F.expr(_BENFORD_CASE)
+    exp_n = F.col("n").cast("double") * p_d
+    dev = F.col("n_obs").cast("double") - exp_n
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n_obs",
+        F.round(exp_n, 6).alias("n_expected"),
+        F.round(dev * dev / exp_n, 6).alias("chi2_term"),
+    )

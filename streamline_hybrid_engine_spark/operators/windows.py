@@ -565,3 +565,44 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cd"),
         F.count("*").over(wc).alias("n"),
     )
+
+
+@query(
+    "win_range_numeric_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(count(*) OVER w AS BIGINT) AS n_near,
+           round(CAST(sum(CAST(floor(o_totalprice * 1000000) AS BIGINT)) OVER w
+                 AS DOUBLE) / 1000000, 6) AS sum_near
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+                 RANGE BETWEEN 50000 PRECEDING AND 50000 FOLLOWING)
+    """,
+    tags=("windows", "range"),
+)
+def win_range_numeric_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based RANGE frame on a NUMERIC ordering column (the
+    non-time sibling of win_range_trailing_1h, and two-sided): per
+    customer, the count and exact fixed-point sum of orders priced
+    within ±50 000 of the current order. RANGE frames are defined by
+    the ORDER-BY VALUE, so tied prices share identical frames and the
+    result is engine-stable with no synthetic tiebreak — the property
+    ROWS frames lack. Execution: one shuffle + one sort per customer,
+    then Spark's WindowExec slides both frame boundaries monotonically
+    (each row's bounds only ever advance — O(n) per partition, not
+    O(n²) re-scans). The summed operand is the floor-µ long, so the
+    running totals are integer-exact cross-engine."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-50000, 50000)
+    )
+    fx = F.floor(F.col("o_totalprice") * 1_000_000).cast("long")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w).alias("n_near"),
+        F.round(F.sum(fx).over(w).cast("double") / 1_000_000, 6).alias(
+            "sum_near"
+        ),
+    )
