@@ -97,6 +97,10 @@ HEADLINE = (
     "sql_group_by_all",            # inferred grouping keys
     "ts_linear_trend",             # exact-integer least squares per key
     "llm_dedup_url_canonical",     # crawl URL canonicalization dedup
+    "win_range_numeric_frame",     # value-based two-sided RANGE frame
+    "agg_filter_clause",           # SQL:2003 FILTER aggregates, one pass
+    "llm_vocab_oov",               # top-K vocab + OOV-rate gate
+    "dq_benford_digits",           # Benford first-digit screen
 )
 
 #: BASELINE.md §A.1 rows (sf0.1 full-sequence medians, seconds) — kept in
@@ -160,6 +164,10 @@ BASELINE_SEC = {
     "sql_group_by_all": 0.31,
     "ts_linear_trend": 0.60,
     "llm_dedup_url_canonical": 0.58,
+    "win_range_numeric_frame": 0.90,
+    "agg_filter_clause": 0.61,
+    "llm_vocab_oov": 1.08,
+    "dq_benford_digits": 0.57,
 }
 
 
