@@ -129,6 +129,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "agg_filter_clause",
         "llm_vocab_oov",
         "dq_benford_digits",
+        "lake_compact_small_files",
     }
 )
 

@@ -662,6 +662,19 @@ class QuantifiedPatternSpec:
         parts.append("span_s double")
         return ", ".join(parts)
 
+    @cached_property
+    def state_struct(self) -> str:
+        """Streaming keyed-state schema: phase, anchor, and the flat
+        capture block (same layout as the in-memory state tuple, so the
+        batch and streaming runtimes share :meth:`advance` verbatim)."""
+        cols = []
+        for i, s in enumerate(self.slots):
+            if s.quantified:
+                cols += [f"f{i} long", f"l{i} long", f"n{i} long"]
+            else:
+                cols.append(f"c{i} long")
+        return f"phase int, first_us long, {', '.join(cols)}"
+
     def initial_state(self) -> tuple:
         return (0, None) + (None,) * self._cap_len
 
@@ -970,3 +983,69 @@ def cep_absence_no_error_after_purchase(spark: SparkSession, sf_dir: str) -> Dat
         )
     )
     return p.join(e, cond, "left_anti")
+
+
+@query(
+    "cep_quantified_stream",
+    oracle=None,
+    tags=("cep", "streaming", "state"),
+)
+def cep_quantified_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of cep_match_recognize_quantified: the COUNTER-NFA
+    (repetition bounds, zero-min skips, per-slot first/last/cnt
+    captures) running in ``applyInPandasWithState`` keyed group state —
+    proof the quantified machine is as streamable as the plain one. The
+    state StructType is generated from the same QuantifiedPatternSpec
+    (``state_struct``), and the batch runner's ``advance`` is shared
+    VERBATIM across both runtimes, so semantics cannot drift; batch ==
+    streaming equivalence on the bounded drain is test-pinned. Same
+    cross-batch ordering caveat as cep_pattern_abc_stream (file-source
+    mtime order); incomplete matches emit nothing."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from streamline_hybrid_engine_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_memory,
+        stream_shuffle_width,
+    )
+
+    spec = _MR_QUANT_EXPECTED
+
+    def run_user(key, pdfs, state: GroupState):
+        st = tuple(state.get) if state.exists else spec.initial_state()
+        rows = []
+        for pdf in pdfs:
+            uts = (
+                pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").astype("int64")
+                // 1000
+            ).tolist()
+            rows.extend(
+                zip(pdf["event_type"].tolist(), uts, pdf["event_id"].tolist())
+            )
+        rows.sort(key=lambda r: (r[1], r[2]))
+        out = []
+        for etype, t, eid in rows:
+            st, match = spec.advance(st, etype, t, int(eid))
+            if match is not None:
+                out.append((key[0], *match))
+        state.update(st)
+        if out:
+            yield pd.DataFrame(out, columns=spec.match_columns)
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    matches = ev.groupBy("user_id").applyInPandasWithState(
+        run_user,
+        outputStructType=spec.match_schema,
+        stateStructType=spec.state_struct,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(
+        matches,
+        "she_cep_quantified_stream",
+        "append",
+        stream_shuffle_width(spark, sf_dir),
+    )

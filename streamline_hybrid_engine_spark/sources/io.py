@@ -553,3 +553,62 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+#: compaction target file size — small for the fixture; the knob a real
+#: lake sets to 128-512 MiB.
+COMPACT_TARGET_BYTES = 1 << 20
+COMPACT_SMALL_FILES = 24
+
+
+@query(
+    "lake_compact_small_files",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_rows,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS value_micros
+    FROM events GROUP BY event_type
+    """,
+    tags=("sources", "sink", "compaction"),
+)
+def lake_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the lake-maintenance job every streaming
+    sink eventually needs (micro-batches write file-per-trigger;
+    footers, listing and task scheduling then dominate reads): stage the
+    events table as {COMPACT_SMALL_FILES} deliberately-tiny files,
+    size the rewrite from the OBSERVED staged bytes
+    (ceil(total/target)), and coalesce-rewrite to that many files. The
+    returned per-type aggregate (counts, distinct ids, exact integer
+    value sum) reads from the COMPACTED copy, so the oracle (same
+    aggregate over the original table) certifies the rewrite lost and
+    duplicated nothing — the invariant that matters; the file-count
+    collapse itself is asserted by the plan test (bytes vary with
+    parquet encoder versions, so counts stay out of the hashed output).
+    ``coalesce`` not ``repartition``: compaction must not pay a shuffle
+    — it narrows existing partitions. At 100 TB this exact job runs per
+    partition-directory with target 128-512 MiB."""
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    base = os.path.join(
+        tempfile.gettempdir(), f"she_compact_{os.path.basename(sf_dir)}"
+    )
+    small, big = f"{base}/small", f"{base}/compacted"
+    ev.repartition(COMPACT_SMALL_FILES).write.mode("overwrite").parquet(small)
+    staged_bytes = sum(
+        f.stat().st_size
+        for f in os.scandir(small)
+        if f.name.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(staged_bytes / COMPACT_TARGET_BYTES))
+    spark.read.parquet(small).coalesce(n_out).write.mode("overwrite").parquet(big)
+    back = spark.read.parquet(big)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+            "value_micros"
+        ),
+    )

@@ -104,3 +104,36 @@ def test_csv_permissive_captures_corrupt_records(spark, tmp_path):
             .csv(str(p))
             .collect()
         )
+
+
+def test_compaction_collapses_file_count(spark, sf_dir):
+    """The compaction rewrite must actually shrink the file count to the
+    byte-sized target (content preservation is the parity test's job)."""
+    import math
+    import os
+    import tempfile
+
+    from streamline_hybrid_engine_spark.registry import get_query
+    from streamline_hybrid_engine_spark.sources.io import (
+        COMPACT_SMALL_FILES,
+        COMPACT_TARGET_BYTES,
+    )
+
+    get_query("lake_compact_small_files").fn(spark, sf_dir).collect()
+    base = os.path.join(
+        tempfile.gettempdir(), f"she_compact_{os.path.basename(sf_dir)}"
+    )
+    n_small = len(
+        [f for f in os.listdir(f"{base}/small") if f.endswith(".parquet")]
+    )
+    n_big = len(
+        [f for f in os.listdir(f"{base}/compacted") if f.endswith(".parquet")]
+    )
+    staged = sum(
+        f.stat().st_size
+        for f in os.scandir(f"{base}/small")
+        if f.name.endswith(".parquet")
+    )
+    assert n_small == COMPACT_SMALL_FILES
+    assert n_big == max(1, math.ceil(staged / COMPACT_TARGET_BYTES))
+    assert n_big < n_small

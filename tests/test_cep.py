@@ -351,3 +351,19 @@ def test_quantified_registry_face_runs(spark, sf_dir):
         assert r.v_cnt >= 1 and r.v_first_id is not None
         assert 1 <= r.c_cnt <= 2
         assert r.span_s <= 96 * 3600.0
+
+
+def test_quantified_streaming_twin_equals_batch(spark, sf_dir):
+    """The counter-NFA in applyInPandasWithState keyed state must produce
+    exactly the batch quantified result on the bounded drain."""
+    from streamline_hybrid_engine_spark.registry import all_queries
+
+    qs = all_queries()
+    batch = {
+        tuple(r)
+        for r in qs["cep_match_recognize_quantified"].fn(spark, sf_dir).collect()
+    }
+    stream = {
+        tuple(r) for r in qs["cep_quantified_stream"].fn(spark, sf_dir).collect()
+    }
+    assert batch == stream and batch
