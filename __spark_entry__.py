@@ -130,6 +130,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "llm_vocab_oov",
         "dq_benford_digits",
         "lake_compact_small_files",
+        "join_dpp_partition_pruning",
+        "pivot_dynamic_discovery",
+        "agg_rollup_grouping_id",
     }
 )
 

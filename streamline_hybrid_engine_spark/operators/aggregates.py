@@ -971,3 +971,41 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "agg_rollup_grouping_id",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '(all)') AS status,
+           coalesce(o_orderpriority, '(all)') AS priority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("aggregates", "rollup"),
+)
+def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() indicators — the disambiguation the plain
+    rollup row (agg_rollup_nation_region) cannot provide: a NULL in a
+    grouping column is ambiguous between NULL-as-data and
+    NULL-as-subtotal; GROUPING(col) returns 1 exactly for the subtotal
+    rows, which is how BI layers render '(all)' labels correctly even
+    over nullable dimensions. Both engines compute the indicator from
+    the grouping-set id inside the same expanded aggregate — no second
+    pass; the oracle is the shared-dialect text."""
+    from streamline_hybrid_engine_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, '(all)') AS status,
+               coalesce(o_orderpriority, '(all)') AS priority,
+               GROUPING(o_orderstatus) AS g_status,
+               GROUPING(o_orderpriority) AS g_priority,
+               count(*) AS n
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """
+    )

@@ -104,3 +104,49 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="val",
     )
+
+
+@query(
+    "pivot_dynamic_discovery",
+    oracle="""
+    SELECT n_name,
+           CAST(count(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS BIGINT) AS automobile,
+           CAST(count(*) FILTER (c_mktsegment = 'BUILDING') AS BIGINT) AS building,
+           CAST(count(*) FILTER (c_mktsegment = 'FURNITURE') AS BIGINT) AS furniture,
+           CAST(count(*) FILTER (c_mktsegment = 'HOUSEHOLD') AS BIGINT) AS household,
+           CAST(count(*) FILTER (c_mktsegment = 'MACHINERY') AS BIGINT) AS machinery
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("reshape", "pivot"),
+)
+def pivot_dynamic_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with DISCOVERED values — ``pivot(col)`` with no value list
+    (the spreadsheet-style surface analysts reach for when the category
+    set isn't known up front): Spark runs a driver-side distinct on the
+    pivot column (capped by spark.sql.pivotMaxValues, 10 000 default)
+    and then plans the SAME conditional-aggregation as the static form —
+    discovery costs one extra tiny job, the pivot itself is still one
+    pass. The discovered set here is the 5 market segments; columns are
+    lower-aliased so the oracle (explicit FILTER columns — DuckDB can't
+    discover) lines up. The static-list sibling is
+    pivot_acctbal_by_segment; at 100 TB prefer the static list — the
+    discovery job scans the fact once more."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pv = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .pivot("c_mktsegment")
+        .count()
+    )
+    renamed = pv.select(
+        "n_name",
+        *[
+            F.coalesce(F.col(f"`{seg}`"), F.lit(0)).alias(seg.lower())
+            for seg in sorted(
+                col for col in pv.columns if col != "n_name"
+            )
+        ],
+    )
+    return renamed

@@ -612,3 +612,60 @@ def lake_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_micros"
         ),
     )
+
+
+@query(
+    "join_dpp_partition_pruning",
+    oracle="""
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS order_month,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND strftime(CAST(o_orderdate AS DATE), '%Y') = '1997'
+    GROUP BY 1
+    """,
+    tags=("sources", "join", "dpp"),
+)
+def join_dpp_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — the runtime companion to static
+    partition pruning and Spark's marquee star-schema optimization: the
+    fact is laid out partitioned by month; the year filter prunes
+    STATICALLY at listing time, and the dimension's selective predicate
+    (BUILDING customers) prunes fact partitions at RUNTIME via a
+    DynamicPruningExpression subquery on the join key — the fact scan
+    never reads partitions whose rows cannot survive the join. On a
+    100 TB star schema this is the difference between scanning the
+    month and scanning the table; the plan test pins the
+    dynamicpruning filter on the scan (with the broadcast-reuse
+    exchange). The dimension-keyed partition column (customer bucket)
+    makes the runtime prune genuinely selective here: partitions =
+    c_custkey % 8, dim filter keeps ~1/4 of customers."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.date_format("o_orderdate", "yyyy").alias("order_year"),
+        (F.col("o_custkey") % 8).alias("cust_bucket"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), f"she_dpp_{os.path.basename(sf_dir)}"
+    )
+    o.write.mode("overwrite").partitionBy("cust_bucket").parquet(out)
+    fact = spark.read.parquet(out).filter(F.col("order_year") == "1997")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", (F.col("c_custkey") % 8).alias("c_bucket"))
+    )
+    joined = fact.join(
+        dim,
+        (fact.cust_bucket == dim.c_bucket) & (fact.o_custkey == dim.c_custkey),
+    )
+    return joined.groupBy("order_month").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )

@@ -311,3 +311,11 @@ def test_ewma_single_shuffle(spark, sf_dir):
     p = plan(spark, sf_dir, "ts_ewma_bitshift")
     assert p.count("Exchange hashpartitioning") == 1
     assert "Window" not in p
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """The star-schema join must carry a DynamicPruningExpression on the
+    partitioned fact scan — runtime partition pruning from the filtered
+    dimension, not a full-fact read."""
+    p = plan(spark, sf_dir, "join_dpp_partition_pruning")
+    assert "dynamicpruning" in p.lower()
