@@ -101,6 +101,8 @@ HEADLINE = (
     "agg_filter_clause",           # SQL:2003 FILTER aggregates, one pass
     "llm_vocab_oov",               # top-K vocab + OOV-rate gate
     "dq_benford_digits",           # Benford first-digit screen
+    "pivot_dynamic_discovery",     # discovered-values pivot
+    "agg_rollup_grouping_id",      # ROLLUP + GROUPING() indicators
 )
 
 #: BASELINE.md §A.1 rows (sf0.1 full-sequence medians, seconds) — kept in
@@ -168,6 +170,8 @@ BASELINE_SEC = {
     "agg_filter_clause": 0.61,
     "llm_vocab_oov": 1.08,
     "dq_benford_digits": 0.57,
+    "pivot_dynamic_discovery": 0.85,
+    "agg_rollup_grouping_id": 0.31,
 }
 
 
