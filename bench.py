@@ -198,11 +198,13 @@ def main() -> int:
         import gc
 
         gc.collect()
+        dropped = 0
         try:
             # leftover localCheckpoint blocks whose Python refs died between
             # queries: unpersist NOW instead of waiting for ContextCleaner
             for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
                 rdd.unpersist(True)
+                dropped += 1
         except Exception:
             pass
         try:
@@ -214,8 +216,12 @@ def main() -> int:
         # cleanup RPCs run INSIDE the next timed query and small queries
         # following checkpoint-heavy ones (minhash family) measured 2-3×
         # slow (r4 repro: simhash 0.46 s with a 1 s settle, 1.17 s without;
-        # the r1-r3 heavy-tail "sequence inflation" was exactly this)
-        time.sleep(1.0)
+        # the r1-r3 heavy-tail "sequence inflation" was exactly this).
+        # r7: ADAPTIVE — the full second is only owed when checkpoint
+        # blocks were actually unpersisted; after a stateless query the
+        # cleanup queue holds only broadcasts and 0.25 s drains it (the
+        # 62-query headline list made 4 × 1 s × query unaffordable).
+        time.sleep(1.0 if dropped else 0.25)
 
     def heap_used_mb() -> float | None:
         """Post-GC JVM heap in MB (drop_run_state just ran System.gc)."""
