@@ -133,6 +133,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "join_dpp_partition_pruning",
         "pivot_dynamic_discovery",
         "agg_rollup_grouping_id",
+        "agg_rollup_count_distinct",
+        "ts_seasonal_profile",
+        "scan_csv_malformed",
     }
 )
 

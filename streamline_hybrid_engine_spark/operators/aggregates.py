@@ -1009,3 +1009,40 @@ def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """
     )
+
+
+@query(
+    "agg_rollup_count_distinct",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '(all)') AS status,
+           GROUPING(o_orderstatus) AS g,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus)
+    """,
+    tags=("aggregates", "rollup", "distinct"),
+)
+def agg_rollup_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) under ROLLUP — the combination with a real cost
+    subtlety: distinct aggregation expands each input row once per
+    grouping set (Expand), so a rollup over L levels multiplies the
+    distinct-shuffle volume by L — and the subtotal's distinct count is
+    NOT the sum of the leaves (customers span statuses), which is
+    exactly why the engine can't reuse leaf partials and the dedicated
+    expand exists. Shared-dialect text oracle; at 100 TB with many
+    levels you trade this for per-level HLL sketches (agg_hll_merge)
+    when ±2% is acceptable — this row certifies the exact path."""
+    from streamline_hybrid_engine_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, '(all)') AS status,
+               GROUPING(o_orderstatus) AS g,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus)
+        """
+    )

@@ -1012,3 +1012,65 @@ def ts_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("intercept"),
     )
+
+
+@query(
+    "ts_seasonal_profile",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(extract(HOUR FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS hod,
+             CAST(floor(value * 1000000) AS BIGINT) AS fx
+      FROM events
+    ),
+    prof AS (
+      SELECT event_type, hod, count(*) AS n,
+             sum(fx) AS sum_fx,
+             floor(CAST(sum(fx) AS DOUBLE) / count(*)) AS mean_fx
+      FROM pts GROUP BY event_type, hod
+    ),
+    gmeans AS (
+      SELECT event_type,
+             floor(CAST(sum(fx) AS DOUBLE) / count(*)) AS gmean_fx
+      FROM pts GROUP BY event_type
+    )
+    SELECT p.event_type, p.hod, p.n,
+           round(p.mean_fx / 1000000, 6) AS hod_mean,
+           round((p.mean_fx - g.gmean_fx) / 1000000, 6) AS seasonal_dev
+    FROM prof p JOIN gmeans g ON g.event_type = p.event_type
+    """,
+    tags=("timeseries", "seasonality"),
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile — the first step of every seasonal
+    decomposition (and the 'seasonal naive' forecast baseline): per
+    series (event_type), the mean value at each hour of day and its
+    deviation from the series mean. Means are floor-of-exact-integer
+    arithmetic (fixed-point sums ÷ exact counts, floored), so the
+    profile hashes identically cross-engine where a float AVG would
+    drift with partial-aggregation order. Plan: two partial-aggregating
+    groupBys over the same scan (24×|series| and |series| rows move) +
+    a broadcast join of the tiny global means — at 100 TB nothing but
+    profile rows ever shuffles."""
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    pts = ev.select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("fx"),
+    )
+    prof = pts.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n"),
+        F.floor(F.sum("fx").cast("double") / F.count("*")).alias("mean_fx"),
+    )
+    glob = pts.groupBy("event_type").agg(
+        F.floor(F.sum("fx").cast("double") / F.count("*")).alias("gmean_fx")
+    )
+    return prof.join(F.broadcast(glob), "event_type").select(
+        "event_type",
+        "hod",
+        "n",
+        F.round(F.col("mean_fx") / 1_000_000, 6).alias("hod_mean"),
+        F.round((F.col("mean_fx") - F.col("gmean_fx")) / 1_000_000, 6).alias(
+            "seasonal_dev"
+        ),
+    )

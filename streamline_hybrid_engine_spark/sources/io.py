@@ -669,3 +669,68 @@ def join_dpp_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
     )
+
+
+@query(
+    "scan_csv_malformed",
+    oracle="""
+    WITH slice AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 1000
+    )
+    SELECT count(*) AS n_rows,
+           CAST(count(*) FILTER (o_orderkey % 7 = 0) AS BIGINT) AS n_corrupt,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                FILTER (o_orderkey % 7 <> 0) AS BIGINT) AS good_cents
+    FROM slice
+    """,
+    tags=("sources", "csv", "malformed"),
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row CSV ingestion — the production concern the clean
+    round-trip (scan_csv_roundtrip) skips: real feeds carry broken
+    lines, and the contract is PERMISSIVE mode with
+    ``columnNameOfCorruptRecord``: parseable fields survive, the failed
+    field nulls out, and the RAW line lands in the corrupt column for a
+    dead-letter sink — rows are never silently dropped (DROPMALFORMED)
+    or fatal (FAILFAST). Staging is distributed and deterministic: the
+    orders slice is formatted to CSV text lines with every
+    key % 7 == 0 row's price replaced by unparseable junk, written via
+    ``write.text``. The certification aggregate (row count, corrupt
+    count, exact integer cents over the clean rows) proves the router
+    lost nothing and flagged exactly the planted rows — the oracle
+    states the same from the construction over the original table."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    line = F.when(
+        F.col("o_orderkey") % 7 == 0,
+        F.concat(F.col("o_orderkey").cast("string"), F.lit(",not-a-price")),
+    ).otherwise(
+        F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.lit(","),
+            F.col("o_totalprice").cast("string"),
+        )
+    )
+    stage = os.path.join(
+        tempfile.gettempdir(), f"she_badcsv_{os.path.basename(sf_dir)}"
+    )
+    o.select(line.alias("value")).write.mode("overwrite").text(stage)
+    back = spark.read.csv(
+        stage,
+        schema="o_orderkey long, o_totalprice double, _corrupt string",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt",
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("_corrupt").isNotNull()).alias("n_corrupt"),
+        F.sum(
+            F.when(
+                F.col("_corrupt").isNull(),
+                F.round(F.col("o_totalprice") * 100).cast("long"),
+            )
+        ).alias("good_cents"),
+    )
