@@ -103,6 +103,8 @@ HEADLINE = (
     "dq_benford_digits",           # Benford first-digit screen
     "pivot_dynamic_discovery",     # discovered-values pivot
     "agg_rollup_grouping_id",      # ROLLUP + GROUPING() indicators
+    "ts_seasonal_profile",         # hour-of-day seasonal means
+    "agg_rollup_count_distinct",   # exact multi-level distinct
 )
 
 #: BASELINE.md §A.1 rows (sf0.1 full-sequence medians, seconds) — kept in
@@ -172,6 +174,8 @@ BASELINE_SEC = {
     "dq_benford_digits": 0.57,
     "pivot_dynamic_discovery": 0.85,
     "agg_rollup_grouping_id": 0.31,
+    "ts_seasonal_profile": 0.85,
+    "agg_rollup_count_distinct": 0.37,
 }
 
 
