@@ -136,6 +136,16 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "agg_rollup_count_distinct",
         "ts_seasonal_profile",
         "scan_csv_malformed",
+        "lake_merge_upsert",
+        "lake_snapshot_diff",
+        "ts_interval_merge",
+        "agg_market_basket_pairs",
+        "agg_rfm_segments",
+        "cep_funnel_conversion",
+        "graph_link_prediction",
+        "join_geo_grid_radius",
+        "llm_mix_waterfill",
+        "llm_surprisal_bits",
     }
 )
 

@@ -929,3 +929,204 @@ def llm_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+# --- Token-budget mixture allocation (waterfilling) --------------------------
+
+_WATERFILL_ORACLE = """
+    WITH src AS (
+      SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(floor(sum(n) * 0.4) AS BIGINT) AS b FROM src
+    ),
+    ranked AS (
+      SELECT source, n,
+             row_number() OVER (ORDER BY n, source) AS i,
+             CAST(coalesce(sum(n) OVER (
+               ORDER BY n, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS prev_prefix,
+             count(*) OVER () AS m
+      FROM src
+    ),
+    marked AS (
+      SELECT r.*, t.b,
+             CASE WHEN r.prev_prefix + (r.m - r.i + 1) * r.n > t.b
+                  THEN 1 ELSE 0 END AS uncapped
+      FROM ranked r CROSS JOIN tot t
+    ),
+    params AS (
+      SELECT min(prev_prefix) AS f, CAST(sum(uncapped) AS BIGINT) AS u,
+             min(b) AS b
+      FROM marked WHERE uncapped = 1
+    )
+    SELECT m.source, m.n AS n_tokens,
+           CASE WHEN m.uncapped = 0 THEN m.n
+                ELSE CAST(floor(CAST(p.b - p.f AS DOUBLE) / p.u) AS BIGINT)
+                     + CASE WHEN row_number() OVER (
+                              PARTITION BY m.uncapped ORDER BY m.n, m.source)
+                            <= (p.b - p.f)
+                               - CAST(floor(CAST(p.b - p.f AS DOUBLE) / p.u)
+                                 AS BIGINT) * p.u
+                            THEN 1 ELSE 0 END
+           END AS allocation,
+           CAST(m.uncapped AS BOOLEAN) AS capped
+    FROM marked m CROSS JOIN params p
+"""
+
+
+@query(
+    "llm_mix_waterfill",
+    oracle=_WATERFILL_ORACLE,
+    tags=("llm", "mixture"),
+)
+def llm_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture allocation under a global token budget —
+    waterfilling (capped fair share): every source keeps all its tokens
+    up to a common water level λ; sources below λ keep everything,
+    sources above are capped, and λ is set so allocations sum exactly
+    to the budget (40% of corpus tokens here). This is the allocation
+    step behind every "N% web, M% code, capped per domain" training-mix
+    spec. The closed form avoids iterating: source i (ascending by
+    size) is capped iff giving it and every larger source its own size
+    overshoots the budget (prev_prefix + remaining·n_i > B); the
+    integer water level is floor((B − full_total)/n_capped) with the
+    remainder distributed to the first capped sources in the same
+    total order — every quantity an exact integer, Σ allocation == B
+    by construction (test-pinned). Plan: the per-source aggregate is
+    one partial-agg groupBy of the corpus; everything after runs on
+    the DIMENSION-sized source table (windows over ~20 rows) — at
+    100 TB the fact pass is the only cost."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n")
+    )
+    tot = src.agg(F.floor(F.sum("n") * 0.4).cast("long").alias("b"))
+    w = Window.orderBy("n", "source")
+    ranked = src.select(
+        "source",
+        "n",
+        F.row_number().over(w).alias("i"),
+        F.coalesce(
+            F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("prev_prefix"),
+        F.count("*").over(Window.partitionBy()).alias("m"),
+    )
+    marked = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "uncapped",
+        F.when(
+            F.col("prev_prefix") + (F.col("m") - F.col("i") + 1) * F.col("n")
+            > F.col("b"),
+            1,
+        ).otherwise(0),
+    )
+    params = (
+        marked.filter(F.col("uncapped") == 1)
+        .agg(
+            F.min("prev_prefix").alias("f"),
+            F.sum("uncapped").cast("long").alias("u"),
+            F.min("b").alias("b"),
+        )
+    )
+    base = F.floor((F.col("b") - F.col("f")).cast("double") / F.col("u")).cast(
+        "long"
+    )
+    rem = (F.col("b") - F.col("f")) - base * F.col("u")
+    w_unc = Window.partitionBy("uncapped").orderBy("n", "source")
+    return (
+        marked.crossJoin(F.broadcast(params.select("f", "u")))
+        .select(
+            "source",
+            F.col("n").alias("n_tokens"),
+            F.when(F.col("uncapped") == 0, F.col("n"))
+            .otherwise(
+                base
+                + F.when(F.row_number().over(w_unc) <= rem, 1).otherwise(0)
+            )
+            .alias("allocation"),
+            (F.col("uncapped") == 1).alias("capped"),
+        )
+    )
+
+
+# --- Unigram-LM surprisal scoring (integer-exact perplexity proxy) -----------
+
+_SURPRISAL_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      FROM documents
+    ),
+    vocab AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+    n AS (SELECT count(*) AS total FROM tok),
+    scored AS (
+      SELECT tok.doc_id,
+             length(bin(CAST(floor(CAST(n.total AS DOUBLE) / vocab.cnt)
+                            AS BIGINT))) - 1 AS bits
+      FROM tok JOIN vocab ON vocab.t = tok.t CROSS JOIN n
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(bits) AS BIGINT) AS total_bits,
+           CAST(floor(CAST(sum(bits) AS DOUBLE) * 1000000 / count(*))
+                AS BIGINT) AS mean_bits_micro
+    FROM scored GROUP BY doc_id
+"""
+
+
+@query(
+    "llm_surprisal_bits",
+    oracle=_SURPRISAL_ORACLE,
+    tags=("llm", "quality"),
+)
+def llm_surprisal_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surprisal under the corpus's own unigram LM — the
+    perplexity-style rarity score quality filters rank documents by
+    (rare-token-heavy docs score high), as an INTEGER-EXACT proxy:
+    token surprisal = floor(log2(N / count)) bits, computed as
+    length(bin(N div count)) − 1 — a true integer log2 with zero libm
+    (ln/log2's last-ulp rounding is engine-specific; the same reason
+    the Benford screen avoids log10 and the geo bundle avoids
+    mercator's ln·tan). Mean bits are floored to the micro grid from
+    exact integer sums.
+
+    Plan: explode to tokens, ONE shuffle to build the vocab counts,
+    one shuffle-join tokens→counts (vocab is corpus-sized at 100 TB —
+    a shuffle join, NOT a broadcast; for a bounded vocab you'd
+    broadcast), one partial-agg groupBy back to docs. The N scalar is
+    a broadcast single row."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    vocab = tok.groupBy("t").agg(F.count("*").alias("cnt"))
+    n = tok.agg(F.count("*").alias("total"))
+    scored = (
+        tok.join(vocab, "t")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            (
+                F.length(
+                    F.bin(
+                        (F.col("total") / F.col("cnt")).cast("long")
+                    )
+                )
+                - 1
+            ).alias("bits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("bits").cast("long").alias("total_bits"),
+        F.floor(
+            F.sum("bits").cast("double") * 1_000_000 / F.count("*")
+        )
+        .cast("long")
+        .alias("mean_bits_micro"),
+    )

@@ -1046,3 +1046,182 @@ def agg_rollup_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ROLLUP (o_orderstatus)
         """
     )
+
+
+# --- Market-basket co-occurrence (association pairs with lift) ---------------
+
+_BASKET_ORACLE = """
+    WITH ob AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+                FROM lineitem JOIN part ON p_partkey = l_partkey),
+         cnt AS (SELECT brand, count(*) AS n_brand FROM ob GROUP BY brand),
+         tot AS (SELECT count(DISTINCT okey) AS n_orders FROM ob)
+    SELECT a.brand AS brand_a, b.brand AS brand_b,
+           count(*) AS support,
+           round(CAST(count(*) AS DOUBLE) * CAST(min(t.n_orders) AS DOUBLE)
+                 / (CAST(min(ca.n_brand) AS DOUBLE)
+                    * CAST(min(cb.n_brand) AS DOUBLE)), 6) AS lift
+    FROM ob a
+    JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+    JOIN cnt ca ON ca.brand = a.brand
+    JOIN cnt cb ON cb.brand = b.brand
+    CROSS JOIN tot t
+    GROUP BY a.brand, b.brand
+    HAVING count(*) >= 3
+"""
+
+
+@query(
+    "agg_market_basket_pairs",
+    oracle=_BASKET_ORACLE,
+    tags=("aggregate", "association"),
+)
+def agg_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence — the support/lift core of association
+    mining (Apriori's first pass): brand pairs appearing in the same
+    order, with lift = P(a,b) / (P(a)·P(b)). The DISTINCT (order, brand)
+    projection BEFORE the self-join is the scale move: pairs per order
+    are bounded by (distinct brands per order choose 2), never by
+    (lineitems choose 2) — at 100 TB the self-join shuffles the
+    deduplicated order×brand relation once on the order key, and both
+    branches of the self-join reuse the same exchange (ReusedExchange,
+    Catalyst's common-subplan dedup). Per-brand counts and the order
+    total are dimension-sized broadcasts; lift's division runs on
+    identical exact integers in both engines. The min-support HAVING
+    (≥3) prunes the pair tail the way Apriori's support threshold
+    does."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .repartition("okey")  # okey ⊆ {okey,brand}: satisfies the dedup's
+        .dropDuplicates(["okey", "brand"])  # clustering AND the self-join's,
+        # so the dedup, both self-join sides, cnt and tot all hang off ONE
+        # canonical exchange (ReusedExchange — plan-pinned): one fact scan,
+        # not four
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.okey") == F.col("b.okey"))
+        & (F.col("a.brand") < F.col("b.brand")),
+    ).select(
+        F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+    )
+    cnt = ob.groupBy("brand").agg(F.count("*").alias("n_brand"))
+    tot = ob.agg(F.countDistinct("okey").alias("n_orders"))
+    sup = (
+        pairs.groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    return (
+        sup.join(
+            F.broadcast(cnt.withColumnRenamed("brand", "brand_a").withColumnRenamed("n_brand", "na")),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(cnt.withColumnRenamed("brand", "brand_b").withColumnRenamed("n_brand", "nb")),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "support",
+            F.round(
+                F.col("support").cast("double") * F.col("n_orders").cast("double")
+                / (F.col("na").cast("double") * F.col("nb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# --- RFM customer segmentation ----------------------------------------------
+
+_RFM_ANCHOR = "1998-08-01"
+
+_RFM_ORACLE = f"""
+    WITH rfm AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', CAST(max(o_orderdate) AS DATE),
+                       DATE '{_RFM_ANCHOR}') AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY recency_days, custkey) AS rn_r,
+             row_number() OVER (ORDER BY frequency DESC, custkey) AS rn_f,
+             row_number() OVER (ORDER BY monetary_cents DESC, custkey) AS rn_m,
+             count(*) OVER () AS n
+      FROM rfm
+    )
+    SELECT custkey, recency_days, frequency, monetary_cents,
+           4 - CAST(floor((4.0 * (rn_r - 1)) / n) AS BIGINT) AS r_score,
+           4 - CAST(floor((4.0 * (rn_f - 1)) / n) AS BIGINT) AS f_score,
+           4 - CAST(floor((4.0 * (rn_m - 1)) / n) AS BIGINT) AS m_score
+    FROM ranked
+"""
+
+
+@query(
+    "agg_rfm_segments",
+    oracle=_RFM_ORACLE,
+    tags=("aggregate", "segmentation"),
+)
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency / frequency / monetary quartile scores
+    per customer, the classic CRM segmentation (4 = best quartile).
+    Quartiles are rank-based and exact: score = 4 - floor(4·(rank-1)/n)
+    over a TOTAL order (metric, custkey tiebreak) — integer arithmetic,
+    so both engines cut identically where ntile-on-ties or interpolated
+    percentiles would flake. The base aggregate is one partial-agg
+    groupBy of the fact by customer (exact integer cents).
+
+    Scale note (docstring contract): the three ranking windows here are
+    unpartitioned — fine for a dimension-sized RFM table (customers ≪
+    facts; the window input is the AGGREGATE, never the fact), but at
+    the point the customer dim itself outgrows one task, swap each
+    window for the sampled-range-sort + zipWithIndex two-pass scheme of
+    `rowid_zip_with_index` (same total order, distributed id
+    assignment) — rank semantics identical."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit(_RFM_ANCHOR).cast("date"), F.max(F.col("o_orderdate"))
+        ).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    w_r = Window.orderBy("recency_days", "custkey")
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
+    w_m = Window.orderBy(F.desc("monetary_cents"), F.asc("custkey"))
+    w_all = Window.partitionBy()
+    ranked = rfm.select(
+        "*",
+        F.row_number().over(w_r).alias("rn_r"),
+        F.row_number().over(w_f).alias("rn_f"),
+        F.row_number().over(w_m).alias("rn_m"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    def score(rn):
+        return F.lit(4) - F.floor(
+            (4.0 * (F.col(rn) - 1)) / F.col("n")
+        ).cast("long")
+    return ranked.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        score("rn_r").alias("r_score"),
+        score("rn_f").alias("f_score"),
+        score("rn_m").alias("m_score"),
+    )

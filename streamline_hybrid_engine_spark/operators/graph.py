@@ -698,3 +698,90 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return labels.select(name("v").alias("vertex"), name("l").alias("community"))
+
+
+# --- Link prediction: Jaccard + resource-allocation over a bipartite graph ---
+
+_LINKPRED_ORACLE = """
+    WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+                FROM lineitem),
+         sdeg AS (SELECT s, count(*) AS d FROM sp GROUP BY s),
+         pdeg AS (SELECT p, count(*) AS dp FROM sp GROUP BY p),
+         pairs AS (
+           SELECT a.s AS s1, b.s AS s2,
+                  count(*) AS common,
+                  CAST(sum(CAST(floor(1000000.0 / pd.dp) AS BIGINT))
+                       AS BIGINT) AS ra_micros
+           FROM sp a
+           JOIN sp b ON a.p = b.p AND a.s < b.s
+           JOIN pdeg pd ON pd.p = a.p
+           GROUP BY a.s, b.s
+         )
+    SELECT s1, s2, common, ra_micros,
+           round(CAST(common AS DOUBLE)
+                 / (d1.d + d2.d - common), 6) AS jaccard
+    FROM pairs
+    JOIN sdeg d1 ON d1.s = s1
+    JOIN sdeg d2 ON d2.s = s2
+    WHERE common >= 3
+"""
+
+
+@query(
+    "graph_link_prediction",
+    oracle=_LINKPRED_ORACLE,
+    tags=("graph", "linkpred"),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction scores over the supplier–part bipartite graph:
+    Jaccard similarity and the Resource-Allocation index (Zhou et al.
+    2009 — Adamic-Adar with 1/deg instead of 1/log deg, chosen here
+    because 1/deg folds to EXACT integer micros where log's libm
+    rounding is engine-specific). Candidate pairs come from the
+    inverted index (suppliers sharing a part), never the n² supplier
+    grid — the same bucketed-pair-generation discipline as the LSH
+    dedup family; a part shared by k suppliers contributes k(k-1)/2
+    candidates, so hub parts bound the blow-up and would be
+    downsampled/capped at 100 TB (the standard hub-cut in RA/AA
+    scoring). RA weights are floor(1e6/part_degree) summed as longs —
+    order-independent; Jaccard divides exact integers once. Degree
+    tables are vertex-sized → broadcast; the only big shuffle is the
+    inverted-index self-join on the part key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = (
+        li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .repartition("p")
+        .dropDuplicates(["s", "p"])
+    )
+    sdeg = sp.groupBy("s").agg(F.count("*").alias("d"))
+    pdeg = sp.groupBy("p").agg(F.count("*").alias("dp"))
+    a, b = sp.alias("a"), sp.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .join(pdeg.alias("pd"), F.col("pd.p") == F.col("a.p"))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(
+            F.count("*").alias("common"),
+            F.sum(
+                F.floor(F.lit(1_000_000.0) / F.col("pd.dp")).cast("long")
+            ).alias("ra_micros"),
+        )
+        .filter(F.col("common") >= 3)
+    )
+    d1 = sdeg.withColumnRenamed("s", "s1").withColumnRenamed("d", "d1")
+    d2 = sdeg.withColumnRenamed("s", "s2").withColumnRenamed("d", "d2")
+    return (
+        pairs.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "common",
+            "ra_micros",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("d1") + F.col("d2") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

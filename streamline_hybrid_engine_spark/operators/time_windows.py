@@ -1074,3 +1074,183 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal_dev"
         ),
     )
+
+
+@query(
+    "ts_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS s,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+               + 1800000000 AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, s, e,
+             CASE WHEN max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) >= s THEN 0 ELSE 1 END AS is_new
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             CAST(sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS island
+      FROM flagged
+    )
+    SELECT user_id, island,
+           min(s) AS island_start_us, max(e) AS island_end_us,
+           count(*) AS n_intervals
+    FROM islands GROUP BY user_id, island
+    """,
+    tags=("timeseries", "intervals"),
+)
+def ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval de-overlap (merge overlapping/touching intervals) — the
+    gaps-and-islands pattern over ranges rather than points, behind
+    uptime stitching, on-call coverage, and contiguous-session repair.
+    Each event opens a 30-minute interval; per user, intervals whose
+    start falls at or before the running max end so far fuse into one
+    island. The running max end over ``ROWS UNBOUNDED PRECEDING AND 1
+    PRECEDING`` is the textbook island detector: it handles the chain
+    case (A overlaps B, B overlaps C, A spans both) that naive
+    lag(end) misses. All arithmetic is epoch-micros longs — exact.
+
+    Plan: one shuffle by user_id feeding two window passes over the
+    same sort order (Spark fuses them into a single sort) + a final
+    partial-aggregating groupBy on (user, island) — the group keys are
+    a prefix extension of the window partitioning, so no extra
+    exchange. At 100 TB a per-user timeline fits one partition by
+    construction (user count ≫ executor count); no island ever spans
+    partitions."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    us = (F.unix_micros(F.col("ts"))).alias("s")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        us,
+        (F.unix_micros(F.col("ts")) + 1_800_000_000).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), 0)
+        .otherwise(1)
+        .alias("is_new"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("is_new").over(w_run).alias("island")
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("island_start_us"),
+        F.max("e").alias("island_end_us"),
+        F.count("*").alias("n_intervals"),
+    )
+
+
+@query(
+    "cep_funnel_conversion",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us
+      FROM events
+    ),
+    v AS (SELECT user_id, min(us) AS t_view FROM ev
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.us) AS t_click
+          FROM ev e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.us > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.us) AS t_buy
+          FROM ev e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.us > c.t_click
+          GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click,
+           (SELECT count(*) FROM p) AS n_purchase,
+           round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+                 / (SELECT count(*) FROM v), 6) AS view_to_click,
+           round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+                 / (SELECT count(*) FROM c), 6) AS click_to_purchase,
+           round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+                 / (SELECT count(*) FROM v), 6) AS overall
+    """,
+    tags=("cep", "funnel"),
+)
+def cep_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion rates — the product-analytics staple
+    (Amplitude/Mixpanel funnels): of users who viewed, how many later
+    clicked; of those, how many later purchased. Stage k is the
+    earliest stage-k event STRICTLY AFTER the user's stage-(k-1) entry
+    time — the ordered-steps semantics that distinguishes a funnel
+    from three independent counts. All comparisons are epoch-micros
+    longs (the nanos fixture truncated identically in both engines).
+
+    Plan: each stage is a user-keyed partial aggregate joined back to
+    the previous stage's (user, t) pairs — three shuffles on the SAME
+    user_id key, so AQE/exchange-reuse co-locates them; stage tables
+    shrink monotonically (funnel property), so stages 2..k broadcast
+    on a real cluster. The final single row is three exact counts and
+    their ratios; no window, no per-user sort — at 100 TB this runs as
+    a chain of hash joins over partial aggregates, never a
+    sessionized event sort."""
+    ev = load_table(spark, sf_dir, "events", parallel=True).select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_buy"))
+    )
+    counts = (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase")))
+    )
+    return counts.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.round(F.col("n_click").cast("double") / F.col("n_view"), 6).alias(
+            "view_to_click"
+        ),
+        F.round(
+            F.col("n_purchase").cast("double") / F.col("n_click"), 6
+        ).alias("click_to_purchase"),
+        F.round(F.col("n_purchase").cast("double") / F.col("n_view"), 6).alias(
+            "overall"
+        ),
+    )

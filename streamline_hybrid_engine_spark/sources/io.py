@@ -734,3 +734,205 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("good_cents"),
     )
+
+
+# --- MERGE INTO semantics (upsert/delete apply without a table format) -------
+
+_MERGE_ORACLE = """
+    WITH chg AS (
+      SELECT o_orderkey + 10000000 AS key,
+             'INSERTED' AS new_status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS new_cents,
+             'insert' AS op
+      FROM orders WHERE o_orderkey % 11 = 0
+      UNION ALL
+      SELECT o_orderkey AS key,
+             CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE 'UPDATED' END
+               AS new_status,
+             CAST(round(o_totalprice * 110) AS BIGINT) AS new_cents,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'delete' ELSE 'update' END
+               AS op
+      FROM orders WHERE o_orderkey % 13 = 0 OR o_orderkey % 7 = 0
+    ),
+    applied AS (
+      SELECT t.o_orderkey AS o_orderkey,
+             CASE WHEN c.op = 'update' THEN c.new_status
+                  ELSE t.o_orderstatus END AS status,
+             CASE WHEN c.op = 'update' THEN c.new_cents
+                  ELSE CAST(round(t.o_totalprice * 100) AS BIGINT)
+             END AS cents,
+             c.op AS op
+      FROM orders t
+      LEFT JOIN chg c ON c.key = t.o_orderkey AND c.op <> 'insert'
+    )
+    SELECT o_orderkey, status, cents FROM applied
+    WHERE op IS NULL OR op <> 'delete'
+    UNION ALL
+    SELECT key AS o_orderkey, new_status AS status, new_cents AS cents
+    FROM chg WHERE op = 'insert'
+"""
+
+
+@query(
+    "lake_merge_upsert",
+    oracle=_MERGE_ORACLE,
+    tags=("sources", "sink", "merge"),
+)
+def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (WHEN MATCHED UPDATE / WHEN MATCHED DELETE /
+    WHEN NOT MATCHED INSERT) applied to a parquet snapshot without a
+    table format. The change set is derived deterministically from the
+    target itself: key%13 → delete, key%7 → update (status + 10% price),
+    key%11 → insert under a fresh key.
+
+    The plan deliberately avoids the naive full-outer join: MERGE's
+    matched branches are a LEFT join of target→changes (broadcastable —
+    the change set is ≪ target in every real CDC cycle) and the
+    not-matched-by-target branch is a plain UNION ALL of the insert
+    rows. A full-outer join can never broadcast and would shuffle the
+    entire 100 TB target; left-join + union keeps the target scan
+    shuffle-free when the change side broadcasts, which is exactly how
+    Delta/Iceberg execute low-selectivity merges (modified-file rewrite
+    aside). Delete precedence over update is encoded per-key (op column),
+    mirroring MERGE's first-matching-clause-wins rule. Money is exact
+    integer cents on both sides."""
+    t = load_table(spark, sf_dir, "orders")
+    upd_del = t.filter(
+        (F.col("o_orderkey") % 13 == 0) | (F.col("o_orderkey") % 7 == 0)
+    ).select(
+        F.col("o_orderkey").alias("key"),
+        F.when(F.col("o_orderkey") % 13 == 0, None)
+        .otherwise(F.lit("UPDATED"))
+        .alias("new_status"),
+        F.round(F.col("o_totalprice") * 110).cast("long").alias("new_cents"),
+        F.when(F.col("o_orderkey") % 13 == 0, "delete")
+        .otherwise("update")
+        .alias("op"),
+    )
+    ins = t.filter(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("INSERTED").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    applied = (
+        t.join(F.broadcast(upd_del), t.o_orderkey == upd_del.key, "left")
+        .filter(F.col("op").isNull() | (F.col("op") != "delete"))
+        .select(
+            "o_orderkey",
+            F.when(F.col("op") == "update", F.col("new_status"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+            F.when(F.col("op") == "update", F.col("new_cents"))
+            .otherwise(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("cents"),
+        )
+    )
+    return applied.unionAll(ins)
+
+
+# --- Snapshot diff (added / deleted / changed between two lake versions) -----
+
+_SNAPDIFF_ORACLE = """
+    WITH snap_a AS (
+      SELECT o_orderkey AS key, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    snap_b AS (
+      SELECT o_orderkey AS key, o_orderstatus AS status,
+             CASE WHEN o_orderkey % 5 = 0
+                  THEN CAST(round(o_totalprice * 105) AS BIGINT)
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+             END AS cents
+      FROM orders WHERE o_orderkey % 17 <> 0
+      UNION ALL
+      SELECT o_orderkey + 20000000 AS key, 'N' AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 19 = 0
+    )
+    SELECT COALESCE(a.key, b.key) AS key,
+           CASE WHEN a.key IS NULL THEN 'added'
+                WHEN b.key IS NULL THEN 'deleted'
+                ELSE 'changed' END AS change_type,
+           COALESCE(b.cents, 0) - COALESCE(a.cents, 0) AS cents_delta
+    FROM snap_a a
+    FULL JOIN snap_b b ON a.key = b.key
+    WHERE a.key IS NULL OR b.key IS NULL
+       OR a.status <> b.status OR a.cents <> b.cents
+"""
+
+
+@query(
+    "lake_snapshot_diff",
+    oracle=_SNAPDIFF_ORACLE,
+    tags=("sources", "lake", "diff"),
+)
+def lake_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the audit query behind every time-travel/rollback
+    story: given two physical parquet snapshots of the same logical
+    table, emit each changed key as added / deleted / changed with its
+    value delta. Snapshot B is derived deterministically from A
+    (key%17 dropped, key%5 repriced +5%, key%19 re-inserted under a
+    fresh key) and BOTH snapshots are round-tripped through parquet on
+    disk, so the diff certifies the physical write path, not just the
+    in-memory derivation.
+
+    Diff is the one lake op where a FULL outer join is the honest plan
+    — both sides are table-sized, so neither can broadcast; the right
+    100 TB layout co-partitions both snapshots on the key (bucketed
+    writes) so the sort-merge join runs zipper-style with no residual
+    shuffle. Unchanged rows are filtered AFTER the join (cheap — the
+    comparison is two already-joined columns); only changed keys ever
+    leave the join stage."""
+    t = load_table(spark, sf_dir, "orders")
+    snap_a = t.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    snap_b = (
+        t.filter(F.col("o_orderkey") % 17 != 0)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.col("o_orderstatus").alias("status"),
+            F.when(
+                F.col("o_orderkey") % 5 == 0,
+                F.round(F.col("o_totalprice") * 105).cast("long"),
+            )
+            .otherwise(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("cents"),
+        )
+        .unionAll(
+            t.filter(F.col("o_orderkey") % 19 == 0).select(
+                (F.col("o_orderkey") + 20_000_000).alias("key"),
+                F.lit("N").alias("status"),
+                F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            )
+        )
+    )
+    base = os.path.join(
+        tempfile.gettempdir(), f"she_snapdiff_{os.path.basename(sf_dir)}"
+    )
+    snap_a.write.mode("overwrite").parquet(f"{base}/a")
+    snap_b.write.mode("overwrite").parquet(f"{base}/b")
+    a = spark.read.parquet(f"{base}/a")
+    b = spark.read.parquet(f"{base}/b")
+    joined = a.alias("a").join(
+        b.alias("b"), F.col("a.key") == F.col("b.key"), "full"
+    )
+    return joined.filter(
+        F.col("a.key").isNull()
+        | F.col("b.key").isNull()
+        | (F.col("a.status") != F.col("b.status"))
+        | (F.col("a.cents") != F.col("b.cents"))
+    ).select(
+        F.coalesce(F.col("a.key"), F.col("b.key")).alias("key"),
+        F.when(F.col("a.key").isNull(), "added")
+        .when(F.col("b.key").isNull(), "deleted")
+        .otherwise("changed")
+        .alias("change_type"),
+        (
+            F.coalesce(F.col("b.cents"), F.lit(0))
+            - F.coalesce(F.col("a.cents"), F.lit(0))
+        ).alias("cents_delta"),
+    )

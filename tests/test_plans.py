@@ -319,3 +319,100 @@ def test_dpp_prunes_fact_partitions(spark, sf_dir):
     dimension, not a full-fact read."""
     p = plan(spark, sf_dir, "join_dpp_partition_pruning")
     assert "dynamicpruning" in p.lower()
+
+
+def test_merge_upsert_broadcasts_changes_no_full_outer(spark, sf_dir):
+    """MERGE semantics must plan as left-join(broadcast changes)+union,
+    never the unbroadcastable full-outer join: zero exchanges on the
+    target scan path."""
+    p = plan(spark, sf_dir, "lake_merge_upsert")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "FullOuter" not in p
+    assert p.count("Exchange hashpartitioning") == 0
+
+
+def test_snapshot_diff_is_sort_merge_full_outer(spark, sf_dir):
+    """Snapshot diff joins two table-sized sides — the honest plan is a
+    co-partitioned sort-merge FULL outer (broadcast would OOM at scale)."""
+    p = plan(spark, sf_dir, "lake_snapshot_diff")
+    assert "SortMergeJoin" in p and "FullOuter" in p
+
+
+def test_interval_merge_single_shuffle_fused_windows(spark, sf_dir):
+    """Island detection: one exchange to user_id serves both window
+    passes AND the final (user, island) aggregate — island is a prefix
+    extension of the window partitioning, so no re-shuffle."""
+    p = plan(spark, sf_dir, "ts_interval_merge")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Window" in p
+
+
+def test_market_basket_reuses_one_fact_exchange(spark, sf_dir):
+    """The (order, brand) relation feeds 4 consumers (both self-join
+    sides, per-brand counts, order total); the okey pre-partition makes
+    all four hang off ONE canonical exchange — AQE materializes it once
+    and reuses it 3× (one fact scan at runtime, not four)."""
+    p = plan(spark, sf_dir, "agg_market_basket_pairs", execute=True)
+    assert p.count("ReusedExchange") >= 3
+    assert "CartesianProduct" not in p
+
+
+def test_rfm_windows_run_on_dimension_aggregate(spark, sf_dir):
+    """RFM's three ranking windows consume the customer AGGREGATE (one
+    custkey exchange off the fact scan), never raw orders."""
+    p = plan(spark, sf_dir, "agg_rfm_segments")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Window") >= 3
+
+
+def test_funnel_is_join_chain_no_window(spark, sf_dir):
+    """Ordered-funnel stages plan as hash joins over partial aggregates
+    — never a per-user event sort/window."""
+    p = plan(spark, sf_dir, "cep_funnel_conversion")
+    assert "Window" not in p
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_link_prediction_inverted_index_no_cartesian(spark, sf_dir):
+    """Candidate pairs come from the part-keyed inverted index — an
+    equi self-join, never the n² supplier grid; degree tables
+    broadcast."""
+    p = plan(spark, sf_dir, "graph_link_prediction")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_geo_grid_radius_is_equi_join_on_cells(spark, sf_dir):
+    """The spatial join must be an EQUI-join on the grid cell id (the
+    only non-equi element is the 9-row offsets broadcast); a
+    CartesianProduct/all-pairs plan is the failure it exists to
+    avoid."""
+    p = plan(spark, sf_dir, "join_geo_grid_radius")
+    assert "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        p.count("BroadcastHashJoin") >= 1
+    )
+
+
+def test_waterfill_windows_on_source_dimension_only(spark, sf_dir):
+    """Waterfilling's windows/joins run on the ~20-row source aggregate;
+    the corpus is touched by exactly one partial-agg groupBy chain (the
+    per-source token count), re-read per consumer at fixture scale."""
+    p = plan(spark, sf_dir, "llm_mix_waterfill")
+    assert "CartesianProduct" not in p
+    assert "Window" in p
+
+
+def test_surprisal_vocab_join_is_equi_hash_join(spark, sf_dir):
+    """The token→vocab-count join must be a key equi-join (hash) —
+    Catalyst broadcasts the fixture-sized vocab and would shuffle-join
+    a 100 TB corpus vocab on the same plan (stats-driven, no code
+    change); a nested-loop/cartesian plan is the failure mode."""
+    p = plan(spark, sf_dir, "llm_surprisal_bits")
+    assert "CartesianProduct" not in p
+    assert (
+        "SortMergeJoin" in p
+        or "ShuffledHashJoin" in p
+        or "BroadcastHashJoin" in p
+    )
