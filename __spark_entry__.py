@@ -146,6 +146,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "join_geo_grid_radius",
         "llm_mix_waterfill",
         "llm_surprisal_bits",
+        "win_weighted_median",
+        "fn_busday_bundle",
     }
 )
 

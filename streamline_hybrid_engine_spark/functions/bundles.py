@@ -860,3 +860,78 @@ def fn_geo_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lat").between(10, 60) & F.col("lon").between(-30, 60)
         ).alias("in_bbox"),
     )
+
+
+@query(
+    "fn_busday_bundle",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) AS od,
+             (dayofweek(CAST(o_orderdate AS DATE)) + 6) % 7 AS dow
+      FROM orders
+    ),
+    e AS (
+      SELECT o_orderkey, od, dow,
+             CASE WHEN dow = 5 THEN od + 2
+                  WHEN dow = 6 THEN od + 1
+                  ELSE od END AS eff,
+             CASE WHEN dow = 5 THEN 0
+                  WHEN dow = 6 THEN 0
+                  ELSE dow END AS eff_dow
+      FROM d
+    )
+    SELECT o_orderkey, CAST(od AS TIMESTAMP) AS order_date,
+           dow IN (5, 6) AS is_weekend,
+           CAST(eff AS TIMESTAMP) AS next_business_day,
+           CAST(eff + 5 + 2 * CAST(floor((eff_dow + 5) / 5.0) AS INTEGER)
+                AS TIMESTAMP) AS deadline_5bd,
+           CAST(last_day(od) AS TIMESTAMP) AS month_end,
+           CAST(quarter(od) AS INTEGER) AS qtr
+    FROM e
+    """,
+    tags=("functions", "datetime"),
+)
+def fn_busday_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day calendar arithmetic — the settlement-date math every
+    finance/ops pipeline needs (numpy busday_offset semantics, weekends
+    only; holiday tables would join in as an extra broadcast):
+    weekend flag, roll-forward to the next business day, and an N=5
+    business-day deadline via the closed form eff + n + 2·floor((dow_eff
+    + n)/5) — pure integer day arithmetic on a Monday=0 index, no
+    calendar iteration, identical in both engines (each engine's
+    day-of-week convention is normalized to Monday=0 first: Spark
+    dayofweek is Sun=1, DuckDB's is Sun=0). Roll-forward applies
+    BEFORE counting (a weekend start consumes no business days) —
+    numpy's 'forward' roll. last_day/quarter ride along as the
+    calendar edges. All map-side scalar expressions — zero shuffle,
+    codegen'd."""
+    o = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    dow = (F.dayofweek(od) + 5) % 7  # Monday=0 .. Sunday=6
+    eff = (
+        F.when(dow == 5, F.date_add(od, 2))
+        .when(dow == 6, F.date_add(od, 1))
+        .otherwise(od)
+    )
+    eff_dow = F.when((dow == 5) | (dow == 6), 0).otherwise(dow)
+    # DATE-typed outputs are cast to TIMESTAMP on both sides: the gate's
+    # canonicalizer normalizes pd.Timestamp cells but passes datetime.date
+    # through raw, and Spark→pandas yields date objects where DuckDB
+    # yields datetime64 — a pure type-repr mismatch this cast removes.
+    return o.select(
+        "o_orderkey",
+        od.cast("timestamp").alias("order_date"),
+        dow.isin(5, 6).alias("is_weekend"),
+        eff.cast("timestamp").alias("next_business_day"),
+        F.date_add(
+            eff,
+            (F.lit(5) + 2 * F.floor((eff_dow + 5) / 5.0).cast("int")).cast(
+                "int"
+            ),
+        )
+        .cast("timestamp")
+        .alias("deadline_5bd"),
+        F.last_day(od).cast("timestamp").alias("month_end"),
+        F.quarter(od).alias("qtr"),
+    )

@@ -606,3 +606,71 @@ def win_range_numeric_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_near"
         ),
     )
+
+
+@query(
+    "win_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(floor(l_quantity) AS BIGINT) AS wt
+      FROM lineitem
+    ),
+    c AS (
+      SELECT flag, cents, wt,
+             CAST(sum(wt) OVER (PARTITION BY flag ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum,
+             CAST(sum(wt) OVER (PARTITION BY flag) AS BIGINT) AS tot
+      FROM w
+    )
+    SELECT flag, min(cents) AS wmedian_cents, min(tot) AS total_weight
+    FROM c WHERE 2 * cum >= tot
+    GROUP BY flag
+    """,
+    tags=("window", "aggregate"),
+)
+def win_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (lower) per group — the quantity-weighted price
+    midpoint, where every plain median is the wt=1 special case: the
+    smallest value whose cumulative weight reaches half the group
+    total. One cumulative-weight window over (group ORDER BY value) +
+    a min over qualifying rows. No tiebreak column is needed for
+    determinism: within a tie run of equal values the crossing ROW is
+    order-ambiguous, but rows before the run have fixed cum <
+    threshold and the run's last row has fixed cum, so the crossing
+    VALUE — all the query emits — is identical under any intra-tie
+    order (the same argument that makes the oracle exact). Weights
+    and values are exact integers.
+
+    Plan: one shuffle on the group key, one per-group sort serving
+    both window frames. At 100 TB swap the full sort for the
+    two-pass equi-depth-histogram narrowing `agg_percentile_disc`
+    documents — same crossing rule over bucket boundaries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("l_quantity")).cast("long").alias("wt"),
+    )
+    win_cum = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    win_all = Window.partitionBy("flag")
+    c = w.select(
+        "flag",
+        "cents",
+        F.sum("wt").over(win_cum).cast("long").alias("cum"),
+        F.sum("wt").over(win_all).cast("long").alias("tot"),
+    )
+    return (
+        c.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("flag")
+        .agg(
+            F.min("cents").alias("wmedian_cents"),
+            F.min("tot").alias("total_weight"),
+        )
+    )
