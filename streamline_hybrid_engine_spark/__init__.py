@@ -61,6 +61,16 @@ _LAZY_EXPORTS = {
     "ivm_merge": "streamline_hybrid_engine_spark.operators.ivm",
     # pagination
     "keyset_page": "streamline_hybrid_engine_spark.operators.sort_limit",
+    # intervals / medians (r7)
+    "interval_merge": "streamline_hybrid_engine_spark.operators.time_windows",
+    "weighted_median": "streamline_hybrid_engine_spark.operators.windows",
+    # lake MERGE semantics (r7)
+    "merge_apply": "streamline_hybrid_engine_spark.sources.io",
+    # spatial blocking (r7)
+    "grid_radius_join": "streamline_hybrid_engine_spark.operators.joins",
+    # business-day calendar (r7)
+    "busday_roll": "streamline_hybrid_engine_spark.functions.bundles",
+    "busday_offset": "streamline_hybrid_engine_spark.functions.bundles",
 }
 
 __all__ = ["all_queries", "get_query", *sorted(_LAZY_EXPORTS)]

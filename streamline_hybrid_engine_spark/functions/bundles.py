@@ -908,13 +908,7 @@ def fn_busday_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd."""
     o = load_table(spark, sf_dir, "orders")
     od = F.col("o_orderdate").cast("date")
-    dow = (F.dayofweek(od) + 5) % 7  # Monday=0 .. Sunday=6
-    eff = (
-        F.when(dow == 5, F.date_add(od, 2))
-        .when(dow == 6, F.date_add(od, 1))
-        .otherwise(od)
-    )
-    eff_dow = F.when((dow == 5) | (dow == 6), 0).otherwise(dow)
+    dow = busday_dow(od)
     # DATE-typed outputs are cast to TIMESTAMP on both sides: the gate's
     # canonicalizer normalizes pd.Timestamp cells but passes datetime.date
     # through raw, and Spark→pandas yields date objects where DuckDB
@@ -923,15 +917,41 @@ def fn_busday_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         od.cast("timestamp").alias("order_date"),
         dow.isin(5, 6).alias("is_weekend"),
-        eff.cast("timestamp").alias("next_business_day"),
-        F.date_add(
-            eff,
-            (F.lit(5) + 2 * F.floor((eff_dow + 5) / 5.0).cast("int")).cast(
-                "int"
-            ),
-        )
-        .cast("timestamp")
-        .alias("deadline_5bd"),
+        busday_roll(od).cast("timestamp").alias("next_business_day"),
+        busday_offset(od, 5).cast("timestamp").alias("deadline_5bd"),
         F.last_day(od).cast("timestamp").alias("month_end"),
         F.quarter(od).alias("qtr"),
+    )
+
+
+def busday_dow(d):
+    """Day-of-week on a Monday=0 .. Sunday=6 index (normalizes Spark's
+    Sunday=1 convention)."""
+    return (F.dayofweek(d) + 5) % 7
+
+
+def busday_roll(d):
+    """Library primitive: roll a date column forward to the next
+    business day (numpy busday 'forward' roll; weekends only — join a
+    holiday dimension upstream for market calendars)."""
+    dow = busday_dow(d)
+    return (
+        F.when(dow == 5, F.date_add(d, 2))
+        .when(dow == 6, F.date_add(d, 1))
+        .otherwise(d)
+    )
+
+
+def busday_offset(d, n: int):
+    """Library primitive: add ``n`` business days to a date column via
+    the closed form eff + n + 2·floor((dow_eff + n)/5) — pure integer
+    day arithmetic, no calendar iteration. Weekend starts roll forward
+    FIRST and consume no business days (numpy busday_offset semantics).
+    Verified against literal day-walking in tests."""
+    dow = busday_dow(d)
+    eff = busday_roll(d)
+    eff_dow = F.when((dow == 5) | (dow == 6), 0).otherwise(dow)
+    return F.date_add(
+        eff,
+        (F.lit(n) + 2 * F.floor((eff_dow + n) / 5.0).cast("int")).cast("int"),
     )

@@ -1023,7 +1023,6 @@ def join_geo_grid_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance is planar equirect (no trig — bit-exact; antimeridian
     wrap documented out of scope, as with any single-grid DJ)."""
     ev = load_table(spark, sf_dir, "events")
-    r = F.lit(GEO_RADIUS_U).cast("long")
     pts = ev.filter(F.col("event_type") == "signup").select(
         F.col("event_id").alias("id"),
         F.floor(((F.col("value") * 7) % 180 - 90) * 1_000_000)
@@ -1032,35 +1031,49 @@ def join_geo_grid_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(((F.col("value") * 13) % 360 - 180) * 1_000_000)
         .cast("long")
         .alias("ilon"),
-    ).withColumns(
+    )
+    return grid_radius_join(pts, "id", "ilon", "ilat", GEO_RADIUS_U)
+
+
+def grid_radius_join(
+    df: DataFrame, id_col: str, x_col: str, y_col: str, radius: int
+) -> DataFrame:
+    """Library primitive: all point pairs within ``radius`` (planar
+    integer coordinates) via grid blocking — cell edge == radius, side A
+    replicated to its 3×3 cell neighborhood (9-row broadcast of
+    offsets), side B on its home cell, EQUI-join on the cell id, exact
+    integer distance verify. Emits (id_a, id_b, d2) with id_a < id_b,
+    each true pair exactly once. Candidate volume is bounded by cell
+    occupancy — shrink the radius grid or two-level-grid hot cells at
+    scale (see join_geo_grid_radius)."""
+    spark = df.sparkSession
+    r = F.lit(radius).cast("long")
+    cells = df.withColumns(
         {
-            "cx": F.floor(F.col("ilon") / float(GEO_RADIUS_U)).cast("long"),
-            "cy": F.floor(F.col("ilat") / float(GEO_RADIUS_U)).cast("long"),
+            "cx": F.floor(F.col(x_col) / float(radius)).cast("long"),
+            "cy": F.floor(F.col(y_col) / float(radius)).cast("long"),
         }
     )
     offsets = spark.createDataFrame(
         [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
     )
-    a = (
-        pts.crossJoin(F.broadcast(offsets))
-        .select(
-            F.col("id").alias("id_a"),
-            F.col("ilat").alias("lat_a"),
-            F.col("ilon").alias("lon_a"),
-            (F.col("cx") + F.col("dx")).alias("jx"),
-            (F.col("cy") + F.col("dy")).alias("jy"),
-        )
+    a = cells.crossJoin(F.broadcast(offsets)).select(
+        F.col(id_col).alias("id_a"),
+        F.col(y_col).alias("_ya"),
+        F.col(x_col).alias("_xa"),
+        (F.col("cx") + F.col("dx")).alias("jx"),
+        (F.col("cy") + F.col("dy")).alias("jy"),
     )
-    b = pts.select(
-        F.col("id").alias("id_b"),
-        F.col("ilat").alias("lat_b"),
-        F.col("ilon").alias("lon_b"),
+    b = cells.select(
+        F.col(id_col).alias("id_b"),
+        F.col(y_col).alias("_yb"),
+        F.col(x_col).alias("_xb"),
         F.col("cx").alias("jx"),
         F.col("cy").alias("jy"),
     )
-    d2 = (F.col("lat_a") - F.col("lat_b")) * (
-        F.col("lat_a") - F.col("lat_b")
-    ) + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b"))
+    d2 = (F.col("_ya") - F.col("_yb")) * (F.col("_ya") - F.col("_yb")) + (
+        F.col("_xa") - F.col("_xb")
+    ) * (F.col("_xa") - F.col("_xb"))
     return (
         a.join(b, ["jx", "jy"])
         .filter((F.col("id_a") < F.col("id_b")) & (d2 <= r * r))

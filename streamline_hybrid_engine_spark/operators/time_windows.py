@@ -1127,41 +1127,61 @@ def ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange. At 100 TB a per-user timeline fits one partition by
     construction (user count ≫ executor count); no island ever spans
     partitions."""
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events", parallel=True)
-    us = (F.unix_micros(F.col("ts"))).alias("s")
     iv = ev.select(
         "user_id",
         "event_id",
-        us,
+        F.unix_micros(F.col("ts")).alias("s"),
         (F.unix_micros(F.col("ts")) + 1_800_000_000).alias("e"),
     )
+    return interval_merge(iv, ["user_id"], "s", "e", order_col="event_id").select(
+        "user_id",
+        "island",
+        F.col("island_start").alias("island_start_us"),
+        F.col("island_end").alias("island_end_us"),
+        "n_intervals",
+    )
+
+
+def interval_merge(
+    df: DataFrame,
+    keys: list[str],
+    start_col: str,
+    end_col: str,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Library primitive: merge overlapping/touching intervals per key
+    (gaps-and-islands over RANGES). Returns one row per merged island:
+    (keys..., island, island_start, island_end, n_intervals). Start/end
+    must be a totally ordered numeric/timestamp type; pass ``order_col``
+    (a unique column) to pin intra-tie order when multiple intervals
+    share a start — required for a deterministic island NUMBERING
+    (island extents are tie-invariant either way). The island detector
+    is the running-max-end over ``ROWS … AND 1 PRECEDING``, which
+    handles chained overlaps that lag(end) misses. One shuffle on the
+    keys; both window passes and the final aggregate share it (the
+    aggregate keys extend the window partitioning)."""
+    from pyspark.sql import Window
+
+    order = [start_col, order_col] if order_col else [start_col, end_col]
     w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
+        Window.partitionBy(*keys)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    flagged = iv.select(
-        "user_id",
-        "event_id",
-        "s",
-        "e",
-        F.when(F.max("e").over(w_prev) >= F.col("s"), 0)
-        .otherwise(1)
-        .alias("is_new"),
-    )
     w_run = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
+        Window.partitionBy(*keys)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    islands = flagged.select(
-        "user_id", "s", "e", F.sum("is_new").over(w_run).alias("island")
+    flagged = df.withColumn(
+        "is_new",
+        F.when(F.max(end_col).over(w_prev) >= F.col(start_col), 0).otherwise(1),
     )
-    return islands.groupBy("user_id", "island").agg(
-        F.min("s").alias("island_start_us"),
-        F.max("e").alias("island_end_us"),
+    islands = flagged.withColumn("island", F.sum("is_new").over(w_run))
+    return islands.groupBy(*keys, "island").agg(
+        F.min(start_col).alias("island_start"),
+        F.max(end_col).alias("island_end"),
         F.count("*").alias("n_intervals"),
     )
 

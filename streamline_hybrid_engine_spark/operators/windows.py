@@ -654,23 +654,41 @@ def win_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
         F.floor(F.col("l_quantity")).cast("long").alias("wt"),
     )
+    return weighted_median(w, ["flag"], "cents", "wt").select(
+        "flag",
+        F.col("wmedian").alias("wmedian_cents"),
+        "total_weight",
+    )
+
+
+def weighted_median(
+    df: DataFrame, keys: list[str], value_col: str, weight_col: str
+) -> DataFrame:
+    """Library primitive: lower weighted median per key — the smallest
+    value whose cumulative weight reaches half the key's total. Returns
+    (keys..., wmedian, total_weight). Deterministic without a tiebreak
+    column: the crossing VALUE is invariant under intra-tie row order
+    (rows before a tie run have fixed cumulative weight, the run's last
+    row has fixed cumulative weight — see win_weighted_median). Use
+    integer-typed weights for an exact cross-engine result. One shuffle
+    on the keys serves both window frames and the final aggregate."""
     win_cum = (
-        Window.partitionBy("flag")
-        .orderBy("cents")
+        Window.partitionBy(*keys)
+        .orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    win_all = Window.partitionBy("flag")
-    c = w.select(
-        "flag",
-        "cents",
-        F.sum("wt").over(win_cum).cast("long").alias("cum"),
-        F.sum("wt").over(win_all).cast("long").alias("tot"),
+    win_all = Window.partitionBy(*keys)
+    c = df.select(
+        *keys,
+        value_col,
+        F.sum(weight_col).over(win_cum).cast("long").alias("cum"),
+        F.sum(weight_col).over(win_all).cast("long").alias("tot"),
     )
     return (
         c.filter(2 * F.col("cum") >= F.col("tot"))
-        .groupBy("flag")
+        .groupBy(*keys)
         .agg(
-            F.min("cents").alias("wmedian_cents"),
+            F.min(value_col).alias("wmedian"),
             F.min("tot").alias("total_weight"),
         )
     )

@@ -797,36 +797,65 @@ def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirroring MERGE's first-matching-clause-wins rule. Money is exact
     integer cents on both sides."""
     t = load_table(spark, sf_dir, "orders")
-    upd_del = t.filter(
+    target = t.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    changes = t.filter(
         (F.col("o_orderkey") % 13 == 0) | (F.col("o_orderkey") % 7 == 0)
     ).select(
-        F.col("o_orderkey").alias("key"),
+        "o_orderkey",
         F.when(F.col("o_orderkey") % 13 == 0, None)
         .otherwise(F.lit("UPDATED"))
-        .alias("new_status"),
-        F.round(F.col("o_totalprice") * 110).cast("long").alias("new_cents"),
+        .alias("status"),
+        F.round(F.col("o_totalprice") * 110).cast("long").alias("cents"),
         F.when(F.col("o_orderkey") % 13 == 0, "delete")
         .otherwise("update")
         .alias("op"),
-    )
-    ins = t.filter(F.col("o_orderkey") % 11 == 0).select(
-        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
-        F.lit("INSERTED").alias("status"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
-    applied = (
-        t.join(F.broadcast(upd_del), t.o_orderkey == upd_del.key, "left")
-        .filter(F.col("op").isNull() | (F.col("op") != "delete"))
-        .select(
-            "o_orderkey",
-            F.when(F.col("op") == "update", F.col("new_status"))
-            .otherwise(F.col("o_orderstatus"))
-            .alias("status"),
-            F.when(F.col("op") == "update", F.col("new_cents"))
-            .otherwise(F.round(F.col("o_totalprice") * 100).cast("long"))
-            .alias("cents"),
+    ).unionAll(
+        t.filter(F.col("o_orderkey") % 11 == 0).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            F.lit("INSERTED").alias("status"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.lit("insert").alias("op"),
         )
     )
+    return merge_apply(target, changes, "o_orderkey")
+
+
+def merge_apply(
+    target: DataFrame, changes: DataFrame, key: str, op_col: str = "op"
+) -> DataFrame:
+    """Library primitive: MERGE INTO semantics on any DataFrame pair.
+    ``changes`` carries the target's schema plus ``op_col`` ∈
+    {'update', 'delete', 'insert'}; matched updates replace the row's
+    non-key columns, matched deletes drop the row, inserts append.
+    Encode first-matching-clause precedence by emitting ONE op per key.
+    The plan is the scale-correct one: a LEFT join of target→changes
+    (broadcastable — the change set is ≪ target in every real CDC
+    cycle) plus a UNION ALL of the inserts; never the unbroadcastable
+    full-outer join (see lake_merge_upsert)."""
+    value_cols = [c for c in target.columns if c != key]
+    upd = changes.filter(F.col(op_col) != "insert").select(
+        F.col(key).alias("_mk"),
+        F.col(op_col).alias("_op"),
+        *[F.col(c).alias(f"_n_{c}") for c in value_cols],
+    )
+    applied = (
+        target.join(F.broadcast(upd), target[key] == F.col("_mk"), "left")
+        .filter(F.col("_op").isNull() | (F.col("_op") != "delete"))
+        .select(
+            key,
+            *[
+                F.when(F.col("_op") == "update", F.col(f"_n_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in value_cols
+            ],
+        )
+    )
+    ins = changes.filter(F.col(op_col) == "insert").select(key, *value_cols)
     return applied.unionAll(ins)
 
 

@@ -217,3 +217,83 @@ def test_compile_quantified_on_toy_events(spark):
     )
     [r] = match_pattern(df, spec).collect()
     assert (r["a_first_id"], r["a_last_id"], r["a_cnt"], r["b_id"]) == (10, 11, 2, 12)
+
+
+def test_interval_merge_on_toy_frame(spark):
+    from streamline_hybrid_engine_spark import interval_merge
+
+    # k=1: [0,10) [5,15) [14,20) chain into one island; [30,40) separate
+    df = spark.createDataFrame(
+        [(1, 1, 0, 10), (1, 2, 5, 15), (1, 3, 14, 20), (1, 4, 30, 40)],
+        "k long, id long, s long, e long",
+    )
+    out = {
+        (r.k, r.island_start): (r.island_end, r.n_intervals)
+        for r in interval_merge(df, ["k"], "s", "e", order_col="id").collect()
+    }
+    assert out == {(1, 0): (20, 3), (1, 30): (40, 1)}
+
+
+def test_weighted_median_on_toy_frame(spark):
+    from streamline_hybrid_engine_spark import weighted_median
+
+    # values 1(w3), 2(w1), 10(w2): total 6, crossing at cum>=3 → value 1
+    df = spark.createDataFrame(
+        [("a", 1, 3), ("a", 2, 1), ("a", 10, 2)], "k string, v long, w long"
+    )
+    row = weighted_median(df, ["k"], "v", "w").collect()[0]
+    assert (row.wmedian, row.total_weight) == (1, 6)
+
+
+def test_merge_apply_on_toy_frame(spark):
+    from streamline_hybrid_engine_spark import merge_apply
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", "update"), (3, None, "delete"), (4, "d", "insert")],
+        "id long, v string, op string",
+    )
+    out = {r.id: r.v for r in merge_apply(target, changes, "id").collect()}
+    assert out == {1: "a", 2: "B", 4: "d"}
+
+
+def test_grid_radius_join_on_toy_frame(spark):
+    from streamline_hybrid_engine_spark import grid_radius_join
+
+    # (0,0)-(3,4) at d2=25 == r*r kept; (100,100) isolated; neighbor-cell
+    # pair (9,0)-(11,0) crosses a cell boundary (r=10) and must be found
+    df = spark.createDataFrame(
+        [(1, 0, 0), (2, 3, 4), (3, 100, 100), (4, 9, 0), (5, 11, 0)],
+        "id long, x long, y long",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.d2
+        for r in grid_radius_join(df, "id", "x", "y", 10).collect()
+    }
+    assert pairs[(1, 2)] == 25
+    assert pairs[(4, 5)] == 4
+    assert all(3 not in p for p in pairs)
+
+
+def test_busday_helpers_on_toy_frame(spark):
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from streamline_hybrid_engine_spark import busday_offset, busday_roll
+
+    df = spark.createDataFrame(
+        [(datetime.date(2024, 1, 5),),  # Friday
+         (datetime.date(2024, 1, 6),)],  # Saturday
+        "d date",
+    )
+    rows = df.select(
+        "d",
+        busday_roll(F.col("d")).alias("roll"),
+        busday_offset(F.col("d"), 1).alias("plus1"),
+    ).collect()
+    by_d = {r.d.day: r for r in rows}
+    assert by_d[5].roll.day == 5 and by_d[5].plus1.day == 8  # Fri → Mon
+    assert by_d[6].roll.day == 8 and by_d[6].plus1.day == 9  # Sat → Mon, +1 → Tue

@@ -69,3 +69,100 @@ def test_backfill_rate_limit_splits_batches(spark, sf_dir):
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert len(rows) == 4  # 8 staged files at 2 files/trigger
     assert sum(r.n_rows for r in rows) == n_events  # lossless, no dupes
+
+
+# --- model-based properties: library primitives vs brute-force Python --------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_iv = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(1, 20)),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_iv)
+def test_interval_merge_matches_brute_force(spark, rows):
+    from streamline_hybrid_engine_spark import interval_merge
+
+    data = [
+        (k, i, s, s + ln) for i, (k, s, ln) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "k long, id long, s long, e long")
+    got = {
+        (r.k, r.island_start, r.island_end, r.n_intervals)
+        for r in interval_merge(df, ["k"], "s", "e", order_col="id").collect()
+    }
+    # brute force: sort per key, sweep with running max end
+    expect = set()
+    for k in {d[0] for d in data}:
+        ivs = sorted((s, e) for kk, _, s, e in data if kk == k)
+        cur_s, cur_e, n = ivs[0][0], ivs[0][1], 1
+        for s, e in ivs[1:]:
+            if s <= cur_e:
+                cur_e, n = max(cur_e, e), n + 1
+            else:
+                expect.add((k, cur_s, cur_e, n))
+                cur_s, cur_e, n = s, e, 1
+        expect.add((k, cur_s, cur_e, n))
+    assert got == expect
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(-50, 50), st.integers(1, 9)),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_weighted_median_matches_brute_force(spark, rows):
+    from streamline_hybrid_engine_spark import weighted_median
+
+    df = spark.createDataFrame(rows, "k long, v long, w long")
+    got = {
+        (r.k, r.wmedian, r.total_weight)
+        for r in weighted_median(df, ["k"], "v", "w").collect()
+    }
+    expect = set()
+    for k in {r[0] for r in rows}:
+        pts = sorted((v, w) for kk, v, w in rows if kk == k)
+        tot = sum(w for _, w in pts)
+        cum = 0
+        for v, w in pts:
+            cum += w
+            if 2 * cum >= tot:
+                expect.add((k, v, tot))
+                break
+    assert got == expect
+
+
+def test_waterfill_allocation_sums_to_budget(spark, sf_dir):
+    """Σ allocation == floor(0.4·total) and no source exceeds its own
+    tokens; capped sources all land within 1 token of each other (the
+    water level)."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    rows = _QS["llm_mix_waterfill"].fn(spark, sf_dir).collect()
+    total = sum(r.n_tokens for r in rows)
+    assert sum(r.allocation for r in rows) == total * 4 // 10
+    for r in rows:
+        assert r.allocation <= r.n_tokens
+    capped = [r.allocation for r in rows if r.capped]
+    if capped:
+        assert max(capped) - min(capped) <= 1
+        # every uncapped source is smaller than the water level
+        for r in rows:
+            if not r.capped:
+                assert r.n_tokens <= min(capped)
