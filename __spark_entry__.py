@@ -148,6 +148,11 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "llm_surprisal_bits",
         "win_weighted_median",
         "fn_busday_bundle",
+        "llm_spell_candidates",
+        "agg_percentile_narrowed",
+        "dq_drift_chi2",
+        "join_asof_nearest",
+        "sql_unpivot_syntax",
     }
 )
 

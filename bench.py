@@ -105,6 +105,23 @@ HEADLINE = (
     "agg_rollup_grouping_id",      # ROLLUP + GROUPING() indicators
     "ts_seasonal_profile",         # hour-of-day seasonal means
     "agg_rollup_count_distinct",   # exact multi-level distinct
+    # round-7 second wave (baselines in BASELINE.md §A.1 r7 block;
+    # lake_snapshot_diff / stream_rate_limited_backfill stay out: sinks
+    # and staged-file jobs are excluded from HEADLINE by convention)
+    "lake_merge_upsert",           # MERGE semantics, broadcast change set
+    "ts_interval_merge",           # interval de-overlap (islands on ranges)
+    "agg_market_basket_pairs",     # co-occurrence support/lift
+    "agg_rfm_segments",            # rank-exact RFM quartiles
+    "cep_funnel_conversion",       # ordered-steps funnel rates
+    "graph_link_prediction",       # Jaccard + RA over inverted index
+    "join_geo_grid_radius",        # grid-blocked spatial radius join
+    "llm_surprisal_bits",          # integer-log2 unigram surprisal
+    "win_weighted_median",         # cumulative-weight median
+    "fn_busday_bundle",            # business-day calendar arithmetic
+    "llm_spell_candidates",        # SymSpell deletion-neighborhood join
+    "agg_percentile_narrowed",     # two-pass exact percentile
+    "dq_drift_chi2",               # chi-square drift monitor
+    "join_asof_nearest",           # nearest as-of (union-marker window)
 )
 
 #: BASELINE.md §A.1 rows (sf0.1 full-sequence medians, seconds) — kept in
@@ -176,6 +193,16 @@ BASELINE_SEC = {
     "agg_rollup_grouping_id": 0.31,
     "ts_seasonal_profile": 0.85,
     "agg_rollup_count_distinct": 0.37,
+    "lake_merge_upsert": 1.07,
+    "ts_interval_merge": 1.15,
+    "agg_market_basket_pairs": 1.89,
+    "agg_rfm_segments": 0.57,
+    "cep_funnel_conversion": 1.12,
+    "graph_link_prediction": 4.37,
+    "join_geo_grid_radius": 2.50,
+    "llm_surprisal_bits": 0.66,
+    "win_weighted_median": 0.89,
+    "fn_busday_bundle": 1.90,
 }
 
 

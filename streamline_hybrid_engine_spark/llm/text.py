@@ -1130,3 +1130,119 @@ def llm_surprisal_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_bits_micro"),
     )
+
+
+# --- SymSpell fuzzy vocabulary match (spell-candidate join) ------------------
+
+_SPELL_ORACLE = """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    tokp AS (
+      SELECT doc_id, CAST(x['pos'] AS BIGINT) AS pos,
+             CAST(x['t'] AS VARCHAR) AS t
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(0, len(toks)),
+                     i -> {'pos': i, 't': toks[CAST(i AS INTEGER) + 1]}))
+                     AS x
+            FROM base)
+    ),
+    noisy AS (
+      SELECT substr(t, 1, CAST(floor(length(t) / 2.0) AS INTEGER) - 1)
+             || substr(t, CAST(floor(length(t) / 2.0) AS INTEGER) + 1)
+               AS typo
+      FROM tokp
+      WHERE (doc_id * 31 + pos) % 11 = 0 AND length(t) >= 4
+    ),
+    typo_cnt AS (SELECT typo, count(*) AS n_occ FROM noisy GROUP BY typo),
+    vocab AS (
+      SELECT DISTINCT t AS w FROM tokp WHERE length(t) >= 4
+    ),
+    tv AS (
+      SELECT typo, unnest(list_transform(range(-1, length(typo)),
+               i -> CASE WHEN i = -1 THEN typo
+                    ELSE substr(typo, 1, CAST(i AS INTEGER))
+                         || substr(typo, CAST(i AS INTEGER) + 2) END))
+               AS var
+      FROM typo_cnt
+    ),
+    vv AS (
+      SELECT w, unnest(list_transform(range(-1, length(w)),
+               i -> CASE WHEN i = -1 THEN w
+                    ELSE substr(w, 1, CAST(i AS INTEGER))
+                         || substr(w, CAST(i AS INTEGER) + 2) END))
+               AS var
+      FROM vocab
+    ),
+    cand AS (
+      SELECT DISTINCT tv.typo, vv.w FROM tv JOIN vv ON tv.var = vv.var
+    )
+    SELECT c.typo, c.w AS suggestion,
+           CAST(levenshtein(c.typo, c.w) AS INTEGER) AS lev,
+           t.n_occ
+    FROM cand c JOIN typo_cnt t ON t.typo = c.typo
+    WHERE levenshtein(c.typo, c.w) <= 1
+"""
+
+
+@query(
+    "llm_spell_candidates",
+    oracle=_SPELL_ORACLE,
+    tags=("llm", "fuzzy"),
+)
+def llm_spell_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy vocabulary match via SymSpell deletion neighborhoods — the
+    OCR/typo-normalization join of a data-cleaning pipeline, and the
+    scale-correct way to fuzzy-join strings: a pair is within edit
+    distance 1 only if the two words share a member of their deletion
+    neighborhoods ({word} ∪ {word minus one char} — |w|+1 variants per
+    word), so candidate generation is a plain EQUI-join on the variant
+    key instead of the |rare|×|vocab| levenshtein grid; the exact
+    levenshtein (identical DP in both engines) then kills the
+    neighborhood's false positives (e.g. 'ab'~'ba' share variants at
+    distance 2) — candidate/verify, the same LSH discipline as minhash
+    dedup. Typos are PLANTED deterministically (delete the middle char
+    of every 11th (doc, pos) token — the fixture's 31-word vocabulary
+    has no organic misspellings; same policy as llm_pii_redact's
+    planted PII). At 100 TB the vocab side's variants broadcast when
+    the dictionary is bounded; both sides shuffle on the variant key
+    otherwise, and max_edit=2 squares the neighborhood (SymSpell's
+    documented trade)."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    tokp = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "t")
+    )
+    mid = F.floor(F.length("t") / 2.0).cast("int")
+    noisy = tokp.filter(
+        ((F.col("doc_id") * 31 + F.col("pos")) % 11 == 0)
+        & (F.length("t") >= 4)
+    ).select(
+        F.concat(
+            F.substring(F.col("t"), F.lit(1), mid - 1),
+            F.col("t").substr(mid + 1, F.length("t")),
+        ).alias("typo")
+    )
+    typo_cnt = noisy.groupBy("typo").agg(F.count("*").alias("n_occ"))
+    vocab = (
+        tokp.filter(F.length("t") >= 4).select(F.col("t").alias("w")).distinct()
+    )
+    variant = (
+        "transform(sequence(-1, length({c}) - 1), i -> CASE WHEN i = -1 "
+        "THEN {c} ELSE concat(substring({c}, 1, i), substring({c}, i + 2)) "
+        "END)"
+    )
+    tv = typo_cnt.select(
+        "typo", F.explode(F.expr(variant.format(c="typo"))).alias("var")
+    )
+    vv = vocab.select("w", F.explode(F.expr(variant.format(c="w"))).alias("var"))
+    cand = tv.join(vv, "var").select("typo", "w").distinct()
+    return (
+        cand.filter(F.levenshtein("typo", "w") <= 1)
+        .join(typo_cnt, "typo")
+        .select(
+            "typo",
+            F.col("w").alias("suggestion"),
+            F.levenshtein("typo", "w").cast("int").alias("lev"),
+            "n_occ",
+        )
+    )

@@ -1225,3 +1225,93 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         score("rn_f").alias("f_score"),
         score("rn_m").alias("m_score"),
     )
+
+
+# --- Two-pass histogram-narrowed exact percentile ----------------------------
+
+_NARROW_BUCKETS = 256
+
+_PCTL_NARROW_ORACLE = """
+    WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+               FROM lineitem),
+         r AS (SELECT cents,
+                      row_number() OVER (ORDER BY cents) AS rn,
+                      count(*) OVER () AS cnt
+               FROM c)
+    SELECT 50 AS pct, CAST((cnt + 1) // 2 AS BIGINT) AS k, cents
+    FROM r WHERE rn = (cnt + 1) // 2
+    UNION ALL
+    SELECT 95 AS pct, CAST((95 * cnt + 99) // 100 AS BIGINT) AS k, cents
+    FROM r WHERE rn = (95 * cnt + 99) // 100
+"""
+
+
+@query(
+    "agg_percentile_narrowed",
+    oracle=_PCTL_NARROW_ORACLE,
+    tags=("aggregate", "percentile"),
+)
+def agg_percentile_narrowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (p50/p95) by two-pass histogram narrowing — the
+    100 TB path the single-sort percentile docstrings promise, realized
+    and hash-verified against the direct global-rank oracle. Pass 1:
+    one partial-agg groupBy into 256 equi-width buckets (bounded
+    histogram to the driver — a dimension-sized lookup, same policy as
+    AQE plan finalization); the cumulative histogram locates each
+    target rank's bucket and its within-bucket offset. Pass 2 touches
+    ONLY the two target buckets (a pushed-down range filter, ~1/256 of
+    the data each), ranks within them, and reads the offset-th value.
+    No global sort ever happens: the big data moves through hash
+    aggregates; the only sort is over two bucket-sized slices. The
+    rank-k value is deterministic under value ties in both passes
+    (position-th smallest is tie-order invariant). The oracle is the
+    single-window global-rank form — a genuinely different algorithm,
+    so an off-by-one in the bucket/offset arithmetic breaks the
+    hash."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem", parallel=True)
+    c = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    lo, hi, n = c.agg(F.min("cents"), F.max("cents"), F.count("*")).first()
+    span = hi - lo + 1
+    bucket = F.floor((F.col("cents") - lo) * _NARROW_BUCKETS / span).cast("int")
+    hist = {
+        r["b"]: r["cnt"]
+        for r in c.groupBy(bucket.alias("b")).agg(F.count("*").alias("cnt")).collect()
+    }
+    targets = {50: (n + 1) // 2, 95: (95 * n + 99) // 100}
+    locate = {}
+    for pct, k in targets.items():
+        cum = 0
+        for b in range(_NARROW_BUCKETS):
+            cnt = hist.get(b, 0)
+            if cum + cnt >= k:
+                locate[pct] = (b, k - cum)  # bucket, within-bucket offset
+                break
+            cum += cnt
+    wanted = {b for b, _ in locate.values()}
+    w = (
+        Window.partitionBy("b")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = (
+        c.withColumn("b", bucket)
+        .filter(F.col("b").isin(*wanted))
+        .withColumn("cum", F.count("*").over(w))
+    )
+    out = None
+    for pct, (b, off) in sorted(locate.items()):
+        hit = (
+            ranked.filter((F.col("b") == b) & (F.col("cum") >= off))
+            .agg(F.min("cents").alias("cents"))
+            .select(
+                F.lit(pct).alias("pct"),
+                F.lit(targets[pct]).cast("long").alias("k"),
+                "cents",
+            )
+        )
+        out = hit if out is None else out.unionAll(hit)
+    return out

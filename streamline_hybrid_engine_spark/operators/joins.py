@@ -1079,3 +1079,124 @@ def grid_radius_join(
         .filter((F.col("id_a") < F.col("id_b")) & (d2 <= r * r))
         .select("id_a", "id_b", d2.alias("d2"))
     )
+
+
+# --- As-of NEAREST join (both directions, bounded, tie → backward) -----------
+
+ASOF_NEAREST_TOL_US = 30 * 60 * 1_000_000  # ±30 minutes
+
+_ASOF_NEAREST_ORACLE = f"""
+    WITH p AS (SELECT event_id AS pid, user_id,
+                      CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS pts
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS cid, user_id,
+                      CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS cts
+               FROM events WHERE event_type = 'click'),
+         cand AS (
+           SELECT p.pid, p.user_id, p.pts, c.cid, c.cts,
+                  abs(p.pts - c.cts) AS dist,
+                  CASE WHEN c.cts <= p.pts THEN 0 ELSE 1 END AS fwd,
+                  row_number() OVER (
+                    PARTITION BY p.pid
+                    ORDER BY abs(p.pts - c.cts),
+                             CASE WHEN c.cts <= p.pts THEN 0 ELSE 1 END,
+                             c.cid
+                  ) AS rk
+           FROM p JOIN c ON c.user_id = p.user_id
+           WHERE abs(p.pts - c.cts) <= {ASOF_NEAREST_TOL_US}
+         )
+    SELECT pid, user_id, pts, cid AS nearest_click_id, cts AS nearest_click_us,
+           dist AS dist_us
+    FROM cand WHERE rk = 1
+"""
+
+
+@query(
+    "join_asof_nearest",
+    oracle=_ASOF_NEAREST_ORACLE,
+    tags=("join", "asof"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of NEAREST join — the last face of the as-of matrix (backward =
+    join_asof_last_purchase, forward = join_asof_next_purchase,
+    bounded-backward = join_asof_tolerance): each purchase matched to
+    the temporally CLOSEST click of the same user within ±30 min, ties
+    to the backward side (pandas merge_asof direction='nearest'
+    semantics). ONE union-marker sort per user produces BOTH
+    candidates: clicks sort before purchases at equal timestamps (so an
+    exactly-simultaneous click is the ≤ backward candidate), a
+    running last(ignorenulls) carries the backward click and a
+    mirrored first over the following frame carries the forward one;
+    the winner is two integer comparisons. No pair join, no per-row
+    subquery — the oracle IS the per-user pair join with a ranked
+    argmin, a genuinely different algorithm, so frame/tie fencepost
+    bugs break the hash. Same zero-join scale story as the other as-of
+    faces: one shuffle, one sort, state one row per side."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events", parallel=True)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.unix_micros("ts").alias("mts"),
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("cid"),
+        F.unix_micros("ts").alias("cts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.unix_micros("ts").alias("mts"),
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("cid"),
+        F.lit(None).cast("long").alias("cts"),
+    )
+    marked = clicks.unionAll(purchases)
+    order = ["mts", "kind", "cid"]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    both = marked.select(
+        "user_id",
+        "mts",
+        "kind",
+        "cid",
+        F.last("cts", ignorenulls=True).over(w_back).alias("back_ts"),
+        F.first("cts", ignorenulls=True).over(w_fwd).alias("fwd_ts"),
+        F.last(
+            F.when(F.col("cts").isNotNull(), F.col("cid")), ignorenulls=True
+        )
+        .over(w_back)
+        .alias("back_id"),
+        F.first(
+            F.when(F.col("cts").isNotNull(), F.col("cid")), ignorenulls=True
+        )
+        .over(w_fwd)
+        .alias("fwd_id"),
+    ).filter(F.col("kind") == 1)
+    tol = F.lit(ASOF_NEAREST_TOL_US).cast("long")
+    bdist = F.col("mts") - F.col("back_ts")
+    fdist = F.col("fwd_ts") - F.col("mts")
+    b_ok = F.col("back_ts").isNotNull() & (bdist <= tol)
+    f_ok = F.col("fwd_ts").isNotNull() & (fdist <= tol)
+    pick_back = b_ok & (~f_ok | (bdist <= fdist))
+    return (
+        both.filter(b_ok | f_ok)
+        .select(
+            F.col("cid").alias("pid"),
+            "user_id",
+            F.col("mts").alias("pts"),
+            F.when(pick_back, F.col("back_id"))
+            .otherwise(F.col("fwd_id"))
+            .alias("nearest_click_id"),
+            F.when(pick_back, F.col("back_ts"))
+            .otherwise(F.col("fwd_ts"))
+            .alias("nearest_click_us"),
+            F.when(pick_back, bdist).otherwise(fdist).alias("dist_us"),
+        )
+    )

@@ -491,3 +491,92 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exp_n, 6).alias("n_expected"),
         F.round(dev * dev / exp_n, 6).alias("chi2_term"),
     )
+
+
+# --- Distribution-drift monitor (chi-square, exact integers) -----------------
+
+_DRIFT_ORACLE = """
+    WITH ev AS (
+      SELECT event_type,
+             CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+                  THEN 'base' ELSE 'cur' END AS period,
+             CAST(floor(value) AS BIGINT) % 10 AS bucket
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type, bucket,
+             count(*) FILTER (period = 'base') + 1 AS b,
+             count(*) FILTER (period = 'cur') AS o
+      FROM ev GROUP BY event_type, bucket
+    ),
+    tots AS (
+      SELECT event_type, CAST(sum(b) AS BIGINT) AS bt,
+             CAST(sum(o) AS BIGINT) AS ot
+      FROM cells GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(sum(CAST(floor(
+             CAST((c.o * t.bt - c.b * t.ot) AS DOUBLE)
+             * (c.o * t.bt - c.b * t.ot)
+             * 1000000 / (CAST(c.b AS DOUBLE) * t.ot * t.bt)
+           ) AS BIGINT)) AS BIGINT) AS chi2_micros,
+           CAST(min(t.ot) AS BIGINT) AS n_current
+    FROM cells c JOIN tots t ON t.event_type = c.event_type
+    GROUP BY c.event_type
+"""
+
+
+@query(
+    "dq_drift_chi2",
+    oracle=_DRIFT_ORACLE,
+    tags=("dq", "drift"),
+)
+def dq_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor — the chi-square statistic between a
+    baseline window (Jan 1-15) and the current window (Jan 16-30) of
+    each series' value histogram, the production data-drift tripwire
+    (chi-square chosen over PSI because PSI's ln is libm —
+    engine-specific last-ulp rounding — while χ² = Σ(o−E)²/E is pure
+    rational arithmetic: with E_i = b_i/B·O the per-bucket term is
+    (o·B − b·O)²/(b·O·B), one double division of exact integers,
+    FLOORED to micros and summed as longs so bucket order can't move
+    the total). Laplace +1 on baseline buckets (the standard
+    empty-cell guard — also what keeps the statistic defined when a
+    bucket first appears). Plan: one partial-agg groupBy to the
+    (series, bucket) grid — conditional counts split the periods in
+    the SAME pass, no second scan — then dimension-sized totals
+    broadcast back. At 100 TB only grid cells ever shuffle."""
+    ev = load_table(spark, sf_dir, "events", parallel=True).select(
+        "event_type",
+        F.when(
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "base"
+        )
+        .otherwise("cur")
+        .alias("period"),
+        (F.floor(F.col("value")).cast("long") % 10).alias("bucket"),
+    )
+    cells = ev.groupBy("event_type", "bucket").agg(
+        (
+            F.count(F.when(F.col("period") == "base", 1)) + 1
+        ).alias("b"),
+        F.count(F.when(F.col("period") == "cur", 1)).alias("o"),
+    )
+    tots = cells.groupBy("event_type").agg(
+        F.sum("b").cast("long").alias("bt"),
+        F.sum("o").cast("long").alias("ot"),
+    )
+    num = F.col("o") * F.col("bt") - F.col("b") * F.col("ot")
+    term = F.floor(
+        num.cast("double")
+        * num
+        * 1_000_000
+        / (F.col("b").cast("double") * F.col("ot") * F.col("bt"))
+    ).cast("long")
+    return (
+        cells.join(F.broadcast(tots), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(term).cast("long").alias("chi2_micros"),
+            F.min("ot").cast("long").alias("n_current"),
+        )
+    )

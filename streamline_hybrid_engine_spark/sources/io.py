@@ -965,3 +965,45 @@ def lake_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.coalesce(F.col("a.cents"), F.lit(0))
         ).alias("cents_delta"),
     )
+
+
+@query(
+    "sql_unpivot_syntax",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+           CAST(round(l_quantity * 100) AS BIGINT) AS cents
+    FROM lineitem WHERE l_linenumber <= 2
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice',
+           CAST(round(l_extendedprice * 100) AS BIGINT)
+    FROM lineitem WHERE l_linenumber <= 2
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax',
+           CAST(round(l_tax * 100) AS BIGINT)
+    FROM lineitem WHERE l_linenumber <= 2
+    """,
+    tags=("sources", "sql", "reshape"),
+)
+def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL:2016-style UNPIVOT *clause* (Spark 3.4+ native syntax) —
+    the text-surface twin of `unpivot_lineitem_measures`' DataFrame
+    API face: a migrating SQL workload keeps its UNPIVOT statements
+    unchanged. Lowers to the same single-scan Expand (3 rows per input
+    row, one pass — the plan the UNION-ALL oracle would pay 3 scans
+    for); the WHERE prunes before expansion. Measures are exact
+    integer cents so the long-form rows hash cross-engine."""
+    from streamline_hybrid_engine_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, measure, cents
+        FROM (SELECT l_orderkey, l_linenumber,
+                     CAST(round(l_quantity * 100) AS BIGINT) AS quantity,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                       AS extendedprice,
+                     CAST(round(l_tax * 100) AS BIGINT) AS tax
+              FROM lineitem WHERE l_linenumber <= 2)
+        UNPIVOT (cents FOR measure IN (quantity, extendedprice, tax))
+        """
+    )

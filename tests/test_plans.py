@@ -416,3 +416,48 @@ def test_surprisal_vocab_join_is_equi_hash_join(spark, sf_dir):
         or "ShuffledHashJoin" in p
         or "BroadcastHashJoin" in p
     )
+
+
+def test_spell_candidates_equi_join_on_variants_no_cartesian(spark, sf_dir):
+    """SymSpell: candidate generation must be an EQUI-join on the
+    deletion-variant key — never the |rare|×|vocab| levenshtein grid."""
+    p = plan(spark, sf_dir, "llm_spell_candidates")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_percentile_narrowed_never_sorts_globally(spark, sf_dir):
+    """Two-pass narrowing: the full data moves only through hash
+    aggregates; sorting happens per-bucket AFTER the target-bucket
+    filter (no range partitioning = no global sort)."""
+    p = plan(spark, sf_dir, "agg_percentile_narrowed")
+    assert "rangepartitioning" not in p.lower()
+    assert "HashAggregate" in p
+
+
+def test_sql_unpivot_clause_single_scan_expand(spark, sf_dir):
+    """The UNPIVOT clause must lower to one scan + Expand, not the
+    3-scan UNION ALL its oracle runs."""
+    p = plan(spark, sf_dir, "sql_unpivot_syntax")
+    assert p.count("Scan parquet") == 1, p
+    assert "Expand" in p
+    assert "Union" not in p
+
+
+def test_asof_nearest_is_window_not_pair_join(spark, sf_dir):
+    """NEAREST as-of must keep the union-marker window form — the
+    per-user pair join is the oracle's job, not the engine's."""
+    p = plan(spark, sf_dir, "join_asof_nearest")
+    assert "Window" in p
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in p, j
+
+
+def test_drift_chi2_single_fact_pass(spark, sf_dir):
+    """Both periods split via conditional counts in ONE pass: the grid
+    cells' exchange feeds both the per-series totals and the join side,
+    and AQE materializes it once (ReusedExchange at runtime — one fact
+    scan); the totals broadcast back."""
+    p = plan(spark, sf_dir, "dq_drift_chi2", execute=True)
+    assert p.count("ReusedExchange") >= 1
+    assert "BroadcastHashJoin" in p
