@@ -203,6 +203,10 @@ BASELINE_SEC = {
     "llm_surprisal_bits": 0.66,
     "win_weighted_median": 0.89,
     "fn_busday_bundle": 1.90,
+    "llm_spell_candidates": 0.83,
+    "agg_percentile_narrowed": 2.14,
+    "dq_drift_chi2": 0.84,
+    "join_asof_nearest": 0.82,
 }
 
 
