@@ -1578,3 +1578,56 @@ def stream_rate_limited_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(ledger), "batch_id bigint, n_rows bigint"
     )
+
+
+@query("stream_checkpoint_resume", oracle=None, tags=("streaming", "checkpoint"))
+def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resume across job restarts — THE streaming guarantee a
+    migrating user depends on (Flink's savepoint/restore): a file-source
+    job drains a directory under a checkpoint, STOPS, new files land,
+    and a second run with the SAME checkpoint processes ONLY the new
+    files — no reprocessing, no loss. Phase 1 stages events with
+    event_id % 3 == 0, drains availableNow; phase 2 appends the
+    remaining events and re-runs the identical query against the same
+    checkpoint. The returned ledger (phase, n_rows, n_batches) lets the
+    test pin phase2_rows == total − phase1_rows exactly — the
+    exactly-once accounting across a restart. The checkpoint's source
+    offsets (file listing position) are the whole mechanism; at scale
+    the same restart works mid-backlog with maxFilesPerTrigger
+    admission control (stream_rate_limited_backfill)."""
+    import shutil
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"she_ckptres_{os.path.basename(sf_dir)}"
+    )
+    data, ckpt = f"{base}/data", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    ev.filter(F.col("event_id") % 3 == 0).write.mode("overwrite").parquet(data)
+
+    counts: list[tuple[str, int, int]] = []
+
+    def drain(phase: str) -> None:
+        batches: list[int] = []
+
+        def record(batch_df: DataFrame, epoch_id: int) -> None:
+            batches.append(batch_df.count())
+
+        q = (
+            spark.readStream.schema("event_id long, user_id long")
+            .parquet(data)
+            .writeStream.foreachBatch(record)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        counts.append((phase, sum(batches), len(batches)))
+
+    drain("phase1")
+    # new files land while the job is DOWN; mode=append on the same dir
+    ev.filter(F.col("event_id") % 3 != 0).write.mode("append").parquet(data)
+    drain("phase2")
+    return spark.createDataFrame(
+        counts, "phase string, n_rows bigint, n_batches bigint"
+    )

@@ -166,3 +166,17 @@ def test_waterfill_allocation_sums_to_budget(spark, sf_dir):
         for r in rows:
             if not r.capped:
                 assert r.n_tokens <= min(capped)
+
+
+def test_checkpoint_resume_exactly_once_accounting(spark, sf_dir):
+    """Across a stop/restart on the same checkpoint, phase 2 must process
+    exactly the rows that landed while the job was down — no replay of
+    phase 1, no loss."""
+    rows = {
+        r.phase: r
+        for r in _QS["stream_checkpoint_resume"].fn(spark, sf_dir).collect()
+    }
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    phase1 = rows["phase1"].n_rows
+    assert phase1 > 0
+    assert rows["phase2"].n_rows == total - phase1

@@ -119,6 +119,19 @@ TEMPLATES = [
          ORDER BY a NULLS FIRST, s NULLS FIRST, b NULLS FIRST
          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_a
        FROM t""",
+    # r7: running aggregates under a total order — the cumulative-window
+    # face the interval-merge / weighted-median family leans on (exact
+    # integer sums; running max mirrors the island detector's prev-frame)
+    """SELECT a, s, b,
+              sum(coalesce(b, 0)) OVER (
+                ORDER BY a NULLS FIRST, s NULLS FIRST, b NULLS FIRST
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+              max(a) OVER (
+                ORDER BY a NULLS FIRST, s NULLS FIRST, b NULLS FIRST
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max,
+              row_number() OVER (
+                ORDER BY a NULLS FIRST, s NULLS FIRST, b NULLS FIRST) AS rn
+       FROM t ORDER BY rn""",
 ]
 
 
