@@ -153,6 +153,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "dq_drift_chi2",
         "join_asof_nearest",
         "sql_unpivot_syntax",
+        "llm_dedup_incremental",
     }
 )
 

@@ -122,6 +122,7 @@ HEADLINE = (
     "agg_percentile_narrowed",     # two-pass exact percentile
     "dq_drift_chi2",               # chi-square drift monitor
     "join_asof_nearest",           # nearest as-of (union-marker window)
+    "llm_dedup_incremental",       # new-batch-vs-corpus dedup admission
 )
 
 #: BASELINE.md §A.1 rows (sf0.1 full-sequence medians, seconds) — kept in
@@ -207,6 +208,7 @@ BASELINE_SEC = {
     "agg_percentile_narrowed": 2.14,
     "dq_drift_chi2": 0.84,
     "join_asof_nearest": 0.82,
+    "llm_dedup_incremental": 1.96,
 }
 
 

@@ -1318,3 +1318,120 @@ def llm_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dups",
         (F.col("doc_id") == F.col("keep_id")).alias("keep"),
     )
+
+
+# --- Incremental dedup: a new batch against the existing corpus --------------
+
+INCR_TAU = 0.5  # signature-agreement admit threshold
+
+
+_INCR_ORACLE = f"""
+    WITH sigs AS ({_ORACLE_SIGS}),
+    bands AS (
+      SELECT doc_id, seed // {BAND_ROWS} AS band,
+             md5(string_agg(mh::VARCHAR, '|' ORDER BY seed)) AS bandsig
+      FROM sigs GROUP BY doc_id, seed // {BAND_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT d1, d2,
+             round(count(CASE WHEN sa.mh = sb.mh THEN 1 END)
+                   / {N_SEEDS}.0, 6) AS ej
+      FROM cand
+      JOIN sigs sa ON sa.doc_id = d1
+      JOIN sigs sb ON sb.doc_id = d2 AND sb.seed = sa.seed
+      GROUP BY d1, d2
+    ),
+    rel AS (
+      SELECT d2 AS new_id, d1 AS partner, ej FROM est
+      WHERE d2 % 5 = 0 AND ej >= {INCR_TAU}
+      UNION ALL
+      SELECT d1 AS new_id, d2 AS partner, ej FROM est
+      WHERE d1 % 5 = 0 AND d2 % 5 <> 0 AND ej >= {INCR_TAU}
+    ),
+    best AS (
+      SELECT new_id, min(partner) AS match_id FROM rel GROUP BY new_id
+    ),
+    best_ej AS (
+      SELECT b.new_id, b.match_id, min(r.ej) AS match_est
+      FROM best b JOIN rel r
+        ON r.new_id = b.new_id AND r.partner = b.match_id
+      GROUP BY b.new_id, b.match_id
+    )
+    SELECT d.doc_id AS new_doc_id,
+           CASE WHEN b.match_id IS NULL THEN 'keep' ELSE 'dup' END AS verdict,
+           b.match_id, b.match_est
+    FROM documents d LEFT JOIN best_ej b ON b.new_id = d.doc_id
+    WHERE d.doc_id % 5 = 0
+"""
+
+
+@query(
+    "llm_dedup_incremental",
+    oracle=_INCR_ORACLE,
+    tags=("llm", "dedup", "minhash", "incremental"),
+)
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup admission — the PRODUCTION ingestion shape:
+    a NEW batch (doc_id % 5 == 0 stands in for today's crawl) is
+    deduplicated against the EXISTING corpus and within itself, and the
+    old×old pair space is never touched. A new doc is a 'dup' if an
+    LSH candidate with signature agreement ≥ INCR_TAU (0.5) exists that is
+    either an old doc or an earlier new doc (smaller id — the
+    first-arrival-wins rule the streaming face enforces with keyed
+    state); its match is the smallest qualifying partner. Composes the
+    oracle-checked pairs pipeline (shingle → Carter-Wegman minhash →
+    band buckets → agreement estimate) and then RESTRICTS the pair
+    space to new×any — at 100 TB the band-bucket table is a PERSISTED
+    state table keyed by (band, bandsig): each ingestion joins only the
+    day's signatures against it and appends its own, exactly the
+    `stream_dedup_minhash_lsh` state discipline in batch form; cost
+    scales with the batch, not the corpus."""
+    pairs = llm_dedup_minhash_pairs(spark, sf_dir)
+    is_new = lambda c: F.col(c) % 5 == 0  # noqa: E731
+    qual = pairs.filter(F.col("est_jaccard") >= INCR_TAU)
+    rel = (
+        qual.filter(is_new("d2"))
+        .select(
+            F.col("d2").alias("new_id"),
+            F.col("d1").alias("partner"),
+            F.col("est_jaccard").alias("ej"),
+        )
+        .unionAll(
+            qual.filter(is_new("d1") & ~is_new("d2")).select(
+                F.col("d1").alias("new_id"),
+                F.col("d2").alias("partner"),
+                F.col("est_jaccard").alias("ej"),
+            )
+        )
+    )
+    best = rel.groupBy("new_id").agg(F.min("partner").alias("match_id"))
+    best_ej = (
+        best.join(
+            rel,
+            (rel.new_id == best.new_id) & (rel.partner == best.match_id),
+        )
+        .groupBy(best.new_id, "match_id")
+        .agg(F.min("ej").alias("match_est"))
+    )
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    new_docs = docs.filter(is_new("doc_id")).select(
+        F.col("doc_id").alias("new_doc_id")
+    )
+    return (
+        new_docs.join(
+            best_ej, new_docs.new_doc_id == best_ej.new_id, "left"
+        )
+        .select(
+            "new_doc_id",
+            F.when(F.col("match_id").isNull(), "keep")
+            .otherwise("dup")
+            .alias("verdict"),
+            "match_id",
+            "match_est",
+        )
+    )
