@@ -154,6 +154,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "join_asof_nearest",
         "sql_unpivot_syntax",
         "llm_dedup_incremental",
+        "lake_vacuum_orphans",
+        "scan_json_malformed",
+        "sql_values_inline_dim",
     }
 )
 

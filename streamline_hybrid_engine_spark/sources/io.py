@@ -1007,3 +1007,183 @@ def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNPIVOT (cents FOR measure IN (quantity, extendedprice, tax))
         """
     )
+
+
+@query(
+    "lake_vacuum_orphans",
+    oracle="""
+    SELECT o_orderstatus AS status, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("sources", "lake", "vacuum"),
+)
+def lake_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM — delete data files not referenced by the table's manifest,
+    the other half of lake maintenance next to compaction (orphans come
+    from failed writes, killed executors mid-commit, and abandoned
+    overwrites; every table format ships this job). The orders table is
+    staged as parquet and its file listing captured as the MANIFEST;
+    then orphan parquet files with poison rows are planted in the same
+    directory (exactly what a torn write leaves behind — readable,
+    wrong). Vacuum walks the directory, deletes every data file not in
+    the manifest, and the returned aggregate reads the post-vacuum
+    directory: the oracle (same aggregate over the pristine table)
+    certifies the poison rows are gone AND nothing referenced was
+    touched. Deletion is driver-side file-listing arithmetic (set
+    difference on paths — manifest-sized, not data-sized); at 100 TB
+    the listing parallelizes per partition directory and the manifest
+    is the table format's metadata layer, same algorithm."""
+    base = os.path.join(
+        tempfile.gettempdir(), f"she_vacuum_{os.path.basename(sf_dir)}"
+    )
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    o.write.mode("overwrite").parquet(base)
+    manifest = {
+        f.name
+        for f in os.scandir(base)
+        if f.name.endswith(".parquet")
+    }
+    # plant orphans: poison rows a manifest-unaware reader would ingest
+    poison = o.limit(50).withColumn("o_totalprice", F.lit(9.9e7))
+    poison.coalesce(1).write.mode("overwrite").parquet(f"{base}_stage")
+    import glob as _glob
+
+    for i, src in enumerate(
+        _glob.glob(f"{base}_stage/part-*.parquet")
+    ):
+        shutil.copy(src, f"{base}/part-orphan-{i:05d}.parquet")
+    n_before = sum(1 for f in os.scandir(base) if f.name.endswith(".parquet"))
+    for f in list(os.scandir(base)):
+        if f.name.endswith(".parquet") and f.name not in manifest:
+            os.unlink(f.path)
+    n_after = sum(1 for f in os.scandir(base) if f.name.endswith(".parquet"))
+    assert n_before > n_after == len(manifest)  # the vacuum actually fired
+    back = spark.read.parquet(base)
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+
+
+@query(
+    "scan_json_malformed",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id, lang, n_chars,
+             CASE WHEN doc_id % 23 = 0 THEN 1 ELSE 0 END AS corrupt
+      FROM documents
+    )
+    SELECT CAST(sum(corrupt) AS BIGINT) AS n_corrupt,
+           CAST(sum(1 - corrupt) AS BIGINT) AS n_good,
+           CAST(sum(CASE WHEN corrupt = 0 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS good_chars,
+           count(DISTINCT CASE WHEN corrupt = 0 THEN lang END) AS n_langs
+    FROM src
+    """,
+    tags=("sources", "json", "malformed"),
+)
+def scan_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-JSON ingestion — the JSON-lines twin of
+    `scan_csv_malformed`: real feeds carry truncated/unbalanced lines,
+    and the contract is PERMISSIVE mode + columnNameOfCorruptRecord —
+    parseable rows survive, broken lines land intact in the corrupt
+    column (dead-letter route, never a silent drop). Corruption is
+    PLANTED deterministically (every 23rd doc's line loses its closing
+    brace — a torn write), staged via write.text, and the
+    certification aggregate (corrupt count, surviving rows/chars/langs)
+    is checked against the construction rule on the pristine table.
+    Spark requires selecting the corrupt column explicitly after a
+    cache-less read — handled here; at 100 TB this is a plain
+    splittable text scan with per-row parse, zero shuffle until the
+    aggregate."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    line = F.concat(
+        F.lit('{"doc_id": '),
+        F.col("doc_id").cast("string"),
+        F.lit(', "lang": "'),
+        F.col("lang"),
+        F.lit('", "n_chars": '),
+        F.col("n_chars").cast("string"),
+        F.lit("}"),
+    )
+    staged = d.select(
+        F.when(
+            F.col("doc_id") % 23 == 0,
+            F.substring(line, 1, 20),  # torn write: truncated mid-object
+        )
+        .otherwise(line)
+        .alias("value")
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), f"she_jsonmal_{os.path.basename(sf_dir)}"
+    )
+    staged.write.mode("overwrite").text(out)
+    back = (
+        spark.read.schema(
+            "doc_id long, lang string, n_chars long, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(out)
+        .cache()  # Spark disallows corrupt-column-only queries on a raw scan
+    )
+    return back.agg(
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_good"),
+        F.sum(
+            F.when(F.col("_corrupt").isNull(), F.col("n_chars")).otherwise(0)
+        )
+        .cast("long")
+        .alias("good_chars"),
+        F.countDistinct(
+            F.when(F.col("_corrupt").isNull(), F.col("lang"))
+        ).alias("n_langs"),
+    )
+
+
+_VALUES_DIM_SQL = """
+    WITH rate(status, label, fee_bps) AS (
+      VALUES ('O', 'open', 25), ('F', 'fulfilled', 10), ('P', 'pending', 40)
+    )
+    SELECT r.label, count(*) AS n,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT) * r.fee_bps)
+                AS BIGINT) AS fee_cents_bps
+    FROM orders o
+    JOIN rate r ON r.status = o.o_orderstatus
+    GROUP BY r.label
+"""
+
+
+@query(
+    "sql_values_inline_dim",
+    oracle=_VALUES_DIM_SQL,
+    tags=("sources", "sql", "values"),
+)
+def sql_values_inline_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES as a dimension table — Flink's ``fromElements`` /
+    SQL VALUES source: a literal rate card joined to the fact without
+    any file or view behind it. The SAME text runs on both engines
+    (shared dialect, the sql_text_q1 discipline), so the VALUES
+    parsing, aliasing and join semantics are value-checked
+    cross-engine. Spark plans the literal table as a LocalRelation →
+    broadcast — zero scan, zero shuffle for the dim side; fee math is
+    exact integer cents × basis points."""
+    from streamline_hybrid_engine_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_VALUES_DIM_SQL)

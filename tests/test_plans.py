@@ -461,3 +461,12 @@ def test_drift_chi2_single_fact_pass(spark, sf_dir):
     p = plan(spark, sf_dir, "dq_drift_chi2", execute=True)
     assert p.count("ReusedExchange") >= 1
     assert "BroadcastHashJoin" in p
+
+
+def test_values_dim_is_local_relation_broadcast(spark, sf_dir):
+    """The VALUES rate card must plan as a LocalRelation broadcast —
+    zero scan, zero shuffle on the dim side."""
+    p = plan(spark, sf_dir, "sql_values_inline_dim")
+    assert "LocalTableScan" in p
+    assert "BroadcastHashJoin" in p
+    assert p.count("Scan parquet") == 1  # only the fact
