@@ -348,12 +348,24 @@ def test_cep_quantified_oracle_matches_spark(spark, rows, spec_i, timeout_h):
     sdf = spark.createDataFrame(
         data, "user_id long, event_id long, event_type string, ts timestamp"
     )
-    got = sorted(tuple(r) for r in match_pattern(sdf, spec).collect())
+    # None-safe sort key: a zero-min step's anchors are NULL when it
+    # matched zero times, so one match row can carry None where another
+    # carries an int in the same column — raw tuple sorting raises
+    # TypeError there (hypothesis found the two-simultaneous-purchase
+    # shape that produces BOTH kinds of match; engine and oracle agree
+    # exactly on the rows, the harness just couldn't order them).
+    def canon(t):
+        return tuple((x is None, x) for x in t)
+
+    got = sorted(
+        (tuple(r) for r in match_pattern(sdf, spec).collect()), key=canon
+    )
     pdf = pd.DataFrame(data, columns=["user_id", "event_id", "event_type", "ts"])
     duck = duckdb.connect()
     duck.register("events", pdf)
     want = sorted(
-        tuple(r) for r in duck.execute(quantified_oracle(spec)).fetchall()
+        (tuple(r) for r in duck.execute(quantified_oracle(spec)).fetchall()),
+        key=canon,
     )
     assert got == want
 
