@@ -157,6 +157,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "lake_vacuum_orphans",
         "scan_json_malformed",
         "sql_values_inline_dim",
+        "agg_gini_concentration",
+        "win_zscore_normalize",
     }
 )
 

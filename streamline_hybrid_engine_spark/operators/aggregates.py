@@ -1315,3 +1315,89 @@ def agg_percentile_narrowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = hit if out is None else out.unionAll(hit)
     return out
+
+
+# --- Gini concentration index ------------------------------------------------
+
+_GINI_ORACLE = """
+    WITH x AS (
+      SELECT n_name,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+    ),
+    r AS (
+      SELECT n_name, cents,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY cents, o_orderkey) AS rk,
+             count(*) OVER (PARTITION BY n_name) AS n,
+             CAST(sum(cents) OVER (PARTITION BY n_name) AS HUGEINT) AS tot
+      FROM x
+    )
+    SELECT n_name, CAST(min(n) AS BIGINT) AS n_orders,
+           round((2.0 * CAST(sum(CAST(rk AS HUGEINT) * cents) AS DOUBLE))
+                 / (CAST(min(n) AS DOUBLE) * CAST(min(tot) AS DOUBLE))
+                 - (CAST(min(n) AS DOUBLE) + 1) / min(n), 6) AS gini
+    FROM r GROUP BY n_name
+"""
+
+
+@query(
+    "agg_gini_concentration",
+    oracle=_GINI_ORACLE,
+    tags=("aggregate", "inequality"),
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order-value concentration per nation — the
+    inequality measure revenue-concentration audits use (and the same
+    statistic that quantifies partition skew before a salting
+    decision). Rank form: G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n over values
+    sorted ascending with a unique tiebreak. Σ(rank·x) is an exact
+    integer (rank and cents are both ints; ties in value make the sum
+    tie-order-INVARIANT: permuting equal values across adjacent ranks
+    leaves Σrank·x unchanged), so the two divisions run on identical
+    exact operands in both engines. One shuffle by nation, one
+    per-nation sort shared by all three window frames, then a
+    partial-agg groupBy on the same key — no extra exchange. At 100 TB
+    the per-group sort distributes per nation; for a single whale
+    group use the equi-depth-histogram approximation of the Lorenz
+    curve instead (same SCALE path as the percentile family)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    x = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            "o_orderkey",
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("cents", "o_orderkey")
+    wp = Window.partitionBy("n_name")
+    dec = "decimal(38,0)"
+    r = x.select(
+        "n_name",
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wp).alias("n"),
+        F.sum(F.col("cents").cast(dec)).over(wp).alias("tot"),
+    )
+    return r.groupBy("n_name").agg(
+        F.min("n").cast("long").alias("n_orders"),
+        F.round(
+            (
+                2.0
+                * F.sum((F.col("rk").cast(dec) * F.col("cents")).cast(dec))
+                .cast("double")
+            )
+            / (F.min("n").cast("double") * F.min("tot").cast("double"))
+            - (F.min("n").cast("double") + 1) / F.min("n"),
+            6,
+        ).alias("gini"),
+    )

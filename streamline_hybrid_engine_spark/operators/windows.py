@@ -692,3 +692,67 @@ def weighted_median(
             F.min("tot").alias("total_weight"),
         )
     )
+
+
+@query(
+    "win_zscore_normalize",
+    oracle="""
+    WITH x AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem WHERE l_linenumber = 1
+    ),
+    m AS (
+      SELECT flag, count(*) AS n,
+             CAST(sum(cents) AS HUGEINT) AS s1,
+             CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS s2
+      FROM x GROUP BY flag
+    )
+    SELECT x.l_orderkey, x.flag, x.cents,
+           round((x.cents - CAST(m.s1 AS DOUBLE) / m.n)
+                 / sqrt((m.n * CAST(m.s2 AS DOUBLE) - CAST(m.s1 AS DOUBLE)
+                         * CAST(m.s1 AS DOUBLE))
+                        / (CAST(m.n AS DOUBLE) * (m.n - 1))), 6) AS z
+    FROM x JOIN m ON m.flag = x.flag
+    """,
+    tags=("window", "normalize"),
+)
+def win_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization — the feature-prep staple
+    ((x − μ)/σ per peer group), deterministic cross-engine where a
+    naive stddev_samp(double) is not: the moments are EXACT integer
+    sums (Σx, Σx² over cents as DECIMAL(38,0)/HUGEINT — no
+    accumulation-order drift), μ and σ² are single divisions of those
+    identical integers, and sqrt is IEEE-754 CORRECTLY-ROUNDED (unlike
+    ln/exp — the one transcendental that is safe cross-engine, which
+    is why this op exists while PSI/entropy use integer proxies).
+    Plan: one partial-agg groupBy for the moments (group-count-sized),
+    broadcast back, map-side z — the raw rows never shuffle. The
+    window-partition alternative (avg/std OVER (PARTITION BY flag))
+    would sort every row; the aggregate+broadcast form is the 100 TB
+    shape."""
+    li = load_table(spark, sf_dir, "lineitem", parallel=True)
+    x = li.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey",
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    dec = "decimal(38,0)"
+    m = x.groupBy("flag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("cents").cast(dec)).alias("s1"),
+        F.sum((F.col("cents").cast(dec) * F.col("cents")).cast(dec)).alias(
+            "s2"
+        ),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("n") * F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    ) / (F.col("n").cast("double") * (F.col("n") - 1))
+    return x.join(F.broadcast(m), "flag").select(
+        "l_orderkey",
+        "flag",
+        "cents",
+        F.round((F.col("cents") - mu) / F.sqrt(var), 6).alias("z"),
+    )

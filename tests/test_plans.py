@@ -470,3 +470,26 @@ def test_values_dim_is_local_relation_broadcast(spark, sf_dir):
     assert "LocalTableScan" in p
     assert "BroadcastHashJoin" in p
     assert p.count("Scan parquet") == 1  # only the fact
+
+
+def test_gini_final_agg_reuses_window_partitioning(spark, sf_dir):
+    """Gini: the three window frames and the final groupBy all key on
+    n_name — Catalyst must satisfy the aggregate from the window's
+    hashpartitioning (ONE exchange on n_name, one per-nation sort, no
+    range partitioning = no global sort)."""
+    p = plan(spark, sf_dir, "agg_gini_concentration")
+    assert "rangepartitioning" not in p.lower()
+    assert "Window" in p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_zscore_raw_rows_never_shuffle_or_sort(spark, sf_dir):
+    """Z-score must be the aggregate+broadcast form: moments reduce via
+    a partial-agg groupBy, broadcast back, map-side z. The window
+    alternative (avg/std OVER (PARTITION BY flag)) would sort every raw
+    row — pin its absence."""
+    p = plan(spark, sf_dir, "win_zscore_normalize")
+    assert "Window" not in p
+    assert " Sort " not in p
+    assert "BroadcastHashJoin" in p
+    assert "rangepartitioning" not in p.lower()
