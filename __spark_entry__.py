@@ -159,6 +159,11 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "sql_values_inline_dim",
         "agg_gini_concentration",
         "win_zscore_normalize",
+        "dq_referential_integrity",
+        "agg_pareto_topshare",
+        "ts_fill_forward_limit",
+        "fn_uuid_deterministic",
+        "cep_debounce_events",
     }
 )
 

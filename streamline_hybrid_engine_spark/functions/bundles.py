@@ -955,3 +955,51 @@ def busday_offset(d, n: int):
         eff,
         (F.lit(n) + 2 * F.floor((eff_dow + n) / 5.0).cast("int")).cast("int"),
     )
+
+
+# --- Deterministic name-based UUID (RFC 4122 v3 layout) -------------------------
+
+#: Shared scalar expression (valid in BOTH engines' SQL dialects): md5 hex
+#: reshaped to 8-4-4-4-12 with the version nibble forced to '3' (md5
+#: name-based) and the variant nibble to (d & 0x3) | 0x8 via a 16→4 CASE
+#: fold — string ops only, no bit intrinsics, so the two engines cannot
+#: diverge.
+_UUID3_EXPR = (
+    "concat(substr(h, 1, 8), '-', substr(h, 9, 4), '-3', substr(h, 14, 3),"
+    " '-', CASE WHEN substr(h, 17, 1) IN ('0','4','8','c') THEN '8'"
+    "           WHEN substr(h, 17, 1) IN ('1','5','9','d') THEN '9'"
+    "           WHEN substr(h, 17, 1) IN ('2','6','a','e') THEN 'a'"
+    "           ELSE 'b' END,"
+    " substr(h, 18, 3), '-', substr(h, 21, 12))"
+)
+
+
+@query(
+    "fn_uuid_deterministic",
+    oracle=f"""
+    WITH x AS (
+      SELECT doc_id,
+             md5(concat(source, ':', CAST(doc_id AS STRING))) AS h
+      FROM documents
+    )
+    SELECT doc_id, {_UUID3_EXPR} AS doc_uuid FROM x
+    """,
+    tags=("function", "hash"),
+)
+def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-derived stable row identity: RFC 4122 version-3 (md5
+    name-based) UUIDs from (source, doc_id) — what a 100 TB ingest uses
+    instead of uuid4()/monotonically_increasing_id so that re-runs,
+    retries and cross-cluster loads mint the SAME id (idempotent sinks,
+    joinable lineage). Pure map-side string surgery on the md5 hex —
+    zero shuffle, whole-stage codegen — and the expression text itself
+    is shared verbatim with the oracle, so the parity check certifies
+    the id scheme is engine-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    x = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    return x.select("doc_id", F.expr(_UUID3_EXPR).alias("doc_uuid"))

@@ -1401,3 +1401,93 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --- Pareto / revenue-concentration share --------------------------------------
+
+_PARETO_ORACLE = """
+    WITH rev AS (
+      SELECT n_name, c_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY n_name, c_custkey
+    ),
+    r AS (
+      SELECT n_name, cents,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY cents DESC, c_custkey) AS rk,
+             count(*) OVER (PARTITION BY n_name) AS n,
+             CAST(sum(cents) OVER (PARTITION BY n_name) AS HUGEINT) AS tot
+      FROM rev
+    )
+    SELECT n_name,
+           CAST(min(n) AS BIGINT) AS n_cust,
+           CAST(count(*) AS BIGINT) AS k_top,
+           round(CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE)
+                 / CAST(min(tot) AS DOUBLE), 6) AS top_share
+    FROM r
+    WHERE rk <= CAST(floor((n + 4) / 5.0) AS BIGINT)
+    GROUP BY n_name
+"""
+
+
+@query(
+    "agg_pareto_topshare",
+    oracle=_PARETO_ORACLE,
+    tags=("aggregate", "inequality"),
+)
+def agg_pareto_topshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) check: revenue share captured by each nation's top
+    20% of buying customers — the whale-concentration number every
+    account-risk review wants next to the Gini. k = ceil(n/5) as exact
+    integer arithmetic (floor((n+4)/5): n+4 < 2^53 so the double floor
+    is exact in both engines); ranking ties break on c_custkey so the
+    top-k SET is deterministic, and since ties in cents contribute the
+    same sum either way, top_share is tie-order-invariant anyway. Plan:
+    one groupBy (custkey) over the fact, one exchange on n_name shared
+    by the ranking windows and the final aggregate — the same
+    single-partitioning discipline as the Gini. At 100 TB the per-nation
+    sort is the cost; if one group is a whale, the percentile-narrowing
+    two-pass finds the k-th revenue cutoff first and only the head
+    sorts."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("cents").desc(), F.col("c_custkey")
+    )
+    wp = Window.partitionBy("n_name")
+    dec = "decimal(38,0)"
+    r = rev.select(
+        "n_name",
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wp).alias("n"),
+        F.sum(F.col("cents").cast(dec)).over(wp).alias("tot"),
+    ).filter(
+        F.col("rk") <= F.floor((F.col("n") + 4) / F.lit(5.0)).cast("long")
+    )
+    return r.groupBy("n_name").agg(
+        F.min("n").cast("long").alias("n_cust"),
+        F.count("*").alias("k_top"),
+        F.round(
+            F.sum(F.col("cents").cast(dec)).cast("double")
+            / F.min("tot").cast("double"),
+            6,
+        ).alias("top_share"),
+    )

@@ -1049,3 +1049,56 @@ def cep_quantified_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
         stream_shuffle_width(spark, sf_dir),
     )
+
+
+@query(
+    "cep_debounce_events",
+    oracle="""
+    WITH g AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_id, user_id, event_type,
+           round(gap_us / 1000000.0, 6) AS gap_s
+    FROM g
+    WHERE gap_us IS NULL OR gap_us > 60000000
+    """,
+    tags=("cep", "window"),
+)
+def cep_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce: suppress any event arriving within 60 s of the PREVIOUS
+    raw event of the same (user, type) — the noisy-sensor / double-click
+    filter, and the lag-based sibling of watermark dedup (which keys on
+    identity; debounce keys on proximity). One per-key sort, a lag, a
+    map-side integer-micros test — no state beyond the window frame. At
+    100 TB this is the cheapest CEP primitive there is; the streaming
+    face is stream_dedup_within_watermark with a time-delta predicate.
+    NOTE this is debounce-against-raw (lag of ALL events), not
+    throttle-against-kept — that variant is inherently sequential and
+    lives in the NFA runner (cep_pattern machinery), not a window."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(
+        F.unix_micros(F.col("ts"))
+    ).over(w)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            gap_us.alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNull() | (F.col("gap_us") > 60000000))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(F.col("gap_us") / F.lit(1000000.0), 6).alias("gap_s"),
+        )
+    )

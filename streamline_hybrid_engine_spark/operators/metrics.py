@@ -580,3 +580,68 @@ def dq_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ot").cast("long").alias("n_current"),
         )
     )
+
+
+# --- Referential-integrity audit ----------------------------------------------
+
+_RI_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+)
+
+
+def _ri_oracle() -> str:
+    rows = []
+    for child, ck, parent, pk in _RI_EDGES:
+        rows.append(f"""
+    SELECT '{child}.{ck}->{parent}.{pk}' AS constraint_name,
+           (SELECT count(*) FROM {child}) AS n_child,
+           (SELECT count(*) FROM {child} c
+             WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{pk} = c.{ck})) AS n_orphan_child,
+           (SELECT count(*) FROM {parent} p
+             WHERE NOT EXISTS (SELECT 1 FROM {child} c
+                               WHERE c.{ck} = p.{pk})) AS n_childless_parent
+        """)
+    return " UNION ALL ".join(rows)
+
+
+@query(
+    "dq_referential_integrity",
+    oracle=_ri_oracle(),
+    tags=("dq", "audit"),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key audit over the star schema's three edges: per
+    constraint, child cardinality, orphan children (FK with no parent —
+    the load-order bug) and childless parents (the q22-style inactive
+    dimension rows). Each count is an ANTI join — Spark's own existence
+    plan, never a row-multiplying outer join — and the childless side
+    probes the DISTINCT child keys (map-side partial distinct), so the
+    parent never joins the raw fact. At 100 TB every edge is an
+    independent branch: keys-only column pruning at the scan, AQE picks
+    broadcast vs shuffle per edge from the real key counts."""
+    out = None
+    for child, ck, parent, pk in _RI_EDGES:
+        c = load_table(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        n_child = c.agg(F.count("*").alias("n_child"))
+        orphan = c.join(p, "k", "left_anti").agg(
+            F.count("*").alias("n_orphan_child")
+        )
+        childless = p.join(c.distinct(), "k", "left_anti").agg(
+            F.count("*").alias("n_childless_parent")
+        )
+        row = (
+            n_child.crossJoin(orphan)
+            .crossJoin(childless)
+            .select(
+                F.lit(f"{child}.{ck}->{parent}.{pk}").alias("constraint_name"),
+                "n_child",
+                "n_orphan_child",
+                "n_childless_parent",
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -1274,3 +1274,74 @@ def cep_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overall"
         ),
     )
+
+
+@query(
+    "ts_fill_forward_limit",
+    oracle="""
+    WITH sparse AS (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CASE WHEN event_type <> 'view'
+                  THEN CAST(round(value * 1000000) AS BIGINT)
+             END AS v_micros
+      FROM events
+    ),
+    carried AS (
+      SELECT event_id, user_id, us,
+             last_value(v_micros IGNORE NULLS) OVER w AS carry,
+             last_value(CASE WHEN v_micros IS NOT NULL THEN us END
+                        IGNORE NULLS) OVER w AS carry_us
+      FROM sparse
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN us - carry_us <= 1800000000 THEN carry END
+             AS filled_micros,
+           CASE WHEN us - carry_us <= 1800000000
+                THEN round((us - carry_us) / 1000000.0, 6) END AS age_s
+    FROM carried
+    """,
+    tags=("timeseries", "window"),
+)
+def ts_fill_forward_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF with a staleness bound: carry each user's last non-'view'
+    reading forward AT MOST 30 minutes — past the horizon the gap stays
+    NULL instead of silently serving stale data (the correctness edge
+    plain IGNORE-NULLS fill-forward misses, and what sensor/feature
+    pipelines actually require). Two IGNORE-NULLS frames over ONE
+    per-user sort (value + its timestamp travel together), then a
+    map-side age test on exact micros — no join back, no second shuffle.
+    At 100 TB this is the same single-exchange shape as every window op
+    here; the state is one (value, ts) pair per user regardless of
+    horizon."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    sparse = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.when(
+            F.col("event_type") != "view",
+            F.round(F.col("value") * 1000000).cast("long"),
+        ).alias("v_micros"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry = F.last("v_micros", ignorenulls=True).over(w)
+    carry_us = F.last(
+        F.when(F.col("v_micros").isNotNull(), F.col("us")), ignorenulls=True
+    ).over(w)
+    fresh = (F.col("us") - carry_us) <= F.lit(1800000000)
+    return sparse.select(
+        "event_id",
+        "user_id",
+        F.when(fresh, carry).alias("filled_micros"),
+        F.when(
+            fresh, F.round((F.col("us") - carry_us) / F.lit(1000000.0), 6)
+        ).alias("age_s"),
+    )

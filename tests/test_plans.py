@@ -493,3 +493,47 @@ def test_zscore_raw_rows_never_shuffle_or_sort(spark, sf_dir):
     assert " Sort " not in p
     assert "BroadcastHashJoin" in p
     assert "rangepartitioning" not in p.lower()
+
+
+def test_referential_integrity_uses_anti_joins_not_outer(spark, sf_dir):
+    """Each FK edge must audit via ANTI joins (existence plans); an
+    outer-join + null-filter would multiply fact rows. The only
+    nested-loop joins allowed are the 1-row scalar combines."""
+    p = plan(spark, sf_dir, "dq_referential_integrity")
+    assert "Anti" in p
+    assert "Outer" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_pareto_two_exchanges_window_reused_by_final_agg(spark, sf_dir):
+    """Pareto: exactly two hash exchanges — (n_name, custkey) for the
+    revenue rollup, n_name for the ranking windows — and the final
+    aggregate reuses the window's partitioning (no third shuffle, no
+    range partitioning)."""
+    p = plan(spark, sf_dir, "agg_pareto_topshare")
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert "rangepartitioning" not in p.lower()
+    assert "Window" in p
+
+
+def test_uuid_deterministic_is_map_only(spark, sf_dir):
+    """Name-based UUID minting must be a zero-shuffle map-side plan."""
+    p = plan(spark, sf_dir, "fn_uuid_deterministic")
+    assert "Exchange" not in p
+    assert "Scan parquet" in p
+
+
+def test_fill_forward_limit_single_exchange_no_join(spark, sf_dir):
+    """Bounded LOCF: both IGNORE-NULLS frames share ONE per-user sort —
+    one exchange, no join back for the staleness test."""
+    p = plan(spark, sf_dir, "ts_fill_forward_limit")
+    assert p.count("Exchange") == 1
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in p
+
+
+def test_debounce_single_exchange(spark, sf_dir):
+    """Debounce is one per-(user,type) sort + lag + map-side filter."""
+    p = plan(spark, sf_dir, "cep_debounce_events")
+    assert p.count("Exchange") == 1
+    assert "Window" in p

@@ -10,7 +10,11 @@ every round handoff; an ad-hoc inline comparator once produced a false
 NaN-tie failure that this tool's shared `compare()` does not.
 
 Usage:
-    python tools/rehearse.py [--sf /root/testdata/sf0.01] [--threads 8]
+    python tools/rehearse.py [--sf /root/testdata/sf0.01] [--threads 8] [id ...]
+
+With ids given, only that sample of `queries()` runs (entry() smoke always
+runs) — the incremental pre-commit check; the no-arg full sweep remains the
+round-handoff gate.
 """
 
 from __future__ import annotations
@@ -29,6 +33,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--threads", type=int, default=8)
+    ap.add_argument("ids", nargs="*", help="query ids to run (default: all)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -45,6 +50,12 @@ def main() -> int:
     print(f"entry(): {n_entry} rows")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if args.ids:
+        unknown = [i for i in args.ids if i not in qs]
+        if unknown:
+            print(f"unknown ids: {unknown}")
+            return 1
+        qs = {i: qs[i] for i in args.ids}
     duck = duck_con(args.sf)
     t0 = time.time()
     n_exact = n_approx = n_rows_only = 0
