@@ -164,6 +164,11 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "ts_fill_forward_limit",
         "fn_uuid_deterministic",
         "cep_debounce_events",
+        "sql_star_except",
+        "graph_degree_distribution",
+        "agg_decile_lift",
+        "dq_outlier_iqr",
+        "ts_mom_growth",
     }
 )
 

@@ -1491,3 +1491,78 @@ def agg_pareto_topshare(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top_share"),
     )
+
+
+# --- Decile lift table ----------------------------------------------------------
+
+_LIFT_ORACLE = """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_f,
+             count(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    d AS (
+      SELECT ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile,
+             cents, n_f, n_orders,
+             CAST(sum(n_f) OVER () AS BIGINT) AS tot_f,
+             CAST(sum(n_orders) OVER () AS BIGINT) AS tot_orders
+      FROM spend
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(CAST(cents AS HUGEINT)) AS BIGINT) AS decile_cents,
+           round((CAST(sum(n_f) AS DOUBLE) / sum(n_orders))
+                 / (CAST(min(tot_f) AS DOUBLE) / min(tot_orders)), 6)
+             AS lift_f
+    FROM d GROUP BY decile
+"""
+
+
+@query("agg_decile_lift", oracle=_LIFT_ORACLE, tags=("aggregate", "scoring"))
+def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table — the model-evaluation staple: rank customers
+    by a score (here: total spend), cut into 10 equal ranks, and report
+    each decile's rate of the target event ('F'-status orders) relative
+    to the global rate. ntile is deterministic because the ordering is
+    TOTAL (cents DESC, custkey) — the tiebreak is what makes the decile
+    ASSIGNMENT engine-portable, not just the aggregate. All rates are
+    ratios of exact integer counts, rounded once. Plan: one groupBy
+    over orders, one global ntile sort (customer-count-sized — the
+    already-reduced table, NOT the fact), final tiny groupBy. At 100 TB
+    the global sort is the cost; the SCALE path is range-partitioned
+    ntile (approx quantile cutpoints broadcast, map-side bucket), same
+    as the percentile-narrowing family."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).cast("long").alias("n_f"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+    wg = Window.partitionBy()
+    dec = "decimal(38,0)"
+    d = spend.select(
+        F.ntile(10).over(w).alias("decile"),
+        "cents",
+        "n_f",
+        "n_orders",
+        F.sum("n_f").over(wg).cast("long").alias("tot_f"),
+        F.sum("n_orders").over(wg).cast("long").alias("tot_orders"),
+    )
+    return d.groupBy("decile").agg(
+        F.count("*").alias("n_cust"),
+        F.sum(F.col("cents").cast(dec)).cast("long").alias("decile_cents"),
+        F.round(
+            (F.sum("n_f").cast("double") / F.sum("n_orders"))
+            / (F.min("tot_f").cast("double") / F.min("tot_orders")),
+            6,
+        ).alias("lift_f"),
+    )

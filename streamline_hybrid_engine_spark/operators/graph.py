@@ -785,3 +785,46 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "graph_degree_distribution",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ),
+    cd AS (SELECT count(*) AS deg FROM edges GROUP BY c),
+    pd AS (SELECT count(*) AS deg FROM edges GROUP BY p)
+    SELECT 'customer' AS side, deg, count(*) AS n_nodes FROM cd GROUP BY deg
+    UNION ALL
+    SELECT 'part' AS side, deg, count(*) AS n_nodes FROM pd GROUP BY deg
+    """,
+    tags=("graph", "statistics"),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the bipartite customer–part purchase
+    graph, both sides — the first diagnostic run before ANY graph
+    algorithm here (PageRank/CC/LPA), because it is what tells you
+    whether a broadcast-frontier plan or a salted-skew plan is needed:
+    a power-law tail on this histogram IS the skew warning. Edge dedup
+    is one distinct (map-side partial) on the joined fact; each side's
+    degree is a count over that deduped edge set; the histogram rows
+    are degree-count-sized (tiny). At 100 TB the edge distinct is the
+    only real shuffle, and it is exactly the shuffle any downstream
+    graph op needs anyway — compute this first, cache the edges, reuse."""
+    li = load_table(spark, sf_dir, "lineitem", parallel=True)
+    o = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    out = None
+    for side, key in (("customer", "c"), ("part", "p")):
+        deg = edges.groupBy(key).agg(F.count("*").alias("deg"))
+        hist = deg.groupBy("deg").agg(F.count("*").alias("n_nodes")).select(
+            F.lit(side).alias("side"), "deg", "n_nodes"
+        )
+        out = hist if out is None else out.unionAll(hist)
+    return out

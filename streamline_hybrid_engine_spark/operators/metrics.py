@@ -645,3 +645,102 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# --- IQR outlier fences ---------------------------------------------------------
+
+_IQR_ORACLE = """
+    WITH x AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT flag, cents,
+             row_number() OVER (PARTITION BY flag ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY flag) AS n
+      FROM x
+    ),
+    fences AS (
+      SELECT flag,
+             max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                      THEN cents END) AS q1,
+             max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                      THEN cents END) AS q3,
+             CAST(max(n) AS BIGINT) AS n
+      FROM ranked GROUP BY flag
+    )
+    SELECT x.flag, min(f.n) AS n, min(f.q1) AS q1_cents, min(f.q3) AS q3_cents,
+           CAST(sum(CASE WHEN 2 * x.cents < 2 * f.q1 - 3 * (f.q3 - f.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(sum(CASE WHEN 2 * x.cents > 2 * f.q3 + 3 * (f.q3 - f.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM x JOIN fences f ON f.flag = x.flag
+    GROUP BY x.flag
+"""
+
+
+@query("dq_outlier_iqr", oracle=_IQR_ORACLE, tags=("dq", "statistics"))
+def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier profile per group: Q1/Q3 as DISCRETE
+    percentiles (rank ceil(p·n) — actual data values, the convention
+    agg_percentile_disc already certified against DuckDB), then count
+    rows outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR]. The 1.5 factor never
+    touches floats: the test is doubled to 2x < 2·Q1 − 3·IQR — pure
+    int64 — so the outlier COUNT is exact, not approximately exact.
+    Complement to dq_anomaly_mad_window (time-local, MAD) — this is the
+    distribution-global fence batch profiling uses. Plan: one exchange
+    on flag shared by the ranking window, then 3-row fences broadcast
+    back onto the cents rows for a map-side count. The rank-based
+    quantile is the fixture path; at 100 TB swap in the two-pass
+    histogram narrowing (agg_percentile_narrowed) to find Q1/Q3 without
+    a per-group sort — the fence arithmetic is unchanged."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem", parallel=True)
+    x = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("flag").orderBy("cents")
+    wp = Window.partitionBy("flag")
+    ranked = x.select(
+        "flag",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    fences = ranked.groupBy("flag").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.25 * F.col("n")).cast("long"),
+                F.col("cents"),
+            )
+        ).alias("q1"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.75 * F.col("n")).cast("long"),
+                F.col("cents"),
+            )
+        ).alias("q3"),
+        F.max("n").cast("long").alias("n"),
+    )
+    f = F.broadcast(fences)
+    j = x.join(f, "flag")
+    return j.groupBy("flag").agg(
+        F.min("n").alias("n"),
+        F.min("q1").alias("q1_cents"),
+        F.min("q3").alias("q3_cents"),
+        F.sum(
+            F.when(
+                2 * F.col("cents") < 2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_low"),
+        F.sum(
+            F.when(
+                2 * F.col("cents") > 2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_high"),
+    )

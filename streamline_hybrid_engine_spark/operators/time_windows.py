@@ -1345,3 +1345,64 @@ def ts_fill_forward_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
             fresh, F.round((F.col("us") - carry_us) / F.lit(1000000.0), 6)
         ).alias("age_s"),
     )
+
+
+@query(
+    "ts_mom_growth",
+    oracle="""
+    WITH m AS (
+      SELECT n_name, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+               AS month,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY n_name, date_trunc('month', o_orderdate)
+    )
+    SELECT n_name, month, cents,
+           round((cents - lag(cents) OVER w)
+                 / CAST(lag(cents) OVER w AS DOUBLE), 6) AS mom_growth
+    FROM m WINDOW w AS (PARTITION BY n_name ORDER BY month)
+    """,
+    tags=("timeseries", "window"),
+)
+def ts_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per nation — the KPI-dashboard
+    shape: calendar rollup, then lag over the OBSERVED month series
+    (a missing month compares against the last month that traded;
+    gapfill composition is ts_rollup_gapfill's job). Growth is a ratio
+    of exact integer cents, rounded once; months are unique per
+    partition so lag needs no tiebreak. Plan: one groupBy on
+    (nation, month), then a window over month-count-sized groups —
+    the sort is over ~84 rows per nation, nothing. At 100 TB the
+    rollup is the only fact-sized shuffle and it partial-aggregates
+    map-side."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("month")
+    prev = F.lag("cents").over(w)
+    return m.select(
+        "n_name",
+        "month",
+        "cents",
+        F.round((F.col("cents") - prev) / prev.cast("double"), 6).alias(
+            "mom_growth"
+        ),
+    )

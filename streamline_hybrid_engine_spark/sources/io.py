@@ -1187,3 +1187,32 @@ def sql_values_inline_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_VALUES_DIM_SQL)
+
+
+@query(
+    "sql_star_except",
+    oracle="""
+    SELECT * EXCLUDE (l_tax, l_returnflag, l_linestatus)
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    """,
+    tags=("sql", "syntax"),
+)
+def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`SELECT * EXCEPT (cols)` — the wide-table projection idiom (drop
+    the heavy columns, keep the other 50) that saves users from typing
+    hundred-column SELECT lists. Spark 4 spells it EXCEPT, DuckDB
+    EXCLUDE; the parity check certifies the two star-modifier dialects
+    resolve to the same column set. Column pruning still reaches the
+    scan: the analyzer expands the star BEFORE optimization, so the
+    parquet reader fetches exactly the 8 surviving columns — pinned in
+    tests, because a naive all-columns scan + drop is precisely what
+    this syntax exists to avoid at 100 TB."""
+    from streamline_hybrid_engine_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT * EXCEPT (l_tax, l_returnflag, l_linestatus)
+        FROM lineitem WHERE l_orderkey % 50 = 0
+        """
+    )

@@ -537,3 +537,45 @@ def test_debounce_single_exchange(spark, sf_dir):
     p = plan(spark, sf_dir, "cep_debounce_events")
     assert p.count("Exchange") == 1
     assert "Window" in p
+
+
+def test_star_except_prunes_scan_to_surviving_columns(spark, sf_dir):
+    """* EXCEPT must expand before optimization so the scan reads only
+    the 8 surviving columns — the syntax's whole point at scale.
+    (Metadata string length raised for the test: the default 100-char
+    plan rendering truncates an 8-column ReadSchema.)"""
+    old = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        p = plan(spark, sf_dir, "sql_star_except")
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    read = p.split("ReadSchema:")[1].splitlines()[0]
+    for dropped in ("l_tax", "l_returnflag", "l_linestatus"):
+        assert dropped not in read, read
+    assert "l_extendedprice" in read
+
+
+def test_degree_distribution_single_edge_dedup_shuffle(spark, sf_dir):
+    """The edge distinct is the only fact-sized shuffle; both degree
+    histograms reduce from it (no cartesian, no range sort)."""
+    p = plan(spark, sf_dir, "graph_degree_distribution")
+    assert "CartesianProduct" not in p
+    assert "rangepartitioning" not in p.lower()
+    assert "HashAggregate" in p
+
+
+def test_outlier_iqr_fences_broadcast_back(spark, sf_dir):
+    """IQR: group-count-sized fences broadcast onto the cents rows —
+    the raw data is never re-sorted for the outlier count."""
+    p = plan(spark, sf_dir, "dq_outlier_iqr")
+    assert "BroadcastHashJoin" in p
+    assert "rangepartitioning" not in p.lower()
+
+
+def test_mom_growth_lag_over_reduced_rollup(spark, sf_dir):
+    """MoM growth: the window runs over the (nation, month) rollup, not
+    the fact — exactly one fact-sized hash exchange."""
+    p = plan(spark, sf_dir, "ts_mom_growth")
+    assert "Window" in p
+    assert "rangepartitioning" not in p.lower()
