@@ -169,6 +169,11 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "agg_decile_lift",
         "dq_outlier_iqr",
         "ts_mom_growth",
+        "llm_dedup_token_sort",
+        "llm_ngram_novelty",
+        "ts_direction_changes",
+        "ts_cusum_alarm",
+        "scan_csv_quoted_newlines",
     }
 )
 

@@ -1435,3 +1435,49 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "match_est",
         )
     )
+
+
+@query(
+    "llm_dedup_token_sort",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+               AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) OVER (PARTITION BY s) AS BIGINT) AS n_same,
+           CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY s)
+                THEN 1 ELSE 0 END AS keep
+    FROM sig
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_dedup_token_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-sort dedup: hash the doc's SORTED token multiset, so two
+    documents that differ only by word order (scraper re-serialization,
+    shuffled boilerplate lists) collapse to one signature — the cheap
+    word-order-invariant rung between exact dedup (verbatim only) and
+    MinHash (any near-dup, 128 hashes). One map-side sort per row
+    (tokens sort WITHIN the row — no shuffle), one exchange on the
+    16-byte signature; survivor = min doc_id, same convention as
+    llm_dedup_exact_docs. Tokens are ascii-lowercase so Spark's
+    sort_array and DuckDB's list_sort agree bytewise; at 100 TB this is
+    a strict prefilter feeding the MinHash band join, not a replacement
+    for it."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.sort_array(F.split(F.col("text"), " ")), " ")
+        ).alias("s"),
+    )
+    w = Window.partitionBy("s")
+    return sig.select(
+        "doc_id",
+        F.count("*").over(w).cast("long").alias("n_same"),
+        F.when(F.col("doc_id") == F.min("doc_id").over(w), 1)
+        .otherwise(0)
+        .alias("keep"),
+    )

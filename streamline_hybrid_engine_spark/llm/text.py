@@ -1246,3 +1246,68 @@ def llm_spell_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_occ",
         )
     )
+
+
+@query(
+    "llm_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, g
+      FROM toks, unnest(list_transform(
+             range(1, greatest(len(t) - 1, 1)),
+             i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(g)
+    ),
+    firsts AS (
+      SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+    )
+    SELECT grams.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           round(CAST(sum(CASE WHEN f.first_doc = grams.doc_id
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS novelty
+    FROM grams JOIN firsts f ON f.g = grams.g
+    GROUP BY grams.doc_id
+    """,
+    tags=("llm", "quality"),
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty score: the fraction of a document's distinct
+    trigrams whose FIRST corpus occurrence (min doc_id — ingestion
+    order) is this document. Curation uses it as the inverse of
+    boilerplate-ness: a crawl page full of previously-seen trigrams
+    scores near 0 and gets downweighted before training. Dataflow:
+    map-side trigram expansion (array transform — no Python), distinct
+    (doc, gram) pairs, one groupBy for first-occurrence, equi-join
+    back, per-doc ratio of exact counts. The gram→first_doc table is
+    the same inverted index llm_contamination_8gram builds — at 100 TB
+    build it once, reuse for both; the join is never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            # Spark's sequence(0, stop) DESCENDS when stop < 0 — a short
+            # doc must yield array() explicitly, not sequence(0, -1).
+            F.expr(
+                "CASE WHEN size(t) >= 3 THEN"
+                " transform(sequence(0, size(t) - 3),"
+                " i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2]))"
+                " ELSE array() END"
+            )
+        ).alias("g"),
+    ).distinct()
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    j = grams.join(firsts, "g")
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.round(
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("novelty"),
+    )

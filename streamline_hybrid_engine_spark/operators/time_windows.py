@@ -1406,3 +1406,154 @@ def ts_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mom_growth"
         ),
     )
+
+
+@query(
+    "ts_direction_changes",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(round(value * 1000000) AS BIGINT) AS v_us
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, event_id, us,
+             v_us - lag(v_us) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) AS delta
+      FROM v
+    ),
+    moves AS (
+      SELECT user_id,
+             CASE WHEN delta > 0 THEN 1 ELSE -1 END AS dir,
+             lag(CASE WHEN delta > 0 THEN 1 ELSE -1 END) OVER (
+               PARTITION BY user_id ORDER BY us, event_id) AS prev_dir
+      FROM d WHERE delta IS NOT NULL AND delta <> 0
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_moves,
+           CAST(sum(CASE WHEN dir * prev_dir = -1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_reversals,
+           round(CAST(sum(CASE WHEN dir * prev_dir = -1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS reversal_rate
+    FROM moves GROUP BY user_id
+    """,
+    tags=("timeseries", "window"),
+)
+def ts_direction_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direction-reversal profile per user: among NONZERO value moves
+    (zero deltas are neither up nor down and are excluded before the
+    second lag, so a flat stretch doesn't reset the run), how often
+    does the sign flip? The zig-zag statistic — trend-vs-noise triage
+    for metric streams, and the batch face of a flip-flop CEP alert.
+    Two stacked lags over the SAME per-user ordering: Catalyst folds
+    both Window nodes onto one sort when the partitioning+ordering
+    match, so the plan stays single-exchange. Deltas are exact integer
+    micros; the rate is a ratio of counts, rounded once."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.round(F.col("value") * 1000000).cast("long").alias("v_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    d = v.select(
+        "user_id",
+        "event_id",
+        "us",
+        (F.col("v_us") - F.lag("v_us").over(w)).alias("delta"),
+    ).filter(F.col("delta").isNotNull() & (F.col("delta") != 0))
+    moves = d.select(
+        "user_id",
+        "us",
+        "event_id",
+        F.when(F.col("delta") > 0, 1).otherwise(-1).alias("dir"),
+    ).withColumn("prev_dir", F.lag("dir").over(w))
+    flip = F.when(F.col("dir") * F.col("prev_dir") == -1, 1).otherwise(0)
+    return moves.groupBy("user_id").agg(
+        F.count("*").alias("n_moves"),
+        F.sum(flip).cast("long").alias("n_reversals"),
+        F.round(F.sum(flip).cast("double") / F.count("*"), 6).alias(
+            "reversal_rate"
+        ),
+    )
+
+
+@query(
+    "ts_cusum_alarm",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(round(value * 1000000) AS BIGINT) - 55000000 AS d
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, event_id, us,
+             CAST(sum(CAST(d AS HUGEINT)) OVER w AS BIGINT) AS cum
+      FROM v
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+      SELECT user_id, us,
+             cum - least(CAST(0 AS BIGINT), min(cum) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS stat
+      FROM c
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(CASE WHEN stat > 100000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alarms,
+           min(CASE WHEN stat > 100000000 THEN us END) AS first_alarm_us
+    FROM s GROUP BY user_id
+    """,
+    tags=("timeseries", "anomaly"),
+)
+def ts_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection per user (Page's test): alarm
+    when the cumulative positive drift of (value − target − slack)
+    exceeds threshold h. The textbook recurrence S_i = max(0, S_{i−1} +
+    d_i) looks inherently sequential — the insight that makes it a
+    WINDOW op is the prefix identity S_i = C_i − min(0, min_{j≤i} C_j)
+    (C = plain cumulative sum), so two frames over ONE per-user sort
+    compute an exact integer-micros CUSUM with no UDF, no iteration,
+    no state store. Complements dq_anomaly_mad_window (point outliers)
+    with DRIFT detection (slow shifts that never trip a point fence).
+    Target+slack = 55.0, h = 100.0, in micros; the streaming face
+    would carry (C, min-prefix) as two longs of state."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        (F.round(F.col("value") * 1000000).cast("long") - 55000000).alias("d"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dec = "decimal(38,0)"
+    c = v.select(
+        "user_id",
+        "event_id",
+        "us",
+        F.sum(F.col("d").cast(dec)).over(w).cast("long").alias("cum"),
+    )
+    stat = F.col("cum") - F.least(
+        F.lit(0).cast("long"), F.min("cum").over(w)
+    )
+    s = c.select("user_id", "us", stat.alias("stat"))
+    alarm = F.when(F.col("stat") > 100000000, 1).otherwise(0)
+    return s.groupBy("user_id").agg(
+        F.count("*").alias("n_points"),
+        F.sum(alarm).cast("long").alias("n_alarms"),
+        F.min(F.when(F.col("stat") > 100000000, F.col("us"))).alias(
+            "first_alarm_us"
+        ),
+    )

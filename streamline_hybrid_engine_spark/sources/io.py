@@ -1216,3 +1216,53 @@ def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem WHERE l_orderkey % 50 = 0
         """
     )
+
+
+#: Payload with embedded comma, double-quote and newline — the three
+#: characters that break naive CSV handling. Spelled once; the engine
+#: computes it pre-write, the oracle recomputes it from the parquet
+#: original (concat/substr/chr are dialect-shared).
+_QCSV_PAYLOAD = (
+    "concat(substr(text, 1, 40), ',', '\"', substr(text, 41, 20), '\"',"
+    " chr(10), source)"
+)
+
+
+@query(
+    "scan_csv_quoted_newlines",
+    oracle=f"""
+    SELECT doc_id, {_QCSV_PAYLOAD} AS payload FROM documents
+    """,
+    tags=("sources", "csv"),
+)
+def scan_csv_quoted_newlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 4180 hard mode: fields containing commas, embedded double
+    quotes AND newlines must survive a CSV write→read round-trip. Spark
+    writes quote-doubled RFC style with escape='\"' and reads back with
+    multiLine=true (records can no longer be split on \\n, so this read
+    path gives up line-level input splitting — the documented cost:
+    one file = one task; at 100 TB keep quoted-newline CSV OUT of the
+    lake and land parquet instead — this op exists to certify the
+    migration path works, not to recommend it). Parity: the oracle
+    recomputes the payload expression directly on the parquet original,
+    so any quoting asymmetry in the round-trip breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(), f"she_csv_quoted_{os.path.basename(sf_dir)}"
+    )
+    payload = docs.select("doc_id", F.expr(_QCSV_PAYLOAD).alias("payload"))
+    (
+        payload.write.mode("overwrite")
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(out)
+    )
+    return (
+        spark.read.schema("doc_id long, payload string")
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", "true")
+        .csv(out)
+    )

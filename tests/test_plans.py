@@ -579,3 +579,36 @@ def test_mom_growth_lag_over_reduced_rollup(spark, sf_dir):
     p = plan(spark, sf_dir, "ts_mom_growth")
     assert "Window" in p
     assert "rangepartitioning" not in p.lower()
+
+
+def test_token_sort_dedup_single_signature_exchange(spark, sf_dir):
+    """Token-sort dedup: the in-row token sort is map-side; the only
+    exchange is on the md5 signature."""
+    p = plan(spark, sf_dir, "llm_dedup_token_sort")
+    assert p.count("Exchange") == 1
+    assert "Window" in p
+
+
+def test_ngram_novelty_equi_join_no_cartesian(spark, sf_dir):
+    """Novelty: gram expansion map-side, first-occurrence via groupBy,
+    equi-join back — never all-pairs."""
+    p = plan(spark, sf_dir, "llm_ngram_novelty")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Generate" in p  # the explode stays JVM-side
+
+
+def test_direction_changes_single_sort_two_lags(spark, sf_dir):
+    """Both lag frames share the per-user ordering — Catalyst must fold
+    them onto one exchange."""
+    p = plan(spark, sf_dir, "ts_direction_changes")
+    assert p.count("Exchange") == 1
+
+
+def test_cusum_single_sort_no_udf(spark, sf_dir):
+    """CUSUM via the prefix identity: one exchange, window frames only —
+    no Python evaluation anywhere in the plan."""
+    p = plan(spark, sf_dir, "ts_cusum_alarm")
+    assert p.count("Exchange") == 1
+    assert "Python" not in p
+    assert "Window" in p
