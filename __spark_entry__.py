@@ -174,6 +174,10 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "ts_direction_changes",
         "ts_cusum_alarm",
         "scan_csv_quoted_newlines",
+        "dq_column_profile",
+        "agg_histogram_log2_bins",
+        "ts_repurchase_intervals",
+        "llm_rarity_score",
     }
 )
 

@@ -1311,3 +1311,55 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("novelty"),
     )
+
+
+@query(
+    "llm_rarity_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    df AS (
+      SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM toks GROUP BY tok
+    ),
+    n AS (SELECT count(*) AS total FROM documents)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(CAST(sum(length(bin(total // n_docs)) - 1) AS DOUBLE)
+                 / count(*), 6) AS rarity_bits
+    FROM toks t JOIN df ON df.tok = t.tok CROSS JOIN n
+    GROUP BY t.doc_id
+    """,
+    tags=("llm", "quality"),
+)
+def llm_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical rarity score: mean over a document's token INSTANCES of
+    floor(log2(N / df(token))) — an integer-IDF proxy for how much of
+    the doc is made of corpus-rare vocabulary. Curation reads it two
+    ways: high rarity + low quality = gibberish/OCR noise; high rarity
+    + high quality = the long-tail knowledge worth upweighting. The
+    log2 is length(bin(x))−1 on an integer division — zero libm, zero
+    cross-engine drift (same discipline as llm_surprisal_bits, which
+    scores against the TOKEN-frequency unigram LM; this scores
+    DOCUMENT-frequency dispersion — df vs tf). Plan: explode, one
+    groupBy for df, equi-join back (Catalyst broadcasts the
+    fixture-sized vocab; stats flip it to shuffle at corpus scale), one
+    per-doc aggregate. The df table is shared with llm_tfidf_top_terms
+    at 100 TB — build once."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    df = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    n = docs.agg(F.count("*").alias("total"))
+    j = toks.join(df, "tok").crossJoin(F.broadcast(n))
+    bits = F.length(F.bin(F.expr("total div n_docs"))) - 1
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.sum(bits).cast("double") / F.count("*"), 6).alias(
+            "rarity_bits"
+        ),
+    )

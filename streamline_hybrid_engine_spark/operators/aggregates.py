@@ -1566,3 +1566,45 @@ def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift_f"),
     )
+
+
+@query(
+    "agg_histogram_log2_bins",
+    oracle="""
+    WITH x AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT flag, length(bin(cents)) - 1 AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(cents) AS lo_cents, max(cents) AS hi_cents
+    FROM x GROUP BY flag, log2_bucket
+    """,
+    tags=("aggregate", "histogram"),
+)
+def agg_histogram_log2_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two histogram (HdrHistogram's coarse face): bucket =
+    floor(log2(cents)) computed as length(bin(x)) − 1 — INTEGER log2,
+    the same libm-free trick as llm_surprisal_bits, so the bucket
+    assignment cannot drift an ulp across engines the way
+    floor(ln(x)/ln(2)) can. Log2 bins are the right exploratory
+    histogram for heavy-tailed money/latency data where equi-width
+    drowns the tail (agg_histogram_bins) and equi-depth hides it
+    (agg_histogram_equidepth) — this completes the histogram triple.
+    Pure map-side bucketing + one partial-agg groupBy; ~2×25 output
+    rows from any input size."""
+    li = load_table(spark, sf_dir, "lineitem", parallel=True)
+    x = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        x.withColumn("log2_bucket", F.length(F.bin(F.col("cents"))) - 1)
+        .groupBy("flag", "log2_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )

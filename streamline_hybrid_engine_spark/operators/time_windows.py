@@ -1557,3 +1557,58 @@ def ts_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_alarm_us"
         ),
     )
+
+
+@query(
+    "ts_repurchase_intervals",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             CAST((epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                   - lag(epoch_us(CAST(o_orderdate AS TIMESTAMP))) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey))
+                  // 86400000000 AS BIGINT) AS gap_days
+      FROM orders
+    )
+    SELECT least(CAST(gap_days // 30 AS BIGINT), 12) AS gap_bucket_months,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           min(gap_days) AS min_days, max(gap_days) AS max_days
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY gap_bucket_months
+    """,
+    tags=("timeseries", "behavior"),
+)
+def ts_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repurchase-interval distribution: days between CONSECUTIVE orders
+    per customer (lag over the per-customer order sequence — the
+    self-join-free form), bucketed into months with a 12+ tail bucket —
+    the retention curve's raw material and the empirical input to any
+    churn-window choice. Gap arithmetic is exact integer micros with
+    integer division (order dates are midnight-aligned, so the day
+    division is exact; // in both engines); same-day reorders land in
+    bucket 0, ties break on o_orderkey. One exchange on custkey, then a
+    12-row histogram: input-size-independent output."""
+    o = load_table(spark, sf_dir, "orders")
+    gaps = o.select(
+        "o_custkey",
+        F.expr(
+            "(unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+            " - lag(unix_micros(CAST(o_orderdate AS TIMESTAMP))) OVER ("
+            "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))"
+            " div 86400000000"
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.select(
+        F.least(F.expr("gap_days div 30"), F.lit(12).cast("long")).alias(
+            "gap_bucket_months"
+        ),
+        "o_custkey",
+        "gap_days",
+    ).groupBy("gap_bucket_months").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        F.min("gap_days").alias("min_days"),
+        F.max("gap_days").alias("max_days"),
+    )

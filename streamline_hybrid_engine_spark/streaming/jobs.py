@@ -1631,3 +1631,68 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         counts, "phase string, n_rows bigint, n_batches bigint"
     )
+
+
+@query("stream_cusum_alarm", oracle=None, tags=("streaming", "stateful", "anomaly"))
+def stream_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming face of ts_cusum_alarm: per-user one-sided CUSUM drift
+    detection as keyed state. Where the batch op exploits the prefix
+    identity (two window frames), the stream carries EXACTLY the two
+    longs the identity says are sufficient state — running sum C and its
+    running minimum — plus the alarm summary; each event is O(1). Same
+    parameters (target+slack 55.0, h 100.0, in micros) and same output
+    schema as the batch op, so the suite pins stream≡batch equivalence
+    on the bounded drain. Events are ordered (us, event_id) within the
+    drain — the bounded-input stand-in for event-time ordering; a
+    production stream would buffer per watermark first (the
+    stream_watermark_drop pattern). End-of-input flushes the summary,
+    as in stream_user_session_state."""
+    import math
+
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    target_us, h_us = 55_000_000, 100_000_000
+
+    def cusum(key, pdfs, state: GroupState):
+        if state.exists:
+            cum, minc, n_pts, n_al, first_us = state.get
+        else:
+            cum, minc, n_pts, n_al, first_us = 0, 0, 0, 0, None
+        rows = []
+        for pdf in pdfs:
+            for t, v, e in zip(
+                pd.to_datetime(pdf["ts"]), pdf["value"], pdf["event_id"]
+            ):
+                # half-up like Spark's round(), not Python's banker's round
+                rows.append((int(t.value // 1000), int(e), math.floor(v * 1_000_000 + 0.5)))
+        for us, _eid, v_us in sorted(rows):
+            cum += v_us - target_us
+            minc = min(minc, cum)
+            n_pts += 1
+            if cum - min(0, minc) > h_us:
+                n_al += 1
+                if first_us is None:
+                    first_us = us
+        state.update((cum, minc, n_pts, n_al, first_us))
+        if n_pts:
+            yield pd.DataFrame(
+                [(key[0], n_pts, n_al, first_us)],
+                columns=["user_id", "n_points", "n_alarms", "first_alarm_us"],
+            )
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "ts", "value", "event_id")
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        cusum,
+        outputStructType=(
+            "user_id long, n_points long, n_alarms long, first_alarm_us long"
+        ),
+        stateStructType=(
+            "cum long, minc long, n_points long, n_alarms long, first_us long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(
+        out, "she_stream_cusum_alarm", "append", stream_shuffle_width(spark, sf_dir)
+    )

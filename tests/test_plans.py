@@ -612,3 +612,41 @@ def test_cusum_single_sort_no_udf(spark, sf_dir):
     assert p.count("Exchange") == 1
     assert "Python" not in p
     assert "Window" in p
+
+
+def test_column_profile_single_scan_expand(spark, sf_dir):
+    """The 6-column profiler must read orders ONCE: multi-distinct
+    plans as one scan + Expand, and the long-format unpivot unions
+    projections of the same 1-row aggregate, not re-reads."""
+    p = plan(spark, sf_dir, "dq_column_profile")
+    assert p.count("Scan parquet") == 1, p
+    assert "Expand" in p
+
+
+def test_log2_histogram_map_side_partial_agg(spark, sf_dir):
+    """Integer-log2 bucketing is map-side; the groupBy partial-aggregates
+    before its one exchange."""
+    p = plan(spark, sf_dir, "agg_histogram_log2_bins")
+    assert "partial_" in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_repurchase_intervals_lag_then_tiny_histogram(spark, sf_dir):
+    """Gap computation is one per-customer window; the bucket histogram
+    aggregates the lag output (no self-join of orders)."""
+    p = plan(spark, sf_dir, "ts_repurchase_intervals")
+    assert "Window" in p
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in p
+
+
+def test_rarity_score_equi_join_on_vocab(spark, sf_dir):
+    """Token→df join must be an equi hash join; the doc-count scalar is
+    the only nested-loop (1-row broadcast)."""
+    p = plan(spark, sf_dir, "llm_rarity_score")
+    assert "CartesianProduct" not in p
+    assert (
+        "BroadcastHashJoin" in p
+        or "ShuffledHashJoin" in p
+        or "SortMergeJoin" in p
+    )

@@ -775,3 +775,12 @@ def test_stream_ohlc_equals_batch_ohlc(spark, sf_dir):
     stream = {tuple(r) for r in qs["stream_ohlc_6h"].fn(spark, sf_dir).collect()}
     batch = {tuple(r) for r in qs["ts_resample_ohlc"].fn(spark, sf_dir).collect()}
     assert stream == batch and stream
+
+
+def test_stream_cusum_equals_batch_cusum(spark, sf_dir):
+    """Keyed-state streaming CUSUM == the window-identity batch CUSUM:
+    same parameters, same output schema, bounded drain."""
+    out = all_queries()["stream_cusum_alarm"].fn(spark, sf_dir)
+    batch = all_queries()["ts_cusum_alarm"].fn(spark, sf_dir)
+    cols = ["user_id", "n_points", "n_alarms", "first_alarm_us"]
+    assert _rows(out, *cols) == _rows(batch, *cols)
