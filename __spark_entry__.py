@@ -178,6 +178,11 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "agg_histogram_log2_bins",
         "ts_repurchase_intervals",
         "llm_rarity_score",
+        "fn_isoweek_bundle",
+        "subquery_all_rewrite",
+        "ts_new_vs_returning",
+        "ts_status_transitions",
+        "ts_bounce_rate",
     }
 )
 

@@ -1003,3 +1003,43 @@ def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h"),
     )
     return x.select("doc_id", F.expr(_UUID3_EXPR).alias("doc_uuid"))
+
+
+@query(
+    "fn_isoweek_bundle",
+    oracle="""
+    SELECT o_orderkey,
+           weekofyear(CAST(o_orderdate AS TIMESTAMP)) AS iso_week,
+           isodow(CAST(o_orderdate AS TIMESTAMP)) AS iso_dow,
+           isoyear(CAST(o_orderdate AS TIMESTAMP)) AS iso_year,
+           CASE WHEN isodow(CAST(o_orderdate AS TIMESTAMP)) >= 6
+                THEN 1 ELSE 0 END AS is_weekend
+    FROM orders WHERE o_orderkey % 20 = 0
+    """,
+    tags=("function", "datetime"),
+)
+def fn_isoweek_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 calendar bundle — the reporting-calendar trio every
+    weekly rollup migration trips over: ISO week number (both engines'
+    weekofyear IS ISO — verified at the year boundary where 1995-01-01
+    lands in week 52 of ISO-year 1994), ISO day-of-week (Monday=1;
+    Spark's default dayofweek is Sunday=1, so the bundle pins the
+    EXTRACT(DAYOFWEEK_ISO) spelling), and ISO YEAR, which Spark lacks —
+    derived via the Thursday rule: the ISO year of a date is the
+    calendar year of (date + (4 − isodow)) days, a pure arithmetic
+    rewrite that ships in the docstring as the migration recipe.
+    Map-side, codegen'd, keyed filter pushed to the scan."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 20 == 0
+    )
+    isodow = F.expr("extract(DAYOFWEEK_ISO FROM o_orderdate)").cast("long")
+    iso_year = F.year(
+        F.date_add(F.col("o_orderdate").cast("date"), (F.lit(4) - isodow).cast("int"))
+    ).cast("long")
+    return o.select(
+        "o_orderkey",
+        F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+        isodow.alias("iso_dow"),
+        iso_year.alias("iso_year"),
+        F.when(isodow >= 6, 1).otherwise(0).alias("is_weekend"),
+    )

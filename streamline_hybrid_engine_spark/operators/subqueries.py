@@ -21,7 +21,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from streamline_hybrid_engine_spark.catalog import register_views
+import pyspark.sql.functions as F
+
+from streamline_hybrid_engine_spark.catalog import load_table, register_views
 from streamline_hybrid_engine_spark.registry import query
 
 # Shared-dialect discipline (same text runs on Spark and DuckDB) — like
@@ -217,3 +219,35 @@ def join_existence_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
     native MARK join, and the query text IS the oracle."""
     register_views(spark, sf_dir)
     return spark.sql(_MARK_JOIN_SQL)
+
+
+@query(
+    "subquery_all_rewrite",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier s
+    WHERE s_acctbal > ALL (SELECT c_acctbal FROM customer c
+                           WHERE c.c_nationkey = s.s_nationkey)
+    """,
+    tags=("subquery", "quantified"),
+)
+def subquery_all_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparison `> ALL (correlated subquery)` — SQL Spark
+    does NOT accept (only IN/EXISTS subqueries); the engine ships the
+    standard decorrelation a migrating workload needs: aggregate the
+    subquery to per-key max, LEFT join, and keep rows where the key has
+    NO subquery rows (x > ALL ∅ is TRUE — the empty-group edge the
+    naive inner-join+max rewrite silently drops) OR the value beats the
+    max. The fixture exercises the edge for real: at small SF some
+    supplier nations have zero customers. One group-count-sized
+    aggregate broadcast back — the subquery never re-executes per outer
+    row."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    mx = c.groupBy("c_nationkey").agg(F.max("c_acctbal").alias("max_bal"))
+    j = s.join(
+        F.broadcast(mx), s.s_nationkey == mx.c_nationkey, "left"
+    )
+    return j.filter(
+        F.col("max_bal").isNull() | (F.col("s_acctbal") > F.col("max_bal"))
+    ).select("s_suppkey", "s_name", "s_acctbal")

@@ -1612,3 +1612,165 @@ def ts_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_days").alias("min_days"),
         F.max("gap_days").alias("max_days"),
     )
+
+
+@query(
+    "ts_new_vs_returning",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month
+      FROM orders
+    ),
+    firsts AS (
+      SELECT o_custkey, min(month) AS first_month FROM m GROUP BY o_custkey
+    ),
+    act AS (SELECT DISTINCT o_custkey, month FROM m)
+    SELECT act.month,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(CASE WHEN f.first_month = act.month THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN f.first_month < act.month THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returning,
+           round(CAST(sum(CASE WHEN f.first_month = act.month THEN 1 ELSE 0
+                          END) AS DOUBLE) / count(*), 6) AS new_share
+    FROM act JOIN firsts f ON f.o_custkey = act.o_custkey
+    GROUP BY act.month
+    """,
+    tags=("timeseries", "behavior"),
+)
+def ts_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per month, how many active customers are NEW
+    (this is their first-ever month) vs RETURNING — the decomposition
+    under every 'is growth acquisition or retention?' question, and the
+    monthly complement of ts_retention_cohorts' triangle. One
+    distinct on (customer, month), one groupBy for the first-month
+    table, one equi-join on custkey (both sides already partitioned by
+    it — AQE reuses the exchange), counts exact. Scales as two passes
+    over the order-key space; no window, no sort."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.select(
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+    )
+    act = m.distinct()
+    firsts = m.groupBy("o_custkey").agg(F.min("month").alias("first_month"))
+    new_flag = F.when(F.col("first_month") == F.col("month"), 1).otherwise(0)
+    return act.join(firsts, "o_custkey").groupBy("month").agg(
+        F.count("*").alias("n_active"),
+        F.sum(new_flag).cast("long").alias("n_new"),
+        F.sum(
+            F.when(F.col("first_month") < F.col("month"), 1).otherwise(0)
+        ).cast("long").alias("n_returning"),
+        F.round(F.sum(new_flag).cast("double") / F.count("*"), 6).alias(
+            "new_share"
+        ),
+    )
+
+
+@query(
+    "ts_status_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderstatus AS to_status,
+             lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey)
+               AS from_status
+      FROM orders
+    ),
+    t AS (
+      SELECT from_status, to_status, count(*) AS n
+      FROM seq WHERE from_status IS NOT NULL
+      GROUP BY from_status, to_status
+    )
+    SELECT from_status, to_status, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE)
+                 / CAST(sum(n) OVER (PARTITION BY from_status) AS DOUBLE), 6)
+             AS p
+    FROM t
+    """,
+    tags=("timeseries", "behavior"),
+)
+def ts_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each customer's order
+    STATUS sequence: count and row-normalized probability of every
+    (from → to) pair between consecutive orders — the empirical kernel
+    behind state-based LTV / process-mining models. One per-customer
+    lag, one pair groupBy; the row normalization runs as a window over
+    the |statuses|² aggregated table (9 rows), not the fact. Counts and
+    the probability's operands are exact integers."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        F.lag("o_orderstatus").over(w).alias("from_status"),
+        F.col("o_orderstatus").alias("to_status"),
+    ).filter(F.col("from_status").isNotNull())
+    t = seq.groupBy("from_status", "to_status").agg(F.count("*").alias("n"))
+    wrow = Window.partitionBy("from_status")
+    return t.select(
+        "from_status",
+        "to_status",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wrow).cast("double"), 6
+        ).alias("p"),
+    )
+
+
+@query(
+    "ts_bounce_rate",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                      >= INTERVAL '30 minutes'
+                  OR lag(CAST(ts AS TIMESTAMP)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, uts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY uts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM marked
+    ),
+    sessions AS (
+      SELECT user_id, sid, count(*) AS n_events
+      FROM numbered GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS bounce_rate
+    FROM sessions GROUP BY user_id
+    """,
+    tags=("timeseries", "session"),
+)
+def ts_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate per user: share of 30-minute sessions containing
+    exactly one event — THE engagement KPI, and deliberately built by
+    COMPOSING the exported sessionize() primitive rather than
+    re-deriving gaps-and-islands, because that is how a user of the
+    library would write it (the session assignment stays one shuffle;
+    this adds only a per-user rollup of session rows)."""
+    sessions = sessionize(
+        load_table(spark, sf_dir, "events"), "ts", ["user_id"], "30 minutes"
+    )
+    bounce = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(bounce).cast("long").alias("n_bounces"),
+        F.round(F.sum(bounce).cast("double") / F.count("*"), 6).alias(
+            "bounce_rate"
+        ),
+    )

@@ -650,3 +650,42 @@ def test_rarity_score_equi_join_on_vocab(spark, sf_dir):
         or "ShuffledHashJoin" in p
         or "SortMergeJoin" in p
     )
+
+
+def test_isoweek_bundle_map_side_pushed_filter(spark, sf_dir):
+    """Calendar bundle: zero shuffle, keyed filter pushed to the scan."""
+    p = plan(spark, sf_dir, "fn_isoweek_bundle")
+    assert "Exchange" not in p
+
+
+def test_all_rewrite_is_aggregate_left_join(spark, sf_dir):
+    """> ALL decorrelation: per-key max LEFT-joined back (empty groups
+    kept) — one BroadcastHashJoin LeftOuter, no per-row subplan."""
+    p = plan(spark, sf_dir, "subquery_all_rewrite")
+    assert "BroadcastHashJoin" in p
+    assert "LeftOuter" in p
+
+
+def test_new_vs_returning_no_window_no_sort(spark, sf_dir):
+    """Growth accounting is groupBys + an equi-join on custkey — no
+    window, no per-partition sort of the fact."""
+    p = plan(spark, sf_dir, "ts_new_vs_returning")
+    assert "Window" not in p
+    assert "rangepartitioning" not in p.lower()
+
+
+def test_status_transitions_normalize_over_aggregated_matrix(spark, sf_dir):
+    """The row normalization's window runs AFTER the pair groupBy (9-row
+    input), so the plan has exactly one fact-sized exchange (custkey for
+    the lag) plus the matrix-sized ones."""
+    p = plan(spark, sf_dir, "ts_status_transitions")
+    assert "Window" in p
+    assert p.count("Scan parquet") == 1
+
+
+def test_bounce_rate_composes_sessionize_one_session_shuffle(spark, sf_dir):
+    """Bounce rate adds only a rollup over session rows; the session
+    assignment's exchange is the only fact-sized one."""
+    p = plan(spark, sf_dir, "ts_bounce_rate")
+    assert "Scan parquet" in p
+    assert "CartesianProduct" not in p
