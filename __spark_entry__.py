@@ -183,6 +183,11 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "ts_new_vs_returning",
         "ts_status_transitions",
         "ts_bounce_rate",
+        "scan_pushdown_in_list",
+        "win_hop_distinct_users",
+        "fn_strsim_bundle",
+        "graph_degree_assortativity",
+        "ivm_retractable_agg",
     }
 )
 

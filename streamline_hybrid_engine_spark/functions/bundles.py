@@ -1043,3 +1043,68 @@ def fn_isoweek_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         iso_year.alias("iso_year"),
         F.when(isodow >= 6, 1).otherwise(0).alias("is_weekend"),
     )
+
+
+@query(
+    "fn_strsim_bundle",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.p_partkey AS k, a.p_name AS s1, b.p_name AS s2
+      FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+    ),
+    bi AS (
+      SELECT k, s1, s2,
+             list_distinct(list_transform(range(1, length(s1)),
+               i -> substr(s1, i, 2))) AS b1,
+             list_distinct(list_transform(range(1, length(s2)),
+               i -> substr(s2, i, 2))) AS b2
+      FROM pairs
+    )
+    SELECT k, levenshtein(s1, s2) AS lev,
+           round(1.0 - levenshtein(s1, s2)
+                 / CAST(greatest(length(s1), length(s2)) AS DOUBLE), 6)
+             AS lev_sim,
+           round(len(list_filter(b1, x -> list_contains(b2, x)))
+                 / CAST(len(b1) + len(b2)
+                        - len(list_filter(b1, x -> list_contains(b2, x)))
+                        AS DOUBLE), 6) AS bigram_jaccard
+    FROM bi
+    """,
+    tags=("function", "similarity"),
+)
+def fn_strsim_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity bundle over adjacent part-name pairs: raw
+    Levenshtein (both engines implement the same Wagner–Fischer
+    distance — integer, no drift), length-normalized edit similarity,
+    and character-bigram Jaccard built from array primitives (NOT an
+    engine-specific jaccard() builtin, whose tokenization differs per
+    engine — the manual distinct-bigram form is the portable one).
+    This is the fuzzy-matching toolkit record linkage uses after a
+    blocking join; here the equi-join on partkey+1 is the stand-in for
+    any blocked candidate pair stream, which is exactly how
+    llm_spell_candidates and llm_dedup_edit_verify consume these
+    functions at scale."""
+    p1 = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"), F.col("p_name").alias("s1")
+    )
+    p2 = load_table(spark, sf_dir, "part").select(
+        (F.col("p_partkey") - 1).alias("k"), F.col("p_name").alias("s2")
+    )
+    pairs = p1.join(p2, "k")
+    bigrams = lambda c: F.array_distinct(  # noqa: E731
+        F.expr(
+            f"transform(sequence(1, length({c}) - 1), i -> substr({c}, i, 2))"
+        )
+    )
+    b1, b2 = bigrams("s1"), bigrams("s2")
+    inter = F.size(F.array_intersect(b1, b2))
+    uni = F.size(b1) + F.size(b2) - inter
+    lev = F.levenshtein("s1", "s2")
+    return pairs.select(
+        "k",
+        lev.alias("lev"),
+        F.round(
+            1.0 - lev / F.greatest(F.length("s1"), F.length("s2")).cast("double"), 6
+        ).alias("lev_sim"),
+        F.round(inter / uni.cast("double"), 6).alias("bigram_jaccard"),
+    )

@@ -828,3 +828,81 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = hist if out is None else out.unionAll(hist)
     return out
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ),
+    cd AS (SELECT c, CAST(count(*) AS BIGINT) AS dc FROM edges GROUP BY c),
+    pd AS (SELECT p, CAST(count(*) AS BIGINT) AS dp FROM edges GROUP BY p),
+    xy AS (
+      SELECT cd.dc AS x, pd.dp AS y
+      FROM edges JOIN cd ON cd.c = edges.c JOIN pd ON pd.p = edges.p
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS HUGEINT)) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS HUGEINT)) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS HUGEINT)) AS DOUBLE) AS syy
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS assortativity
+    FROM s
+    """,
+    tags=("graph", "statistics"),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer–part purchase graph: Pearson
+    correlation between endpoint degrees ACROSS EDGES — do heavy buyers
+    buy popular parts (r>0) or niche ones (r<0)? The one-number skew
+    diagnosis that decides whether the hot customers and hot parts
+    COINCIDE (compounding a shuffle hotspot) or cancel. Same exact
+    integer-moment discipline as agg_corr_covar: five 128-bit integer
+    sums, one closed-form double evaluation — partitioning-independent
+    to the last bit. Plan: the edge dedup is the one fact-sized
+    shuffle; both degree tables reduce from it and join back keyed
+    (fixture-sized → broadcast; stats flip to shuffle at scale)."""
+    li = load_table(spark, sf_dir, "lineitem", parallel=True)
+    o = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    cd = edges.groupBy("c").agg(F.count("*").cast("long").alias("dc"))
+    pd_ = edges.groupBy("p").agg(F.count("*").cast("long").alias("dp"))
+    xy = (
+        edges.join(cd, "c")
+        .join(pd_, "p")
+        .select(F.col("dc").alias("x"), F.col("dp").alias("y"))
+    )
+    dec = "decimal(38,0)"
+    s = xy.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_edges"),
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("assortativity"),
+    )

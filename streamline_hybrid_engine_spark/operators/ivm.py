@@ -137,3 +137,69 @@ def ivm_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_price"),
     )
+
+
+@query(
+    "ivm_retractable_agg",
+    oracle="""
+    WITH final_state AS (
+      SELECT o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 17 <> 3
+      UNION ALL
+      SELECT o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) + 10000 AS cents
+      FROM orders WHERE o_orderkey % 19 = 4
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(cents AS HUGEINT)) AS BIGINT) AS sum_cents,
+           CAST(floor(CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE) / count(*))
+                AS BIGINT) AS avg_cents_floor
+    FROM final_state GROUP BY o_orderstatus
+    """,
+    tags=("ivm", "changelog"),
+)
+def ivm_retractable_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retractable aggregate maintenance — the changelog algebra with
+    DELETES: the view is kept as weighted partials (w = +1 insert,
+    −1 retraction), so n = Σw and sum = Σ(w·x); the base table's rows,
+    a delete changelog (every 17th order leaves) and an insert
+    changelog (every 19th order re-enters re-priced +100.00 under a new
+    key) all merge through ONE groupBy — the engine never rebuilds the
+    view. The oracle recomputes the FINAL state from scratch; equality
+    certifies the retraction algebra, the property that makes a
+    changelog-consuming materialized view correct under updates (an
+    update = retract old ⊕ insert new). AVG re-derives from (sum, n)
+    as in ivm_incremental_agg_merge; max is deliberately absent —
+    MAX is NOT retractable without per-group value multisets, and the
+    docstring is where that boundary is recorded."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.select(
+        "o_orderstatus", cents.alias("cents"), F.lit(1).alias("w")
+    )
+    deletes = o.filter(F.col("o_orderkey") % 17 == 3).select(
+        "o_orderstatus", cents.alias("cents"), F.lit(-1).alias("w")
+    )
+    inserts = o.filter(F.col("o_orderkey") % 19 == 4).select(
+        "o_orderstatus",
+        (cents + 10000).alias("cents"),
+        F.lit(1).alias("w"),
+    )
+    log = base.unionAll(deletes).unionAll(inserts)
+    dec = "decimal(38,0)"
+    merged = log.groupBy("o_orderstatus").agg(
+        F.sum("w").cast("long").alias("n"),
+        F.sum((F.col("w") * F.col("cents")).cast(dec)).cast("long").alias(
+            "sum_cents"
+        ),
+    )
+    return merged.select(
+        "o_orderstatus",
+        "n",
+        "sum_cents",
+        F.floor(F.col("sum_cents").cast("double") / F.col("n"))
+        .cast("long")
+        .alias("avg_cents_floor"),
+    )

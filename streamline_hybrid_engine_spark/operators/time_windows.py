@@ -1774,3 +1774,37 @@ def ts_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bounce_rate"
         ),
     )
+
+
+@query(
+    "win_hop_distinct_users",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+             - CAST(gs.i AS INT) * INTERVAL '15 minutes' AS ws,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events CROSS JOIN
+         (SELECT generate_series AS i FROM generate_series(0, 3)) gs
+    GROUP BY ws
+    """,
+    tags=("timewindow", "distinct"),
+)
+def win_hop_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per SLIDING window (1h size / 15m hop) — the
+    active-users-curve query, and deliberately the EXACT-distinct face:
+    each event replicates into 4 hops (Spark's window() expansion; the
+    oracle reproduces it with a 0..3 series), then a two-phase distinct
+    aggregate. The ×4 replication before a distinct is the honest cost
+    of exact sliding cardinality — the 100 TB relief valve is
+    approx_count_distinct or the HLL-merge table (agg_hll_merge) where
+    per-window sketches union WITHOUT re-replicating events; this id
+    pins the exact semantics those approximations are judged against."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("ws"), "n", "n_users")
+    )

@@ -1266,3 +1266,26 @@ def scan_csv_quoted_newlines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("multiLine", "true")
         .csv(out)
     )
+
+
+@query(
+    "scan_pushdown_in_list",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_totalprice > 150000
+    """,
+    tags=("sources", "pushdown"),
+)
+def scan_pushdown_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list + range predicate pushdown: both must reach the parquet
+    reader as PushedFilters (In(...) and GreaterThan(...)) so row groups
+    whose column stats exclude the set are skipped without decoding —
+    the difference between reading 2 row groups and 2,000 at 100 TB.
+    The test pins the In() actually lands in the scan node; a post-scan
+    Filter-only plan is the regression this id exists to catch."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & (F.col("o_totalprice") > 150000)
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")

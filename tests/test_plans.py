@@ -689,3 +689,44 @@ def test_bounce_rate_composes_sessionize_one_session_shuffle(spark, sf_dir):
     p = plan(spark, sf_dir, "ts_bounce_rate")
     assert "Scan parquet" in p
     assert "CartesianProduct" not in p
+
+
+def test_in_list_pushdown_reaches_scan(spark, sf_dir):
+    """The IN list and the price range must land in PushedFilters."""
+    p = plan(spark, sf_dir, "scan_pushdown_in_list")
+    pushed = p.split("PushedFilters:")[1][:400]
+    assert "In(o_orderpriority" in pushed, pushed
+    assert "GreaterThan(o_totalprice" in pushed, pushed
+
+
+def test_hop_distinct_two_phase_aggregate(spark, sf_dir):
+    """Exact sliding distinct: window expansion then partial+final
+    distinct aggregate — no rangepartitioning, no join."""
+    p = plan(spark, sf_dir, "win_hop_distinct_users")
+    assert "partial_" in p
+    assert "rangepartitioning" not in p.lower()
+
+
+def test_strsim_bundle_equi_join_map_side_arrays(spark, sf_dir):
+    """Adjacent-pair blocking is an equi join; bigram sets build in-row
+    (no explode, no Python)."""
+    p = plan(spark, sf_dir, "fn_strsim_bundle")
+    assert "CartesianProduct" not in p
+    assert "Generate" not in p
+    assert "Python" not in p
+
+
+def test_assortativity_single_edge_dedup_then_keyed_joins(spark, sf_dir):
+    """Assortativity joins degrees back onto edges by key — no
+    cartesian, no nested loop beyond the 1-row final projection."""
+    p = plan(spark, sf_dir, "graph_degree_assortativity")
+    assert "CartesianProduct" not in p
+    assert "rangepartitioning" not in p.lower()
+
+
+def test_retractable_agg_single_groupby_over_union(spark, sf_dir):
+    """The weighted changelog merges through ONE aggregate: a Union
+    feeding one partial+final HashAggregate pair, one exchange."""
+    p = plan(spark, sf_dir, "ivm_retractable_agg")
+    assert "Union" in p
+    assert p.count("Exchange hashpartitioning") == 1, p
