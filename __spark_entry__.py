@@ -188,6 +188,11 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "fn_strsim_bundle",
         "graph_degree_assortativity",
         "ivm_retractable_agg",
+        "fn_ipv4_bundle",
+        "agg_event_type_bitmask",
+        "ts_conversion_latency",
+        "llm_corpus_mix_report",
+        "sql_join_hints",
     }
 )
 

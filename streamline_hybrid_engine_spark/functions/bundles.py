@@ -1108,3 +1108,73 @@ def fn_strsim_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lev_sim"),
         F.round(inter / uni.cast("double"), 6).alias("bigram_jaccard"),
     )
+
+
+#: Event-type → bit position for set-membership bitmasks (stable order).
+EVENT_TYPE_BITS = {"click": 1, "error": 2, "purchase": 4, "signup": 8, "view": 16}
+
+
+@query(
+    "fn_ipv4_bundle",
+    oracle="""
+    WITH ip AS (
+      SELECT user_id,
+             (user_id * 2654435761) % 4294967296 AS addr
+      FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT user_id, addr,
+           concat(CAST(addr // 16777216 AS STRING), '.',
+                  CAST((addr // 65536) % 256 AS STRING), '.',
+                  CAST((addr // 256) % 256 AS STRING), '.',
+                  CAST(addr % 256 AS STRING)) AS dotted,
+           addr // 65536 AS prefix16,
+           CASE WHEN addr // 16777216 = 10
+                  OR (addr // 16777216 = 172
+                      AND (addr // 65536) % 256 BETWEEN 16 AND 31)
+                  OR (addr // 16777216 = 192 AND (addr // 65536) % 256 = 168)
+                THEN 1 ELSE 0 END AS is_private
+    FROM ip
+    """,
+    tags=("function", "network"),
+)
+def fn_ipv4_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 arithmetic bundle — the log-analytics toolkit: uint32 ↔
+    dotted-quad rendering, /16 prefix extraction (the CIDR-block
+    grouping key for rate limiting and geo rollups), RFC 1918
+    private-range classification. Addresses derive from user_id by a
+    Knuth multiplicative hash REDUCED WITH EXPLICIT % 2^32 — never an
+    engine hash() builtin (implementations differ) — so every byte of
+    the pipeline is plain integer div/mod both engines compute
+    identically. Zero shuffle beyond the distinct; all expressions
+    codegen'd. The /16 groupBy that would follow in production is the
+    shuffle-key lesson: group on the integer prefix, not the dotted
+    string."""
+    ev = load_table(spark, sf_dir, "events")
+    ip = ev.select("user_id").distinct().select(
+        "user_id",
+        ((F.col("user_id") * 2654435761) % 4294967296).alias("addr"),
+    )
+    o1 = F.expr("addr div 16777216")
+    o2 = F.expr("(addr div 65536) % 256")
+    o3 = F.expr("(addr div 256) % 256")
+    o4 = F.col("addr") % 256
+    return ip.select(
+        "user_id",
+        "addr",
+        F.concat_ws(
+            ".",
+            o1.cast("string"),
+            o2.cast("string"),
+            o3.cast("string"),
+            o4.cast("string"),
+        ).alias("dotted"),
+        F.expr("addr div 65536").alias("prefix16"),
+        F.when(
+            (o1 == 10)
+            | ((o1 == 172) & o2.between(16, 31))
+            | ((o1 == 192) & (o2 == 168)),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_private"),
+    )

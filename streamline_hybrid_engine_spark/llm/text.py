@@ -1363,3 +1363,58 @@ def llm_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rarity_bits"
         ),
     )
+
+
+@query(
+    "llm_corpus_mix_report",
+    oracle="""
+    WITH mix AS (
+      SELECT source, lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(n_chars AS HUGEINT)) AS BIGINT) AS chars,
+             CAST(sum(sum(CAST(n_chars AS HUGEINT))) OVER () AS BIGINT)
+               AS tot
+      FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, chars,
+           round(chars / CAST(tot AS DOUBLE), 6) AS share,
+           round(CAST(sum(chars) OVER (ORDER BY chars DESC, source, lang
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) / tot, 6) AS cum_share
+    FROM mix
+    """,
+    tags=("llm", "reporting"),
+)
+def llm_corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: per (source, lang) cell, document and
+    character counts, corpus share, and CUMULATIVE share in descending
+    size order — the table a data-mix decision (and llm_mix_waterfill's
+    budget input) is read from, with cum_share showing how few cells
+    cover 90% of the corpus. One partial-agg groupBy over the corpus;
+    both windows (global total, running total) run over the
+    cell-count-sized aggregate, not documents. Integer chars, ratios
+    rounded once; the running frame is pinned ROWS with a total
+    tiebreak so ties cannot reorder it."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    dec = "decimal(38,0)"
+    mix = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast(dec)).cast("long").alias("chars"),
+    )
+    wg = Window.partitionBy()
+    wrun = Window.orderBy(
+        F.col("chars").desc(), F.col("source"), F.col("lang")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = F.sum(F.col("chars").cast(dec)).over(wg).cast("long")
+    return mix.select(
+        "source",
+        "lang",
+        "n_docs",
+        "chars",
+        F.round(F.col("chars") / tot.cast("double"), 6).alias("share"),
+        F.round(
+            F.sum("chars").over(wrun).cast("double") / tot, 6
+        ).alias("cum_share"),
+    )

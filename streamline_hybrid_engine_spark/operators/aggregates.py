@@ -1608,3 +1608,57 @@ def agg_histogram_log2_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("hi_cents"),
         )
     )
+
+
+@query(
+    "agg_event_type_bitmask",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+             bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                    WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                    WHEN 'view' THEN 16 ELSE 0 END) AS mask
+      FROM events GROUP BY user_id, d
+    )
+    SELECT mask, CAST(count(*) AS BIGINT) AS n_user_days,
+           CASE WHEN mask & 4 > 0 THEN 1 ELSE 0 END AS has_purchase,
+           CASE WHEN mask & 2 > 0 THEN 1 ELSE 0 END AS has_error
+    FROM m GROUP BY mask
+    """,
+    tags=("aggregate", "bitwise"),
+)
+def agg_event_type_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-set profile as a BITMASK: per user, bit_or the event
+    types seen that DAY (5 types → 5 bits), then count user-days per
+    combination — the 2⁵-row segmentation matrix ('purchased but also
+    errored', 'viewed only', …) that an array_agg-based approach would
+    need a set-valued groupBy for. bit_or is associative and
+    partition-order-independent, so the two-phase aggregate is exactly
+    deterministic; membership decodes map-side with & — the same
+    trick agg_bitmap_distinct uses at word granularity. Two partial-agg
+    groupBys, 32-row output from any input size."""
+    from streamline_hybrid_engine_spark.functions.bundles import (
+        EVENT_TYPE_BITS,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    bit = F.lit(0)
+    for t, b in EVENT_TYPE_BITS.items():
+        bit = F.when(F.col("event_type") == t, b).otherwise(bit)
+    m = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.bit_or(bit).alias("mask"))
+    return (
+        m.groupBy("mask")
+        .agg(F.count("*").alias("n_user_days"))
+        .select(
+            "mask",
+            "n_user_days",
+            F.when(F.col("mask").bitwiseAND(4) > 0, 1)
+            .otherwise(0)
+            .alias("has_purchase"),
+            F.when(F.col("mask").bitwiseAND(2) > 0, 1)
+            .otherwise(0)
+            .alias("has_error"),
+        )
+    )

@@ -1808,3 +1808,90 @@ def win_hop_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("ws"), "n", "n_users")
     )
+
+
+@query(
+    "ts_conversion_latency",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT e.user_id,
+             (epoch_us(min(CAST(e.ts AS TIMESTAMP)))
+              - epoch_us(min(fv.first_view))) // 1000000 AS delay_s
+      FROM events e JOIN fv ON fv.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND CAST(e.ts AS TIMESTAMP) >= fv.first_view
+      GROUP BY e.user_id
+    ),
+    ranked AS (
+      SELECT delay_s,
+             row_number() OVER (ORDER BY delay_s, user_id) AS rn,
+             count(*) OVER () AS n
+      FROM conv
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_converted,
+           max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                    THEN delay_s END) AS q1_s,
+           max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                    THEN delay_s END) AS median_s,
+           max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                    THEN delay_s END) AS q3_s
+    FROM ranked
+    """,
+    tags=("timeseries", "behavior"),
+)
+def ts_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, seconds from FIRST view
+    to the first purchase AT OR AFTER it, summarized as discrete
+    quartiles (rank ceil(p·n) — the certified cross-engine convention).
+    cep_funnel_conversion answers 'how many convert'; this answers 'how
+    fast' — the latency half every funnel review asks for next. Delays
+    are exact integer seconds (integer micros division). The final
+    ranking window is global but runs over CONVERTED USERS (already two
+    aggregations down from events); at 100 TB swap in the two-pass
+    histogram narrowing for the quartiles, as the percentile family
+    documents."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "(unix_micros(min(ts)) - unix_micros(min(first_view)))"
+                " div 1000000"
+            ).alias("delay_s")
+        )
+    )
+    w = Window.orderBy("delay_s", "user_id")
+    wg = Window.partitionBy()
+    ranked = conv.select(
+        "delay_s",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wg).alias("n"),
+    )
+    def q(p: float, alias: str):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"),
+                F.col("delay_s"),
+            )
+        ).alias(alias)
+
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        q(0.25, "q1_s"),
+        q(0.5, "median_s"),
+        q(0.75, "q3_s"),
+    )

@@ -1289,3 +1289,46 @@ def scan_pushdown_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
         & (F.col("o_totalprice") > 150000)
     ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+_HINTS_SQL_SPARK = """
+    SELECT /*+ MERGE(orders), BROADCAST(nation) */
+           n_name,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY n_name
+"""
+
+
+@query(
+    "sql_join_hints",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+    tags=("sql", "hints"),
+)
+def sql_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy HINTS through SQL text — the physical-tuning surface
+    a migrating workload carries in its query strings: MERGE(orders)
+    forces the fact join to sort-merge (what you'd pin when the build
+    side is known to blow past executor memory and you'd rather
+    pre-empt an OOM-then-AQE-retry), BROADCAST(nation) forces the dim
+    broadcast. Hints change the PLAN, never the result — the oracle is
+    the same query unhinted, and the plan test asserts both strategies
+    actually took effect (a typo'd hint name degrades silently to
+    Catalyst's choice; that silence is the bug this id guards)."""
+    from streamline_hybrid_engine_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_HINTS_SQL_SPARK)

@@ -730,3 +730,43 @@ def test_retractable_agg_single_groupby_over_union(spark, sf_dir):
     p = plan(spark, sf_dir, "ivm_retractable_agg")
     assert "Union" in p
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_ipv4_bundle_integer_ops_one_distinct_exchange(spark, sf_dir):
+    """IPv4 bundle: the user distinct is the only exchange; address math
+    is codegen'd integer div/mod (no Python)."""
+    p = plan(spark, sf_dir, "fn_ipv4_bundle")
+    assert "Python" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_event_bitmask_two_partial_aggs(spark, sf_dir):
+    """Both bit_or and the combo count must partial-aggregate map-side."""
+    p = plan(spark, sf_dir, "agg_event_type_bitmask")
+    assert "partial_" in p
+    assert "CartesianProduct" not in p
+
+
+def test_conversion_latency_windows_over_converted_only(spark, sf_dir):
+    """The global quartile rank runs AFTER two aggregations (converted
+    users), never over raw events."""
+    p = plan(spark, sf_dir, "ts_conversion_latency")
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+
+
+def test_corpus_mix_windows_over_cells(spark, sf_dir):
+    """Corpus mix: one fact-sized exchange (the groupBy); both windows
+    run over the aggregated cell table."""
+    p = plan(spark, sf_dir, "llm_corpus_mix_report")
+    assert "Window" in p
+    assert p.count("Scan parquet") == 1
+
+
+def test_join_hints_force_merge_and_broadcast(spark, sf_dir):
+    """MERGE(orders) must yield a SortMergeJoin on the fact join and
+    BROADCAST(nation) a BroadcastHashJoin — a silently-ignored hint is
+    the regression this pins."""
+    p = plan(spark, sf_dir, "sql_join_hints")
+    assert "SortMergeJoin" in p, p
+    assert "BroadcastHashJoin" in p, p
