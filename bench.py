@@ -123,6 +123,43 @@ HEADLINE = (
     "dq_drift_chi2",               # chi-square drift monitor
     "join_asof_nearest",           # nearest as-of (union-marker window)
     "llm_dedup_incremental",       # new-batch-vs-corpus dedup admission
+    # round-7 third wave (baselines in BASELINE.md §A.1 r7 block;
+    # scan_csv_quoted_newlines stays out: staged-file job by convention)
+    "agg_gini_concentration",      # rank-form Gini, one shared exchange
+    "win_zscore_normalize",        # broadcast-moment standardization
+    "dq_referential_integrity",    # 3-edge FK audit via anti joins
+    "agg_pareto_topshare",         # top-20% revenue share per nation
+    "ts_fill_forward_limit",       # LOCF with staleness bound
+    "fn_uuid_deterministic",       # UUIDv3 minting, zero shuffle
+    "cep_debounce_events",         # lag-based proximity suppression
+    "sql_star_except",             # star-EXCEPT pruned projection
+    "graph_degree_distribution",   # bipartite degree histograms
+    "agg_decile_lift",             # ntile-10 lift table
+    "dq_outlier_iqr",              # Tukey fences, integer-doubled test
+    "ts_mom_growth",               # MoM revenue growth per nation
+    "llm_dedup_token_sort",        # word-order-invariant dedup
+    "llm_ngram_novelty",           # first-occurrence trigram novelty
+    "ts_direction_changes",        # sign-reversal runs
+    "ts_cusum_alarm",              # windowed CUSUM drift detection
+    "dq_column_profile",           # single-scan multi-distinct profiler
+    "agg_histogram_log2_bins",     # integer-log2 histogram
+    "ts_repurchase_intervals",     # consecutive-order gap histogram
+    "llm_rarity_score",            # integer-IDF rarity
+    "fn_isoweek_bundle",           # ISO calendar arithmetic
+    "subquery_all_rewrite",        # > ALL decorrelation with empty-group edge
+    "ts_new_vs_returning",         # monthly growth accounting
+    "ts_status_transitions",       # order-status Markov kernel
+    "ts_bounce_rate",              # sessionize() composition
+    "scan_pushdown_in_list",       # IN-list + range pushdown
+    "win_hop_distinct_users",      # sliding exact distinct
+    "fn_strsim_bundle",            # levenshtein + bigram jaccard
+    "graph_degree_assortativity",  # endpoint-degree correlation
+    "ivm_retractable_agg",         # weighted changelog merge
+    "fn_ipv4_bundle",              # IPv4 integer toolkit
+    "agg_event_type_bitmask",      # per-day behavior bitmasks
+    "ts_conversion_latency",       # view→purchase delay quartiles
+    "llm_corpus_mix_report",       # corpus composition + cumulative share
+    "sql_join_hints",              # forced MERGE + BROADCAST strategies
 )
 
 #: BASELINE.md §A.1 rows (sf0.1 full-sequence medians, seconds) — kept in

@@ -71,6 +71,11 @@ _LAZY_EXPORTS = {
     # business-day calendar (r7)
     "busday_roll": "streamline_hybrid_engine_spark.functions.bundles",
     "busday_offset": "streamline_hybrid_engine_spark.functions.bundles",
+    # drift / fills / sequences (r7 third wave)
+    "cusum": "streamline_hybrid_engine_spark.operators.time_windows",
+    "fill_forward_limited": "streamline_hybrid_engine_spark.operators.time_windows",
+    "transition_matrix": "streamline_hybrid_engine_spark.operators.time_windows",
+    "debounce": "streamline_hybrid_engine_spark.operators.cep",
 }
 
 __all__ = ["all_queries", "get_query", *sorted(_LAZY_EXPORTS)]

@@ -1080,25 +1080,44 @@ def cep_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOTE this is debounce-against-raw (lag of ALL events), not
     throttle-against-kept — that variant is inherently sequential and
     lives in the NFA runner (cep_pattern machinery), not a window."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    kept = debounce(
+        ev,
+        keys=["user_id", "event_type"],
+        ts_us_col="us",
+        order_cols=["us", "event_id"],
+        quiet_us=60_000_000,
+    )
+    return kept.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("gap_us") / F.lit(1000000.0), 6).alias("gap_s"),
+    )
+
+
+def debounce(
+    df: DataFrame,
+    keys: list[str],
+    ts_us_col: str,
+    order_cols: list[str],
+    quiet_us: int,
+) -> DataFrame:
+    """Library primitive: keep only rows arriving more than ``quiet_us``
+    after the PREVIOUS row of the same key (first row always kept).
+    Appends ``gap_us`` (NULL on the first row). One per-key sort, a
+    lag, a map-side integer test — debounce-against-raw semantics; a
+    throttle against *kept* rows is sequential and belongs in the NFA
+    runner instead."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.lag(
-        F.unix_micros(F.col("ts"))
-    ).over(w)
-    return (
-        ev.select(
-            "event_id",
-            "user_id",
-            "event_type",
-            gap_us.alias("gap_us"),
-        )
-        .filter(F.col("gap_us").isNull() | (F.col("gap_us") > 60000000))
-        .select(
-            "event_id",
-            "user_id",
-            "event_type",
-            F.round(F.col("gap_us") / F.lit(1000000.0), 6).alias("gap_s"),
-        )
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    gap = F.col(ts_us_col) - F.lag(ts_us_col).over(w)
+    return df.withColumn("gap_us", gap).filter(
+        F.col("gap_us").isNull() | (F.col("gap_us") > quiet_us)
     )

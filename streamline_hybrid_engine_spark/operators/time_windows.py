@@ -1315,8 +1315,6 @@ def ts_fill_forward_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the same single-exchange shape as every window op
     here; the state is one (value, ts) pair per user regardless of
     horizon."""
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events")
     sparse = ev.select(
         "event_id",
@@ -1327,23 +1325,19 @@ def ts_fill_forward_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 1000000).cast("long"),
         ).alias("v_micros"),
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled = fill_forward_limited(
+        sparse,
+        "v_micros",
+        "us",
+        keys=["user_id"],
+        order_cols=["us", "event_id"],
+        max_age_us=1_800_000_000,
     )
-    carry = F.last("v_micros", ignorenulls=True).over(w)
-    carry_us = F.last(
-        F.when(F.col("v_micros").isNotNull(), F.col("us")), ignorenulls=True
-    ).over(w)
-    fresh = (F.col("us") - carry_us) <= F.lit(1800000000)
-    return sparse.select(
+    return filled.select(
         "event_id",
         "user_id",
-        F.when(fresh, carry).alias("filled_micros"),
-        F.when(
-            fresh, F.round((F.col("us") - carry_us) / F.lit(1000000.0), 6)
-        ).alias("age_s"),
+        F.col("filled").alias("filled_micros"),
+        F.round(F.col("fill_age_us") / F.lit(1000000.0), 6).alias("age_s"),
     )
 
 
@@ -1524,36 +1518,25 @@ def ts_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     with DRIFT detection (slow shifts that never trip a point fence).
     Target+slack = 55.0, h = 100.0, in micros; the streaming face
     would carry (C, min-prefix) as two longs of state."""
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events")
     v = ev.select(
         "user_id",
         "event_id",
         F.unix_micros(F.col("ts")).alias("us"),
-        (F.round(F.col("value") * 1000000).cast("long") - 55000000).alias("d"),
+        F.round(F.col("value") * 1000000).cast("long").alias("v_us"),
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored = cusum(
+        v,
+        "v_us",
+        keys=["user_id"],
+        order_cols=["us", "event_id"],
+        target=55_000_000,
+        threshold=100_000_000,
     )
-    dec = "decimal(38,0)"
-    c = v.select(
-        "user_id",
-        "event_id",
-        "us",
-        F.sum(F.col("d").cast(dec)).over(w).cast("long").alias("cum"),
-    )
-    stat = F.col("cum") - F.least(
-        F.lit(0).cast("long"), F.min("cum").over(w)
-    )
-    s = c.select("user_id", "us", stat.alias("stat"))
-    alarm = F.when(F.col("stat") > 100000000, 1).otherwise(0)
-    return s.groupBy("user_id").agg(
+    return scored.groupBy("user_id").agg(
         F.count("*").alias("n_points"),
-        F.sum(alarm).cast("long").alias("n_alarms"),
-        F.min(F.when(F.col("stat") > 100000000, F.col("us"))).alias(
+        F.sum("cusum_alarm").cast("long").alias("n_alarms"),
+        F.min(F.when(F.col("cusum_alarm") == 1, F.col("us"))).alias(
             "first_alarm_us"
         ),
     )
@@ -1699,23 +1682,17 @@ def ts_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag, one pair groupBy; the row normalization runs as a window over
     the |statuses|² aggregated table (9 rows), not the fact. Counts and
     the probability's operands are exact integers."""
-    from pyspark.sql import Window
-
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    seq = o.select(
-        F.lag("o_orderstatus").over(w).alias("from_status"),
-        F.col("o_orderstatus").alias("to_status"),
-    ).filter(F.col("from_status").isNotNull())
-    t = seq.groupBy("from_status", "to_status").agg(F.count("*").alias("n"))
-    wrow = Window.partitionBy("from_status")
-    return t.select(
-        "from_status",
-        "to_status",
-        F.col("n").cast("long").alias("n"),
-        F.round(
-            F.col("n").cast("double") / F.sum("n").over(wrow).cast("double"), 6
-        ).alias("p"),
+    return transition_matrix(
+        o,
+        "o_orderstatus",
+        keys=["o_custkey"],
+        order_cols=["o_orderdate", "o_orderkey"],
+    ).select(
+        F.col("from_state").alias("from_status"),
+        F.col("to_state").alias("to_status"),
+        "n",
+        "p",
     )
 
 
@@ -1894,4 +1871,101 @@ def ts_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(0.25, "q1_s"),
         q(0.5, "median_s"),
         q(0.75, "q3_s"),
+    )
+
+
+def cusum(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str],
+    order_cols: list[str],
+    target: int,
+    threshold: int,
+) -> DataFrame:
+    """Library primitive: per-row one-sided CUSUM over integer values.
+
+    Appends ``cusum_stat`` (S_i = max(0, S_{i-1} + value − target),
+    computed via the prefix identity S_i = C_i − min(0, min_{j≤i} C_j)
+    as two frames over ONE per-key sort — no UDF, no iteration) and
+    ``cusum_alarm`` (stat > threshold). ``value_col`` and ``target``
+    must be integers (fixed-point your floats first) so the statistic
+    is exact; one shuffle on ``keys``. Works on any DataFrame; the
+    streaming face carries (C, min C) as two longs of keyed state
+    (stream_cusum_alarm)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dec = "decimal(38,0)"
+    with_c = df.withColumn(
+        "_cusum_c",
+        F.sum((F.col(value_col) - F.lit(target)).cast(dec)).over(w).cast("long"),
+    )
+    stat = F.col("_cusum_c") - F.least(
+        F.lit(0).cast("long"), F.min("_cusum_c").over(w)
+    )
+    return (
+        with_c.withColumn("cusum_stat", stat)
+        .withColumn("cusum_alarm", (F.col("cusum_stat") > threshold).cast("int"))
+        .drop("_cusum_c")
+    )
+
+
+def fill_forward_limited(
+    df: DataFrame,
+    value_col: str,
+    ts_us_col: str,
+    keys: list[str],
+    order_cols: list[str],
+    max_age_us: int,
+) -> DataFrame:
+    """Library primitive: LOCF with a staleness bound. Appends
+    ``filled`` (the last non-null ``value_col`` within ``max_age_us``
+    of this row, else NULL) and ``fill_age_us``. Both IGNORE-NULLS
+    frames share one per-key sort — one shuffle, no join back."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry = F.last(value_col, ignorenulls=True).over(w)
+    carry_us = F.last(
+        F.when(F.col(value_col).isNotNull(), F.col(ts_us_col)),
+        ignorenulls=True,
+    ).over(w)
+    age = F.col(ts_us_col) - carry_us
+    fresh = age <= max_age_us
+    return df.withColumn("filled", F.when(fresh, carry)).withColumn(
+        "fill_age_us", F.when(fresh, age)
+    )
+
+
+def transition_matrix(
+    df: DataFrame, state_col: str, keys: list[str], order_cols: list[str]
+) -> DataFrame:
+    """Library primitive: first-order Markov transition counts and
+    row-normalized probabilities over each key's state sequence.
+    Returns (from_state, to_state, n, p); the normalization window runs
+    over the |states|² aggregate, not the input."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    seq = df.select(
+        F.lag(state_col).over(w).alias("from_state"),
+        F.col(state_col).alias("to_state"),
+    ).filter(F.col("from_state").isNotNull())
+    t = seq.groupBy("from_state", "to_state").agg(F.count("*").alias("n"))
+    wrow = Window.partitionBy("from_state")
+    return t.select(
+        "from_state",
+        "to_state",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wrow).cast("double"), 6
+        ).alias("p"),
     )

@@ -297,3 +297,65 @@ def test_busday_helpers_on_toy_frame(spark):
     by_d = {r.d.day: r for r in rows}
     assert by_d[5].roll.day == 5 and by_d[5].plus1.day == 8  # Fri → Mon
     assert by_d[6].roll.day == 8 and by_d[6].plus1.day == 9  # Sat → Mon, +1 → Tue
+
+
+def test_cusum_on_toy_series(spark):
+    from streamline_hybrid_engine_spark import cusum
+
+    # target 10, threshold 5: values 12,13 drift +2,+3 → stats 2,5;
+    # 4 pulls C down but stat clamps at 0; 16 then alarms (stat 6)
+    df = spark.createDataFrame(
+        [(1, 1, 12), (1, 2, 13), (1, 3, 4), (1, 4, 16)],
+        "k long, t long, v long",
+    )
+    out = {
+        r["t"]: (r["cusum_stat"], r["cusum_alarm"])
+        for r in cusum(df, "v", ["k"], ["t"], target=10, threshold=5).collect()
+    }
+    assert out == {1: (2, 0), 2: (5, 0), 3: (0, 0), 4: (6, 1)}
+
+
+def test_fill_forward_limited_on_toy_series(spark):
+    from streamline_hybrid_engine_spark import fill_forward_limited
+
+    df = spark.createDataFrame(
+        [(1, 0, 7), (1, 5, None), (1, 20, None)],
+        "k long, us long, v long",
+    )
+    out = {
+        r["us"]: (r["filled"], r["fill_age_us"])
+        for r in fill_forward_limited(
+            df, "v", "us", ["k"], ["us"], max_age_us=10
+        ).collect()
+    }
+    # at us=5 the carry is 5 old (fresh); at us=20 it is 20 old (stale)
+    assert out == {0: (7, 0), 5: (7, 5), 20: (None, None)}
+
+
+def test_transition_matrix_on_toy_sequence(spark):
+    from streamline_hybrid_engine_spark import transition_matrix
+
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (2, 1, "a"), (2, 2, "b")],
+        "k long, t long, s string",
+    )
+    out = {
+        (r["from_state"], r["to_state"]): (r["n"], r["p"])
+        for r in transition_matrix(df, "s", ["k"], ["t"]).collect()
+    }
+    assert out == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+
+def test_debounce_on_toy_events(spark):
+    from streamline_hybrid_engine_spark import debounce
+
+    df = spark.createDataFrame(
+        [(1, 0), (1, 3), (1, 20), (2, 1)],
+        "k long, us long",
+    )
+    kept = sorted(
+        (r["k"], r["us"])
+        for r in debounce(df, ["k"], "us", ["us"], quiet_us=10).collect()
+    )
+    # the :3 event is within 10 of :0 and is suppressed
+    assert kept == [(1, 0), (1, 20), (2, 1)]
