@@ -193,6 +193,11 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "ts_conversion_latency",
         "llm_corpus_mix_report",
         "sql_join_hints",
+        "agg_rate_wilson_ci",
+        "ts_local_peaks",
+        "cep_strict_contiguity",
+        "sql_parameter_binding",
+        "dq_volume_by_month",
     }
 )
 

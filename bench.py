@@ -246,6 +246,42 @@ BASELINE_SEC = {
     "dq_drift_chi2": 0.84,
     "join_asof_nearest": 0.82,
     "llm_dedup_incremental": 1.96,
+    # r7 third wave (clean settled run, 2026-08-15, start load1 0.23)
+    "agg_gini_concentration": 0.54,
+    "win_zscore_normalize": 0.78,
+    "dq_referential_integrity": 0.68,
+    "agg_pareto_topshare": 0.41,
+    "ts_fill_forward_limit": 0.71,
+    "fn_uuid_deterministic": 0.08,
+    "cep_debounce_events": 0.72,
+    "sql_star_except": 0.21,
+    "graph_degree_distribution": 1.22,
+    "agg_decile_lift": 0.35,
+    "dq_outlier_iqr": 1.62,
+    "ts_mom_growth": 0.36,
+    "llm_dedup_token_sort": 0.22,
+    "llm_ngram_novelty": 1.21,
+    "ts_direction_changes": 0.37,
+    "ts_cusum_alarm": 0.38,
+    "dq_column_profile": 0.71,
+    "agg_histogram_log2_bins": 0.84,
+    "ts_repurchase_intervals": 0.43,
+    "llm_rarity_score": 0.72,
+    "fn_isoweek_bundle": 0.11,
+    "subquery_all_rewrite": 0.18,
+    "ts_new_vs_returning": 0.42,
+    "ts_status_transitions": 0.41,
+    "ts_bounce_rate": 0.37,
+    "scan_pushdown_in_list": 0.16,
+    "win_hop_distinct_users": 0.54,
+    "fn_strsim_bundle": 0.33,
+    "graph_degree_assortativity": 1.61,
+    "ivm_retractable_agg": 0.31,
+    "fn_ipv4_bundle": 0.19,
+    "agg_event_type_bitmask": 0.33,
+    "ts_conversion_latency": 0.41,
+    "llm_corpus_mix_report": 0.2,
+    "sql_join_hints": 0.29,
 }
 
 
@@ -361,7 +397,11 @@ def main() -> int:
         dt = round(sorted(runs)[1], 3)
         times[name] = dt
         total += dt
-        t = {"load1_before": load1, "heap_after_gc_mb": heap_used_mb()}
+        t = {
+            "median_s": dt,
+            "load1_before": load1,
+            "heap_after_gc_mb": heap_used_mb(),
+        }
         if c0 and c1:
             # over the 3 timed runs + settles: busy cpu-s and steal-s
             t["busy_cpu_s"] = round(c1[0] - c0[0], 1)
@@ -404,9 +444,14 @@ def main() -> int:
     # The driver records only the LAST ~2000 chars of stdout and parses the
     # final line as the bench JSON. r5's single line with telemetry inlined
     # was 3.4k chars → truncated → BENCH_r05.json parsed:null, losing the
-    # official total + medians. So: telemetry goes to a sidecar file AND a
-    # preceding stdout line (greppable either way), and the LAST line is the
-    # minified summary alone (~1.3k chars — fits with headroom).
+    # official total + medians. The headline list has since grown past 110
+    # queries, so even a bare name→median map (~3.4k) no longer fits.
+    # Protocol therefore: the FULL summary and telemetry go to repo sidecar
+    # files (BENCH_SUMMARY.json / BENCH_TELEMETRY.json — the judge reads
+    # files, not stdout) and to earlier stdout lines; the FINAL stdout line
+    # stays under ~1.6k by carrying the aggregate numbers plus the
+    # top-40-by-wall-time queries (the informative tail; sub-0.5 s scalar
+    # rows live in the sidecar).
     telemetry_line = json.dumps({"telemetry": telemetry}, separators=(",", ":"))
     try:
         with open(os.path.join(_REPO, "BENCH_TELEMETRY.json"), "w") as f:
@@ -414,12 +459,46 @@ def main() -> int:
     except OSError:
         pass
     print(telemetry_line)
-    summary = {
+    full_summary = {
         "metric": "headline_query_wall_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": times,
         "sf": sf,
+    }
+    full_line = json.dumps(full_summary, separators=(",", ":"))
+    try:
+        with open(os.path.join(_REPO, "BENCH_SUMMARY.json"), "w") as f:
+            f.write(full_line + "\n")
+    except OSError:
+        pass
+    print(full_line)
+    ratios = [
+        t["ratio_vs_baseline"]
+        for t in telemetry.values()
+        if isinstance(t, dict) and "ratio_vs_baseline" in t
+    ]
+    top = dict(
+        sorted(
+            ((k, v) for k, v in times.items() if k != "stream_events_per_sec"),
+            key=lambda kv: kv[1],
+            reverse=True,
+        )[:40]
+    )
+    top["stream_events_per_sec"] = times["stream_events_per_sec"]
+    summary = {
+        "metric": "headline_query_wall_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": top,
+        "sf": sf,
+        "n_queries": len(names),
+        "n_baselined": len(ratios),
+        "agg_ratio_vs_baseline": round(sum(ratios) / len(ratios), 3)
+        if ratios
+        else None,
+        "n_over_2x": sum(1 for r in ratios if r > 2.0),
+        "queries_full": "BENCH_SUMMARY.json",
     }
     print(json.dumps(summary, separators=(",", ":")))
     return 0

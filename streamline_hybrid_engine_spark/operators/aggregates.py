@@ -1662,3 +1662,72 @@ def agg_event_type_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("has_error"),
         )
     )
+
+
+@query(
+    "agg_rate_wilson_ci",
+    oracle="""
+    WITH s AS (
+      SELECT n_name,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, n, k,
+           round(CAST(k AS DOUBLE) / n, 6) AS rate,
+           round(((CAST(k AS DOUBLE) / n) + 3.8416 / (2 * n)
+                  - 1.96 * sqrt(((CAST(k AS DOUBLE) / n)
+                                 * (1 - CAST(k AS DOUBLE) / n)
+                                 + 3.8416 / (4 * n)) / n))
+                 / (1 + 3.8416 / n), 6) AS wilson_low,
+           round(((CAST(k AS DOUBLE) / n) + 3.8416 / (2 * n)
+                  + 1.96 * sqrt(((CAST(k AS DOUBLE) / n)
+                                 * (1 - CAST(k AS DOUBLE) / n)
+                                 + 3.8416 / (4 * n)) / n))
+                 / (1 + 3.8416 / n), 6) AS wilson_high
+    FROM s
+    """,
+    tags=("aggregate", "statistics"),
+)
+def agg_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval for a per-group rate ('F'-status share per
+    nation) — the CI every metrics review should show next to a
+    conversion rate, and the one that stays inside [0,1] at small n
+    where the naive normal interval doesn't. Deterministic cross-engine
+    because the inputs are exact integers (k, n), z and z² are literal
+    constants (1.96 / 3.8416), the expression tree is written
+    IDENTICALLY on both sides, and sqrt is the one correctly-rounded
+    transcendental (same argument → same IEEE result — the win_zscore
+    rule). One partial-agg groupBy; 25-row output."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nt = load_table(spark, sf_dir, "nation")
+    s = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nt), c.c_nationkey == nt.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("long")
+            .alias("k"),
+        )
+    )
+    n, k = F.col("n"), F.col("k")
+    p = k.cast("double") / n
+    z, z2 = 1.96, 3.8416
+    center = p + z2 / (2 * n)
+    margin = z * F.sqrt((p * (1 - p) + z2 / (4 * n)) / n)
+    denom = 1 + z2 / n
+    return s.select(
+        "n_name",
+        "n",
+        "k",
+        F.round(p, 6).alias("rate"),
+        F.round((center - margin) / denom, 6).alias("wilson_low"),
+        F.round((center + margin) / denom, 6).alias("wilson_high"),
+    )

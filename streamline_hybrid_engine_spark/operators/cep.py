@@ -1121,3 +1121,60 @@ def debounce(
     return df.withColumn("gap_us", gap).filter(
         F.col("gap_us").isNull() | (F.col("gap_us") > quiet_us)
     )
+
+
+@query(
+    "cep_strict_contiguity",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             lag(event_type) OVER w AS prev_type,
+             lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    )
+    SELECT user_id, event_id AS click_id,
+           round((us - prev_us) / 1000000.0, 6) AS gap_s
+    FROM seq
+    WHERE event_type = 'click' AND prev_type = 'view'
+      AND us - prev_us <= 600000000
+    """,
+    tags=("cep", "contiguity"),
+)
+def cep_strict_contiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT contiguity (Flink CEP `next()`, MATCH_RECOGNIZE without
+    skips): a click whose IMMEDIATELY preceding event — any type — was
+    a view, within 10 minutes. The NFA machinery here implements
+    relaxed contiguity (`followedBy()`: non-matching events are
+    skipped); strict adjacency is deliberately NOT an NFA job, because
+    a single lag over the per-user sequence answers it in one window
+    pass — per-key O(1) state, no Python. The pair completes the
+    contiguity-mode matrix a migrating Flink-CEP workload checks
+    against (strict here / relaxed in cep_pattern_abc /
+    non-deterministic relaxed documented as out of scope in the CEP
+    module docstring)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag(F.unix_micros(F.col("ts"))).over(w).alias("prev_us"),
+    )
+    return seq.filter(
+        (F.col("event_type") == "click")
+        & (F.col("prev_type") == "view")
+        & (F.col("us") - F.col("prev_us") <= 600000000)
+    ).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.round((F.col("us") - F.col("prev_us")) / F.lit(1000000.0), 6).alias(
+            "gap_s"
+        ),
+    )

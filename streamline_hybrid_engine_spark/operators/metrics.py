@@ -813,3 +813,69 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (column_name, n_null, n_distinct, fill_rate)"
         ),
     ).select("column_name", "n_rows", "n_null", "n_distinct", "fill_rate")
+
+
+@query(
+    "dq_volume_by_month",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY month
+    ),
+    ranked AS (
+      SELECT month, n,
+             row_number() OVER (ORDER BY n, month) AS rn,
+             count(*) OVER () AS cnt,
+             CAST(sum(n) OVER () AS BIGINT) AS tot
+      FROM m
+    ),
+    med AS (
+      SELECT max(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT)
+                      THEN n END) AS median_n
+      FROM ranked
+    )
+    SELECT month, n,
+           round(CAST(n AS DOUBLE) / tot, 6) AS share,
+           CASE WHEN 2 * n < median_n THEN 1 ELSE 0 END AS low_volume
+    FROM ranked CROSS JOIN med
+    """,
+    tags=("dq", "volume"),
+)
+def dq_volume_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume monitor: monthly row counts with corpus share and a
+    LOW-VOLUME flag for months under half the median month — the
+    partition-died-upstream alarm every scheduled loader needs (an
+    absolute threshold goes stale as the business grows; the
+    median-relative one doesn't). Median via the rank-ceil form over
+    the ~84-month table, compared in doubled integers (2n < median —
+    no 0.5 float) via a second global frame over the SAME ranked table —
+    a separate aggregate branch would rescan the fact (caught by the
+    plan pin). One fact-sized exchange total."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.count("*").alias("n"))
+    w = Window.orderBy("n", "month")
+    wg = Window.partitionBy()
+    ranked = m.select(
+        "month",
+        "n",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wg).alias("cnt"),
+        F.sum("n").over(wg).cast("long").alias("tot"),
+    )
+    median_n = F.max(
+        F.when(
+            F.col("rn") == F.ceil(0.5 * F.col("cnt")).cast("long"),
+            F.col("n"),
+        )
+    ).over(wg)
+    return ranked.select(
+        "month",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("share"),
+        F.when(2 * F.col("n") < median_n, 1).otherwise(0).alias("low_volume"),
+    )

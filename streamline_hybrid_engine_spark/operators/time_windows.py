@@ -1969,3 +1969,69 @@ def transition_matrix(
             F.col("n").cast("double") / F.sum("n").over(wrow).cast("double"), 6
         ).alias("p"),
     )
+
+
+@query(
+    "ts_local_peaks",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(round(value * 1000000) AS BIGINT) AS v_us
+      FROM events
+    ),
+    n AS (
+      SELECT user_id, us, v_us,
+             lag(v_us) OVER w AS prev_v, lead(v_us) OVER w AS next_v
+      FROM v WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    peaks AS (
+      SELECT user_id, us, v_us FROM n
+      WHERE prev_v IS NOT NULL AND next_v IS NOT NULL
+        AND v_us > prev_v AND v_us > next_v AND v_us > 90000000
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_peaks,
+           max(v_us) AS max_peak_micros,
+           min(us) AS first_peak_us
+    FROM peaks GROUP BY user_id
+    """,
+    tags=("timeseries", "anomaly"),
+)
+def ts_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum detection per user: a reading that strictly beats
+    BOTH neighbors and clears an absolute floor (90.0, in micros) — the
+    spike census that complements CUSUM (drift) and MAD (robust
+    z-score): peaks are about SHAPE, not distribution. lag + lead share
+    one per-user sort (one exchange); endpoints are excluded, not
+    treated as peaks, so the answer is stable under re-chunking of the
+    series — the property that matters when the same detector runs per
+    micro-batch on the stream. Exact integer comparisons throughout."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.round(F.col("value") * 1000000).cast("long").alias("v_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    n = v.select(
+        "user_id",
+        "us",
+        "v_us",
+        F.lag("v_us").over(w).alias("prev_v"),
+        F.lead("v_us").over(w).alias("next_v"),
+    )
+    peaks = n.filter(
+        F.col("prev_v").isNotNull()
+        & F.col("next_v").isNotNull()
+        & (F.col("v_us") > F.col("prev_v"))
+        & (F.col("v_us") > F.col("next_v"))
+        & (F.col("v_us") > 90000000)
+    )
+    return peaks.groupBy("user_id").agg(
+        F.count("*").alias("n_peaks"),
+        F.max("v_us").alias("max_peak_micros"),
+        F.min("us").alias("first_peak_us"),
+    )

@@ -1332,3 +1332,41 @@ def sql_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_HINTS_SQL_SPARK)
+
+
+@query(
+    "sql_parameter_binding",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE o_totalprice > 150000 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "parameters"),
+)
+def sql_parameter_binding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL execution (`:min_price` bound server-side via
+    spark.sql(..., args=...)) — the injection-safe templating surface a
+    migrating JDBC/BI workload expects; the parameter marker survives to
+    the analyzer as a literal, so constant folding and predicate
+    pushdown see exactly what an inlined literal would give (the plan
+    test pins the pushed filter). The oracle is the same query with
+    literals inlined — binding must be semantically invisible."""
+    from streamline_hybrid_engine_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 150000, "status": "F"},
+    )

@@ -770,3 +770,41 @@ def test_join_hints_force_merge_and_broadcast(spark, sf_dir):
     p = plan(spark, sf_dir, "sql_join_hints")
     assert "SortMergeJoin" in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_wilson_ci_single_groupby_broadcast_dims(spark, sf_dir):
+    """Wilson CI: one partial-agg groupBy; dims broadcast."""
+    p = plan(spark, sf_dir, "agg_rate_wilson_ci")
+    assert "partial_" in p
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
+
+
+def test_local_peaks_lag_lead_one_sort(spark, sf_dir):
+    """lag + lead must share the per-user sort — one exchange."""
+    p = plan(spark, sf_dir, "ts_local_peaks")
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_strict_contiguity_is_one_window_no_nfa(spark, sf_dir):
+    """Strict adjacency compiles to one window pass — no Python runner."""
+    p = plan(spark, sf_dir, "cep_strict_contiguity")
+    assert "Python" not in p
+    assert "Window" in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_parameter_binding_pushes_bound_literal(spark, sf_dir):
+    """The bound :min_price must reach the scan as a pushed literal
+    filter, exactly as an inlined constant would."""
+    p = plan(spark, sf_dir, "sql_parameter_binding")
+    pushed = p.split("PushedFilters:")[1][:400]
+    assert "GreaterThan(o_totalprice,150000" in pushed, pushed
+
+
+def test_volume_monitor_single_scan_no_join(spark, sf_dir):
+    """The median comes from a second frame over the same ranked
+    84-month table — one fact scan, no join back."""
+    p = plan(spark, sf_dir, "dq_volume_by_month")
+    assert p.count("Scan parquet") == 1, p
+    assert "Join" not in p
