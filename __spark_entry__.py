@@ -198,6 +198,11 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "cep_strict_contiguity",
         "sql_parameter_binding",
         "dq_volume_by_month",
+        "llm_token_offsets",
+        "ts_time_in_state",
+        "dq_pk_uniqueness",
+        "agg_skyline_2d",
+        "ts_series_correlation",
     }
 )
 

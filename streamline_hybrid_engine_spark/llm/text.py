@@ -1418,3 +1418,64 @@ def llm_corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chars").over(wrun).cast("double") / tot, 6
         ).alias("cum_share"),
     )
+
+
+@query(
+    "llm_token_offsets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(string_split(text, ' ')) + 1),
+               i -> {'pos': i - 1, 'tok': string_split(text, ' ')[i]})) AS u
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    flat AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM toks),
+    span AS (
+      SELECT doc_id, pos, tok,
+             CAST(sum(length(tok) + 1) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT) AS prior
+      FROM flat
+    )
+    SELECT doc_id, pos, tok,
+           coalesce(prior, 0) AS start_char,
+           coalesce(prior, 0) + length(tok) AS end_char
+    FROM span
+    """,
+    tags=("llm", "annotation"),
+)
+def llm_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token span offsets: (position, start_char, end_char) per token —
+    the alignment table every span-annotation pipeline (NER, PII
+    masking, citation grounding) needs to map model outputs back onto
+    raw text. Offsets via a cumulative length window over posexplode
+    (start = Σ preceding (len+1), exact for the single-space corpus;
+    real text would tokenize with offsets upstream). DuckDB has no
+    WITH ORDINALITY — the oracle reproduces position with the
+    range→struct list_transform trick. One exchange on doc_id; the
+    span arithmetic is exact integers, and llm_pii_redact is the
+    consumer that would join on these spans."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    from pyspark.sql import Window
+
+    flat = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(
+        F.sum(F.length("tok") + 1).over(w).cast("long"), F.lit(0)
+    )
+    return flat.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        "tok",
+        prior.alias("start_char"),
+        (prior + F.length("tok")).cast("long").alias("end_char"),
+    )

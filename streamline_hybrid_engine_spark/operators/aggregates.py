@@ -1731,3 +1731,56 @@ def agg_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - margin) / denom, 6).alias("wilson_low"),
         F.round((center + margin) / denom, 6).alias("wilson_high"),
     )
+
+
+@query(
+    "agg_skyline_2d",
+    oracle="""
+    WITH pts AS (
+      SELECT p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    ),
+    ranked AS (
+      SELECT p_partkey, price_cents, size,
+             max(size) OVER (ORDER BY price_cents, p_partkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS best_size_cheaper
+      FROM pts
+    )
+    SELECT p_partkey, price_cents, size
+    FROM ranked
+    WHERE best_size_cheaper IS NULL OR size > best_size_cheaper
+    """,
+    tags=("aggregate", "skyline"),
+)
+def agg_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D SKYLINE (Pareto frontier): parts not dominated on
+    (price low, size high) — the classic Börzsönyi SKYLINE operator,
+    which in two dimensions needs NO pairwise comparison: sort by
+    price ascending and keep a row iff its size strictly beats the
+    running max over everything cheaper (one window pass — the
+    sort-filter skyline algorithm). Tie discipline: equal-price rows
+    compare against strictly-cheaper rows only (partkey tiebreak
+    orders the frame; the 1-PRECEDING frame plus strict > keeps
+    same-price co-maxima). Exact integer cents/size. The global sort
+    is the honest 2-D cost; at 100 TB pre-filter with a grid skyline
+    (per-cell local skylines, then the global pass over survivors) —
+    same relief-valve shape as the percentile family."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part")
+    pts = p.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    w = Window.orderBy("price_cents", "p_partkey").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = pts.withColumn("best_size_cheaper", F.max("size").over(w))
+    return ranked.filter(
+        F.col("best_size_cheaper").isNull()
+        | (F.col("size") > F.col("best_size_cheaper"))
+    ).select("p_partkey", "price_cents", "size")

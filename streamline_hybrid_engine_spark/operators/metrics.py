@@ -879,3 +879,64 @@ def dq_volume_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("share"),
         F.when(2 * F.col("n") < median_n, 1).otherwise(0).alias("low_volume"),
     )
+
+
+# --- Primary-key uniqueness audit -----------------------------------------------
+
+_PK_CHECKS = (
+    ("lineitem", ("l_orderkey", "l_linenumber")),
+    ("orders", ("o_orderkey",)),
+    ("orders", ("o_custkey",)),  # deliberately NON-unique: shows violations
+)
+
+
+def _pk_oracle() -> str:
+    arms = []
+    for table, cols in _PK_CHECKS:
+        key = ", ".join(cols)
+        arms.append(f"""
+    SELECT '{table}({key})' AS key_name,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_keys,
+           CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+             AS n_rows_in_dups,
+           max(c) AS max_multiplicity
+    FROM (SELECT count(*) AS c FROM {table} GROUP BY {key})
+        """)
+    return " UNION ALL ".join(arms)
+
+
+@query("dq_pk_uniqueness", oracle=_pk_oracle(), tags=("dq", "audit"))
+def dq_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-uniqueness audit: per declared key, how many key values,
+    how many are duplicated, how many rows sit inside duplicate groups,
+    and the worst multiplicity — the dedup-BEFORE-merge check (a MERGE
+    against a non-unique key silently multiplies rows; this is the
+    query that catches it first). The third check (orders.o_custkey) is
+    deliberately a NON-key so the violation columns are exercised with
+    real numbers, not all-zeros. Each check is one partial-agg groupBy
+    on its key + a 5-number rollup; branches are independent and
+    AQE-sized."""
+    out = None
+    for table, cols in _PK_CHECKS:
+        t = load_table(spark, sf_dir, table)
+        g = t.groupBy(*[F.col(c) for c in cols]).agg(F.count("*").alias("c"))
+        row = g.agg(
+            F.count("*").alias("n_keys"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_keys"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_rows_in_dups"),
+            F.max("c").alias("max_multiplicity"),
+        ).select(
+            F.lit(f"{table}({', '.join(cols)})").alias("key_name"),
+            "n_keys",
+            "n_dup_keys",
+            "n_rows_in_dups",
+            "max_multiplicity",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

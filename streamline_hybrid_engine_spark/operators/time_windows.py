@@ -2035,3 +2035,137 @@ def ts_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v_us").alias("max_peak_micros"),
         F.min("us").alias("first_peak_us"),
     )
+
+
+@query(
+    "ts_time_in_state",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS state,
+             lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               - epoch_us(CAST(ts AS TIMESTAMP)) AS dwell_us
+      FROM events
+    )
+    SELECT user_id, state,
+           CAST(count(*) AS BIGINT) AS n_entries,
+           CAST(sum(dwell_us) AS BIGINT) AS total_dwell_us
+    FROM seq WHERE dwell_us IS NOT NULL
+    GROUP BY user_id, state
+    """,
+    tags=("timeseries", "behavior"),
+)
+def ts_time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state accounting: each event opens a state (its type)
+    that lasts until the user's NEXT event — sum the dwell per
+    (user, state). The process-mining/dwell-time complement to the
+    transition matrix (ts_status_transitions counts edges; this
+    weights them with elapsed time). Last events carry no dwell
+    (open-ended intervals excluded, not guessed — the honest batch
+    semantics; a stream would close them at the watermark). One lead
+    over one per-user sort, exact integer micros, then a partial-agg
+    groupBy."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        (
+            F.lead(F.unix_micros(F.col("ts"))).over(w)
+            - F.unix_micros(F.col("ts"))
+        ).alias("dwell_us"),
+    ).filter(F.col("dwell_us").isNotNull())
+    return seq.groupBy("user_id", "state").agg(
+        F.count("*").alias("n_entries"),
+        F.sum("dwell_us").cast("long").alias("total_dwell_us"),
+    )
+
+
+@query(
+    "ts_series_correlation",
+    oracle="""
+    WITH hc AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY h, event_type
+    ),
+    grid AS (
+      SELECT hs.h, t.event_type, coalesce(hc.n, 0) AS n
+      FROM (SELECT DISTINCT h FROM hc) hs
+      CROSS JOIN (SELECT DISTINCT event_type FROM hc) t
+      LEFT JOIN hc ON hc.h = hs.h AND hc.event_type = t.event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS m,
+             CAST(sum(CAST(a.n AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(sum(CAST(b.n AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(a.n * b.n AS HUGEINT)) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(a.n * a.n AS HUGEINT)) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(b.n * b.n AS HUGEINT)) AS DOUBLE) AS syy
+      FROM grid a JOIN grid b ON a.h = b.h AND a.event_type < b.event_type
+      GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, CAST(m AS BIGINT) AS n_hours,
+           round((m * sxy - sx * sy)
+                 / (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy)), 6)
+             AS corr
+    FROM pairs
+    """,
+    tags=("timeseries", "statistics"),
+)
+def ts_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series correlation matrix: Pearson between every pair of
+    event types' HOURLY count series — does error volume track click
+    volume? The co-movement screen run before any causal story. The
+    hourly grid is ZERO-FILLED (distinct hours × types, absent cells =
+    0) because corr-over-co-present-hours silently conditions on
+    activity; the grid crossJoin is hours × 5 — metadata-sized. Pair
+    join keyed on the hour (10 pairs per hour row), then the exact
+    integer-moment Pearson (agg_corr_covar's discipline: five 128-bit
+    sums, one closed form). Output is the 10-row upper triangle."""
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        "event_type",
+    ).agg(F.count("*").cast("long").alias("n"))
+    hours = hc.select("h").distinct()
+    types = hc.select("event_type").distinct()
+    grid = (
+        hours.crossJoin(F.broadcast(types))
+        .join(hc, ["h", "event_type"], "left")
+        .select("h", "event_type", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    )
+    a = grid.select(
+        F.col("h"), F.col("event_type").alias("type_a"), F.col("n").alias("x")
+    )
+    b = grid.select(
+        F.col("h"), F.col("event_type").alias("type_b"), F.col("n").alias("y")
+    )
+    j = a.join(b, "h").filter(F.col("type_a") < F.col("type_b"))
+    dec = "decimal(38,0)"
+    s = j.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("m"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+    )
+    m = F.col("m").cast("double")
+    return s.select(
+        "type_a",
+        "type_b",
+        F.col("m").cast("long").alias("n_hours"),
+        F.round(
+            (m * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(m * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(m * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("corr"),
+    )

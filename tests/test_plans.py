@@ -808,3 +808,47 @@ def test_volume_monitor_single_scan_no_join(spark, sf_dir):
     p = plan(spark, sf_dir, "dq_volume_by_month")
     assert p.count("Scan parquet") == 1, p
     assert "Join" not in p
+
+
+def test_token_offsets_posexplode_one_doc_exchange(spark, sf_dir):
+    """Span offsets: Generate (posexplode) stays JVM-side; one doc_id
+    exchange for the cumulative-length window."""
+    p = plan(spark, sf_dir, "llm_token_offsets")
+    assert "Generate" in p
+    assert "Python" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_time_in_state_one_lead_then_partial_agg(spark, sf_dir):
+    """Dwell accounting: one per-user lead window, then a partial-agg
+    rollup — no self-join of events."""
+    p = plan(spark, sf_dir, "ts_time_in_state")
+    assert "Window" in p
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in p
+
+
+def test_pk_uniqueness_groupbys_no_joins(spark, sf_dir):
+    """Each key check is a groupBy + rollup; only the 3-row union and
+    no join anywhere."""
+    p = plan(spark, sf_dir, "dq_pk_uniqueness")
+    assert "Union" in p
+    assert "CartesianProduct" not in p
+
+
+def test_skyline_single_window_pass_no_pair_join(spark, sf_dir):
+    """2-D skyline must be the sort-filter form: one window over the
+    price order — never a dominance pair join."""
+    p = plan(spark, sf_dir, "agg_skyline_2d")
+    assert "Window" in p
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in p
+
+
+def test_series_correlation_grid_is_broadcast_metadata(spark, sf_dir):
+    """The zero-fill grid builds from metadata-sized distincts (types
+    broadcast); the pair join keys on the hour — no cartesian over
+    rows."""
+    p = plan(spark, sf_dir, "ts_series_correlation")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
