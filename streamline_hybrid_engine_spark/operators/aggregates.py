@@ -1744,27 +1744,34 @@ def agg_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
       SELECT p_partkey, price_cents, size,
-             max(size) OVER (ORDER BY price_cents, p_partkey
-                             ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND 1 PRECEDING) AS best_size_cheaper
+             max(size) OVER (ORDER BY price_cents
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS best_size_cheaper,
+             max(size) OVER (PARTITION BY price_cents) AS best_at_price
       FROM pts
     )
     SELECT p_partkey, price_cents, size
     FROM ranked
-    WHERE best_size_cheaper IS NULL OR size > best_size_cheaper
+    WHERE (best_size_cheaper IS NULL OR size > best_size_cheaper)
+      AND size = best_at_price
     """,
     tags=("aggregate", "skyline"),
 )
 def agg_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D SKYLINE (Pareto frontier): parts not dominated on
     (price low, size high) — the classic Börzsönyi SKYLINE operator,
-    which in two dimensions needs NO pairwise comparison: sort by
-    price ascending and keep a row iff its size strictly beats the
-    running max over everything cheaper (one window pass — the
-    sort-filter skyline algorithm). Tie discipline: equal-price rows
-    compare against strictly-cheaper rows only (partkey tiebreak
-    orders the frame; the 1-PRECEDING frame plus strict > keeps
-    same-price co-maxima). Exact integer cents/size. The global sort
+    which in two dimensions needs NO pairwise comparison: one window
+    pass over the price ordering. Tie discipline matters and the
+    property fuzzer is what got it right: a VALUE-RANGE frame
+    (RANGE … 1 PRECEDING) supplies the max size over STRICTLY cheaper
+    rows (a ROWS frame would leak equal-price predecessors in and a
+    naive version of this op shipped with exactly that bug — caught by
+    test_skyline_window_matches_bruteforce_dominance against the O(n²)
+    dominance definition), and a second per-price frame drops rows
+    beaten by an equal-price sibling. Survives: size > every cheaper
+    size AND size == the equal-price max — precisely non-dominated
+    under (x2 ≤ x, y2 ≥ y, one strict). Exact integer cents/size. The
+    global sort
     is the honest 2-D cost; at 100 TB pre-filter with a grid skyline
     (per-cell local skylines, then the global pass over survivors) —
     same relief-valve shape as the percentile family."""
@@ -1776,11 +1783,17 @@ def agg_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
         F.col("p_size").cast("long").alias("size"),
     )
-    w = Window.orderBy("price_cents", "p_partkey").rowsBetween(
+    w = Window.orderBy("price_cents").rangeBetween(
         Window.unboundedPreceding, -1
     )
-    ranked = pts.withColumn("best_size_cheaper", F.max("size").over(w))
+    wp = Window.partitionBy("price_cents")
+    ranked = pts.withColumn(
+        "best_size_cheaper", F.max("size").over(w)
+    ).withColumn("best_at_price", F.max("size").over(wp))
     return ranked.filter(
-        F.col("best_size_cheaper").isNull()
-        | (F.col("size") > F.col("best_size_cheaper"))
+        (
+            F.col("best_size_cheaper").isNull()
+            | (F.col("size") > F.col("best_size_cheaper"))
+        )
+        & (F.col("size") == F.col("best_at_price"))
     ).select("p_partkey", "price_cents", "size")

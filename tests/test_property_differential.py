@@ -502,3 +502,156 @@ def test_theta_kmv_identities(a_keys, b_keys):
         + sum(kept(k) for k in B - A) * THETA_RATE
     )
     assert flag_union == est_union
+
+
+# --- r7 third-wave primitives vs independent reference models -------------------
+
+_series = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),       # key
+        st.integers(min_value=0, max_value=1000),    # ts (ties allowed)
+        st.integers(min_value=-100, max_value=100),  # value
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=25 * _FUZZ, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_series, target=st.integers(-5, 5), h=st.integers(0, 50))
+def test_cusum_window_identity_matches_sequential_fold(spark, rows, target, h):
+    """The prefix identity S_i = C_i − min(0, min_{j≤i} C_j) must equal
+    the textbook recurrence S_i = max(0, S_{i−1} + d_i) on ARBITRARY
+    integer series — the identity the cusum() primitive (and its
+    streaming face) stands on."""
+    from streamline_hybrid_engine_spark import cusum
+
+    # unique (key, ts) ordering: dedupe ties via enumerate tiebreak
+    uniq = [(k, t, i, v) for i, (k, t, v) in enumerate(rows)]
+    expected = {}
+    state: dict = {}
+    for k, t, i, v in sorted(uniq):
+        s_prev = state.get(k, 0)
+        s = max(0, s_prev + (v - target))
+        state[k] = s
+        expected[(k, t, i)] = (s, 1 if s > h else 0)
+    if not uniq:
+        return
+    df = spark.createDataFrame(uniq, "k long, t long, i long, v long")
+    got = {
+        (r["k"], r["t"], r["i"]): (r["cusum_stat"], r["cusum_alarm"])
+        for r in cusum(df, "v", ["k"], ["t", "i"], target=target, threshold=h).collect()
+    }
+    assert got == expected
+
+
+@settings(max_examples=25 * _FUZZ, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 50)),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_skyline_window_matches_bruteforce_dominance(spark, pts, duck_mem):
+    """The sort-filter window skyline must equal the O(n²) dominance
+    definition (minimize x, maximize y; a point survives iff no OTHER
+    point has x ≤ its x AND y ≥ its y with at least one strict) —
+    including duplicate coordinates and co-maxima ties."""
+    ids = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    if not ids:
+        return
+    survivors = set()
+    for i, x, y in ids:
+        dominated = any(
+            (x2 <= x and y2 >= y and (x2 < x or y2 > y))
+            for j, x2, y2 in ids
+            if j != i
+        )
+        if not dominated:
+            survivors.add((x, y))
+    # duplicates of a surviving point: the window form keeps the first
+    # by tiebreak; dominance keeps all copies (they don't strictly beat
+    # each other) — compare the SET of surviving coordinates.
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(ids, "i long, x long, y long")
+    # the corrected two-frame form agg_skyline_2d uses: strictly-cheaper
+    # via a RANGE frame + equal-x sibling max (the original ROWS-frame
+    # form failed THIS test on pts=[(0,0),(0,1)])
+    w = Window.orderBy("x").rangeBetween(Window.unboundedPreceding, -1)
+    wx = Window.partitionBy("x")
+    ranked = df.withColumn("best", F.max("y").over(w)).withColumn(
+        "best_at_x", F.max("y").over(wx)
+    )
+    got = {
+        (r["x"], r["y"])
+        for r in ranked.filter(
+            (F.col("best").isNull() | (F.col("y") > F.col("best")))
+            & (F.col("y") == F.col("best_at_x"))
+        ).collect()
+    }
+    assert got == survivors
+
+
+@settings(max_examples=25 * _FUZZ, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_series, quiet=st.integers(0, 50))
+def test_debounce_matches_sequential_simulation(spark, rows, quiet):
+    """debounce() (lag-based) must keep exactly the rows a sequential
+    replay keeps: first per key, then any row > quiet after the
+    previous RAW row."""
+    from streamline_hybrid_engine_spark import debounce
+
+    uniq = [(k, t, i) for i, (k, t, _) in enumerate(rows)]
+    if not uniq:
+        return
+    expected = set()
+    last: dict = {}
+    for k, t, i in sorted(uniq):
+        if k not in last or t - last[k] > quiet:
+            expected.add((k, t, i))
+        last[k] = t  # raw debounce: previous event, kept or not
+    df = spark.createDataFrame(uniq, "k long, t long, i long")
+    got = {
+        (r["k"], r["t"], r["i"])
+        for r in debounce(df, ["k"], "t", ["t", "i"], quiet_us=quiet).collect()
+    }
+    assert got == expected
+
+
+@settings(max_examples=25 * _FUZZ, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_series, max_age=st.integers(0, 60))
+def test_fill_forward_limited_matches_simulation(spark, rows, max_age):
+    """fill_forward_limited() must equal a sequential LOCF replay with
+    the same staleness bound; negative values double as the non-null
+    markers (None injected for v == 0)."""
+    from streamline_hybrid_engine_spark import fill_forward_limited
+
+    uniq = [
+        (k, t, i, None if v == 0 else v) for i, (k, t, v) in enumerate(rows)
+    ]
+    if not uniq:
+        return
+    expected = {}
+    carry: dict = {}
+    for k, t, i, v in sorted(uniq, key=lambda r: (r[0], r[1], r[2])):
+        if v is not None:
+            carry[k] = (v, t)
+        cv, ct = carry.get(k, (None, None))
+        if cv is not None and t - ct <= max_age:
+            expected[(k, t, i)] = (cv, t - ct)
+        else:
+            expected[(k, t, i)] = (None, None)
+    df = spark.createDataFrame(uniq, "k long, t long, i long, v long")
+    got = {
+        (r["k"], r["t"], r["i"]): (r["filled"], r["fill_age_us"])
+        for r in fill_forward_limited(
+            df, "v", "t", ["k"], ["t", "i"], max_age_us=max_age
+        ).collect()
+    }
+    assert got == expected
