@@ -203,6 +203,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "dq_pk_uniqueness",
         "agg_skyline_2d",
         "ts_series_correlation",
+        "cep_match_recognize_alternation",
     }
 )
 

@@ -367,3 +367,60 @@ def test_quantified_streaming_twin_equals_batch(spark, sf_dir):
         tuple(r) for r in qs["cep_quantified_stream"].fn(spark, sf_dir).collect()
     }
     assert batch == stream and batch
+
+
+def test_alternation_text_equals_programmatic(spark, sf_dir):
+    """MR_ALT_SPEC_TEXT through the parser == the hand-declared twin
+    run programmatically — the same text≡API pin the plain and
+    quantified faces carry."""
+    from streamline_hybrid_engine_spark.catalog import load_table
+    from streamline_hybrid_engine_spark.operators.cep import (
+        _ALT_TWIN,
+        MR_ALT_SPEC_TEXT,
+        match_pattern_classes,
+        match_recognize,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    via_text = {
+        tuple(r) for r in match_recognize(ev, MR_ALT_SPEC_TEXT).collect()
+    }
+    via_api = {
+        tuple(r) for r in match_pattern_classes(ev, _ALT_TWIN).collect()
+    }
+    assert via_text == via_api
+    assert via_text  # the fixture must actually produce matches
+
+
+def test_alternation_parse_rejections_are_loud():
+    import pytest
+
+    from streamline_hybrid_engine_spark.operators.cep import (
+        MR_ALT_SPEC_TEXT,
+        compile_alternation,
+        parse_match_recognize,
+    )
+
+    with pytest.raises(ValueError, match="quantifiers"):
+        parse_match_recognize(
+            MR_ALT_SPEC_TEXT.replace("PATTERN (S X P)", "PATTERN (S X+ P)")
+        )
+    with pytest.raises(ValueError, match="DISJOINT"):
+        parse_match_recognize(
+            MR_ALT_SPEC_TEXT.replace("'click', 'error'", "'click', 'signup'")
+        )
+    with pytest.raises(ValueError, match="DISJOINT"):
+        compile_alternation(
+            (("a", ("x", "y")), ("b", ("y",))), 1_000_000
+        )
+
+
+def test_alternation_format_parse_roundtrip():
+    from streamline_hybrid_engine_spark.operators.cep import (
+        _ALT_TWIN,
+        format_match_recognize,
+        parse_match_recognize,
+    )
+
+    spec, _, _ = parse_match_recognize(format_match_recognize(_ALT_TWIN))
+    assert spec == _ALT_TWIN
