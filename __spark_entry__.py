@@ -204,6 +204,10 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "agg_skyline_2d",
         "ts_series_correlation",
         "cep_match_recognize_alternation",
+        "graph_modularity",
+        "llm_dedup_eval_pr",
+        "fn_binary_codec_bundle",
+        "ts_burstiness",
     }
 )
 

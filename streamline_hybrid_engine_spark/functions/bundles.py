@@ -1178,3 +1178,49 @@ def fn_ipv4_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_private"),
     )
+
+
+@query(
+    "fn_binary_codec_bundle",
+    oracle="""
+    WITH x AS (
+      SELECT doc_id, md5(concat(source, ':', CAST(doc_id AS STRING))) AS h
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id, h,
+           base64(unhex(h)) AS b64,
+           hex(unhex(h)) AS hex_upper,
+           octet_length(unhex(h)) AS n_bytes,
+           hex(from_base64(base64(unhex(h)))) AS roundtrip_hex
+    FROM x
+    """,
+    tags=("function", "codec"),
+)
+def fn_binary_codec_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec bundle: hex ↔ bytes ↔ base64 conversions over md5
+    digests — the encoding plumbing every payload-bearing pipeline
+    (webhook signatures, content-addressed blobs, mm_* binary keys)
+    crosses engines with. Pinned conventions the parity check certifies:
+    md5() renders LOWERCASE hex in both engines, hex() renders
+    UPPERCASE in both, base64 is unpadded-identical RFC 4648, and the
+    full string→bytes→base64→bytes→hex round trip is the identity (a
+    single disagreement anywhere in the chain breaks the hash). Pure
+    map-side, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    x = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    blob = F.unhex(F.col("h"))
+    return x.select(
+        "doc_id",
+        "h",
+        F.base64(blob).alias("b64"),
+        F.hex(blob).alias("hex_upper"),
+        F.octet_length(blob).cast("long").alias("n_bytes"),
+        F.hex(F.unbase64(F.base64(blob))).alias("roundtrip_hex"),
+    )

@@ -1481,3 +1481,75 @@ def llm_dedup_token_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("keep"),
     )
+
+
+def _eval_pr_oracle() -> str:
+    from streamline_hybrid_engine_spark.registry import _REGISTRY as _REG
+
+    cand = _REG["llm_dedup_minhash_pairs"].oracle
+    truth = _REG["llm_dedup_ngram_jaccard"].oracle
+    return f"""
+    WITH cand AS ({cand}),
+    truth AS ({truth}),
+    hit AS (
+      SELECT count(*) AS n_hit
+      FROM cand c JOIN truth t ON t.d1 = c.d1 AND t.d2 = c.d2
+    )
+    SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           round(CAST(n_hit AS DOUBLE)
+                 / nullif((SELECT count(*) FROM cand), 0), 6) AS precision,
+           round(CAST(n_hit AS DOUBLE)
+                 / nullif((SELECT count(*) FROM truth), 0), 6) AS recall
+    FROM hit
+    """
+
+
+@query(
+    "llm_dedup_eval_pr",
+    oracle=_eval_pr_oracle(),
+    tags=("llm", "dedup", "evaluation"),
+)
+def llm_dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality evaluation: precision/recall of the MinHash-LSH
+    candidate pairs against the exact n-gram-Jaccard pairs as ground
+    truth — the measurement that turns band/row parameter choices
+    (llm_minhash_calibration's theory) into an observed operating
+    point on the actual corpus. Pure COMPOSITION: both pair sets are
+    the registry's own audited queries (engine side reuses their
+    DataFrames; the oracle nests their oracle SQL verbatim, so this id
+    inherits their exactness), plus one pair equi-join and null-safe
+    count ratios. At 100 TB the truth side is the expensive one — run
+    the eval on a hash-stable document SAMPLE (llm_train_split_hash's
+    bucketing), which estimates corpus P/R without an all-corpus exact
+    Jaccard."""
+    from streamline_hybrid_engine_spark.registry import all_queries
+
+    qs = all_queries()
+    cand = qs["llm_dedup_minhash_pairs"].fn(spark, sf_dir).select("d1", "d2")
+    truth = qs["llm_dedup_ngram_jaccard"].fn(spark, sf_dir).select("d1", "d2")
+    n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    n_hit = cand.join(truth, ["d1", "d2"]).agg(
+        F.count("*").cast("long").alias("n_hit")
+    )
+    return (
+        n_hit.crossJoin(n_cand)
+        .crossJoin(n_truth)
+        .select(
+            "n_candidates",
+            "n_truth",
+            "n_hit",
+            F.round(
+                F.col("n_hit")
+                / F.nullif(F.col("n_candidates"), F.lit(0)).cast("double"),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.col("n_hit")
+                / F.nullif(F.col("n_truth"), F.lit(0)).cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )

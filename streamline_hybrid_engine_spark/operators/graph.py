@@ -576,6 +576,58 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 LPA_ROUNDS = 4
 
 
+def lpa_labels(spark: SparkSession, sf_dir: str):
+    """Shared LPA core: returns (labels, edges) with NUMERIC vertex ids
+    (customers even, suppliers odd) after LPA_ROUNDS synchronous rounds —
+    consumed by graph_label_propagation (display form) and
+    graph_modularity (quality score). Plan shape documented on the
+    query; the loop is unchanged from the r6-audited form."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    verts = (
+        edges.select(F.col("c").alias("v"))
+        .union(edges.select(F.col("s").alias("v")))
+        .distinct()
+    )
+    und = (
+        edges.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .union(edges.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .union(verts.select(F.col("v").alias("src"), F.col("v").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = verts.select("v", F.col("v").alias("l"))
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            und.join(F.broadcast(labels), und.src == labels.v)
+            .groupBy(F.col("dst").alias("v2"), "l")
+            .agg(F.count("*").alias("cnt"))
+        )
+        # per-vertex argmax as a HASH AGGREGATE (max_by over the
+        # (cnt, -l) struct — max count, ties to the smaller label), not a
+        # row_number window: partial max_by reduces map-side and there is
+        # no per-partition sort (same rewrite as llm_knn_ivf's top-1
+        # picks). Locally the rounds are join-dominated so wall time is
+        # flat; at cluster scale the dropped sort is the win
+        labels = (
+            votes.groupBy(F.col("v2").alias("v"))
+            .agg(
+                F.max_by(
+                    "l", F.struct(F.col("cnt"), (-F.col("l")).alias("nl"))
+                ).alias("l")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels, edges
+
+
 def _lpa_round_sql(prev: str) -> str:
     """One synchronous LPA round (DuckDB dialect): each vertex adopts the
     most frequent label among its neighbors + itself, ties to the
@@ -643,49 +695,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     outgrow executors and the round becomes a co-partitioned shuffle
     join). Oracle: the identical rounds unrolled as SQL (see
     :func:`_lpa_round_sql` for why not a recursive CTE)."""
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .distinct()
-    )
-    verts = (
-        edges.select(F.col("c").alias("v"))
-        .union(edges.select(F.col("s").alias("v")))
-        .distinct()
-    )
-    und = (
-        edges.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        .union(edges.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-        .union(verts.select(F.col("v").alias("src"), F.col("v").alias("dst")))
-        .localCheckpoint(eager=True)
-    )
-    labels = verts.select("v", F.col("v").alias("l"))
-    for _ in range(LPA_ROUNDS):
-        votes = (
-            und.join(F.broadcast(labels), und.src == labels.v)
-            .groupBy(F.col("dst").alias("v2"), "l")
-            .agg(F.count("*").alias("cnt"))
-        )
-        # per-vertex argmax as a HASH AGGREGATE (max_by over the
-        # (cnt, -l) struct — max count, ties to the smaller label), not a
-        # row_number window: partial max_by reduces map-side and there is
-        # no per-partition sort (same rewrite as llm_knn_ivf's top-1
-        # picks). Locally the rounds are join-dominated so wall time is
-        # flat; at cluster scale the dropped sort is the win
-        labels = (
-            votes.groupBy(F.col("v2").alias("v"))
-            .agg(
-                F.max_by(
-                    "l", F.struct(F.col("cnt"), (-F.col("l")).alias("nl"))
-                ).alias("l")
-            )
-            .localCheckpoint(eager=True)
-        )
+    labels, _edges = lpa_labels(spark, sf_dir)
 
     def name(col: str):
         return F.when(
@@ -905,4 +915,110 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("assortativity"),
+    )
+
+
+_MODULARITY_ORACLE = f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+und AS (
+  SELECT c AS src, s AS dst FROM edges
+  UNION ALL SELECT s, c FROM edges
+  UNION ALL SELECT v, v FROM (SELECT c AS v FROM edges UNION SELECT s FROM edges)
+),
+r0 AS (SELECT DISTINCT src AS v, src AS l FROM und),
+r1 AS {_lpa_round_sql("r0")},
+r2 AS {_lpa_round_sql("r1")},
+r3 AS {_lpa_round_sql("r2")},
+r4 AS {_lpa_round_sql("r3")},
+lab AS (SELECT v, l FROM r4),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT c AS v FROM edges UNION ALL SELECT s AS v FROM edges)
+  GROUP BY v
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+ein AS (
+  SELECT CAST(count(*) AS BIGINT) AS e_in
+  FROM edges e JOIN lab a ON a.v = e.c JOIN lab b ON b.v = e.s
+  WHERE a.l = b.l
+),
+dc AS (
+  SELECT CAST(count(DISTINCT a.l) AS BIGINT) AS n_comm,
+         CAST(sum(CAST(d_c AS HUGEINT) * d_c) AS HUGEINT) AS sum_dc2
+  FROM (
+    SELECT a.l, CAST(sum(d.d) AS BIGINT) AS d_c
+    FROM deg d JOIN lab a ON a.v = d.v GROUP BY a.l
+  ) a
+)
+SELECT m.m AS n_edges, dc.n_comm AS n_communities, ein.e_in AS n_intra_edges,
+       round((4.0 * m.m * ein.e_in - CAST(dc.sum_dc2 AS DOUBLE))
+             / (4.0 * m.m * m.m), 6) AS modularity
+FROM m, ein, dc
+"""
+
+
+@query(
+    "graph_modularity",
+    oracle=_MODULARITY_ORACLE,
+    tags=("graph", "quality"),
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities — the quality score that
+    turns 'LPA ran' into 'LPA found structure' (Q ≈ 0: no better than
+    random given the degree sequence; the number every community-detection
+    report leads with). Exactness: Q = Σ_c(e_c/m − (d_c/2m)²) is
+    rearranged to ONE division of exact integers,
+    (4·m·E_in − Σ_c d_c²) / 4m², so the cross-engine hash can't drift
+    even though Q is a ratio of graph-sized counts. Composition: labels
+    come from the SHARED lpa_labels() core (the oracle re-unrolls the
+    same rounds, so a drift in either LPA implementation also fails
+    THIS id); the score adds one label-equijoin over edges + two
+    group-count-sized aggregates to the audited LPA plan."""
+    labels, edges = lpa_labels(spark, sf_dir)
+    a = labels.select(F.col("v").alias("c"), F.col("l").alias("lc"))
+    b = labels.select(F.col("v").alias("s"), F.col("l").alias("ls"))
+    e_in = (
+        edges.join(a, "c")
+        .join(b, "s")
+        .filter(F.col("lc") == F.col("ls"))
+        .agg(F.count("*").cast("long").alias("e_in"))
+    )
+    deg = (
+        edges.select(F.col("c").alias("v"))
+        .unionAll(edges.select(F.col("s").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    dec = "decimal(38,0)"
+    dc = (
+        deg.join(labels, "v")
+        .groupBy("l")
+        .agg(F.sum("d").cast("long").alias("d_c"))
+        .agg(
+            F.countDistinct("l").cast("long").alias("n_comm"),
+            F.sum((F.col("d_c").cast(dec) * F.col("d_c")).cast(dec)).alias(
+                "sum_dc2"
+            ),
+        )
+    )
+    m = edges.agg(F.count("*").cast("long").alias("m"))
+    return (
+        m.crossJoin(e_in)
+        .crossJoin(dc)
+        .select(
+            F.col("m").alias("n_edges"),
+            F.col("n_comm").alias("n_communities"),
+            F.col("e_in").alias("n_intra_edges"),
+            F.round(
+                (
+                    4.0 * F.col("m") * F.col("e_in")
+                    - F.col("sum_dc2").cast("double")
+                )
+                / (4.0 * F.col("m") * F.col("m")),
+                6,
+            ).alias("modularity"),
+        )
     )

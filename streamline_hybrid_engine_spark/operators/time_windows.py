@@ -2169,3 +2169,72 @@ def ts_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr"),
     )
+
+
+@query(
+    "ts_burstiness",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS g
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, count(*) AS n,
+             CAST(sum(CAST(g AS HUGEINT)) AS DOUBLE) AS s1,
+             CAST(sum(CAST(g AS HUGEINT) * g) AS DOUBLE) AS s2
+      FROM gaps WHERE g IS NOT NULL
+      GROUP BY user_id HAVING count(*) >= 2
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+           round((sqrt((s2 - s1 * s1 / n) / (n - 1)) - s1 / n)
+                 / (sqrt((s2 - s1 * s1 / n) / (n - 1)) + s1 / n), 6)
+             AS burstiness
+    FROM s
+    """,
+    tags=("timeseries", "statistics"),
+)
+def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness index B = (σ − μ)/(σ + μ) over each user's inter-event
+    gaps (Goh & Barabási): −1 = metronome, 0 = Poisson, →1 = bursty —
+    the one-number answer to 'is this user a bot or a human?' and the
+    traffic-model input autoscaling sizing uses. Moments are exact
+    integer sums over integer-micros gaps (the corr/zscore discipline);
+    σ is one correctly-rounded sqrt of identical operands, μ one
+    division — the B ratio then runs on identical IEEE doubles.
+    Single-gap users are excluded (σ undefined), not emitted as NaN.
+    One lag + one groupBy on the same user partitioning."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(w)
+        ).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    dec = "decimal(38,0)"
+    s = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("g").cast(dec)).cast("double").alias("s1"),
+            F.sum((F.col("g").cast(dec) * F.col("g")).cast(dec))
+            .cast("double")
+            .alias("s2"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    sigma = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1))
+    return s.select(
+        "user_id",
+        n.cast("long").alias("n_gaps"),
+        F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+    )

@@ -852,3 +852,29 @@ def test_series_correlation_grid_is_broadcast_metadata(spark, sf_dir):
     p = plan(spark, sf_dir, "ts_series_correlation")
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_modularity_composes_lpa_plus_keyed_joins(spark, sf_dir):
+    """Modularity adds only label equi-joins and tiny aggregates to the
+    audited LPA plan — no cartesian anywhere but the 1-row combines."""
+    p = plan(spark, sf_dir, "graph_modularity")
+    assert "CartesianProduct" not in p
+
+
+def test_dedup_eval_composes_registry_pair_sets(spark, sf_dir):
+    """P/R eval: the candidate∩truth overlap is a pair equi-join."""
+    p = plan(spark, sf_dir, "llm_dedup_eval_pr")
+    assert "CartesianProduct" not in p
+
+
+def test_binary_codec_map_only(spark, sf_dir):
+    """Codec chain is pure map-side with the keyed filter pushed."""
+    p = plan(spark, sf_dir, "fn_binary_codec_bundle")
+    assert "Exchange" not in p
+
+
+def test_burstiness_lag_and_agg_share_partitioning(spark, sf_dir):
+    """Gap lag and the moment groupBy both key on user_id — one
+    exchange."""
+    p = plan(spark, sf_dir, "ts_burstiness")
+    assert p.count("Exchange hashpartitioning") == 1
