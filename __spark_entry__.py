@@ -208,6 +208,11 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "llm_dedup_eval_pr",
         "fn_binary_codec_bundle",
         "ts_burstiness",
+        "agg_simpson_diversity",
+        "ts_median3_smooth",
+        "ts_seasonal_anomaly",
+        "sql_distinct_on_rewrite",
+        "dq_reconcile_orders_lineitem",
     }
 )
 

@@ -1797,3 +1797,63 @@ def agg_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         & (F.col("size") == F.col("best_at_price"))
     ).select("p_partkey", "price_cents", "size")
+
+
+@query(
+    "agg_simpson_diversity",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(1.0 - CAST(sum(CAST(n AS HUGEINT) * (n - 1)) AS DOUBLE)
+                 / (CAST(sum(n) AS DOUBLE) * (sum(n) - 1)), 6)
+             AS simpson_diversity
+    FROM c GROUP BY user_id HAVING sum(n) >= 2
+    """,
+    tags=("aggregate", "diversity"),
+)
+def agg_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity index per user: 1 − Σnᵢ(nᵢ−1)/(N(N−1)) — the
+    probability two random events from the user differ in type. The
+    CATEGORICAL concentration measure next to the Gini's numeric one
+    (a user can have perfectly equal spend yet do only one thing);
+    behavioral segmentation and bot triage read it directly. The whole
+    statistic is one division of exact integer sums (the unbiased
+    finite-sample form, not the p² approximation — no per-type float
+    shares to drift). Two stacked partial-agg groupBys on the same
+    user key; single-event users excluded (the index is undefined),
+    not emitted as NaN."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    dec = "decimal(38,0)"
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.count("*").alias("n_types"),
+            F.sum((F.col("n").cast(dec) * (F.col("n") - 1)).cast(dec))
+            .cast("double")
+            .alias("pairs_same"),
+        )
+        .filter(F.col("n_events") >= 2)
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            F.round(
+                1.0
+                - F.col("pairs_same")
+                / (
+                    F.col("n_events").cast("double")
+                    * (F.col("n_events") - 1)
+                ),
+                6,
+            ).alias("simpson_diversity"),
+        )
+    )

@@ -940,3 +940,67 @@ def dq_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@query(
+    "dq_reconcile_orders_lineitem",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY month
+    ),
+    l AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders_in_items,
+             CAST(count(*) AS BIGINT) AS n_lineitems
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY month
+    )
+    SELECT o.month, o.n_orders,
+           coalesce(l.n_orders_in_items, 0) AS n_orders_in_items,
+           coalesce(l.n_lineitems, 0) AS n_lineitems,
+           o.n_orders - coalesce(l.n_orders_in_items, 0) AS n_headerless,
+           CASE WHEN o.n_orders = coalesce(l.n_orders_in_items, 0)
+                THEN 1 ELSE 0 END AS reconciled
+    FROM o LEFT JOIN l ON l.month = o.month
+    """,
+    tags=("dq", "reconciliation"),
+)
+def dq_reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header↔detail reconciliation by month: every order header should
+    appear in the lineitem detail — the load-completeness check finance
+    closes books with (dq_referential_integrity answers 'are there
+    orphans, ever'; this answers 'WHICH month broke', which is what the
+    re-run targets). Month attribution of detail rows comes from the
+    header join so both sides bucket identically; exact distinct order
+    counts per month, LEFT join keeps header-only months visible, the
+    verdict is integer equality. Two partial-agg rollups + one
+    month-count-sized join."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem", parallel=True)
+    om = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.count("*").cast("long").alias("n_orders"))
+    lm = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.countDistinct("l_orderkey").cast("long").alias(
+                "n_orders_in_items"
+            ),
+            F.count("*").cast("long").alias("n_lineitems"),
+        )
+    )
+    j = om.join(lm, "month", "left")
+    in_items = F.coalesce(F.col("n_orders_in_items"), F.lit(0))
+    return j.select(
+        "month",
+        "n_orders",
+        in_items.alias("n_orders_in_items"),
+        F.coalesce(F.col("n_lineitems"), F.lit(0)).alias("n_lineitems"),
+        (F.col("n_orders") - in_items).alias("n_headerless"),
+        F.when(F.col("n_orders") == in_items, 1).otherwise(0).alias(
+            "reconciled"
+        ),
+    )

@@ -2238,3 +2238,170 @@ def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_gaps"),
         F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
     )
+
+
+@query(
+    "ts_median3_smooth",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(round(value * 1000000) AS BIGINT) AS x
+      FROM events
+    ),
+    n AS (
+      SELECT user_id, event_id, us, x,
+             lag(x) OVER w AS p, lead(x) OVER w AS q
+      FROM v WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    )
+    SELECT user_id, event_id,
+           CASE WHEN p IS NULL OR q IS NULL THEN x
+                ELSE x + p + q - greatest(x, p, q) - least(x, p, q)
+           END AS smoothed_micros
+    FROM n
+    """,
+    tags=("timeseries", "smoothing"),
+)
+def ts_median3_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-three smoothing — the classic despiking filter (kills
+    single-sample glitches that a moving AVERAGE smears into two bad
+    samples; Tukey's '53 smoother): per point, the median of
+    (prev, x, next) computed arithmetically as sum − max − min over
+    exact integer micros — no sort, no percentile machinery, identical
+    in both engines by construction. Series endpoints pass through
+    unsmoothed (a 2-element median would silently average — the honest
+    edge). lag + lead share one per-user sort; composes in front of
+    CUSUM/peaks as the denoise stage."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.round(F.col("value") * 1000000).cast("long").alias("x"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    n = v.select(
+        "user_id",
+        "event_id",
+        "x",
+        F.lag("x").over(w).alias("p"),
+        F.lead("x").over(w).alias("q"),
+    )
+    med3 = (
+        F.col("x")
+        + F.col("p")
+        + F.col("q")
+        - F.greatest("x", "p", "q")
+        - F.least("x", "p", "q")
+    )
+    return n.select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.col("p").isNull() | F.col("q").isNull(), F.col("x")
+        )
+        .otherwise(med3)
+        .alias("smoothed_micros"),
+    )
+
+
+@query(
+    "ts_seasonal_anomaly",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, user_id,
+             extract(hour FROM CAST(ts AS TIMESTAMP)) AS hod,
+             CAST(round(value * 1000000) AS BIGINT) AS v_us
+      FROM events
+    ),
+    prof AS (
+      SELECT hod,
+             CAST(floor(CAST(sum(CAST(v_us AS HUGEINT)) AS DOUBLE)
+                        / count(*)) AS BIGINT) AS hod_mean
+      FROM v GROUP BY hod
+    ),
+    resid AS (
+      SELECT v.event_id, v.user_id, v.hod, v.v_us - p.hod_mean AS r
+      FROM v JOIN prof p ON p.hod = v.hod
+    ),
+    ranked AS (
+      SELECT r, abs(r) AS a,
+             row_number() OVER (ORDER BY abs(r), r) AS rn,
+             count(*) OVER () AS n
+      FROM resid
+    ),
+    mad AS (
+      SELECT max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                      THEN a END) AS mad_r
+      FROM ranked
+    )
+    SELECT resid.event_id, resid.user_id, resid.hod, resid.r AS residual_us,
+           CASE WHEN 10000 * abs(resid.r) > 3 * 14826 * mad.mad_r
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM resid CROSS JOIN mad
+    WHERE 10000 * abs(resid.r) > 3 * 14826 * mad.mad_r
+    """,
+    tags=("timeseries", "anomaly"),
+)
+def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly detection: subtract the hour-of-day
+    profile mean FIRST, then flag residuals past 3 × 1.4826 × MAD —
+    the detector that doesn't page you every morning peak (a raw-value
+    fence fires on the daily cycle; dq_anomaly_mad_window buckets by
+    day, this deseasonalizes globally). The composition of two audited
+    disciplines: floor-of-exact-integer profile means
+    (ts_seasonal_profile) and rank-median MAD (dq_anomaly_mad_window),
+    with the 3·1.4826 factor applied in SCALED INTEGERS
+    (10000·|r| > 3·14826·MAD, 1.4826 = 14826/10⁴ — no float
+    threshold). The residual MAD rank
+    runs globally at fixture scale; the 100 TB form ranks per
+    (hour-of-day) bucket — same valve as the percentile family."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        "user_id",
+        F.hour(F.col("ts")).cast("long").alias("hod"),
+        F.round(F.col("value") * 1000000).cast("long").alias("v_us"),
+    )
+    dec = "decimal(38,0)"
+    prof = v.groupBy("hod").agg(
+        F.floor(
+            F.sum(F.col("v_us").cast(dec)).cast("double") / F.count("*")
+        )
+        .cast("long")
+        .alias("hod_mean")
+    )
+    resid = v.join(F.broadcast(prof), "hod").select(
+        "event_id",
+        "user_id",
+        "hod",
+        (F.col("v_us") - F.col("hod_mean")).alias("r"),
+    )
+    w = Window.orderBy(F.abs(F.col("r")), F.col("r"))
+    wg = Window.partitionBy()
+    ranked = resid.select(
+        F.abs(F.col("r")).alias("a"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wg).alias("n"),
+    )
+    mad = ranked.agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long"),
+                F.col("a"),
+            )
+        ).alias("mad_r")
+    )
+    j = resid.crossJoin(F.broadcast(mad))
+    return j.filter(
+        10000 * F.abs(F.col("r")) > 3 * 14826 * F.col("mad_r")
+    ).select(
+        "event_id",
+        "user_id",
+        "hod",
+        F.col("r").alias("residual_us"),
+        F.lit(1).alias("is_anomaly"),
+    )

@@ -1370,3 +1370,40 @@ def sql_parameter_binding(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 150000, "status": "F"},
     )
+
+
+@query(
+    "sql_distinct_on_rewrite",
+    oracle="""
+    SELECT DISTINCT ON (o_custkey)
+           o_custkey, o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+    """,
+    tags=("sql", "dialect"),
+)
+def sql_distinct_on_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postgres/DuckDB `DISTINCT ON (k) ... ORDER BY k, v DESC` — the
+    keep-one-row-per-key idiom Spark does not parse; the engine ships
+    the standard rewrite a migrating workload needs: `max_by` over the
+    full ordering tuple (one partial-aggregating hash aggregate — map-
+    side combine, no per-partition sort), unpacked back to columns.
+    The tie tuple mirrors the ORDER BY exactly ((price DESC, orderkey
+    ASC) → max_by on (price, −orderkey)), so the chosen row matches
+    DISTINCT ON's deterministically. The window row_number()=1 form is
+    the same semantics with a sort — max_by is the 100 TB spelling."""
+    o = load_table(spark, sf_dir, "orders")
+    picked = o.groupBy("o_custkey").agg(
+        F.max_by(
+            F.struct("o_orderkey", "o_totalprice", "o_orderdate"),
+            F.struct(
+                F.col("o_totalprice"), (-F.col("o_orderkey")).alias("nk")
+            ),
+        ).alias("r")
+    )
+    return picked.select(
+        "o_custkey",
+        F.col("r.o_orderkey").alias("o_orderkey"),
+        F.col("r.o_totalprice").alias("o_totalprice"),
+        F.col("r.o_orderdate").alias("o_orderdate"),
+    )

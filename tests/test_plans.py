@@ -878,3 +878,43 @@ def test_burstiness_lag_and_agg_share_partitioning(spark, sf_dir):
     exchange."""
     p = plan(spark, sf_dir, "ts_burstiness")
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_simpson_two_stacked_partial_aggs(spark, sf_dir):
+    """Both groupBys partial-aggregate; second reuses the user keying."""
+    p = plan(spark, sf_dir, "agg_simpson_diversity")
+    assert "partial_" in p
+    assert "Window" not in p
+
+
+def test_median3_single_sort_no_percentile(spark, sf_dir):
+    """Median-of-3 is sum − max − min over lag/lead on ONE sort — no
+    percentile machinery, no join."""
+    p = plan(spark, sf_dir, "ts_median3_smooth")
+    assert p.count("Exchange hashpartitioning") == 1
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in p
+
+
+def test_seasonal_anomaly_profile_and_mad_broadcast(spark, sf_dir):
+    """The 24-row profile and the 1-row MAD broadcast back — the events
+    never shuffle for the residual test."""
+    p = plan(spark, sf_dir, "ts_seasonal_anomaly")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_distinct_on_rewrite_is_max_by_no_sort(spark, sf_dir):
+    """DISTINCT ON rewrite: one hash aggregate with map-side max_by —
+    no window, no rangepartitioning."""
+    p = plan(spark, sf_dir, "sql_distinct_on_rewrite")
+    assert "Window" not in p
+    assert "rangepartitioning" not in p.lower()
+    assert "partial_" in p
+
+
+def test_reconcile_monthly_left_join_on_rollups(spark, sf_dir):
+    """Reconciliation joins two month-count-sized rollups — never the
+    raw facts against each other."""
+    p = plan(spark, sf_dir, "dq_reconcile_orders_lineitem")
+    assert "CartesianProduct" not in p
