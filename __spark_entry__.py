@@ -213,6 +213,11 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "ts_seasonal_anomaly",
         "sql_distinct_on_rewrite",
         "dq_reconcile_orders_lineitem",
+        "llm_classifier_auc",
+        "llm_rouge_n_pairs",
+        "ts_path_trigrams",
+        "ts_session_depth_hist",
+        "llm_dataset_card",
     }
 )
 

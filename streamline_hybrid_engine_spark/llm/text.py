@@ -1479,3 +1479,257 @@ def llm_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         prior.alias("start_char"),
         (prior + F.length("tok")).cast("long").alias("end_char"),
     )
+
+
+def _auc_oracle() -> str:
+    clf = _REG["llm_quality_classifier"].oracle
+    qual = _REG["llm_text_quality"].oracle
+    return f"""
+    WITH clf AS ({clf}),
+    qual AS ({qual}),
+    scored AS (
+      SELECT c.logit_fp AS s, q.passes_filter AS y
+      FROM clf c JOIN qual q ON q.doc_id = c.doc_id
+    ),
+    ranked AS (
+      SELECT y,
+             2 * rank() OVER (ORDER BY s)
+               + count(*) OVER (PARTITION BY s) - 1 AS r2
+      FROM scored
+    ),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN y = 1 THEN r2 ELSE 0 END) AS BIGINT)
+               AS r2_pos,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(1 - y) AS BIGINT) AS n_neg
+      FROM ranked
+    )
+    SELECT n_pos, n_neg,
+           round((r2_pos - n_pos * (n_pos + 1))
+                 / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc
+    FROM agg
+    """
+
+
+@query("llm_classifier_auc", oracle=_auc_oracle(), tags=("llm", "evaluation"))
+def llm_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC-ROC of the quality classifier's integer logit against the
+    rule-filter verdict — the eval metric that closes the classifier
+    loop (llm_quality_classifier ships scores; this measures them).
+    EXACT, not trapezoid-approximated: AUC is the Mann–Whitney
+    rank-sum statistic, and with tie-AVERAGED ranks doubled to stay
+    integral (2·avg_rank = 2·rank() + tiecount − 1), the numerator
+    Σr2_pos − n_pos(n_pos+1) and denominator 2·n_pos·n_neg are exact
+    integers — one division, rounded once. Composition: both inputs
+    are the registry's own audited queries (oracle nests their SQL).
+    The global rank runs over docs (already reduced); at corpus scale
+    use the two-pass histogram narrowing to rank within score buckets."""
+    from streamline_hybrid_engine_spark.registry import all_queries
+
+    from pyspark.sql import Window
+
+    qs = all_queries()
+    clf = qs["llm_quality_classifier"].fn(spark, sf_dir).select(
+        "doc_id", F.col("logit_fp").alias("s")
+    )
+    qual = qs["llm_text_quality"].fn(spark, sf_dir).select(
+        "doc_id", F.col("passes_filter").alias("y")
+    )
+    scored = clf.join(qual, "doc_id")
+    w = Window.orderBy("s")
+    ws = Window.partitionBy("s")
+    ranked = scored.select(
+        "y",
+        (2 * F.rank().over(w) + F.count("*").over(ws) - 1).alias("r2"),
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("r2")).otherwise(0))
+        .cast("long")
+        .alias("r2_pos"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("n_neg"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1))
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+            6,
+        ).alias("auc"),
+    )
+
+
+@query(
+    "llm_rouge_n_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+      FROM toks, unnest(list_transform(range(1, len(t)),
+             i -> t[i] || ' ' || t[i + 1])) AS u(g)
+      GROUP BY doc_id, g
+    ),
+    pair AS (
+      SELECT r.doc_id AS ref_id,
+             CAST(sum(least(r.c, c.c)) AS BIGINT) AS overlap
+      FROM grams r JOIN grams c
+        ON c.doc_id = r.doc_id + 1 AND c.g = r.g
+      GROUP BY r.doc_id
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM grams GROUP BY doc_id
+    )
+    SELECT p.ref_id, p.overlap,
+           round(p.overlap / CAST(sr.n AS DOUBLE), 6) AS rouge2_recall,
+           round(p.overlap / CAST(sc.n AS DOUBLE), 6) AS rouge2_precision
+    FROM pair p
+    JOIN sizes sr ON sr.doc_id = p.ref_id
+    JOIN sizes sc ON sc.doc_id = p.ref_id + 1
+    """,
+    tags=("llm", "evaluation"),
+)
+def llm_rouge_n_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 between adjacent document pairs — the n-gram overlap
+    metric summarization/dedup evals report, in its PROPER
+    clipped-multiset form: overlap = Σ_g min(count_ref, count_cand)
+    (the distinct-set shortcut overcounts repeated grams; counts make
+    it exact and integer). Recall divides by the reference's bigram
+    mass, precision by the candidate's. The adjacent-id join is the
+    stand-in for any blocked candidate pair stream — at scale this
+    runs on LSH candidates exactly like llm_dedup_edit_verify. Grams
+    count map-side; the pair join is gram-keyed equi."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN"
+                " transform(sequence(0, size(t) - 2),"
+                " i -> concat(t[i], ' ', t[i + 1]))"
+                " ELSE array() END"
+            )
+        ).alias("g"),
+    ).groupBy("doc_id", "g").agg(F.count("*").cast("long").alias("c"))
+    r = grams.select(
+        F.col("doc_id").alias("ref_id"), "g", F.col("c").alias("cr")
+    )
+    cnd = grams.select(
+        (F.col("doc_id") - 1).alias("ref_id"), "g", F.col("c").alias("cc")
+    )
+    pair = (
+        r.join(cnd, ["ref_id", "g"])
+        .groupBy("ref_id")
+        .agg(F.sum(F.least("cr", "cc")).cast("long").alias("overlap"))
+    )
+    sizes = grams.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
+    sr = sizes.select(F.col("doc_id").alias("ref_id"), F.col("n").alias("nr"))
+    sc = sizes.select(
+        (F.col("doc_id") - 1).alias("ref_id"), F.col("n").alias("nc")
+    )
+    return (
+        pair.join(sr, "ref_id")
+        .join(sc, "ref_id")
+        .select(
+            "ref_id",
+            "overlap",
+            F.round(F.col("overlap") / F.col("nr").cast("double"), 6).alias(
+                "rouge2_recall"
+            ),
+            F.round(F.col("overlap") / F.col("nc").cast("double"), 6).alias(
+                "rouge2_precision"
+            ),
+        )
+    )
+
+
+@query(
+    "llm_dataset_card",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(len(string_split(text, ' ')) AS HUGEINT))
+                  AS BIGINT) AS n_tokens,
+             CAST(sum(CAST(n_chars AS HUGEINT)) AS BIGINT) AS total_chars,
+             CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
+      FROM documents
+    ),
+    vocab AS (
+      SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    ),
+    langs AS (
+      SELECT lang, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, lang) AS rk
+      FROM documents GROUP BY lang
+    )
+    SELECT b.n_docs, b.n_tokens, b.total_chars, v.vocab_size,
+           round(1.0 - b.n_unique_texts / CAST(b.n_docs AS DOUBLE), 6)
+             AS exact_dup_rate,
+           (SELECT lang FROM langs WHERE rk = 1) AS top_lang,
+           round((SELECT n FROM langs WHERE rk = 1)
+                 / CAST(b.n_docs AS DOUBLE), 6) AS top_lang_share
+    FROM base b CROSS JOIN vocab v
+    """,
+    tags=("llm", "reporting"),
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: the numbers a dataset README leads with —
+    documents, whitespace tokens, characters, vocabulary size, EXACT
+    duplicate rate (1 − distinct md5(text)/docs) and the dominant
+    language with its share. Each stat is a corpus pass the relevant
+    specialized operator already audits (token stats, exact dedup,
+    corpus mix); this id certifies the one-shot SUMMARY composition —
+    three aggregate branches (base counts, token-distinct vocab, lang
+    argmax) crossJoined as 1-row scalars. At 100 TB swap exact
+    distincts for the HLL faces per agg_hll_merge's contract; the card
+    is the same shape."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    dec = "decimal(38,0)"
+    base = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast(dec))
+        .cast("long")
+        .alias("n_tokens"),
+        F.sum(F.col("n_chars").cast(dec)).cast("long").alias("total_chars"),
+        F.countDistinct(F.md5(F.col("text"))).cast("long").alias(
+            "n_unique_texts"
+        ),
+    )
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .agg(F.countDistinct("tok").cast("long").alias("vocab_size"))
+    )
+    wl = Window.orderBy(F.col("n").desc(), F.col("lang"))
+    langs = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .select("lang", "n", F.row_number().over(wl).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("lang").alias("top_lang"), F.col("n").alias("top_lang_n")
+        )
+    )
+    return (
+        base.crossJoin(vocab)
+        .crossJoin(F.broadcast(langs))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "total_chars",
+            "vocab_size",
+            F.round(
+                1.0 - F.col("n_unique_texts") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("exact_dup_rate"),
+            "top_lang",
+            F.round(
+                F.col("top_lang_n") / F.col("n_docs").cast("double"), 6
+            ).alias("top_lang_share"),
+        )
+    )

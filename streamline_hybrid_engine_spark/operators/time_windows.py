@@ -2405,3 +2405,125 @@ def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").alias("residual_us"),
         F.lit(1).alias("is_anomaly"),
     )
+
+
+@query(
+    "ts_path_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             lag(event_type, 2) OVER w AS t1,
+             lag(event_type) OVER w AS t2,
+             event_type AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    paths AS (
+      SELECT t1 || '>' || t2 || '>' || t3 AS path,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE t1 IS NOT NULL
+      GROUP BY path
+    ),
+    ranked AS (
+      SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rk,
+             CAST(sum(n) OVER () AS BIGINT) AS tot
+      FROM paths
+    )
+    SELECT rk, path, n, round(n / CAST(tot AS DOUBLE), 6) AS share
+    FROM ranked WHERE rk <= 20
+    """,
+    tags=("timeseries", "behavior"),
+)
+def ts_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 behavioral path trigrams: the most common 3-step
+    event-type sequences across all users — second-order process
+    mining (ts_status_transitions is the first-order kernel; paths
+    expose the PATTERNS the matrix marginalizes away, e.g.
+    view>error>view vs view>view>error). Two stacked lags on one
+    per-user sort, a path groupBy (≤5³ = 125 possible rows), ranking
+    over that tiny table. Share is a ratio of exact counts."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type", 2).over(w).alias("t1"),
+        F.lag("event_type").over(w).alias("t2"),
+        F.col("event_type").alias("t3"),
+    ).filter(F.col("t1").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(">", "t1", "t2", "t3").alias("path")
+    ).agg(F.count("*").cast("long").alias("n"))
+    wr = Window.orderBy(F.col("n").desc(), F.col("path"))
+    wg = Window.partitionBy()
+    ranked = paths.select(
+        "path",
+        "n",
+        F.row_number().over(wr).alias("rk"),
+        F.sum("n").over(wg).cast("long").alias("tot"),
+    )
+    return ranked.filter(F.col("rk") <= 20).select(
+        "rk",
+        "path",
+        "n",
+        F.round(F.col("n") / F.col("tot").cast("double"), 6).alias("share"),
+    )
+
+
+@query(
+    "ts_session_depth_hist",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                      >= INTERVAL '30 minutes'
+                  OR lag(CAST(ts AS TIMESTAMP)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, uts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY uts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM marked
+    ),
+    sessions AS (
+      SELECT user_id, sid, CAST(count(*) AS BIGINT) AS depth
+      FROM numbered GROUP BY user_id, sid
+    )
+    SELECT least(depth, 10) AS depth_bucket,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM sessions GROUP BY depth_bucket
+    """,
+    tags=("timeseries", "session"),
+)
+def ts_session_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-depth histogram (events per 30-min session, 10+ tail
+    bucket) — the engagement-shape curve product reviews read next to
+    the bounce rate (ts_bounce_rate is this histogram's first bar as a
+    rate). Composed from the exported sessionize() primitive + one
+    rollup of session rows; output ≤ 10 rows from any input."""
+    sessions = sessionize(
+        load_table(spark, sf_dir, "events"), "ts", ["user_id"], "30 minutes"
+    )
+    return (
+        sessions.select(
+            "user_id",
+            F.least(F.col("n_events").cast("long"), F.lit(10).cast("long")).alias(
+                "depth_bucket"
+            ),
+        )
+        .groupBy("depth_bucket")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )

@@ -918,3 +918,38 @@ def test_reconcile_monthly_left_join_on_rollups(spark, sf_dir):
     raw facts against each other."""
     p = plan(spark, sf_dir, "dq_reconcile_orders_lineitem")
     assert "CartesianProduct" not in p
+
+
+def test_auc_rank_over_reduced_docs(spark, sf_dir):
+    """AUC ranks docs (already reduced), join is keyed, no cartesian."""
+    p = plan(spark, sf_dir, "llm_classifier_auc")
+    assert "CartesianProduct" not in p
+    assert "Window" in p
+
+
+def test_rouge_pair_join_is_gram_keyed(spark, sf_dir):
+    """Clipped ROUGE overlap joins on (ref_id, gram) — equi only."""
+    p = plan(spark, sf_dir, "llm_rouge_n_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_path_trigrams_two_lags_one_sort_tiny_rank(spark, sf_dir):
+    """Both lags fold onto one per-user sort (one fact-sized exchange);
+    the only other hash exchange carries the <=125-row partial path
+    counts."""
+    p = plan(spark, sf_dir, "ts_path_trigrams")
+    assert p.count("Exchange hashpartitioning") == 2, p
+
+
+def test_session_depth_composes_sessionize(spark, sf_dir):
+    """Depth histogram adds one rollup over session rows."""
+    p = plan(spark, sf_dir, "ts_session_depth_hist")
+    assert "CartesianProduct" not in p
+
+
+def test_dataset_card_scalar_branch_combines(spark, sf_dir):
+    """The card's three aggregate branches combine as 1-row scalars —
+    nested-loop joins allowed ONLY for those."""
+    p = plan(spark, sf_dir, "llm_dataset_card")
+    assert "CartesianProduct" not in p
