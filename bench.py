@@ -160,6 +160,32 @@ HEADLINE = (
     "ts_conversion_latency",       # view→purchase delay quartiles
     "llm_corpus_mix_report",       # corpus composition + cumulative share
     "sql_join_hints",              # forced MERGE + BROADCAST strategies
+    # round-7 fourth wave (baselines in BASELINE.md §A.1 r7 block)
+    "agg_rate_wilson_ci",          # exact-integer Wilson interval
+    "ts_local_peaks",              # strict local maxima census
+    "cep_strict_contiguity",       # next()-semantics single window
+    "sql_parameter_binding",       # named-parameter SQL, pushed literal
+    "dq_volume_by_month",          # median-relative volume alarm
+    "llm_token_offsets",           # span alignment table
+    "ts_time_in_state",            # dwell-time accounting
+    "dq_pk_uniqueness",            # key-multiplicity audit
+    "agg_skyline_2d",              # Pareto frontier, RANGE-frame form
+    "ts_series_correlation",       # zero-filled hourly series Pearson
+    "cep_match_recognize_alternation",  # (C|E) via class relabel
+    "graph_modularity",            # Newman Q over LPA communities
+    "llm_dedup_eval_pr",           # LSH vs exact-Jaccard P/R
+    "fn_binary_codec_bundle",      # hex/bytes/base64 round trip
+    "ts_burstiness",               # Goh-Barabasi inter-event index
+    "agg_simpson_diversity",       # categorical concentration
+    "ts_median3_smooth",           # Tukey despiking filter
+    "ts_seasonal_anomaly",         # deseasonalized MAD fence
+    "sql_distinct_on_rewrite",     # keep-one-per-key via max_by
+    "dq_reconcile_orders_lineitem",  # header-detail monthly reconcile
+    "llm_classifier_auc",          # exact rank-sum AUC
+    "llm_rouge_n_pairs",           # clipped ROUGE-2 overlap
+    "ts_path_trigrams",            # second-order behavior paths
+    "ts_session_depth_hist",       # engagement-shape histogram
+    "llm_dataset_card",            # one-row corpus summary
 )
 
 #: BASELINE.md §A.1 rows (sf0.1 full-sequence medians, seconds) — kept in
@@ -282,6 +308,33 @@ BASELINE_SEC = {
     "ts_conversion_latency": 0.41,
     "llm_corpus_mix_report": 0.2,
     "sql_join_hints": 0.29,
+    # r7 fourth wave (clean settled run 2, 2026-08-15; run 1 hit an
+    # external steal spike mid-sequence and was discarded)
+    "agg_rate_wilson_ci": 0.29,
+    "ts_local_peaks": 0.34,
+    "cep_strict_contiguity": 0.31,
+    "sql_parameter_binding": 0.15,
+    "dq_volume_by_month": 0.26,
+    "llm_token_offsets": 0.28,
+    "ts_time_in_state": 0.33,
+    "dq_pk_uniqueness": 0.66,
+    "agg_skyline_2d": 0.2,
+    "ts_series_correlation": 0.55,
+    "cep_match_recognize_alternation": 0.88,
+    "graph_modularity": 7.13,
+    "llm_dedup_eval_pr": 3.19,
+    "fn_binary_codec_bundle": 0.09,
+    "ts_burstiness": 0.48,
+    "agg_simpson_diversity": 0.26,
+    "ts_median3_smooth": 0.7,
+    "ts_seasonal_anomaly": 0.79,
+    "sql_distinct_on_rewrite": 0.36,
+    "dq_reconcile_orders_lineitem": 1.06,
+    "llm_classifier_auc": 0.74,
+    "llm_rouge_n_pairs": 1.47,
+    "ts_path_trigrams": 0.4,
+    "ts_session_depth_hist": 0.45,
+    "llm_dataset_card": 0.75,
 }
 
 
