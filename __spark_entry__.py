@@ -218,6 +218,10 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "ts_path_trigrams",
         "ts_session_depth_hist",
         "llm_dataset_card",
+        "win_winsorize_p5p95",
+        "win_running_sum_reset",
+        "agg_hhi_index",
+        "ts_forecast_snaive_mae",
     }
 )
 

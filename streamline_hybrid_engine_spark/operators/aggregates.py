@@ -1857,3 +1857,64 @@ def agg_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("simpson_diversity"),
         )
     )
+
+
+@query(
+    "agg_hhi_index",
+    oracle="""
+    WITH rev AS (
+      SELECT n_name, s_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      GROUP BY n_name, s_suppkey
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(10000.0 * CAST(sum(CAST(cents AS HUGEINT) * cents)
+                                AS DOUBLE)
+                 / (CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE)
+                    * CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE)), 6)
+             AS hhi
+    FROM rev GROUP BY n_name
+    """,
+    tags=("aggregate", "inequality"),
+)
+def agg_hhi_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of supplier revenue concentration per
+    nation market, on the antitrust 0–10000 scale — completes the
+    concentration quartet (Gini: numeric inequality; Pareto: top-k
+    share; Simpson: categorical diversity; HHI: squared-share market
+    power, the one regulators threshold at 1500/2500). HHI =
+    10⁴·Σxᵢ²/(Σxᵢ)² — both sums are exact 128-bit integers, one final
+    division. One supplier rollup + one nation aggregate, both
+    partial-agg; the nation groupBy reuses nothing fact-sized."""
+    li = load_table(spark, sf_dir, "lineitem", parallel=True)
+    sup = load_table(spark, sf_dir, "supplier")
+    nt = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nt), sup.s_nationkey == nt.n_nationkey)
+        .groupBy("n_name", "s_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    dec = "decimal(38,0)"
+    return rev.groupBy("n_name").agg(
+        F.count("*").alias("n_suppliers"),
+        F.round(
+            10000.0
+            * F.sum((F.col("cents").cast(dec) * F.col("cents")).cast(dec))
+            .cast("double")
+            / (
+                F.sum(F.col("cents").cast(dec)).cast("double")
+                * F.sum(F.col("cents").cast(dec)).cast("double")
+            ),
+            6,
+        ).alias("hhi"),
+    )

@@ -2527,3 +2527,55 @@ def ts_session_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("long").alias("n_users"),
         )
     )
+
+
+@query(
+    "ts_forecast_snaive_mae",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY h
+    ),
+    j AS (
+      SELECT cur.h, cur.n AS actual, prev.n AS forecast
+      FROM hourly cur
+      JOIN hourly prev ON prev.h = cur.h - INTERVAL '24' HOUR
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(abs(actual - forecast)) AS BIGINT) AS total_abs_err,
+           round(CAST(sum(abs(actual - forecast)) AS DOUBLE) / count(*), 6)
+             AS mae,
+           round(CAST(sum(abs(actual - forecast)) AS DOUBLE)
+                 / sum(actual), 6) AS wape
+    FROM j
+    """,
+    tags=("timeseries", "forecast"),
+)
+def ts_forecast_snaive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation: predict each hour's event
+    volume with the SAME HOUR YESTERDAY and score MAE + WAPE — the
+    baseline every forecasting effort must beat before it earns a
+    model (and the capacity-planning sanity check by itself). The
+    self-join on h−24h is exact timestamp equality over the hourly
+    rollup (hours-count-sized, not events); errors are exact integer
+    counts, both metrics one division each. Hours with no
+    previous-day counterpart are excluded, not imputed — the honest
+    eval window."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").cast("long").alias("n"))
+    cur = hourly.select("h", F.col("n").alias("actual"))
+    prev = hourly.select(
+        (F.col("h") + F.expr("INTERVAL 24 HOURS")).alias("h"),
+        F.col("n").alias("forecast"),
+    )
+    j = cur.join(prev, "h")
+    err = F.abs(F.col("actual") - F.col("forecast"))
+    return j.agg(
+        F.count("*").alias("n_hours"),
+        F.sum(err).cast("long").alias("total_abs_err"),
+        F.round(F.sum(err).cast("double") / F.count("*"), 6).alias("mae"),
+        F.round(F.sum(err).cast("double") / F.sum("actual"), 6).alias("wape"),
+    )

@@ -756,3 +756,163 @@ def win_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.round((F.col("cents") - mu) / F.sqrt(var), 6).alias("z"),
     )
+
+
+@query(
+    "win_winsorize_p5p95",
+    oracle="""
+    WITH x AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem WHERE l_partkey % 4 = 0
+    ),
+    ranked AS (
+      SELECT l_orderkey, l_linenumber, flag, cents,
+             row_number() OVER (PARTITION BY flag
+                                ORDER BY cents, l_orderkey, l_linenumber)
+               AS rn,
+             count(*) OVER (PARTITION BY flag) AS n
+      FROM x
+    ),
+    fences AS (
+      SELECT flag,
+             max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+                      THEN cents END) AS p5,
+             max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                      THEN cents END) AS p95
+      FROM ranked GROUP BY flag
+    )
+    SELECT x.l_orderkey, x.l_linenumber, x.flag,
+           greatest(f.p5, least(f.p95, x.cents)) AS winsorized_cents,
+           CASE WHEN x.cents < f.p5 OR x.cents > f.p95
+                THEN 1 ELSE 0 END AS clamped
+    FROM x JOIN fences f ON f.flag = x.flag
+    """,
+    tags=("window", "robust"),
+)
+def win_winsorize_p5p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization at P5/P95 per group — the robust-feature-prep
+    TRANSFORM next to dq_outlier_iqr's COUNT: tails are clamped to the
+    fences, not dropped, preserving row count for downstream models.
+    Discrete rank-ceil percentiles (the certified convention — exact
+    5%/95% binary fractions, total-order tiebreak), 3-row fences
+    broadcast back, the clamp is greatest/least integer arithmetic
+    map-side. Note 0.05·n and 0.95·n: 0.05 is NOT an exact binary
+    double but ceil() sits ≥ 1 ulp from the integer boundary except
+    when 0.05·n is an exact integer — both engines compute the same
+    product of the same two doubles, so the rank agrees everywhere
+    regardless. At 100 TB the fence ranks come from the percentile
+    narrowing pass, clamp unchanged."""
+    li = load_table(spark, sf_dir, "lineitem", parallel=True)
+    x = li.filter(F.col("l_partkey") % 4 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("flag").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    )
+    wp = Window.partitionBy("flag")
+    ranked = x.select(
+        "flag",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+
+    def pick(p: float, alias: str):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"),
+                F.col("cents"),
+            )
+        ).alias(alias)
+
+    fences = ranked.groupBy("flag").agg(pick(0.05, "p5"), pick(0.95, "p95"))
+    j = x.join(F.broadcast(fences), "flag")
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        "flag",
+        F.greatest(
+            F.col("p5"), F.least(F.col("p95"), F.col("cents"))
+        ).alias("winsorized_cents"),
+        F.when(
+            (F.col("cents") < F.col("p5")) | (F.col("cents") > F.col("p95")),
+            1,
+        )
+        .otherwise(0)
+        .alias("clamped"),
+    )
+
+
+@query(
+    "win_running_sum_reset",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(round(value * 1000000) AS BIGINT) AS v_us,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS reset
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, event_id, us, v_us,
+             CAST(sum(reset) OVER (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS segment
+      FROM marked
+    )
+    SELECT user_id, event_id, segment,
+           CAST(sum(CAST(v_us AS HUGEINT)) OVER (
+             PARTITION BY user_id, segment ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS running_since_reset
+    FROM seg
+    """,
+    tags=("window", "reset"),
+)
+def win_running_sum_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total WITH RESET: the cumulative value accumulated since
+    each user's last 'purchase' (basket-since-checkout, usage-since-
+    billing — the accumulate-then-reset shape). Windows cannot reset
+    mid-frame, but the reset points are data: a cumulative count of
+    reset markers IS the segment id (the gaps-and-islands move), and
+    the running sum partitions by (user, segment) — a PREFIX extension
+    of the user partitioning, so Catalyst satisfies the second window
+    from the first's exchange: one shuffle, two logical sorts, exact
+    integer micros. The purchase row itself starts its new segment
+    (reset-inclusive semantics, pinned by the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.round(F.col("value") * 1000000).cast("long").alias("v_us"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "reset"
+        ),
+    )
+    w1 = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = marked.withColumn(
+        "segment", F.sum("reset").over(w1).cast("long")
+    )
+    dec = "decimal(38,0)"
+    w2 = (
+        Window.partitionBy("user_id", "segment")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return seg.select(
+        "user_id",
+        "event_id",
+        "segment",
+        F.sum(F.col("v_us").cast(dec)).over(w2).cast("long").alias(
+            "running_since_reset"
+        ),
+    )

@@ -953,3 +953,33 @@ def test_dataset_card_scalar_branch_combines(spark, sf_dir):
     nested-loop joins allowed ONLY for those."""
     p = plan(spark, sf_dir, "llm_dataset_card")
     assert "CartesianProduct" not in p
+
+
+def test_winsorize_fences_broadcast_clamp_map_side(spark, sf_dir):
+    """Winsorize: rank fences once, broadcast back, clamp map-side."""
+    p = plan(spark, sf_dir, "win_winsorize_p5p95")
+    assert "BroadcastHashJoin" in p
+    assert "rangepartitioning" not in p.lower()
+
+
+def test_running_sum_reset_one_exchange_two_windows(spark, sf_dir):
+    """(user, segment) is a prefix extension of user — the second
+    window must reuse the first's exchange."""
+    p = plan(spark, sf_dir, "win_running_sum_reset")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Window") >= 2
+
+
+def test_hhi_two_partial_aggs_broadcast_nation(spark, sf_dir):
+    """HHI: supplier rollup then nation aggregate, both partial-agg."""
+    p = plan(spark, sf_dir, "agg_hhi_index")
+    assert "partial_" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_snaive_join_over_hourly_rollup(spark, sf_dir):
+    """The h-24h join runs on the hours-count-sized rollup — one fact
+    scan feeding both sides (AQE reuse) or two rollup branches, never
+    an event-level self-join."""
+    p = plan(spark, sf_dir, "ts_forecast_snaive_mae")
+    assert "CartesianProduct" not in p
