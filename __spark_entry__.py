@@ -222,6 +222,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "win_running_sum_reset",
         "agg_hhi_index",
         "ts_forecast_snaive_mae",
+        "join_campaign_overlap",
+        "ts_rolling_mau",
+        "fn_duration_format",
     }
 )
 

@@ -1224,3 +1224,57 @@ def fn_binary_codec_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(blob).cast("long").alias("n_bytes"),
         F.hex(F.unbase64(F.base64(blob))).alias("roundtrip_hex"),
     )
+
+
+@query(
+    "fn_duration_format",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(max(CAST(ts AS TIMESTAMP)))
+               - epoch_us(min(CAST(ts AS TIMESTAMP))) AS span_us
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, span_us,
+           concat('P', CAST(span_us // 86400000000 AS STRING), 'DT',
+                  CAST((span_us // 3600000000) % 24 AS STRING), 'H',
+                  CAST((span_us // 60000000) % 60 AS STRING), 'M',
+                  CAST((span_us // 1000000) % 60 AS STRING), 'S')
+             AS iso_duration,
+           CAST(span_us // 3600000000 AS BIGINT) AS full_hours
+    FROM g
+    """,
+    tags=("function", "datetime"),
+)
+def fn_duration_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 duration rendering (PnDTnHnMnS) of each user's activity
+    span — the report-facing face of duration arithmetic, built from
+    integer div/mod on epoch micros and string concat ONLY (each
+    engine's native interval→string rendering differs in normalization
+    and is exactly what this avoids). Also the worked example for the
+    house duration rule: carry durations as integer micros end-to-end,
+    render once at the edge. One partial-agg groupBy, map-side
+    formatting."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(
+        (
+            F.max(F.unix_micros(F.col("ts")))
+            - F.min(F.unix_micros(F.col("ts")))
+        ).alias("span_us")
+    )
+    return g.select(
+        "user_id",
+        "span_us",
+        F.concat(
+            F.lit("P"),
+            F.expr("span_us div 86400000000").cast("string"),
+            F.lit("DT"),
+            F.expr("(span_us div 3600000000) % 24").cast("string"),
+            F.lit("H"),
+            F.expr("(span_us div 60000000) % 60").cast("string"),
+            F.lit("M"),
+            F.expr("(span_us div 1000000) % 60").cast("string"),
+            F.lit("S"),
+        ).alias("iso_duration"),
+        F.expr("span_us div 3600000000").cast("long").alias("full_hours"),
+    )

@@ -1200,3 +1200,99 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(pick_back, bdist).otherwise(fdist).alias("dist_us"),
         )
     )
+
+
+#: campaign windows (promo calendar) — the literal dim both engines share.
+_CAMPAIGNS_SQL = """(VALUES
+    ('spring_push',  TIMESTAMP '2024-01-02 00:00:00',
+                     TIMESTAMP '2024-01-04 00:00:00'),
+    ('flash_sale',   TIMESTAMP '2024-01-05 12:00:00',
+                     TIMESTAMP '2024-01-06 00:00:00'),
+    ('weekend_brand', TIMESTAMP '2024-01-06 00:00:00',
+                      TIMESTAMP '2024-01-08 00:00:00')
+  ) AS c(campaign, c_start, c_end)"""
+
+
+@query(
+    "join_campaign_overlap",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                      >= INTERVAL '30 minutes'
+                  OR lag(CAST(ts AS TIMESTAMP)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, uts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY uts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM marked
+    ),
+    sessions AS (
+      SELECT user_id, epoch_us(min(uts)) AS s_start,
+             epoch_us(max(uts) + INTERVAL '30 minutes') AS s_end
+      FROM numbered GROUP BY user_id, sid
+    )
+    SELECT c.campaign,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT s.user_id) AS BIGINT) AS n_users,
+           CAST(sum(least(s.s_end, epoch_us(c.c_end))
+                    - greatest(s.s_start, epoch_us(c.c_start)))
+                AS BIGINT) AS overlap_us
+    FROM sessions s JOIN {_CAMPAIGNS_SQL}
+      ON s.s_start < epoch_us(c.c_end)
+     AND s.s_end > epoch_us(c.c_start)
+    GROUP BY c.campaign
+    """,
+    tags=("join", "interval"),
+)
+def join_campaign_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Campaign exposure: user sessions overlapped against a promo
+    calendar, reporting touched sessions/users and EXACT overlap time
+    (least(ends) − greatest(starts) on epoch micros — the piece plain
+    interval joins drop) — the exposure denominator every campaign
+    attribution starts from. Sessions come from the exported
+    sessionize() primitive (end = last event + gap, its documented
+    convention); the calendar is a 3-row inline VALUES dim identical
+    in both dialects, so the join is a broadcast nested-loop over 3
+    rows per session — the right plan when one side is a literal
+    calendar (blocking/banding is for when BOTH sides are data-sized,
+    per join_interval_events)."""
+    from streamline_hybrid_engine_spark.operators.time_windows import (
+        sessionize,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    raw = sessionize(ev, "ts", ["user_id"], "30 minutes")
+    sessions = raw.select(
+        "user_id",
+        F.unix_micros(F.col("session_start")).alias("s_start"),
+        F.unix_micros(F.col("session_end")).alias("s_end"),
+    )
+    campaigns = spark.sql(f"SELECT * FROM {_CAMPAIGNS_SQL}").select(
+        "campaign",
+        F.unix_micros(F.col("c_start")).alias("c_start"),
+        F.unix_micros(F.col("c_end")).alias("c_end"),
+    )
+    j = sessions.join(
+        F.broadcast(campaigns),
+        (F.col("s_start") < F.col("c_end"))
+        & (F.col("s_end") > F.col("c_start")),
+    )
+    return j.groupBy("campaign").agg(
+        F.count("*").alias("n_sessions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(
+            F.least("s_end", "c_end") - F.greatest("s_start", "c_start")
+        )
+        .cast("long")
+        .alias("overlap_us"),
+    )

@@ -2579,3 +2579,66 @@ def ts_forecast_snaive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(err).cast("double") / F.count("*"), 6).alias("mae"),
         F.round(F.sum(err).cast("double") / F.sum("actual"), 6).alias("wape"),
     )
+
+
+@query(
+    "ts_rolling_mau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    expanded AS (
+      SELECT ud.user_id, ud.d + CAST(gs.i AS INT) AS report_day
+      FROM ud CROSS JOIN
+           (SELECT generate_series AS i FROM generate_series(0, 27)) gs
+    )
+    SELECT CAST(days.d AS TIMESTAMP) AS report_day,
+           CAST((SELECT count(DISTINCT u2.user_id) FROM ud u2
+                 WHERE u2.d = days.d) AS BIGINT) AS dau,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS mau28
+    FROM days JOIN expanded e ON e.report_day = days.d
+    GROUP BY days.d
+    """,
+    tags=("timeseries", "engagement"),
+)
+def ts_rolling_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU and trailing-28-day MAU per OBSERVED day — the
+    product-analytics headline pair (and their ratio, the stickiness
+    metric, is one division away). Rolling DISTINCT cannot slide like
+    a sum (distinct doesn't subtract), so the exact form REPLICATES
+    each (user, active-day) pair onto the 28 report days it supports —
+    the same honest expansion as win_hop_distinct_users (×28 on the
+    user-day DEDUPED table, not raw events), then a two-phase distinct
+    per report day. Report days are restricted to observed days so
+    ramp-in is visible but dead trailing days don't fabricate rows. At
+    100 TB the relief valve is per-day HLL sketches unioned over the
+    trailing window (agg_hll_merge's contract) — sketch merges replace
+    row replication."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d0")
+    ).distinct()
+    days = ud.select(F.col("d0").alias("report_day")).distinct()
+    expanded = ud.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 27),"
+                " i -> timestampadd(DAY, i, d0))"
+            )
+        ).alias("report_day"),
+    )
+    dau = ud.groupBy(F.col("d0").alias("report_day")).agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    mau = (
+        expanded.join(days, "report_day")
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").cast("long").alias("mau28"))
+    )
+    return dau.join(mau, "report_day").select(
+        "report_day", "dau", "mau28"
+    )

@@ -983,3 +983,27 @@ def test_snaive_join_over_hourly_rollup(spark, sf_dir):
     an event-level self-join."""
     p = plan(spark, sf_dir, "ts_forecast_snaive_mae")
     assert "CartesianProduct" not in p
+
+
+def test_campaign_overlap_broadcast_calendar(spark, sf_dir):
+    """The 3-row calendar broadcasts; the interval condition runs as a
+    nested-loop over 3 rows per session — correct for a literal dim."""
+    p = plan(spark, sf_dir, "join_campaign_overlap")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_rolling_mau_expands_user_days_not_events(spark, sf_dir):
+    """The x28 replication must run on the DEDUPED (user, day) table —
+    the distinct precedes the Generate in the plan."""
+    p = plan(spark, sf_dir, "ts_rolling_mau")
+    gen = p.index("Generate")
+    assert "HashAggregate" in p[gen:], p  # distinct below the explode
+    assert "CartesianProduct" not in p
+
+
+def test_duration_format_map_side_after_groupby(spark, sf_dir):
+    """One partial-agg groupBy; the ISO rendering is codegen'd."""
+    p = plan(spark, sf_dir, "fn_duration_format")
+    assert "partial_" in p
+    assert "Python" not in p
