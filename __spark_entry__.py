@@ -225,6 +225,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "join_campaign_overlap",
         "ts_rolling_mau",
         "fn_duration_format",
+        "llm_bpe_pair_counts",
+        "graph_community_sizes",
+        "agg_target_encode_loo",
     }
 )
 

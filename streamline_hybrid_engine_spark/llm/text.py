@@ -1733,3 +1733,70 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_lang_share"),
         )
     )
+
+
+@query(
+    "llm_bpe_pair_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT lower(tok) AS tok, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY lower(tok)
+    ),
+    pairs AS (
+      SELECT substr(tok, i, 2) AS pair,
+             CAST(sum(freq) AS BIGINT) AS n
+      FROM toks, unnest(range(1, length(tok))) AS u(i)
+      GROUP BY substr(tok, i, 2)
+    ),
+    ranked AS (
+      SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rk
+      FROM pairs
+    )
+    SELECT rk, pair, n FROM ranked WHERE rk <= 20
+    """,
+    tags=("llm", "tokenizer"),
+)
+def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training iteration's COUNTING step: the most frequent
+    adjacent symbol pairs across the corpus, weighted by word
+    frequency — the argmax of this table is the merge a byte-pair
+    tokenizer would learn next (llm_token_count_bpe consumes a trained
+    tokenizer; this is how one is built). The word-frequency rollup
+    FIRST is the classic optimization: pair counting then runs over
+    the vocabulary (distinct words × their frequencies), not the
+    corpus — at 100 TB that's the difference between a vocab-sized and
+    a corpus-sized explode. Character pairs expand in-row; counts are
+    exact; top-20 ranks over the pair table."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    toks = (
+        docs.select(
+            F.explode(F.split(F.col("text"), " ")).alias("raw")
+        )
+        .select(F.lower(F.col("raw")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    pairs = (
+        toks.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "CASE WHEN length(tok) >= 2 THEN"
+                    " transform(sequence(1, length(tok) - 1),"
+                    " i -> substr(tok, i, 2))"
+                    " ELSE array() END"
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return (
+        pairs.select("pair", "n", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 20)
+        .select("rk", "pair", "n")
+    )

@@ -1918,3 +1918,62 @@ def agg_hhi_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hhi"),
     )
+
+
+@query(
+    "agg_target_encode_loo",
+    oracle="""
+    WITH x AS (
+      SELECT o_orderkey, o_orderpriority AS cat,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    g AS (
+      SELECT cat, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(cents AS HUGEINT)) AS BIGINT) AS tot
+      FROM x GROUP BY cat
+    )
+    SELECT x.o_orderkey, x.cat,
+           CAST(CASE WHEN g.n > 1
+                THEN floor((CAST(g.tot AS DOUBLE) - x.cents) / (g.n - 1))
+                END AS BIGINT) AS loo_mean_cents
+    FROM x JOIN g ON g.cat = x.cat
+    """,
+    tags=("aggregate", "ml-prep"),
+)
+def agg_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: each row's category feature is
+    the mean target of ITS CATEGORY EXCLUDING ITSELF — the
+    leakage-safe variant (plain mean encoding leaks each row's own
+    label into its feature; LOO is the standard fix every gradient-
+    boosting pipeline ships). Shape: category stats reduce in one
+    partial-agg groupBy (|categories| rows), broadcast back, and the
+    exclusion is map-side arithmetic on exact integers —
+    floor((tot − own)/(n−1)) — identical in both engines; the raw
+    rows never shuffle (the window-per-category alternative sorts
+    them). Singleton categories yield NULL, not a division by zero."""
+    o = load_table(spark, sf_dir, "orders")
+    x = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("cat"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    dec = "decimal(38,0)"
+    g = x.groupBy("cat").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("cents").cast(dec)).cast("long").alias("tot"),
+    )
+    j = x.join(F.broadcast(g), "cat")
+    return j.select(
+        "o_orderkey",
+        "cat",
+        F.when(
+            F.col("n") > 1,
+            F.floor(
+                (F.col("tot").cast("double") - F.col("cents"))
+                / (F.col("n") - 1)
+            ),
+        )
+        .cast("long")
+        .alias("loo_mean_cents"),
+    )

@@ -1022,3 +1022,66 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("modularity"),
         )
     )
+
+
+_COMMUNITY_SIZES_ORACLE = f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+und AS (
+  SELECT c AS src, s AS dst FROM edges
+  UNION ALL SELECT s, c FROM edges
+  UNION ALL SELECT v, v FROM (SELECT c AS v FROM edges UNION SELECT s FROM edges)
+),
+r0 AS (SELECT DISTINCT src AS v, src AS l FROM und),
+r1 AS {_lpa_round_sql("r0")},
+r2 AS {_lpa_round_sql("r1")},
+r3 AS {_lpa_round_sql("r2")},
+r4 AS {_lpa_round_sql("r3")},
+sizes AS (
+  SELECT l, CAST(count(*) AS BIGINT) AS n_vertices,
+         CAST(sum(CASE WHEN v % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_customers,
+         CAST(sum(CASE WHEN v % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_suppliers
+  FROM r4 GROUP BY l
+)
+SELECT n_vertices AS community_size,
+       CAST(count(*) AS BIGINT) AS n_communities,
+       CAST(sum(n_customers) AS BIGINT) AS customers_in_size,
+       CAST(sum(n_suppliers) AS BIGINT) AS suppliers_in_size
+FROM sizes GROUP BY community_size
+"""
+
+
+@query(
+    "graph_community_sizes",
+    oracle=_COMMUNITY_SIZES_ORACLE,
+    tags=("graph", "statistics"),
+)
+def graph_community_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community size distribution of the LPA labels (with the
+    customer/supplier split per size class) — the histogram read next
+    to graph_modularity's single Q number: one giant community + dust
+    means LPA collapsed (bipartite oscillation's signature), a heavy
+    mid-tail means real structure. Third consumer of the shared
+    lpa_labels() core; adds two group-count-sized aggregates to the
+    audited LPA plan, nothing fact-sized."""
+    labels, _edges = lpa_labels(spark, sf_dir)
+    sizes = labels.groupBy("l").agg(
+        F.count("*").cast("long").alias("n_vertices"),
+        F.sum(F.when(F.col("v") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_customers"),
+        F.sum(F.when(F.col("v") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_suppliers"),
+    )
+    return sizes.groupBy(
+        F.col("n_vertices").alias("community_size")
+    ).agg(
+        F.count("*").alias("n_communities"),
+        F.sum("n_customers").cast("long").alias("customers_in_size"),
+        F.sum("n_suppliers").cast("long").alias("suppliers_in_size"),
+    )

@@ -1007,3 +1007,27 @@ def test_duration_format_map_side_after_groupby(spark, sf_dir):
     p = plan(spark, sf_dir, "fn_duration_format")
     assert "partial_" in p
     assert "Python" not in p
+
+
+def test_bpe_pairs_count_over_vocab_not_corpus(spark, sf_dir):
+    """Pair expansion must run AFTER the word-frequency rollup — the
+    vocab-sized explode, not the corpus-sized one: an aggregate sits
+    below the Generate in the plan."""
+    p = plan(spark, sf_dir, "llm_bpe_pair_counts")
+    gen = p.index("Generate")
+    assert "HashAggregate" in p[gen:], p
+
+
+def test_community_sizes_reuses_lpa_core(spark, sf_dir):
+    """Community sizes adds only tiny aggregates to the LPA plan."""
+    p = plan(spark, sf_dir, "graph_community_sizes")
+    assert "CartesianProduct" not in p
+
+
+def test_target_encode_rows_never_shuffle(spark, sf_dir):
+    """LOO encoding: category stats broadcast back; the fact rows have
+    no exchange and no sort."""
+    p = plan(spark, sf_dir, "agg_target_encode_loo")
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
+    assert "rangepartitioning" not in p.lower()
