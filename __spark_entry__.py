@@ -228,6 +228,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "llm_bpe_pair_counts",
         "graph_community_sizes",
         "agg_target_encode_loo",
+        "agg_ab_test_ztest",
+        "ts_twap",
+        "fn_luhn_checksum",
     }
 )
 

@@ -1278,3 +1278,68 @@ def fn_duration_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("iso_duration"),
         F.expr("span_us div 3600000000").cast("long").alias("full_hours"),
     )
+
+
+@query(
+    "fn_luhn_checksum",
+    oracle="""
+    WITH x AS (
+      SELECT o_orderkey, CAST(o_orderkey AS STRING) AS digits
+      FROM orders WHERE o_orderkey % 25 = 0
+    ),
+    scored AS (
+      SELECT o_orderkey, digits,
+             CAST(list_sum(list_transform(
+               range(1, length(digits) + 1),
+               i -> CASE WHEN i % 2 = 1
+                    THEN CAST(substr(reverse(digits), i, 1) AS BIGINT)
+                    ELSE CASE
+                      WHEN 2 * CAST(substr(reverse(digits), i, 1) AS BIGINT) > 9
+                      THEN 2 * CAST(substr(reverse(digits), i, 1) AS BIGINT) - 9
+                      ELSE 2 * CAST(substr(reverse(digits), i, 1) AS BIGINT)
+                    END END)) AS BIGINT) AS luhn_sum
+      FROM x
+    )
+    SELECT o_orderkey, digits, luhn_sum,
+           CASE WHEN luhn_sum % 10 = 0 THEN 1 ELSE 0 END AS luhn_valid,
+           (10 - (luhn_sum * 9) % 10) % 10 AS check_digit
+    FROM scored
+    """,
+    tags=("function", "checksum"),
+)
+def fn_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn mod-10 checksum (ISO/IEC 7812 — card numbers, IMEIs) over
+    numeric id strings: validation flag + the check digit that WOULD
+    make the number valid — the ingest-validation scalar a payments
+    pipeline applies at the door. Pure per-row array arithmetic
+    (reverse, positional double-every-second, >9 → −9 fold) expressed
+    with in-row transforms in BOTH engines — no UDF, no shuffle; the
+    check-digit identity (10 − 9·sum mod 10) mod 10 avoids
+    recomputing the sum with a shifted parity. The keyed filter pushes
+    to the scan."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 25 == 0
+    )
+    x = o.select(
+        "o_orderkey", F.col("o_orderkey").cast("string").alias("digits")
+    )
+    luhn_sum = F.expr(
+        "aggregate(transform(sequence(1, length(digits)),"
+        " i -> CASE WHEN i % 2 = 1"
+        "  THEN CAST(substr(reverse(digits), i, 1) AS BIGINT)"
+        "  ELSE CASE"
+        "    WHEN 2 * CAST(substr(reverse(digits), i, 1) AS BIGINT) > 9"
+        "    THEN 2 * CAST(substr(reverse(digits), i, 1) AS BIGINT) - 9"
+        "    ELSE 2 * CAST(substr(reverse(digits), i, 1) AS BIGINT)"
+        "  END END), CAST(0 AS BIGINT), (acc, d) -> acc + d)"
+    )
+    scored = x.withColumn("luhn_sum", luhn_sum)
+    return scored.select(
+        "o_orderkey",
+        "digits",
+        "luhn_sum",
+        F.when(F.col("luhn_sum") % 10 == 0, 1).otherwise(0).alias(
+            "luhn_valid"
+        ),
+        ((10 - (F.col("luhn_sum") * 9) % 10) % 10).alias("check_digit"),
+    )

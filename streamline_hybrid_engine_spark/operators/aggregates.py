@@ -1977,3 +1977,78 @@ def agg_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("loo_mean_cents"),
     )
+
+
+@query(
+    "agg_ab_test_ztest",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN ('0x' || substr(md5(CAST(o_orderkey AS STRING)), 1, 8))::BIGINT % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS conv
+      FROM orders
+    ),
+    s AS (
+      SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS k1,
+             CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS k2
+      FROM assigned
+    )
+    SELECT n1, k1, n2, k2,
+           round(CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2, 6)
+             AS rate_diff,
+           round((CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2)
+                 / sqrt((CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                        * (1 - CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                        * (1.0 / n1 + 1.0 / n2)), 6) AS z_score
+    FROM s
+    """,
+    tags=("aggregate", "statistics"),
+)
+def agg_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — the experimentation primitive: orders
+    hash-assigned to arms A/B (the md5-bucket assignment
+    llm_train_split_hash certifies: content-stable, re-run-identical —
+    never rand()), conversion = 'F' status, pooled-variance z. All
+    counts exact integers; the z expression is written identically in
+    both engines (divisions of identical operands, one
+    correctly-rounded sqrt — the Wilson-CI discipline). On a real
+    experiment the same one-pass conditional-count shape computes any
+    number of arms; the null-hypothesis z here hovers near 0, which is
+    itself the A/A-test sanity check experimentation platforms run
+    first."""
+    o = load_table(spark, sf_dir, "orders")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    conv = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    s = o.select(arm.alias("arm"), conv.alias("conv")).agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("arm") == "A", F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("k1"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("arm") == "B", F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("k2"),
+    )
+    p1 = F.col("k1").cast("double") / F.col("n1")
+    p2 = F.col("k2").cast("double") / F.col("n2")
+    pp = (F.col("k1") + F.col("k2")).cast("double") / (F.col("n1") + F.col("n2"))
+    return s.select(
+        "n1",
+        "k1",
+        "n2",
+        "k2",
+        F.round(p1 - p2, 6).alias("rate_diff"),
+        F.round(
+            (p1 - p2)
+            / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))),
+            6,
+        ).alias("z_score"),
+    )

@@ -2642,3 +2642,60 @@ def ts_rolling_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dau.join(mau, "report_day").select(
         "report_day", "dau", "mau28"
     )
+
+
+@query(
+    "ts_twap",
+    oracle="""
+    WITH v AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(round(value * 1000000) AS BIGINT) AS v_us,
+             lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(next_us - us) AS BIGINT) AS total_us,
+           CAST(floor(CAST(sum(CAST(v_us AS HUGEINT) * (next_us - us))
+                           AS DOUBLE)
+                      / sum(next_us - us)) AS BIGINT) AS twap_micros
+    FROM v WHERE next_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("timeseries", "finance"),
+)
+def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each reading holds until the next
+    one, so its weight is its HOLDING TIME — the finance/sensor average
+    that a plain mean gets wrong whenever sampling is irregular (a
+    value held for an hour must outweigh one held a second; billing
+    and mark-to-market both depend on it). Σ(v·dt)/Σdt with v·dt as
+    exact 128-bit integers, floored to micros — the udaf_weighted_avg
+    discipline with the weights COMPUTED from the event sequence (one
+    lead, same machinery as ts_time_in_state). Open-ended last
+    readings are excluded, not guessed."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.round(F.col("value") * 1000000).cast("long").alias("v_us"),
+        F.lead(F.unix_micros(F.col("ts"))).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    dt = F.col("next_us") - F.col("us")
+    dec = "decimal(38,0)"
+    return v.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum(dt).cast("long").alias("total_us"),
+        F.floor(
+            F.sum((F.col("v_us").cast(dec) * dt).cast(dec)).cast("double")
+            / F.sum(dt)
+        )
+        .cast("long")
+        .alias("twap_micros"),
+    )

@@ -1031,3 +1031,26 @@ def test_target_encode_rows_never_shuffle(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "Window" not in p
     assert "rangepartitioning" not in p.lower()
+
+
+def test_ab_test_one_conditional_pass(spark, sf_dir):
+    """A/B z-test: one conditional-count pass over orders, no joins."""
+    p = plan(spark, sf_dir, "agg_ab_test_ztest")
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p
+
+
+def test_twap_one_lead_then_partial_agg(spark, sf_dir):
+    """TWAP: one per-user lead window then a partial-agg rollup."""
+    p = plan(spark, sf_dir, "ts_twap")
+    assert "Window" in p
+    assert "partial_" in p
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in p
+
+
+def test_luhn_in_row_no_python_no_shuffle(spark, sf_dir):
+    """Luhn is in-row array arithmetic: no Python, no exchange."""
+    p = plan(spark, sf_dir, "fn_luhn_checksum")
+    assert "Python" not in p
+    assert "Exchange" not in p
