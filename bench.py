@@ -186,6 +186,20 @@ HEADLINE = (
     "ts_path_trigrams",            # second-order behavior paths
     "ts_session_depth_hist",       # engagement-shape histogram
     "llm_dataset_card",            # one-row corpus summary
+    # round-7 fifth wave (baselines in BASELINE.md §A.1 r7 block)
+    "win_winsorize_p5p95",         # robust clamp transform
+    "win_running_sum_reset",       # accumulate-since-reset windows
+    "agg_hhi_index",               # Herfindahl market concentration
+    "ts_forecast_snaive_mae",      # seasonal-naive forecast eval
+    "join_campaign_overlap",       # sessions x literal calendar overlap
+    "ts_rolling_mau",              # DAU + trailing-28d MAU
+    "fn_duration_format",          # ISO-8601 duration rendering
+    "llm_bpe_pair_counts",         # tokenizer-training pair counts
+    "graph_community_sizes",       # LPA size histogram
+    "agg_target_encode_loo",       # leakage-safe target encoding
+    "agg_ab_test_ztest",           # two-proportion z-test
+    "ts_twap",                     # time-weighted average
+    "fn_luhn_checksum",            # mod-10 ingest validation
 )
 
 #: BASELINE.md §A.1 rows (sf0.1 full-sequence medians, seconds) — kept in
@@ -335,6 +349,20 @@ BASELINE_SEC = {
     "ts_path_trigrams": 0.4,
     "ts_session_depth_hist": 0.45,
     "llm_dataset_card": 0.75,
+    # r7 fifth wave (clean settled run, 2026-08-15, start load1 0.88)
+    "win_winsorize_p5p95": 1.32,
+    "win_running_sum_reset": 0.7,
+    "agg_hhi_index": 1.05,
+    "ts_forecast_snaive_mae": 0.33,
+    "join_campaign_overlap": 0.44,
+    "ts_rolling_mau": 1.0,
+    "fn_duration_format": 0.2,
+    "llm_bpe_pair_counts": 0.5,
+    "graph_community_sizes": 4.27,
+    "agg_target_encode_loo": 0.98,
+    "agg_ab_test_ztest": 0.4,
+    "ts_twap": 0.38,
+    "fn_luhn_checksum": 0.13,
 }
 
 
