@@ -231,6 +231,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "agg_ab_test_ztest",
         "ts_twap",
         "fn_luhn_checksum",
+        "dq_slo_attainment",
+        "llm_langid_confusion",
+        "ts_attribution_first_last",
     }
 )
 

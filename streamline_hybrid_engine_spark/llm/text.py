@@ -1800,3 +1800,50 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("rk", "pair", "n")
     )
+
+
+def _langid_confusion_oracle() -> str:
+    langid = _REG["llm_text_langid"].oracle
+    return f"""
+    WITH scored AS ({langid})
+    SELECT lang_actual, lang_guess,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(count(*) AS DOUBLE)
+                 / CAST(sum(count(*)) OVER (PARTITION BY lang_actual)
+                        AS DOUBLE), 6) AS row_share
+    FROM scored GROUP BY lang_actual, lang_guess
+    """
+
+
+@query(
+    "llm_langid_confusion",
+    oracle=_langid_confusion_oracle(),
+    tags=("llm", "evaluation"),
+)
+def llm_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic: actual × guessed
+    counts with row-normalized shares — the eval view that turns
+    llm_text_langid's per-doc guesses into the per-language
+    precision/recall picture (which languages leak into which — the
+    input to threshold or marker-list tuning; llm_langid_consistency
+    checks stability, this checks CORRECTNESS against labels). Pure
+    composition: the scorer's own audited query feeds a |langs|²
+    groupBy; the row normalization windows over that tiny matrix."""
+    from pyspark.sql import Window
+
+    from streamline_hybrid_engine_spark.registry import all_queries
+
+    scored = all_queries()["llm_text_langid"].fn(spark, sf_dir)
+    t = scored.groupBy("lang_actual", "lang_guess").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wrow = Window.partitionBy("lang_actual")
+    return t.select(
+        "lang_actual",
+        "lang_guess",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wrow).cast("double"),
+            6,
+        ).alias("row_share"),
+    )

@@ -1004,3 +1004,63 @@ def dq_reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reconciled"
         ),
     )
+
+
+@query(
+    "dq_slo_attainment",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS g
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           round(CAST(sum(CASE WHEN g <= 60000000 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS within_1m,
+           round(CAST(sum(CASE WHEN g <= 600000000 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS within_10m,
+           round(CAST(sum(CASE WHEN g <= 3600000000 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS within_1h
+    FROM gaps WHERE g IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("dq", "slo"),
+)
+def dq_slo_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO attainment bands: the share of inter-event gaps within each
+    latency objective (1 m / 10 m / 1 h), per event type — the
+    INVERSE framing of a latency percentile (percentiles answer 'what
+    latency covers 99%?'; SLOs answer 'what share meets the target?' —
+    the number an error budget burns against, computable in ONE
+    conditional-count pass with no ranking at all). Exact integer gap
+    tests, ratios of exact counts; one per-user sort shared with every
+    other gap operator, then a partial-agg rollup."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(w)
+        ).alias("g"),
+    ).filter(F.col("g").isNotNull())
+
+    def band(us: int, alias: str):
+        return F.round(
+            F.sum(F.when(F.col("g") <= us, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias(alias)
+
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        band(60_000_000, "within_1m"),
+        band(600_000_000, "within_10m"),
+        band(3_600_000_000, "within_1h"),
+    )

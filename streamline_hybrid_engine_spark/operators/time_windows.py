@@ -2699,3 +2699,88 @@ def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("twap_micros"),
     )
+
+
+@query(
+    "ts_attribution_first_last",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(round(value * 1000000) AS BIGINT) AS v_us
+      FROM events
+    ),
+    credited AS (
+      SELECT p.user_id, p.event_id AS purchase_id, p.v_us,
+             max((p.us - c.us) * 10000000 + (9999999 - c.event_id))
+               AS first_key,
+             min((p.us - c.us) * 10000000 + c.event_id) AS last_key
+      FROM ev p JOIN ev c
+        ON c.user_id = p.user_id AND c.event_type = 'click'
+       AND c.us < p.us AND c.us >= p.us - 86400000000
+      WHERE p.event_type = 'purchase'
+      GROUP BY p.user_id, p.event_id, p.v_us
+    )
+    SELECT user_id, purchase_id,
+           9999999 - (first_key % 10000000) AS first_click_id,
+           last_key % 10000000 AS last_click_id,
+           v_us AS value_micros
+    FROM credited
+    """,
+    tags=("timeseries", "attribution"),
+)
+def ts_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch and last-touch attribution per purchase (clicks in
+    the 24 h lookback; full credit to one click per model) — the two
+    business rules marketing compares AGAINST ts_linear_attribution's
+    equal split; same purchase set, three crediting answers. Engine
+    form: the bounded interval join ts_linear_attribution already uses
+    (per-user pair join restricted to the 24 h lookback), then ONE
+    min/max pair per purchase over a bounded composite key — no
+    row_number, no per-purchase sort. Purchases with
+    no qualifying click are excluded (no credit to assign), matching
+    the linear op's convention. Key encoding: lookback offset ×10⁷ +
+    event_id fits int64 because the offset is BOUNDED by the 24 h
+    window (8.64e10 × 10⁷ ≈ 8.6e17 < 2⁶³) where raw epoch micros would
+    overflow — the composite-key trick only works on bounded ranges,
+    and the first-touch side inverts the id (9999999 − id) so earliest
+    time + smallest id win together under one max()."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.round(F.col("value") * 1000000).cast("long").alias("v_us"),
+    )
+    p = base.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("us").alias("p_us"),
+        "v_us",
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("us").alias("c_us"),
+        F.col("event_id").alias("c_id"),
+    )
+    j = p.join(clicks, "user_id").filter(
+        (F.col("c_us") < F.col("p_us"))
+        & (F.col("c_us") >= F.col("p_us") - 86400000000)
+    )
+    offset = F.col("p_us") - F.col("c_us")  # bounded by the 24 h window
+    credited = j.groupBy("user_id", "purchase_id", "v_us").agg(
+        F.max(offset * 10000000 + (9999999 - F.col("c_id"))).alias(
+            "first_key"
+        ),
+        F.min(offset * 10000000 + F.col("c_id")).alias("last_key"),
+    )
+    return credited.select(
+        "user_id",
+        "purchase_id",
+        (9999999 - F.col("first_key") % 10000000).alias("first_click_id"),
+        (F.col("last_key") % 10000000).alias("last_click_id"),
+        F.col("v_us").alias("value_micros"),
+    )

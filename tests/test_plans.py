@@ -1054,3 +1054,24 @@ def test_luhn_in_row_no_python_no_shuffle(spark, sf_dir):
     p = plan(spark, sf_dir, "fn_luhn_checksum")
     assert "Python" not in p
     assert "Exchange" not in p
+
+
+def test_slo_attainment_single_pass_no_rank(spark, sf_dir):
+    """SLO bands: one conditional-count pass — no ranking machinery."""
+    p = plan(spark, sf_dir, "dq_slo_attainment")
+    assert "Window" in p  # the gap lag only
+    assert "rangepartitioning" not in p.lower()
+
+
+def test_langid_confusion_matrix_windows_over_matrix(spark, sf_dir):
+    """Row shares window over the |langs|^2 matrix, not docs."""
+    p = plan(spark, sf_dir, "llm_langid_confusion")
+    assert "CartesianProduct" not in p
+
+
+def test_attribution_bounded_interval_join(spark, sf_dir):
+    """First/last touch: the pair join is the bounded lookback interval
+    join; crediting is one min/max aggregate, no per-purchase sort."""
+    p = plan(spark, sf_dir, "ts_attribution_first_last")
+    assert "rangepartitioning" not in p.lower()
+    assert "partial_" in p
