@@ -234,6 +234,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "dq_slo_attainment",
         "llm_langid_confusion",
         "ts_attribution_first_last",
+        "agg_skyline_grid",
+        "dq_content_checksum",
     }
 )
 

@@ -2052,3 +2052,91 @@ def agg_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_score"),
     )
+
+
+@query(
+    "agg_skyline_grid",
+    oracle="""
+    WITH pts AS (
+      SELECT p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    ),
+    ranked AS (
+      SELECT p_partkey, price_cents, size,
+             max(size) OVER (ORDER BY price_cents
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS best_size_cheaper,
+             max(size) OVER (PARTITION BY price_cents) AS best_at_price
+      FROM pts
+    )
+    SELECT p_partkey, price_cents, size
+    FROM ranked
+    WHERE (best_size_cheaper IS NULL OR size > best_size_cheaper)
+      AND size = best_at_price
+    """,
+    tags=("aggregate", "skyline"),
+)
+def agg_skyline_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRID skyline — the SCALE.md relief valve for agg_skyline_2d,
+    REALIZED (not just promised): partition points into price-range
+    cells, compute each cell's LOCAL skyline with the same two-frame
+    window (cells sort independently — the global sort is gone), then
+    one global pass over the survivors (2-D local skylines are
+    near-logarithmic per cell, so the second pass is metadata-sized).
+    A candidate survives globally iff it beats the best size of all
+    STRICTLY CHEAPER cells too — the cross-cell check the local pass
+    cannot see. The ORACLE is deliberately the single-sort window form
+    (agg_skyline_2d's) — a genuinely different algorithm, so any
+    cell-boundary fencepost breaks the hash; the same adversarial
+    pairing as percentile narrowing vs global rank."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part")
+    pts = p.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    # 16 price cells via integer range split on observed min/max
+    lo_hi = pts.agg(
+        F.min("price_cents").alias("lo"), F.max("price_cents").alias("hi")
+    )
+    cells = pts.crossJoin(F.broadcast(lo_hi)).withColumn(
+        "cell",
+        F.least(
+            F.expr("(price_cents - lo) * 16 div greatest(hi - lo + 1, 1)"),
+            F.lit(15).cast("long"),
+        ),
+    )
+    # phase 1: local skyline per cell (independent sorts)
+    wc = (
+        Window.partitionBy("cell")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    wp = Window.partitionBy("cell", "price_cents")
+    local = (
+        cells.withColumn("best_cheaper_local", F.max("size").over(wc))
+        .withColumn("best_at_price", F.max("size").over(wp))
+        .filter(
+            (
+                F.col("best_cheaper_local").isNull()
+                | (F.col("size") > F.col("best_cheaper_local"))
+            )
+            & (F.col("size") == F.col("best_at_price"))
+        )
+    )
+    # phase 2: cross-cell check over the survivors only — best size of
+    # all strictly cheaper CELLS broadcast back (16-row table)
+    cell_best = local.groupBy("cell").agg(F.max("size").alias("cell_max"))
+    w_run = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, -1)
+    cell_prior = cell_best.select(
+        "cell", F.max("cell_max").over(w_run).alias("best_prior_cells")
+    )
+    out = local.join(F.broadcast(cell_prior), "cell").filter(
+        F.col("best_prior_cells").isNull()
+        | (F.col("size") > F.col("best_prior_cells"))
+    )
+    return out.select("p_partkey", "price_cents", "size")

@@ -1064,3 +1064,56 @@ def dq_slo_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
         band(600_000_000, "within_10m"),
         band(3_600_000_000, "within_1h"),
     )
+
+
+# --- Order-independent content checksums ----------------------------------------
+
+_CKSUM_TABLES = (
+    ("orders", "CAST(o_orderkey AS STRING) || '|' || o_orderstatus || '|' ||"
+               " CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"),
+    ("customer", "CAST(c_custkey AS STRING) || '|' || c_mktsegment"),
+    ("part", "CAST(p_partkey AS STRING) || '|' || p_brand"),
+)
+
+
+def _cksum_oracle() -> str:
+    arms = []
+    for t, expr in _CKSUM_TABLES:
+        arms.append(f"""
+    SELECT '{t}' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(('0x' || substr(md5({expr}), 1, 12))::BIGINT) AS BIGINT)
+             AS content_checksum
+    FROM {t}
+        """)
+    return " UNION ALL ".join(arms)
+
+
+@query("dq_content_checksum", oracle=_cksum_oracle(), tags=("dq", "checksum"))
+def dq_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum per table: SUM of a 48-bit
+    md5 prefix over a canonical row rendering — equal multisets of
+    rows give equal checksums under ANY partitioning or row order,
+    which is exactly what replica/migration verification needs (a
+    concatenation checksum would be order-dependent; a full sort to
+    canonicalize would cost a global sort per table). Addition is the
+    associative combine, 48-bit prefixes keep the sum far from int64
+    overflow (2⁴⁸ × 10⁹ rows < 2⁶³), and the row rendering pins the
+    same fixed-point money convention as every oracle. This checksum
+    IS how the parity gate's own value-hash works, promoted to a
+    user-facing operator."""
+    out = None
+    for t, expr in _CKSUM_TABLES:
+        df = load_table(spark, sf_dir, t)
+        row = df.select(
+            F.conv(F.substring(F.md5(F.expr(expr)), 1, 12), 16, 10)
+            .cast("long")
+            .alias("h")
+        ).agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("h").cast("long").alias("content_checksum"),
+        ).select(
+            F.lit(t).alias("table_name"), "n_rows", "content_checksum"
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

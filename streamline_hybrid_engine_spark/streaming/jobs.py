@@ -1696,3 +1696,51 @@ def stream_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         out, "she_stream_cusum_alarm", "append", stream_shuffle_width(spark, sf_dir)
     )
+
+
+@query("stream_topk_foreachbatch", oracle=None, tags=("streaming", "sink"))
+def stream_topk_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 maintenance across micro-batches via foreachBatch:
+    each epoch merges its batch's candidates into a driver-held top-K
+    ledger (merge = union → re-rank → truncate: K-bounded state, the
+    classic streaming top-K accumulator — contrast with complete-mode
+    aggregation, which would hold EVERY key's state to re-emit rank).
+    Bounded drain over the events lake; the suite pins the final
+    ledger equals the batch top-10 (same tiebreak), the hybrid
+    batch≡stream identity every streaming face here carries. K-bounded
+    merges are associative, so the same callable distributes over
+    arbitrary epoch boundaries — re-chunking the stream cannot change
+    the answer."""
+    import heapq
+    import math
+
+    ledger: list = []  # (value_micros, -event_id) max-ish via heapq of negatives
+
+    def merge_topk(batch_df: DataFrame, _epoch: int) -> None:
+        rows = (
+            batch_df.select("event_id", "user_id", "value")
+            .orderBy(F.col("value").desc(), F.col("event_id"))
+            .limit(10)
+            .collect()
+        )
+        for r in rows:
+            # half-up like Spark round(), not Python banker's rounding
+            v = math.floor(r["value"] * 1_000_000 + 0.5)
+            heapq.heappush(ledger, (v, -int(r["event_id"]), int(r["user_id"])))
+            if len(ledger) > 10:
+                heapq.heappop(ledger)
+
+    ev = read_events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+    with tempfile.TemporaryDirectory(prefix="she_topk_fb_") as ckpt:
+        q = (
+            ev.writeStream.foreachBatch(merge_topk)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = sorted(ledger, key=lambda t: (-t[0], -t[1]))
+    return spark.createDataFrame(
+        [(-(neg_id), uid, v) for v, neg_id, uid in out],
+        "event_id long, user_id long, value_micros long",
+    )

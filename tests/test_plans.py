@@ -1075,3 +1075,20 @@ def test_attribution_bounded_interval_join(spark, sf_dir):
     p = plan(spark, sf_dir, "ts_attribution_first_last")
     assert "rangepartitioning" not in p.lower()
     assert "partial_" in p
+
+
+def test_skyline_grid_no_global_sort(spark, sf_dir):
+    """Grid skyline: cells sort independently — no global range
+    partitioning anywhere; phase 2 runs over survivors only."""
+    p = plan(spark, sf_dir, "agg_skyline_grid")
+    assert "rangepartitioning" not in p.lower()
+    assert "CartesianProduct" not in p
+
+
+def test_content_checksum_partial_agg_per_table(spark, sf_dir):
+    """Each table's checksum is one partial-agg pass (order-independent
+    sum combine) — no sort, no join."""
+    p = plan(spark, sf_dir, "dq_content_checksum")
+    assert "partial_" in p
+    assert "Join" not in p
+    assert "Sort" not in p

@@ -784,3 +784,25 @@ def test_stream_cusum_equals_batch_cusum(spark, sf_dir):
     batch = all_queries()["ts_cusum_alarm"].fn(spark, sf_dir)
     cols = ["user_id", "n_points", "n_alarms", "first_alarm_us"]
     assert _rows(out, *cols) == _rows(batch, *cols)
+
+
+def test_stream_topk_foreachbatch_equals_batch_topk(spark, sf_dir):
+    """The foreachBatch top-10 ledger == the batch top-10 with the same
+    (value desc, event_id asc) tiebreak — K-bounded merge associativity
+    makes epoch boundaries invisible."""
+    stream = all_queries()["stream_topk_foreachbatch"].fn(spark, sf_dir)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 1000000).cast("long").alias(
+                "value_micros"
+            ),
+        )
+        .orderBy(F.col("value_micros").desc(), F.col("event_id"))
+        .limit(10)
+    )
+    assert [tuple(r) for r in stream.collect()] == [
+        tuple(r) for r in batch.collect()
+    ]
