@@ -107,135 +107,12 @@ def _sweep_order(qs, correctness_dir: str | None = None) -> list[str]:
 #: while unstamped).
 _NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # r7 additions. The 8 unstamped r6 ids (ts_asof_downsample,
-        # cep_match_recognize_text, graph_label_propagation,
-        # dq_anomaly_mad_window, agg_theta_sketch_ops,
-        # ivm_incremental_agg_merge, fn_collation_bundle, llm_ann_pq) left
-        # this set at the r7 open: they are now the long-queued backlog and
-        # must occupy the sweep's first 8 slots.
-        "cep_match_recognize_quantified",
-        "llm_dedup_semantic",
-        "win_percent_rank_cume",
-        "join_asof_tolerance",
-        "ts_resample_ohlc",
-        "ts_ewma_bitshift",
-        "fn_geo_bundle",
-        "join_scd2_point_in_time",
-        "dq_freshness_lag",
-        "sql_group_by_all",
-        "ts_linear_trend",
-        "llm_dedup_url_canonical",
-        "win_range_numeric_frame",
-        "agg_filter_clause",
-        "llm_vocab_oov",
-        "dq_benford_digits",
-        "lake_compact_small_files",
-        "join_dpp_partition_pruning",
-        "pivot_dynamic_discovery",
-        "agg_rollup_grouping_id",
-        "agg_rollup_count_distinct",
-        "ts_seasonal_profile",
-        "scan_csv_malformed",
-        "lake_merge_upsert",
-        "lake_snapshot_diff",
-        "ts_interval_merge",
-        "agg_market_basket_pairs",
-        "agg_rfm_segments",
-        "cep_funnel_conversion",
-        "graph_link_prediction",
-        "join_geo_grid_radius",
-        "llm_mix_waterfill",
-        "llm_surprisal_bits",
-        "win_weighted_median",
-        "fn_busday_bundle",
-        "llm_spell_candidates",
-        "agg_percentile_narrowed",
-        "dq_drift_chi2",
-        "join_asof_nearest",
-        "sql_unpivot_syntax",
-        "llm_dedup_incremental",
-        "lake_vacuum_orphans",
-        "scan_json_malformed",
-        "sql_values_inline_dim",
-        "agg_gini_concentration",
-        "win_zscore_normalize",
-        "dq_referential_integrity",
-        "agg_pareto_topshare",
-        "ts_fill_forward_limit",
-        "fn_uuid_deterministic",
-        "cep_debounce_events",
-        "sql_star_except",
-        "graph_degree_distribution",
-        "agg_decile_lift",
-        "dq_outlier_iqr",
-        "ts_mom_growth",
-        "llm_dedup_token_sort",
-        "llm_ngram_novelty",
-        "ts_direction_changes",
-        "ts_cusum_alarm",
-        "scan_csv_quoted_newlines",
-        "dq_column_profile",
-        "agg_histogram_log2_bins",
-        "ts_repurchase_intervals",
-        "llm_rarity_score",
-        "fn_isoweek_bundle",
-        "subquery_all_rewrite",
-        "ts_new_vs_returning",
-        "ts_status_transitions",
-        "ts_bounce_rate",
-        "scan_pushdown_in_list",
-        "win_hop_distinct_users",
-        "fn_strsim_bundle",
-        "graph_degree_assortativity",
-        "ivm_retractable_agg",
-        "fn_ipv4_bundle",
-        "agg_event_type_bitmask",
-        "ts_conversion_latency",
-        "llm_corpus_mix_report",
-        "sql_join_hints",
-        "agg_rate_wilson_ci",
-        "ts_local_peaks",
-        "cep_strict_contiguity",
-        "sql_parameter_binding",
-        "dq_volume_by_month",
-        "llm_token_offsets",
-        "ts_time_in_state",
-        "dq_pk_uniqueness",
-        "agg_skyline_2d",
-        "ts_series_correlation",
-        "cep_match_recognize_alternation",
-        "graph_modularity",
-        "llm_dedup_eval_pr",
-        "fn_binary_codec_bundle",
-        "ts_burstiness",
-        "agg_simpson_diversity",
-        "ts_median3_smooth",
-        "ts_seasonal_anomaly",
-        "sql_distinct_on_rewrite",
-        "dq_reconcile_orders_lineitem",
-        "llm_classifier_auc",
-        "llm_rouge_n_pairs",
-        "ts_path_trigrams",
-        "ts_session_depth_hist",
-        "llm_dataset_card",
-        "win_winsorize_p5p95",
-        "win_running_sum_reset",
-        "agg_hhi_index",
-        "ts_forecast_snaive_mae",
-        "join_campaign_overlap",
-        "ts_rolling_mau",
-        "fn_duration_format",
-        "llm_bpe_pair_counts",
-        "graph_community_sizes",
-        "agg_target_encode_loo",
-        "agg_ab_test_ztest",
-        "ts_twap",
-        "fn_luhn_checksum",
-        "dq_slo_attainment",
-        "llm_langid_confusion",
-        "ts_attribution_first_last",
-        "agg_skyline_grid",
-        "dq_content_checksum",
+        # r8 additions ONLY. At the r8 open the 123 r7 entries left this
+        # set: 42 were already stamped (CORRECTNESS_r07 and earlier — the
+        # rank no longer applied to them) and the 81 never-stamped r7 ids
+        # GRADUATED to the long-queued backlog (plain rank 1, sweep slots
+        # 1-81) so the driver's ~50-slot sweep stamps them before anything
+        # r8 adds. tests/test_registry.py pins set ∩ stamped == ∅.
     }
 )
 

@@ -257,3 +257,36 @@ def test_sweep_order_live_repo_state():
                 reg_pos[n] for n in members
             )
     del pos
+
+
+def test_new_this_round_ledger_is_fresh():
+    """r7-verdict task 1: `_NEW_THIS_ROUND` must hold ONLY ids the driver has
+    never stamped. Once an id appears in any CORRECTNESS_r*.json its rank-1.5
+    demotion is moot at best — and if a later round inherits the entry, it
+    collides with that round's genuinely-new ids (the r7→r8 starvation
+    hazard). This pins set ∩ stamped == ∅ at commit time, so each round's
+    open MUST prune stamped ids and graduate the unstamped backlog."""
+    import glob
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import _NEW_THIS_ROUND
+
+    stamped: set[str] = set()
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        stamped.update(json.load(open(path)))
+    stale = sorted(_NEW_THIS_ROUND & stamped)
+    assert not stale, (
+        f"{len(stale)} _NEW_THIS_ROUND entries already stamped (prune them): "
+        f"{stale[:10]}"
+    )
+    # Every ledger entry must be a real, oracle-backed registry id — a typo
+    # here silently loses the demotion it was meant to apply.
+    qs = all_queries()
+    unknown = sorted(n for n in _NEW_THIS_ROUND if n not in qs)
+    assert not unknown, f"ledger ids not in registry: {unknown}"
+    rowsonly = sorted(
+        n for n in _NEW_THIS_ROUND if n in qs and qs[n].oracle is None
+    )
+    assert not rowsonly, f"rows-only ids never belong in the ledger: {rowsonly}"
