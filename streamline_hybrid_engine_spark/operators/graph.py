@@ -574,14 +574,95 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LPA_ROUNDS = 4
+#: long vid + long label, pre-serialization — the unit SCALE.md's
+#: broadcast arithmetic is written in (10 MB threshold → ~600k vertices).
+LPA_LABEL_BYTES = 16
 
 
-def lpa_labels(spark: SparkSession, sf_dir: str):
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """autoBroadcastJoinThreshold in bytes (supports the '10MB'/'10m'
+    spellings Spark accepts); ≤0 (broadcast disabled) → 0 so every
+    size-based check flips to the shuffle path."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("b", 1)):
+        if raw.endswith(suffix):
+            raw, mult = raw[: -len(suffix)], m
+            break
+    try:
+        val = int(raw) * mult
+    except ValueError:
+        val = 10 << 20
+    return max(0, val)
+
+
+def lpa_shuffle_width(
+    n_verts: int,
+    n_und: int,
+    default_parallelism: int,
+    broadcast_threshold_bytes: int,
+) -> int:
+    """The SCALE.md "LPA broadcast→shuffle switchover", as arithmetic:
+    0 = broadcast the |V|-row label table each round (fits the driver and
+    every executor while |V| × 16 B stays inside the broadcast threshold —
+    ~600k vertices at the 10 MB default); otherwise a co-partitioned
+    shuffle width sized from the MEASURED adjacency row count (the same
+    ``cc_width`` rule the CC loop uses)."""
+    if n_verts * LPA_LABEL_BYTES <= broadcast_threshold_bytes:
+        return 0
+    return cc_width(n_und, default_parallelism)
+
+
+def _lpa_round(und: DataFrame, labels: DataFrame, shuffle_width: int) -> DataFrame:
+    """One synchronous LPA round (pre-checkpoint): neighbor label counts,
+    then the per-vertex argmax. Broadcast form joins the hinted label
+    table to the checkpointed adjacency; shuffle form (width > 0) pins a
+    merge join — the label side hash-exchanges on v, the adjacency side
+    was pre-partitioned on src once before the loop, so every round
+    reuses its partitioning (no per-round exchange of the big side, and
+    the merge hint keeps AQE from re-inflating the broadcast)."""
+    lbl = labels.hint("merge") if shuffle_width else F.broadcast(labels)
+    votes = (
+        und.join(lbl, und.src == labels.v)
+        .groupBy(F.col("dst").alias("v2"), "l")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # per-vertex argmax as a HASH AGGREGATE (max_by over the
+    # (cnt, -l) struct — max count, ties to the smaller label), not a
+    # row_number window: partial max_by reduces map-side and there is
+    # no per-partition sort (same rewrite as llm_knn_ivf's top-1
+    # picks). Locally the rounds are join-dominated so wall time is
+    # flat; at cluster scale the dropped sort is the win
+    return votes.groupBy(F.col("v2").alias("v")).agg(
+        F.max_by("l", F.struct(F.col("cnt"), (-F.col("l")).alias("nl"))).alias(
+            "l"
+        )
+    )
+
+
+def lpa_labels(
+    spark: SparkSession, sf_dir: str, shuffle_width: int | None = None
+):
     """Shared LPA core: returns (labels, edges) with NUMERIC vertex ids
     (customers even, suppliers odd) after LPA_ROUNDS synchronous rounds —
-    consumed by graph_label_propagation (display form) and
-    graph_modularity (quality score). Plan shape documented on the
-    query; the loop is unchanged from the r6-audited form."""
+    consumed by graph_label_propagation (display form), graph_modularity
+    (quality score) and graph_community_sizes.
+
+    ``shuffle_width``: ``None`` (default) auto-selects per
+    :func:`lpa_shuffle_width` — |V| is measured from the checkpointed
+    adjacency's self-loop rows (already in memory: no extra scan of the
+    source tables) and the broadcast round is kept while the label table
+    fits the broadcast threshold, which covers every fixture scale;
+    ``0`` forces the broadcast round; ``> 0`` forces the co-partitioned
+    shuffle round at that width (the 100 TB path — r7 verdict task 4
+    turned SCALE.md's documented one-liner into this tested parameter,
+    the same pattern ``cc_width`` proves for CC). Both paths run the
+    identical round algebra (:func:`_lpa_round`), so results are
+    bit-identical by construction and pinned by test."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = (
@@ -603,27 +684,28 @@ def lpa_labels(spark: SparkSession, sf_dir: str):
         .union(verts.select(F.col("v").alias("src"), F.col("v").alias("dst")))
         .localCheckpoint(eager=True)
     )
+    if shuffle_width is None:
+        # self-loop rows ≡ vertices; both sizes in ONE job off the
+        # in-memory checkpoint (no extra scan of the source tables)
+        sizes = und.agg(
+            F.count("*").alias("n_und"),
+            F.count(F.when(F.col("src") == F.col("dst"), 1)).alias("n_verts"),
+        ).first()
+        shuffle_width = lpa_shuffle_width(
+            n_verts=sizes["n_verts"],
+            n_und=sizes["n_und"],
+            default_parallelism=spark.sparkContext.defaultParallelism,
+            broadcast_threshold_bytes=_broadcast_threshold_bytes(spark),
+        )
+    if shuffle_width:
+        # pre-partition the big side ONCE; the checkpoint pins
+        # hashpartitioning(src) so each round's merge join exchanges only
+        # the |V|-row label side
+        und = und.repartition(shuffle_width, "src").localCheckpoint(eager=True)
     labels = verts.select("v", F.col("v").alias("l"))
     for _ in range(LPA_ROUNDS):
-        votes = (
-            und.join(F.broadcast(labels), und.src == labels.v)
-            .groupBy(F.col("dst").alias("v2"), "l")
-            .agg(F.count("*").alias("cnt"))
-        )
-        # per-vertex argmax as a HASH AGGREGATE (max_by over the
-        # (cnt, -l) struct — max count, ties to the smaller label), not a
-        # row_number window: partial max_by reduces map-side and there is
-        # no per-partition sort (same rewrite as llm_knn_ivf's top-1
-        # picks). Locally the rounds are join-dominated so wall time is
-        # flat; at cluster scale the dropped sort is the win
-        labels = (
-            votes.groupBy(F.col("v2").alias("v"))
-            .agg(
-                F.max_by(
-                    "l", F.struct(F.col("cnt"), (-F.col("l")).alias("nl"))
-                ).alias("l")
-            )
-            .localCheckpoint(eager=True)
+        labels = _lpa_round(und, labels, shuffle_width).localCheckpoint(
+            eager=True
         )
     return labels, edges
 

@@ -202,3 +202,70 @@ def test_label_propagation_labels_propagate_and_cover(spark, sf_dir):
     assert len(rows) == len(verts)  # one row per vertex
     assert len(comms) < len(verts)  # propagation actually merged labels
     assert comms <= verts  # labels are vertex ids, not invented values
+
+
+def test_lpa_shuffle_width_arithmetic():
+    """SCALE.md switchover numbers, pinned: 10 MB threshold flips between
+    ~600k and ~700k vertices; disabled broadcast (threshold 0) always
+    shuffles; the shuffle width follows cc_width's measured-edges rule."""
+    from streamline_hybrid_engine_spark.operators.graph import (
+        cc_width,
+        lpa_shuffle_width,
+    )
+
+    ten_mb = 10 << 20
+    assert lpa_shuffle_width(600_000, 10**7, 32, ten_mb) == 0
+    assert lpa_shuffle_width(700_000, 10**7, 32, ten_mb) == cc_width(10**7, 32)
+    assert lpa_shuffle_width(16, 100, 32, ten_mb) == 0  # fixture scale
+    assert lpa_shuffle_width(16, 100, 32, 0) > 0  # broadcast disabled
+    # billion-row adjacency on a 4000-core cluster: width tracks the data
+    assert lpa_shuffle_width(10**8, 10**9, 4000, ten_mb) == 1000
+
+
+def test_lpa_shuffle_path_result_identical(spark, sf_dir):
+    """The forced co-partitioned shuffle rounds (the 100 TB path) return
+    byte-identical labels to the default broadcast rounds — the r7-verdict
+    task-4 equivalence gate."""
+    from streamline_hybrid_engine_spark.operators.graph import lpa_labels
+
+    bcast, _ = lpa_labels(spark, sf_dir)
+    shuf, _ = lpa_labels(spark, sf_dir, shuffle_width=5)
+    rows_b = sorted(map(tuple, bcast.collect()))
+    rows_s = sorted(map(tuple, shuf.collect()))
+    assert rows_b == rows_s
+    assert len(rows_b) > 0
+
+
+def test_lpa_round_plan_broadcast_vs_shuffle(spark, sf_dir):
+    """Plan pin for both round forms: width 0 broadcasts the label table
+    (BroadcastHashJoin); forced width produces NO BroadcastExchange in the
+    round join (merge join, AQE demotion included) and the adjacency side
+    arrives pre-partitioned on src — only the label side exchanges."""
+    import pyspark.sql.functions as F
+
+    from streamline_hybrid_engine_spark.operators.graph import _lpa_round
+    from streamline_hybrid_engine_spark.plans import executed_plan
+
+    edges = spark.range(0, 400).select(
+        (F.col("id") % 37).alias("src"), (F.col("id") % 11 + 37).alias("dst")
+    )
+    und = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src")))
+        .repartition(5, "src")
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("l")
+    )
+
+    p_b = executed_plan(_lpa_round(und, labels, shuffle_width=0))
+    assert "BroadcastHashJoin" in p_b
+
+    p_s = executed_plan(_lpa_round(und, labels, shuffle_width=5))
+    assert "BroadcastExchange" not in p_s
+    assert "SortMergeJoin" in p_s
+    # the big (adjacency) side reuses the pre-loop partitioning: the only
+    # hash exchanges in the plan feed the label side + the two aggregates,
+    # never re-shuffle und on src
+    join_seg = p_s.split("SortMergeJoin")[0]
+    assert "Exchange hashpartitioning(src" not in join_seg
