@@ -113,6 +113,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         # GRADUATED to the long-queued backlog (plain rank 1, sweep slots
         # 1-81) so the driver's ~50-slot sweep stamps them before anything
         # r8 adds. tests/test_registry.py pins set ∩ stamped == ∅.
+        "llm_rouge_l_pairs",
     }
 )
 

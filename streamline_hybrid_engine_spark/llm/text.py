@@ -1847,3 +1847,144 @@ def llm_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("row_share"),
     )
+
+
+# --- ROUGE-L: LCS-based pair metric over LSH candidates (r7 verdict task 5) ---
+
+#: token clip for the per-pair LCS. The bit-parallel fold keeps one
+#: machine word of DP state per pair, so the clip must stay < 63 bits;
+#: 32 tokens bounds the fold at 32×32 JVM ops per pair while covering
+#: the fixture docs' headline content (same bounded-verify economics as
+#: llm_dedup_edit_verify's 80-char prefix).
+ROUGE_L_CLIP = 32
+
+#: one bit-parallel LCS round (Crochemore–Iliopoulos–Pinzon–Reid 2001):
+#: with M = match mask of the next reference token against the candidate
+#: tokens, L' = ((L + (L & M)) | (L & ~M)) masked to |b| bits; after
+#: folding all of `a`, LCS = |b| − popcount(L). Fuzz-verified against the
+#: classic O(n·m) DP (tests/test_property_differential.py).
+_LCS_EXPR = """
+CASE WHEN size(a) = 0 OR size(b) = 0 THEN CAST(0 AS BIGINT) ELSE CAST(
+  size(b) - bit_count(
+    aggregate(
+      transform(a, tok ->
+        aggregate(sequence(0, size(b) - 1), CAST(0 AS BIGINT),
+          (m, j) -> CASE WHEN element_at(b, j + 1) = tok
+                    THEN m | shiftleft(CAST(1 AS BIGINT), j)
+                    ELSE m END)),
+      shiftleft(CAST(1 AS BIGINT), size(b)) - 1,
+      (L, M) -> ((L + (L & M)) | (L & ~M))
+                & (shiftleft(CAST(1 AS BIGINT), size(b)) - 1)
+    )
+  ) AS BIGINT) END
+"""
+
+
+def _rouge_l_oracle() -> str:
+    from streamline_hybrid_engine_spark.llm.dedup import BAND_ROWS, _ORACLE_SIGS
+
+    return f"""
+    WITH RECURSIVE sigs AS ({_ORACLE_SIGS}),
+    bands AS (
+      SELECT doc_id, seed // {BAND_ROWS} AS band,
+             md5(string_agg(mh::VARCHAR, '|' ORDER BY seed)) AS bandsig
+      FROM sigs GROUP BY doc_id, seed // {BAND_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
+    ),
+    toks AS (
+      SELECT doc_id, list_slice(string_split(text, ' '), 1, {ROUGE_L_CLIP}) AS t
+      FROM documents
+    ),
+    p AS (
+      SELECT c.d1, c.d2, ta.t AS a, tb.t AS b
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.d1
+      JOIN toks tb ON tb.doc_id = c.d2
+    ),
+    dp AS (
+      SELECT d1, d2, a, b, 0 AS i,
+             CAST((CAST(1 AS BIGINT) << len(b)) - 1 AS BIGINT) AS L
+      FROM p
+      UNION ALL
+      SELECT d1, d2, a, b, i + 1,
+             CAST((((L + (L & M)) | (L & ~M))
+                   & ((CAST(1 AS BIGINT) << len(b)) - 1)) AS BIGINT)
+      FROM (
+        SELECT d1, d2, a, b, i, L,
+               CAST(coalesce(list_sum(list_transform(range(1, len(b) + 1),
+                     j -> CASE WHEN b[j] = a[i + 1]
+                          THEN (CAST(1 AS BIGINT) << (j - 1))
+                          ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS M
+        FROM dp WHERE i < len(a)
+      )
+    ),
+    fin AS (
+      SELECT d1, d2,
+             CAST(len(a) AS BIGINT) AS la,
+             CAST(len(b) AS BIGINT) AS lb,
+             CAST(len(b) - bit_count(CAST(L AS BIGINT)) AS BIGINT) AS lcs_len
+      FROM dp WHERE i = len(a)
+    )
+    SELECT d1, d2, lcs_len,
+           round(lcs_len / CAST(la AS DOUBLE), 6) AS rougel_recall,
+           round(lcs_len / CAST(lb AS DOUBLE), 6) AS rougel_precision,
+           round(2.0 * lcs_len / CAST(la + lb AS DOUBLE), 6) AS rougel_f1
+    FROM fin
+    """
+
+
+@query(
+    "llm_rouge_l_pairs",
+    oracle=_rouge_l_oracle(),
+    tags=("llm", "evaluation"),
+)
+def llm_rouge_l_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L between LSH candidate pairs — the LCS-based metric that
+    completes the eval family next to `llm_rouge_n_pairs`' clipped n-gram
+    overlap (a summarization scorer migrating from ROUGE-2 to ROUGE-L is
+    the capability edge r7's verdict named). Semantics: token-level
+    longest common subsequence on the first ROUGE_L_CLIP tokens of each
+    side; recall = LCS/|ref|, precision = LCS/|cand|, and F1 reduces to
+    2·LCS/(|ref|+|cand|) — all exact integers over a division, so the
+    hash can't drift.
+
+    The O(n·m) LCS DP is collapsed into a bit-parallel fold (CIPR 2001):
+    the whole DP state is ONE 64-bit word per pair, updated by `aggregate`
+    over precomputed per-token match masks — pure JVM codegen, zero
+    Python, zero extra shuffle beyond the candidate join. The clip bounds
+    the word width (< 63 bits) and the LSH candidate set bounds the pair
+    count — never all-pairs, never full-document DP, exactly the
+    `llm_dedup_edit_verify` economics. Oracle: the identical fold as a
+    DuckDB recursive CTE over the same shared-formulation candidate CTE —
+    a different evaluator of the same recurrence, so a masking or
+    fencepost slip in either engine breaks the hash."""
+    from streamline_hybrid_engine_spark.llm.dedup import llm_dedup_minhash_pairs
+
+    pairs = llm_dedup_minhash_pairs(spark, sf_dir).select("d1", "d2")
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id",
+        F.slice(F.split(F.col("text"), " "), 1, ROUGE_L_CLIP).alias("toks"),
+    )
+    ta = docs.select(F.col("doc_id").alias("d1"), F.col("toks").alias("a"))
+    tb = docs.select(F.col("doc_id").alias("d2"), F.col("toks").alias("b"))
+    j = (
+        pairs.join(ta, "d1")
+        .join(tb, "d2")
+        .withColumn("lcs_len", F.expr(_LCS_EXPR))
+    )
+    la = F.size("a").cast("double")
+    lb = F.size("b").cast("double")
+    return j.select(
+        "d1",
+        "d2",
+        "lcs_len",
+        F.round(F.col("lcs_len") / la, 6).alias("rougel_recall"),
+        F.round(F.col("lcs_len") / lb, 6).alias("rougel_precision"),
+        F.round(F.lit(2.0) * F.col("lcs_len") / (la + lb), 6).alias(
+            "rougel_f1"
+        ),
+    )

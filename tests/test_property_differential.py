@@ -655,3 +655,81 @@ def test_fill_forward_limited_matches_simulation(spark, rows, max_age):
         ).collect()
     }
     assert got == expected
+
+
+def _lcs_classic(a: list, b: list) -> int:
+    """Textbook O(n·m) DP — the independent reference for the bit-parallel
+    fold (different algorithm, same recurrence)."""
+    m = len(b)
+    prev = [0] * (m + 1)
+    for x in a:
+        cur = [0] * (m + 1)
+        for j in range(1, m + 1):
+            cur[j] = prev[j - 1] + 1 if b[j - 1] == x else max(prev[j], cur[j - 1])
+        prev = cur
+    return prev[m]
+
+
+@settings(max_examples=20 * _FUZZ, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(["x", "y", "z"]), max_size=40),
+            st.lists(st.sampled_from(["x", "y", "z"]), max_size=40),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_lcs_bitparallel_matches_classic_dp(spark, duck_mem, pairs):
+    """llm_rouge_l_pairs' one-word CIPR fold must equal the classic LCS
+    DP on arbitrary token lists (tiny alphabet → heavy repeats, the case
+    where carry propagation in (L + (L & M)) is busiest), on BOTH
+    evaluators: the Spark `aggregate` expression and the DuckDB
+    recursive-CTE oracle form."""
+    from streamline_hybrid_engine_spark.llm.text import _LCS_EXPR
+
+    expected = [_lcs_classic(a, b) for a, b in pairs]
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "i long, a array<string>, b array<string>",
+    )
+    got_spark = {
+        r["i"]: r["lcs"]
+        for r in df.selectExpr("i", f"{_LCS_EXPR} AS lcs").collect()
+    }
+    assert [got_spark[i] for i in range(len(pairs))] == expected
+
+    duck_mem.execute("CREATE OR REPLACE TABLE lcs_pairs (i BIGINT, a VARCHAR[], b VARCHAR[])")
+    duck_mem.executemany(
+        "INSERT INTO lcs_pairs VALUES (?, ?, ?)",
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+    )
+    got_duck = dict(
+        duck_mem.execute(
+            """
+    WITH RECURSIVE dp AS (
+      SELECT i, a, b, 0 AS r,
+             CAST((CAST(1 AS BIGINT) << len(b)) - 1 AS BIGINT) AS L
+      FROM lcs_pairs
+      UNION ALL
+      SELECT i, a, b, r + 1,
+             CAST((((L + (L & M)) | (L & ~M))
+                   & ((CAST(1 AS BIGINT) << len(b)) - 1)) AS BIGINT)
+      FROM (
+        SELECT i, a, b, r, L,
+               CAST(coalesce(list_sum(list_transform(range(1, len(b) + 1),
+                     j -> CASE WHEN b[j] = a[r + 1]
+                          THEN (CAST(1 AS BIGINT) << (j - 1))
+                          ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS M
+        FROM dp WHERE r < len(a)
+      )
+    )
+    SELECT i, CAST(len(b) - bit_count(CAST(L AS BIGINT)) AS BIGINT)
+    FROM dp WHERE r = len(a)
+            """
+        ).fetchall()
+    )
+    assert [got_duck[i] for i in range(len(pairs))] == expected
