@@ -114,6 +114,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         # 1-81) so the driver's ~50-slot sweep stamps them before anything
         # r8 adds. tests/test_registry.py pins set ∩ stamped == ∅.
         "llm_rouge_l_pairs",
+        "graph_modularity_by_community",
+        "join_geo_grid_knn",
     }
 )
 

@@ -1167,3 +1167,124 @@ def graph_community_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_customers").cast("long").alias("customers_in_size"),
         F.sum("n_suppliers").cast("long").alias("suppliers_in_size"),
     )
+
+_MODULARITY_BY_COMM_ORACLE = f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+und AS (
+  SELECT c AS src, s AS dst FROM edges
+  UNION ALL SELECT s, c FROM edges
+  UNION ALL SELECT v, v FROM (SELECT c AS v FROM edges UNION SELECT s FROM edges)
+),
+r0 AS (SELECT DISTINCT src AS v, src AS l FROM und),
+r1 AS {_lpa_round_sql("r0")},
+r2 AS {_lpa_round_sql("r1")},
+r3 AS {_lpa_round_sql("r2")},
+r4 AS {_lpa_round_sql("r3")},
+lab AS (SELECT v, l FROM r4),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT c AS v FROM edges UNION ALL SELECT s AS v FROM edges)
+  GROUP BY v
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+sizes AS (SELECT l, CAST(count(*) AS BIGINT) AS n_vertices FROM lab GROUP BY l),
+dcs AS (
+  SELECT a.l, CAST(sum(d.d) AS BIGINT) AS d_c
+  FROM deg d JOIN lab a ON a.v = d.v GROUP BY a.l
+),
+ein AS (
+  SELECT a.l, CAST(count(*) AS BIGINT) AS e_c
+  FROM edges e JOIN lab a ON a.v = e.c JOIN lab b ON b.v = e.s
+  WHERE a.l = b.l GROUP BY a.l
+)
+SELECT CASE WHEN s.l % 2 = 0 THEN 'c' || CAST(s.l // 2 AS VARCHAR)
+            ELSE 's' || CAST((s.l - 1) // 2 AS VARCHAR) END AS community,
+       s.n_vertices,
+       d.d_c AS degree_sum,
+       CAST(coalesce(e.e_c, 0) AS BIGINT) AS n_intra_edges,
+       round((4.0 * m.m * coalesce(e.e_c, 0)
+              - CAST(CAST(d.d_c AS HUGEINT) * d.d_c AS DOUBLE))
+             / (4.0 * m.m * m.m), 6) AS q_contrib
+FROM sizes s
+JOIN dcs d ON d.l = s.l
+LEFT JOIN ein e ON e.l = s.l
+CROSS JOIN m
+"""
+
+
+@query(
+    "graph_modularity_by_community",
+    oracle=_MODULARITY_BY_COMM_ORACLE,
+    tags=("graph", "quality"),
+)
+def graph_modularity_by_community(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community modularity contributions — the drill-down table
+    behind graph_modularity's single Q (r7 verdict's capability edge 8):
+    Q_c = e_c/m − (d_c/2m)², so an analyst sees WHICH communities carry
+    the structure and which are degree-sequence noise; Σ q_contrib = Q by
+    construction (test-pinned against the collapsed id).
+
+    Same exactness discipline as the global score: each row's q_contrib
+    is ONE division of exact integers, (4·m·e_c − d_c²)/4m², with d_c²
+    through decimal so the 100 TB degree sums can't overflow. Fourth
+    consumer of the shared lpa_labels() core; adds one label equi-join
+    over edges and three community-sized aggregates — nothing fact-sized
+    shuffles beyond the audited LPA plan. Communities with zero intra
+    edges still emit (left join, e_c = 0): those are exactly the
+    negative-contribution rows the drill-down exists to expose."""
+    labels, edges = lpa_labels(spark, sf_dir)
+    a = labels.select(F.col("v").alias("c"), F.col("l").alias("lc"))
+    b = labels.select(F.col("v").alias("s"), F.col("l").alias("ls"))
+    ein = (
+        edges.join(a, "c")
+        .join(b, "s")
+        .filter(F.col("lc") == F.col("ls"))
+        .groupBy(F.col("lc").alias("l"))
+        .agg(F.count("*").cast("long").alias("e_c"))
+    )
+    deg = (
+        edges.select(F.col("c").alias("v"))
+        .unionAll(edges.select(F.col("s").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    dcs = (
+        deg.join(labels, "v")
+        .groupBy("l")
+        .agg(F.sum("d").cast("long").alias("d_c"))
+    )
+    sizes = labels.groupBy("l").agg(
+        F.count("*").cast("long").alias("n_vertices")
+    )
+    m = edges.agg(F.count("*").cast("long").alias("m"))
+    dec = "decimal(38,0)"
+    name = F.when(
+        F.col("l") % 2 == 0,
+        F.concat(F.lit("c"), (F.col("l") / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("s"), ((F.col("l") - 1) / 2).cast("long").cast("string"))
+    )
+    return (
+        sizes.join(dcs, "l")
+        .join(ein, "l", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            name.alias("community"),
+            "n_vertices",
+            F.col("d_c").alias("degree_sum"),
+            F.coalesce("e_c", F.lit(0)).cast("long").alias("n_intra_edges"),
+            F.round(
+                (
+                    4.0 * F.col("m") * F.coalesce("e_c", F.lit(0))
+                    - (F.col("d_c").cast(dec) * F.col("d_c"))
+                    .cast(dec)
+                    .cast("double")
+                )
+                / (4.0 * F.col("m") * F.col("m")),
+                6,
+            ).alias("q_contrib"),
+        )
+    )

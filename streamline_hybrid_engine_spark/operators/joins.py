@@ -1296,3 +1296,155 @@ def join_campaign_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overlap_us"),
     )
+
+
+# --- Grid k-NN: expanding-ring exact k nearest over the spatial grid --------
+
+KNN_CELL_U = 6_000_000  # 6-degree cells in micro-degrees
+KNN_K = 3
+#: Chebyshev ring radii searched in order. The LAST entry must cover the
+#: whole coordinate span (lon span 360e6 / cell 6e6 = 60 cells) so the
+#: plan is exact WITHOUT a cartesian fallback — every phase stays a
+#: cell-id EQUI-join; in production you append rings instead of widening
+#: the last one.
+KNN_RINGS = (1, 3, 60)
+
+_GEO_KNN_ORACLE = f"""
+    WITH pts AS (
+      SELECT event_id AS id,
+             CAST(floor(((value * 7) % 180 - 90) * 1000000) AS BIGINT)
+               AS ilat,
+             CAST(floor(((value * 13) % 360 - 180) * 1000000) AS BIGINT)
+               AS ilon
+      FROM events WHERE event_type = 'signup'
+    ),
+    rk AS (
+      SELECT a.id AS id, b.id AS nn_id,
+             (a.ilat - b.ilat) * (a.ilat - b.ilat)
+               + (a.ilon - b.ilon) * (a.ilon - b.ilon) AS d2,
+             row_number() OVER (
+               PARTITION BY a.id
+               ORDER BY (a.ilat - b.ilat) * (a.ilat - b.ilat)
+                        + (a.ilon - b.ilon) * (a.ilon - b.ilon), b.id
+             ) AS nn_rank
+      FROM pts a JOIN pts b ON a.id <> b.id
+    )
+    SELECT id, CAST(nn_rank AS BIGINT) AS nn_rank, nn_id, d2
+    FROM rk WHERE nn_rank <= {KNN_K}
+"""
+
+
+def grid_knn_join(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    cell: int,
+    k: int,
+    rings: tuple = KNN_RINGS,
+) -> DataFrame:
+    """Library primitive: exact k nearest neighbors per point via
+    expanding-ring grid search — the "k nearest regardless of radius"
+    half of the spatial pair (:func:`grid_radius_join` is the other).
+
+    Phase ρ: each still-unresolved point replicates to its (2ρ+1)² cell
+    neighborhood (broadcast offsets), EQUI-joins the home-cell index,
+    ranks candidates by (d², id). A point RESOLVES when it has k
+    candidates and the k-th distance ≤ ρ·cell — floor-grid arithmetic
+    guarantees every unexplored point is strictly farther, so ties can't
+    hide outside the ring and the result is exact, not approximate.
+    Unresolved points escalate to the next ring; the final ring spans the
+    grid, so the union is total and every phase is a cell-keyed
+    equi-join — no cartesian anywhere. Scale: phase-ρ work is
+    |pending_ρ| · (2ρ+1)² keyed rows, and |pending| collapses after the
+    first ring (only isolated points escalate) — the classic
+    filter-and-refine economics; production variant searches ring SHELLS
+    and carries candidates forward instead of re-scanning the window."""
+    cells = df.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+        F.floor(F.col(x_col) / float(cell)).cast("long").alias("cx"),
+        F.floor(F.col(y_col) / float(cell)).cast("long").alias("cy"),
+    )
+    b = cells.select(
+        F.col("id").alias("nn_id"),
+        F.col("x").alias("_xb"),
+        F.col("y").alias("_yb"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    spark = df.sparkSession
+    d2 = (F.col("y") - F.col("_yb")) * (F.col("y") - F.col("_yb")) + (
+        F.col("x") - F.col("_xb")
+    ) * (F.col("x") - F.col("_xb"))
+    w = Window.partitionBy("id").orderBy("d2", "nn_id")
+    pending = cells
+    parts = []
+    for rho in rings:
+        offsets = spark.createDataFrame(
+            [(dx, dy) for dx in range(-rho, rho + 1) for dy in range(-rho, rho + 1)],
+            "dx int, dy int",
+        )
+        a = pending.crossJoin(F.broadcast(offsets)).select(
+            "id",
+            "x",
+            "y",
+            (F.col("cx") + F.col("dx")).alias("jx"),
+            (F.col("cy") + F.col("dy")).alias("jy"),
+        )
+        ranked = (
+            a.join(b, ["jx", "jy"])
+            .filter(F.col("id") != F.col("nn_id"))
+            .select("id", "nn_id", d2.alias("d2"))
+            .withColumn("nn_rank", F.row_number().over(w))
+            .filter(F.col("nn_rank") <= k)
+        )
+        if rho == rings[-1]:
+            # covering ring: exact by construction, everyone resolves
+            parts.append(ranked)
+            break
+        lim = F.lit(int(rho) * int(cell)).cast("long")
+        ok = (
+            ranked.groupBy("id")
+            .agg(F.count("*").alias("n"), F.max("d2").alias("dk2"))
+            .filter((F.col("n") == k) & (F.col("dk2") <= lim * lim))
+            .select("id")
+        )
+        parts.append(ranked.join(ok, "id", "left_semi"))
+        pending = pending.join(ok, "id", "left_anti")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "id", F.col("nn_rank").cast("long").alias("nn_rank"), "nn_id", "d2"
+    )
+
+
+@query(
+    "join_geo_grid_knn",
+    oracle=_GEO_KNN_ORACLE,
+    tags=("join", "geo", "spatial"),
+)
+def join_geo_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k nearest neighbors (k={KNN_K}) per spatial point, exact, via the
+    expanding-ring grid search — the other half of the spatial query
+    pair next to join_geo_grid_radius's fixed-radius form (r7 verdict
+    capability edge 7). Same deterministic value-keyed pseudo-points;
+    coarser 6° cells than the radius query's 2° because k-NN needs
+    occupied neighborhoods, not a distance cutoff (cell choice is a
+    tuning knob, not a semantics knob — the resolve condition keeps any
+    cell size exact). Oracle: the honest all-pairs row_number top-k — a
+    genuinely different algorithm, so a ring fencepost (a resolve at
+    d_k > ρ·cell, a missed shell) breaks the hash."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("id"),
+        F.floor(((F.col("value") * 7) % 180 - 90) * 1_000_000)
+        .cast("long")
+        .alias("ilat"),
+        F.floor(((F.col("value") * 13) % 360 - 180) * 1_000_000)
+        .cast("long")
+        .alias("ilon"),
+    )
+    return grid_knn_join(pts, "id", "ilon", "ilat", KNN_CELL_U, KNN_K)

@@ -269,3 +269,19 @@ def test_lpa_round_plan_broadcast_vs_shuffle(spark, sf_dir):
     # never re-shuffle und on src
     join_seg = p_s.split("SortMergeJoin")[0]
     assert "Exchange hashpartitioning(src" not in join_seg
+
+
+def test_modularity_by_community_sums_to_global_q(spark, sf_dir):
+    """The drill-down must reconcile with the collapsed score:
+    Σ_c q_contrib == graph_modularity's Q (up to the per-row rounding),
+    and its e_c / d_c columns must sum to the global n_intra_edges and
+    2·n_edges."""
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    per = get_query("graph_modularity_by_community").fn(spark, sf_dir).collect()
+    glob = get_query("graph_modularity").fn(spark, sf_dir).collect()[0]
+    assert sum(r["n_intra_edges"] for r in per) == glob["n_intra_edges"]
+    assert sum(r["degree_sum"] for r in per) == 2 * glob["n_edges"]
+    assert len(per) == glob["n_communities"]
+    q_sum = sum(r["q_contrib"] for r in per)
+    assert abs(q_sum - glob["modularity"]) < 1e-4  # per-row rounding drift

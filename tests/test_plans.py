@@ -1092,3 +1092,11 @@ def test_content_checksum_partial_agg_per_table(spark, sf_dir):
     assert "partial_" in p
     assert "Join" not in p
     assert "Sort" not in p
+
+
+def test_geo_grid_knn_no_cartesian(spark, sf_dir):
+    """Expanding-ring k-NN: every phase (including the covering final
+    ring) is a cell-id equi-join; the only nested-loop joins are the
+    broadcast offset attaches — never a point×point cartesian."""
+    p = plan(spark, sf_dir, "join_geo_grid_knn")
+    assert "CartesianProduct" not in p
