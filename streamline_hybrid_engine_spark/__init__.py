@@ -76,6 +76,14 @@ _LAZY_EXPORTS = {
     "fill_forward_limited": "streamline_hybrid_engine_spark.operators.time_windows",
     "transition_matrix": "streamline_hybrid_engine_spark.operators.time_windows",
     "debounce": "streamline_hybrid_engine_spark.operators.cep",
+    # budget allocation / eval / checksums / spatial / skyline (r8 pass 4)
+    "waterfill": "streamline_hybrid_engine_spark.llm.text",
+    "binary_auc": "streamline_hybrid_engine_spark.llm.text",
+    "confusion_matrix": "streamline_hybrid_engine_spark.llm.text",
+    "first_last_touch": "streamline_hybrid_engine_spark.operators.time_windows",
+    "content_checksum": "streamline_hybrid_engine_spark.operators.metrics",
+    "skyline_grid": "streamline_hybrid_engine_spark.operators.aggregates",
+    "grid_knn_join": "streamline_hybrid_engine_spark.operators.joins",
 }
 
 __all__ = ["all_queries", "get_query", *sorted(_LAZY_EXPORTS)]

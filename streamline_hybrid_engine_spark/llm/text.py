@@ -977,6 +977,70 @@ _WATERFILL_ORACLE = """
 """
 
 
+def waterfill(
+    src: DataFrame, n_col: str, tiebreak_col: str, budget: DataFrame
+) -> DataFrame:
+    """Library primitive (r8 pass 4): capped-fair-share allocation of a
+    global budget across keyed sizes — the waterfilling closed form
+    behind llm_mix_waterfill, on ANY DataFrame. ``src`` carries one row
+    per key with a nonnegative long ``n_col``; ``budget`` is a 1-row
+    DataFrame with a long column ``b``. Returns src's columns plus
+    ``allocation`` (long) and ``capped`` (boolean); Σ allocation ==
+    min(b, Σ n) exactly — the integer water level floor((b − f)/u) with
+    the remainder unit-distributed to the first capped keys in the
+    (n, tiebreak) total order (fuzz-pinned in
+    tests/test_property_differential.py). ``src`` must not already carry
+    columns named i/prev_prefix/m/b/uncapped. Everything after the
+    caller's per-key aggregate runs on the key-dimension table, so the
+    primitive costs nothing fact-sized."""
+    from pyspark.sql import Window
+
+    n = F.col(n_col)
+    w = Window.orderBy(n_col, tiebreak_col)
+    ranked = src.select(
+        "*",
+        F.row_number().over(w).alias("i"),
+        F.coalesce(
+            F.sum(n_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("prev_prefix"),
+        F.count("*").over(Window.partitionBy()).alias("m"),
+    )
+    # NOTE: "uncapped" is the overshoot marker (1 = this key gets CAPPED);
+    # the name is kept from the audited contract-query form
+    marked = ranked.crossJoin(F.broadcast(budget)).withColumn(
+        "uncapped",
+        F.when(
+            F.col("prev_prefix") + (F.col("m") - F.col("i") + 1) * n
+            > F.col("b"),
+            1,
+        ).otherwise(0),
+    )
+    params = (
+        marked.filter(F.col("uncapped") == 1)
+        .agg(
+            F.min("prev_prefix").alias("f"),
+            F.sum("uncapped").cast("long").alias("u"),
+        )
+    )
+    base = F.floor((F.col("b") - F.col("f")).cast("double") / F.col("u")).cast(
+        "long"
+    )
+    rem = (F.col("b") - F.col("f")) - base * F.col("u")
+    w_unc = Window.partitionBy("uncapped").orderBy(n_col, tiebreak_col)
+    return marked.crossJoin(F.broadcast(params)).select(
+        *src.columns,
+        F.when(F.col("uncapped") == 0, n)
+        .otherwise(
+            base + F.when(F.row_number().over(w_unc) <= rem, 1).otherwise(0)
+        )
+        .alias("allocation"),
+        (F.col("uncapped") == 1).alias("capped"),
+    )
+
+
 @query(
     "llm_mix_waterfill",
     oracle=_WATERFILL_ORACLE,
@@ -998,61 +1062,18 @@ def llm_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction (test-pinned). Plan: the per-source aggregate is
     one partial-agg groupBy of the corpus; everything after runs on
     the DIMENSION-sized source table (windows over ~20 rows) — at
-    100 TB the fact pass is the only cost."""
-    from pyspark.sql import Window
-
+    100 TB the fact pass is the only cost. Allocation logic lives in the
+    exported :func:`waterfill` primitive (library pass 4)."""
     docs = load_table(spark, sf_dir, "documents")
     src = docs.groupBy("source").agg(
         F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n")
     )
     tot = src.agg(F.floor(F.sum("n") * 0.4).cast("long").alias("b"))
-    w = Window.orderBy("n", "source")
-    ranked = src.select(
+    return waterfill(src, "n", "source", tot).select(
         "source",
-        "n",
-        F.row_number().over(w).alias("i"),
-        F.coalesce(
-            F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("prev_prefix"),
-        F.count("*").over(Window.partitionBy()).alias("m"),
-    )
-    marked = ranked.crossJoin(F.broadcast(tot)).withColumn(
-        "uncapped",
-        F.when(
-            F.col("prev_prefix") + (F.col("m") - F.col("i") + 1) * F.col("n")
-            > F.col("b"),
-            1,
-        ).otherwise(0),
-    )
-    params = (
-        marked.filter(F.col("uncapped") == 1)
-        .agg(
-            F.min("prev_prefix").alias("f"),
-            F.sum("uncapped").cast("long").alias("u"),
-            F.min("b").alias("b"),
-        )
-    )
-    base = F.floor((F.col("b") - F.col("f")).cast("double") / F.col("u")).cast(
-        "long"
-    )
-    rem = (F.col("b") - F.col("f")) - base * F.col("u")
-    w_unc = Window.partitionBy("uncapped").orderBy("n", "source")
-    return (
-        marked.crossJoin(F.broadcast(params.select("f", "u")))
-        .select(
-            "source",
-            F.col("n").alias("n_tokens"),
-            F.when(F.col("uncapped") == 0, F.col("n"))
-            .otherwise(
-                base
-                + F.when(F.row_number().over(w_unc) <= rem, 1).otherwise(0)
-            )
-            .alias("allocation"),
-            (F.col("uncapped") == 1).alias("capped"),
-        )
+        F.col("n").alias("n_tokens"),
+        "allocation",
+        "capped",
     )
 
 
@@ -1511,35 +1532,24 @@ def _auc_oracle() -> str:
     """
 
 
-@query("llm_classifier_auc", oracle=_auc_oracle(), tags=("llm", "evaluation"))
-def llm_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AUC-ROC of the quality classifier's integer logit against the
-    rule-filter verdict — the eval metric that closes the classifier
-    loop (llm_quality_classifier ships scores; this measures them).
-    EXACT, not trapezoid-approximated: AUC is the Mann–Whitney
-    rank-sum statistic, and with tie-AVERAGED ranks doubled to stay
-    integral (2·avg_rank = 2·rank() + tiecount − 1), the numerator
-    Σr2_pos − n_pos(n_pos+1) and denominator 2·n_pos·n_neg are exact
-    integers — one division, rounded once. Composition: both inputs
-    are the registry's own audited queries (oracle nests their SQL).
-    The global rank runs over docs (already reduced); at corpus scale
-    use the two-pass histogram narrowing to rank within score buckets."""
-    from streamline_hybrid_engine_spark.registry import all_queries
-
+def binary_auc(scored: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Library primitive (r8 pass 4): exact AUC-ROC of any score column
+    against a 0/1 label — the Mann–Whitney rank-sum form behind
+    llm_classifier_auc, on ANY DataFrame. Tie-averaged ranks are doubled
+    to stay integral (2·avg_rank = 2·rank() + tiecount − 1), so numerator
+    and denominator are exact integers and the single division is the
+    only float (fuzz-pinned against the O(n²) pairwise definition in
+    tests/test_property_differential.py). Returns one row
+    (n_pos, n_neg, auc); auc is NULL when either class is empty. The
+    global rank assumes an already-reduced scores table; at corpus scale
+    narrow into score buckets first (llm_classifier_auc's docstring)."""
     from pyspark.sql import Window
 
-    qs = all_queries()
-    clf = qs["llm_quality_classifier"].fn(spark, sf_dir).select(
-        "doc_id", F.col("logit_fp").alias("s")
-    )
-    qual = qs["llm_text_quality"].fn(spark, sf_dir).select(
-        "doc_id", F.col("passes_filter").alias("y")
-    )
-    scored = clf.join(qual, "doc_id")
-    w = Window.orderBy("s")
-    ws = Window.partitionBy("s")
+    w = Window.orderBy(score_col)
+    ws = Window.partitionBy(score_col)
+    y = F.col(label_col)
     ranked = scored.select(
-        "y",
+        y.alias("y"),
         (2 * F.rank().over(w) + F.count("*").over(ws) - 1).alias("r2"),
     )
     agg = ranked.agg(
@@ -1553,11 +1563,43 @@ def llm_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pos",
         "n_neg",
         F.round(
-            (F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1))
-            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+            # try_divide: an empty class yields NULL, not an ANSI
+            # DIVIDE_BY_ZERO (the r8 fuzzer found the plain `/` throwing
+            # under Spark 4's default ansi=true on one-class inputs)
+            F.try_divide(
+                F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1),
+                (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+            ),
             6,
         ).alias("auc"),
     )
+
+
+@query("llm_classifier_auc", oracle=_auc_oracle(), tags=("llm", "evaluation"))
+def llm_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC-ROC of the quality classifier's integer logit against the
+    rule-filter verdict — the eval metric that closes the classifier
+    loop (llm_quality_classifier ships scores; this measures them).
+    EXACT, not trapezoid-approximated: AUC is the Mann–Whitney
+    rank-sum statistic, and with tie-AVERAGED ranks doubled to stay
+    integral (2·avg_rank = 2·rank() + tiecount − 1), the numerator
+    Σr2_pos − n_pos(n_pos+1) and denominator 2·n_pos·n_neg are exact
+    integers — one division, rounded once. Composition: both inputs
+    are the registry's own audited queries (oracle nests their SQL).
+    The global rank runs over docs (already reduced); at corpus scale
+    use the two-pass histogram narrowing to rank within score buckets.
+    Rank algebra lives in the exported :func:`binary_auc` primitive
+    (library pass 4)."""
+    from streamline_hybrid_engine_spark.registry import all_queries
+
+    qs = all_queries()
+    clf = qs["llm_quality_classifier"].fn(spark, sf_dir).select(
+        "doc_id", F.col("logit_fp").alias("s")
+    )
+    qual = qs["llm_text_quality"].fn(spark, sf_dir).select(
+        "doc_id", F.col("passes_filter").alias("y")
+    )
+    return binary_auc(clf.join(qual, "doc_id"), "s", "y")
 
 
 @query(
@@ -1828,19 +1870,34 @@ def llm_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     input to threshold or marker-list tuning; llm_langid_consistency
     checks stability, this checks CORRECTNESS against labels). Pure
     composition: the scorer's own audited query feeds a |langs|²
-    groupBy; the row normalization windows over that tiny matrix."""
-    from pyspark.sql import Window
-
+    groupBy; the row normalization windows over that tiny matrix.
+    Matrix algebra lives in the exported :func:`confusion_matrix`
+    primitive (library pass 4)."""
     from streamline_hybrid_engine_spark.registry import all_queries
 
     scored = all_queries()["llm_text_langid"].fn(spark, sf_dir)
-    t = scored.groupBy("lang_actual", "lang_guess").agg(
+    return confusion_matrix(scored, "lang_actual", "lang_guess")
+
+
+def confusion_matrix(
+    scored: DataFrame, actual_col: str, guess_col: str
+) -> DataFrame:
+    """Library primitive (r8 pass 4): confusion matrix with row-share
+    normalization for ANY (actual, guess) label pair — the core behind
+    llm_langid_confusion. One |classes|² groupBy of the scored table,
+    then the normalization windows over that tiny matrix (nothing
+    fact-sized after the count). Returns
+    (actual_col, guess_col, n, row_share); rows with n = 0 are absent
+    (sparse form — the consumer's pivot fills zeros)."""
+    from pyspark.sql import Window
+
+    t = scored.groupBy(actual_col, guess_col).agg(
         F.count("*").cast("long").alias("n")
     )
-    wrow = Window.partitionBy("lang_actual")
+    wrow = Window.partitionBy(actual_col)
     return t.select(
-        "lang_actual",
-        "lang_guess",
+        actual_col,
+        guess_col,
         "n",
         F.round(
             F.col("n").cast("double") / F.sum("n").over(wrow).cast("double"),

@@ -2054,6 +2054,62 @@ def agg_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skyline_grid(
+    pts: DataFrame, x_col: str, y_col: str, n_cells: int = 16
+) -> DataFrame:
+    """Library primitive (r8 pass 4): grid-partitioned 2-D skyline
+    (minimize ``x_col``, maximize ``y_col``) — the scale form behind
+    agg_skyline_grid, on ANY DataFrame. Points split into ``n_cells``
+    x-range cells; each cell computes its LOCAL skyline with the
+    two-frame window (independent sorts — no global sort), then one
+    metadata-sized cross-cell pass keeps a local survivor iff it beats
+    the best y of all strictly-cheaper cells. Returns the surviving rows
+    with pts' columns. Input must not already carry columns named
+    lo/hi/cell/best_cheaper_local/best_at_price/best_prior_cells.
+    Fuzz-pinned against the O(n²) dominance definition AND the
+    single-sort window form (tests/test_property_differential.py)."""
+    from pyspark.sql import Window
+
+    x, y = F.col(x_col), F.col(y_col)
+    lo_hi = pts.agg(F.min(x_col).alias("lo"), F.max(x_col).alias("hi"))
+    cells = pts.crossJoin(F.broadcast(lo_hi)).withColumn(
+        "cell",
+        F.least(
+            F.expr(
+                f"({x_col} - lo) * {n_cells} div greatest(hi - lo + 1, 1)"
+            ),
+            F.lit(n_cells - 1).cast("long"),
+        ),
+    )
+    wc = (
+        Window.partitionBy("cell")
+        .orderBy(x_col)
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    wp = Window.partitionBy("cell", x_col)
+    local = (
+        cells.withColumn("best_cheaper_local", F.max(y_col).over(wc))
+        .withColumn("best_at_price", F.max(y_col).over(wp))
+        .filter(
+            (
+                F.col("best_cheaper_local").isNull()
+                | (y > F.col("best_cheaper_local"))
+            )
+            & (y == F.col("best_at_price"))
+        )
+    )
+    cell_best = local.groupBy("cell").agg(F.max(y_col).alias("cell_max"))
+    w_run = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, -1)
+    cell_prior = cell_best.select(
+        "cell", F.max("cell_max").over(w_run).alias("best_prior_cells")
+    )
+    out = local.join(F.broadcast(cell_prior), "cell").filter(
+        F.col("best_prior_cells").isNull()
+        | (y > F.col("best_prior_cells"))
+    )
+    return out.select(*pts.columns)
+
+
 @query(
     "agg_skyline_grid",
     oracle="""
@@ -2090,53 +2146,13 @@ def agg_skyline_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot see. The ORACLE is deliberately the single-sort window form
     (agg_skyline_2d's) — a genuinely different algorithm, so any
     cell-boundary fencepost breaks the hash; the same adversarial
-    pairing as percentile narrowing vs global rank."""
-    from pyspark.sql import Window
-
+    pairing as percentile narrowing vs global rank. Partitioned skyline
+    lives in the exported :func:`skyline_grid` primitive (library
+    pass 4)."""
     p = load_table(spark, sf_dir, "part")
     pts = p.select(
         "p_partkey",
         F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
         F.col("p_size").cast("long").alias("size"),
     )
-    # 16 price cells via integer range split on observed min/max
-    lo_hi = pts.agg(
-        F.min("price_cents").alias("lo"), F.max("price_cents").alias("hi")
-    )
-    cells = pts.crossJoin(F.broadcast(lo_hi)).withColumn(
-        "cell",
-        F.least(
-            F.expr("(price_cents - lo) * 16 div greatest(hi - lo + 1, 1)"),
-            F.lit(15).cast("long"),
-        ),
-    )
-    # phase 1: local skyline per cell (independent sorts)
-    wc = (
-        Window.partitionBy("cell")
-        .orderBy("price_cents")
-        .rangeBetween(Window.unboundedPreceding, -1)
-    )
-    wp = Window.partitionBy("cell", "price_cents")
-    local = (
-        cells.withColumn("best_cheaper_local", F.max("size").over(wc))
-        .withColumn("best_at_price", F.max("size").over(wp))
-        .filter(
-            (
-                F.col("best_cheaper_local").isNull()
-                | (F.col("size") > F.col("best_cheaper_local"))
-            )
-            & (F.col("size") == F.col("best_at_price"))
-        )
-    )
-    # phase 2: cross-cell check over the survivors only — best size of
-    # all strictly cheaper CELLS broadcast back (16-row table)
-    cell_best = local.groupBy("cell").agg(F.max("size").alias("cell_max"))
-    w_run = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, -1)
-    cell_prior = cell_best.select(
-        "cell", F.max("cell_max").over(w_run).alias("best_prior_cells")
-    )
-    out = local.join(F.broadcast(cell_prior), "cell").filter(
-        F.col("best_prior_cells").isNull()
-        | (F.col("size") > F.col("best_prior_cells"))
-    )
-    return out.select("p_partkey", "price_cents", "size")
+    return skyline_grid(pts, "price_cents", "size", n_cells=16)

@@ -1089,6 +1089,27 @@ def _cksum_oracle() -> str:
     return " UNION ALL ".join(arms)
 
 
+def content_checksum(df: DataFrame, render_expr: str) -> DataFrame:
+    """Library primitive (r8 pass 4): order/partitioning-independent
+    content checksum of ANY DataFrame — SUM of 48-bit md5 prefixes over
+    the caller's canonical row rendering (a SQL expression producing one
+    string per row). Equal row MULTISETS give equal checksums under any
+    order, because addition is the associative, commutative combine;
+    48-bit prefixes keep the sum far from int64 overflow (2⁴⁸ × 10⁹ rows
+    < 2⁶³). Returns one row (n_rows, content_checksum). The rendering is
+    part of the contract: include every column that must match, pin
+    float/money columns to fixed-point first (dq_content_checksum's
+    table renderings are the model)."""
+    return df.select(
+        F.conv(F.substring(F.md5(F.expr(render_expr)), 1, 12), 16, 10)
+        .cast("long")
+        .alias("h")
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("h").cast("long").alias("content_checksum"),
+    )
+
+
 @query("dq_content_checksum", oracle=_cksum_oracle(), tags=("dq", "checksum"))
 def dq_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent content checksum per table: SUM of a 48-bit
@@ -1101,18 +1122,11 @@ def dq_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow (2⁴⁸ × 10⁹ rows < 2⁶³), and the row rendering pins the
     same fixed-point money convention as every oracle. This checksum
     IS how the parity gate's own value-hash works, promoted to a
-    user-facing operator."""
+    user-facing operator (core exported as :func:`content_checksum`,
+    library pass 4)."""
     out = None
     for t, expr in _CKSUM_TABLES:
-        df = load_table(spark, sf_dir, t)
-        row = df.select(
-            F.conv(F.substring(F.md5(F.expr(expr)), 1, 12), 16, 10)
-            .cast("long")
-            .alias("h")
-        ).agg(
-            F.count("*").cast("long").alias("n_rows"),
-            F.sum("h").cast("long").alias("content_checksum"),
-        ).select(
+        row = content_checksum(load_table(spark, sf_dir, t), expr).select(
             F.lit(t).alias("table_name"), "n_rows", "content_checksum"
         )
         out = row if out is None else out.unionAll(row)

@@ -2701,6 +2701,40 @@ def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def first_last_touch(
+    cand: DataFrame,
+    group_cols: list,
+    offset_col: str,
+    id_col: str,
+    id_bound: int = 10_000_000,
+) -> DataFrame:
+    """Library primitive (r8 pass 4): first-touch and last-touch ids per
+    group from bounded (offset, id) candidate rows — ONE min/max pair per
+    group over a composite key, no row_number, no per-group sort (the
+    core behind ts_attribution_first_last, on ANY candidate DataFrame).
+
+    Encoding contract (the part the fuzzer hits): rows must satisfy
+    0 ≤ offset and 0 ≤ id < id_bound, and max_offset × id_bound must fit
+    int64 — bounded lookback windows satisfy this (24 h in micros ×10⁷ ≈
+    8.6e17 < 2⁶³) where raw epoch keys would overflow. First touch =
+    LARGEST offset (earliest touch), tie → smallest id, via inverting the
+    id under one max(); last touch = smallest offset, tie → smallest id,
+    under one min(). Returns group_cols + first_touch_id + last_touch_id."""
+    off = F.col(offset_col)
+    tid = F.col(id_col)
+    g = cand.groupBy(*group_cols).agg(
+        F.max(off * id_bound + (id_bound - 1 - tid)).alias("_first_key"),
+        F.min(off * id_bound + tid).alias("_last_key"),
+    )
+    return g.select(
+        *group_cols,
+        (id_bound - 1 - F.col("_first_key") % id_bound).alias(
+            "first_touch_id"
+        ),
+        (F.col("_last_key") % id_bound).alias("last_touch_id"),
+    )
+
+
 @query(
     "ts_attribution_first_last",
     oracle="""
@@ -2744,9 +2778,8 @@ def ts_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     window (8.64e10 × 10⁷ ≈ 8.6e17 < 2⁶³) where raw epoch micros would
     overflow — the composite-key trick only works on bounded ranges,
     and the first-touch side inverts the id (9999999 − id) so earliest
-    time + smallest id win together under one max()."""
-    from pyspark.sql import Window
-
+    time + smallest id win together under one max(). Key algebra lives
+    in the exported :func:`first_last_touch` primitive (library pass 4)."""
     ev = load_table(spark, sf_dir, "events")
     base = ev.select(
         "user_id",
@@ -2770,17 +2803,21 @@ def ts_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_us") < F.col("p_us"))
         & (F.col("c_us") >= F.col("p_us") - 86400000000)
     )
-    offset = F.col("p_us") - F.col("c_us")  # bounded by the 24 h window
-    credited = j.groupBy("user_id", "purchase_id", "v_us").agg(
-        F.max(offset * 10000000 + (9999999 - F.col("c_id"))).alias(
-            "first_key"
-        ),
-        F.min(offset * 10000000 + F.col("c_id")).alias("last_key"),
+    # offset bounded by the 24 h window — the encoding precondition
+    cand = j.select(
+        "user_id",
+        "purchase_id",
+        "v_us",
+        (F.col("p_us") - F.col("c_us")).alias("off"),
+        "c_id",
+    )
+    credited = first_last_touch(
+        cand, ["user_id", "purchase_id", "v_us"], "off", "c_id"
     )
     return credited.select(
         "user_id",
         "purchase_id",
-        (9999999 - F.col("first_key") % 10000000).alias("first_click_id"),
-        (F.col("last_key") % 10000000).alias("last_click_id"),
+        F.col("first_touch_id").alias("first_click_id"),
+        F.col("last_touch_id").alias("last_click_id"),
         F.col("v_us").alias("value_micros"),
     )

@@ -359,3 +359,111 @@ def test_debounce_on_toy_events(spark):
     )
     # the :3 event is within 10 of :0 and is suppressed
     assert kept == [(1, 0), (1, 20), (2, 1)]
+
+
+def test_waterfill_on_toy_sources(spark):
+    from streamline_hybrid_engine_spark import waterfill
+
+    src = spark.createDataFrame(
+        [("web", 100), ("code", 40), ("books", 10)], "source string, n long"
+    )
+    budget = spark.createDataFrame([(80,)], "b long")
+    out = {
+        r["source"]: (r["allocation"], r["capped"])
+        for r in waterfill(src, "n", "source", budget).collect()
+    }
+    # books keeps all 10; web/code share the remaining 70 → 35 each
+    assert out == {"books": (10, False), "code": (35, True), "web": (35, True)}
+    assert sum(a for a, _ in out.values()) == 80
+
+
+def test_binary_auc_on_toy_scores(spark):
+    from streamline_hybrid_engine_spark import binary_auc
+
+    df = spark.createDataFrame(
+        [(3, 1), (2, 1), (2, 0), (1, 0)], "s long, y int"
+    )
+    row = binary_auc(df, "s", "y").collect()[0]
+    # pairs: (3>2), (3>1), (2=2 → ½), (2>1) over 2×2 → 3.5/4
+    assert (row["n_pos"], row["n_neg"], row["auc"]) == (2, 2, 0.875)
+
+
+def test_confusion_matrix_on_toy_labels(spark):
+    from streamline_hybrid_engine_spark import confusion_matrix
+
+    df = spark.createDataFrame(
+        [("en", "en"), ("en", "en"), ("en", "de"), ("de", "de")],
+        "actual string, guess string",
+    )
+    out = {
+        (r["actual"], r["guess"]): (r["n"], r["row_share"])
+        for r in confusion_matrix(df, "actual", "guess").collect()
+    }
+    assert out == {
+        ("en", "en"): (2, 0.666667),
+        ("en", "de"): (1, 0.333333),
+        ("de", "de"): (1, 1.0),
+    }
+
+
+def test_first_last_touch_on_toy_candidates(spark):
+    from streamline_hybrid_engine_spark import first_last_touch
+
+    df = spark.createDataFrame(
+        # group 1: offsets 50 (id 7), 50 (id 3), 10 (id 9)
+        [(1, 50, 7), (1, 50, 3), (1, 10, 9), (2, 5, 4)],
+        "g long, off long, tid long",
+    )
+    out = {
+        r["g"]: (r["first_touch_id"], r["last_touch_id"])
+        for r in first_last_touch(df, ["g"], "off", "tid").collect()
+    }
+    # first = largest offset (tie → smaller id 3); last = smallest offset
+    assert out == {1: (3, 9), 2: (4, 4)}
+
+
+def test_content_checksum_is_order_independent(spark):
+    from streamline_hybrid_engine_spark import content_checksum
+
+    rows = [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    a = spark.createDataFrame(rows, "id long, v string")
+    b = spark.createDataFrame(rows[::-1], "id long, v string").repartition(3)
+    render = "CAST(id AS STRING) || '|' || v"
+    ca = content_checksum(a, render).collect()[0]
+    cb = content_checksum(b, render).collect()[0]
+    assert ca["n_rows"] == cb["n_rows"] == 4
+    assert ca["content_checksum"] == cb["content_checksum"]
+    # a different multiset must not collide
+    c = spark.createDataFrame(rows[:3], "id long, v string")
+    assert (
+        content_checksum(c, render).collect()[0]["content_checksum"]
+        != ca["content_checksum"]
+    )
+
+
+def test_skyline_grid_on_toy_points(spark):
+    from streamline_hybrid_engine_spark import skyline_grid
+
+    df = spark.createDataFrame(
+        # (id, price, size): 1 dominates 2; 3 cheaper-but-smaller survives
+        [(1, 10, 9), (2, 12, 8), (3, 5, 4), (4, 20, 20)],
+        "id long, x long, y long",
+    )
+    got = {r["id"] for r in skyline_grid(df, "x", "y", n_cells=4).collect()}
+    assert got == {1, 3, 4}
+
+
+def test_grid_knn_join_on_toy_points(spark):
+    from streamline_hybrid_engine_spark import grid_knn_join
+
+    df = spark.createDataFrame(
+        [(1, 0, 0), (2, 3, 0), (3, 10, 0), (4, 100, 100)],
+        "id long, x long, y long",
+    )
+    out = grid_knn_join(df, "id", "x", "y", cell=8, k=2, rings=(1, 32)).collect()
+    got = {
+        (r["id"], r["nn_rank"]): r["nn_id"] for r in out
+    }
+    assert got[(1, 1)] == 2 and got[(1, 2)] == 3
+    assert got[(4, 1)] == 3  # isolated point resolves via the covering ring
+    assert len(out) == 4 * 2

@@ -733,3 +733,233 @@ def test_lcs_bitparallel_matches_classic_dp(spark, duck_mem, pairs):
         ).fetchall()
     )
     assert [got_duck[i] for i in range(len(pairs))] == expected
+
+
+# --- r8 templates: the r7 wave-4/5 primitives (verdict task 8) ---------------
+
+ATTR_LOOKBACK_US = 86_400_000_000  # the 24 h bound the int64 encoding rides on
+
+
+@settings(max_examples=15 * _FUZZ, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # group
+            st.one_of(  # offset: interior + the exact window boundary
+                st.integers(0, ATTR_LOOKBACK_US),
+                st.just(ATTR_LOOKBACK_US),
+                st.just(0),
+            ),
+            st.one_of(  # touch id: interior + the encoding's id ceiling
+                st.integers(0, 9_999_999),
+                st.just(9_999_999),
+                st.just(0),
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_first_last_touch_matches_sequential(spark, rows):
+    """The bounded-offset composite key (offset·10⁷ + id) must reproduce
+    the plain sequential definition — first touch = largest offset, tie
+    smallest id; last touch = smallest offset, tie smallest id — INCLUDING
+    the int64 boundary the r7 session already overflowed once (offset at
+    the full 24 h window × id at the 9,999,999 ceiling)."""
+    from streamline_hybrid_engine_spark import first_last_touch
+
+    expected = {}
+    for g, off, tid in rows:
+        f, l = expected.get(g, ((-1, 0), (ATTR_LOOKBACK_US + 1, 0)))
+        if (off, -tid) > (f[0], -f[1]):
+            f = (off, tid)
+        if (off, tid) < l:
+            l = (off, tid)
+        expected[g] = (f, l)
+
+    df = spark.createDataFrame(rows, "g long, off long, tid long")
+    got = {
+        r["g"]: (r["first_touch_id"], r["last_touch_id"])
+        for r in first_last_touch(df, ["g"], "off", "tid").collect()
+    }
+    assert got == {g: (f[1], l[1]) for g, (f, l) in expected.items()}
+
+
+@settings(max_examples=15 * _FUZZ, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-5, 5), st.integers(0, 1)),  # (score, label)
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_binary_auc_matches_pairwise(spark, rows):
+    """The integral tie-averaged rank form (2·rank + ties − 1) must equal
+    the O(n²) pairwise definition: AUC = (#[s⁺>s⁻] + ½#[s⁺=s⁻]) / n⁺n⁻.
+    Small score alphabet → heavy ties, the case the integrality trick is
+    for."""
+    from streamline_hybrid_engine_spark import binary_auc
+
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    df = spark.createDataFrame(rows, "s long, y int")
+    got = binary_auc(df, "s", "y").collect()[0]
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    if not pos or not neg:
+        assert got["auc"] is None
+        return
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    expected = round((wins + 0.5 * ties) / (len(pos) * len(neg)), 6)
+    assert got["auc"] == pytest.approx(expected, abs=1e-9)
+
+
+@settings(max_examples=15 * _FUZZ, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    sizes=st.lists(st.integers(0, 50), min_size=1, max_size=12),
+    budget=st.integers(0, 400),
+)
+def test_waterfill_matches_level_simulation(spark, sizes, budget):
+    """The closed-form waterfill must equal the independent definition:
+    the maximal integer water level λ with Σ min(nᵢ, λ) ≤ B, remainder
+    unit-distributed to capped keys in (n, key) order — and must hit the
+    budget boundary exactly: Σ allocation == min(B, Σn), allocation ≤ n,
+    capped ⇔ allocation < n ∨ level-capped."""
+    from streamline_hybrid_engine_spark import waterfill
+
+    items = [(f"k{i:02d}", n) for i, n in enumerate(sizes)]
+    total = sum(sizes)
+    expected = {}
+    if total <= budget:
+        expected = {k: n for k, n in items}
+    else:
+        lam = 0
+        while sum(min(n, lam + 1) for _, n in items) <= budget:
+            lam += 1
+        spent = sum(min(n, lam) for _, n in items)
+        extra = budget - spent
+        for k, n in sorted(items, key=lambda kv: (kv[1], kv[0])):
+            if n <= lam:
+                expected[k] = n
+            else:
+                expected[k] = lam + (1 if extra > 0 else 0)
+                extra -= 1 if extra > 0 else 0
+
+    df = spark.createDataFrame(items, "source string, n long")
+    bdf = spark.createDataFrame([(budget,)], "b long")
+    out = waterfill(df, "n", "source", bdf).collect()
+    got = {r["source"]: r["allocation"] for r in out}
+    assert got == expected
+    assert sum(got.values()) == min(budget, total)
+    assert all(r["allocation"] <= r["n"] for r in out)
+
+
+@settings(max_examples=3 * _FUZZ, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=1, max_size=8)
+        .map(" ".join),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_rouge_n_clipped_overlap_matches_counter(spark, texts, tmp_path_factory):
+    """llm_rouge_n_pairs' clipped-multiset overlap — driven through the
+    REAL registry query on a synthetic documents fixture — must equal the
+    Counter-based definition Σ_g min(count_ref(g), count_cand(g)) on
+    adjacent-id pairs (tiny alphabet → repeated bigrams, the case the
+    clipping exists for)."""
+    import collections
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    tmp = tmp_path_factory.mktemp("rougefix")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["fuzz"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+        str(tmp / "documents.parquet"),
+    )
+
+    def grams(t):
+        toks = t.split(" ")
+        return collections.Counter(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        )
+
+    expected = {}
+    for rid in range(len(texts) - 1):
+        gr, gc = grams(texts[rid]), grams(texts[rid + 1])
+        ov = sum(min(c, gc[g]) for g, c in gr.items())
+        nr, nc = sum(gr.values()), sum(gc.values())
+        # zero-overlap pairs emit NO row in both engines (inner
+        # gram-keyed join) — matching absence is part of the contract
+        if nr and nc and ov > 0:
+            expected[rid] = (
+                ov,
+                round(ov / nr, 6),
+                round(ov / nc, 6),
+            )
+
+    rowmap = {
+        r["ref_id"]: (
+            r["overlap"],
+            r["rouge2_recall"],
+            r["rouge2_precision"],
+        )
+        for r in get_query("llm_rouge_n_pairs").fn(spark, str(tmp)).collect()
+    }
+    got = {
+        k: (v[0], pytest.approx(v[1], abs=1e-9), pytest.approx(v[2], abs=1e-9))
+        for k, v in rowmap.items()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert expected[k][0] == rowmap[k][0]
+        assert rowmap[k][1] == pytest.approx(expected[k][1], abs=1e-9)
+        assert rowmap[k][2] == pytest.approx(expected[k][2], abs=1e-9)
+
+
+@settings(max_examples=15 * _FUZZ, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_skyline_grid_matches_bruteforce(spark, pts):
+    """The exported grid-partitioned skyline must equal the O(n²)
+    dominance definition on arbitrary points — including the cell
+    fenceposts the oracle pairing exists to catch (duplicate points,
+    all-equal x, single cell)."""
+    from streamline_hybrid_engine_spark import skyline_grid
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    expected = {
+        i
+        for i, x, y in rows
+        if not any(
+            (x2 < x and y2 >= y) or (x2 <= x and y2 > y)
+            for _, x2, y2 in rows
+        )
+        # per-price max: among equal (x), only max y survives; exact ties
+        # on (x, y) all survive — mirror agg_skyline_2d's RANGE semantics
+    }
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {r["id"] for r in skyline_grid(df, "x", "y", n_cells=4).collect()}
+    assert got == expected
