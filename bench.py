@@ -200,6 +200,20 @@ HEADLINE = (
     "agg_ab_test_ztest",           # two-proportion z-test
     "ts_twap",                     # time-weighted average
     "fn_luhn_checksum",            # mod-10 ingest validation
+    # round-7 sixth wave — the batch-28/29 ids (baselines in BASELINE.md
+    # §A.1 r8 block; the two streaming batch-28/29 ids ride the batch loop
+    # because their availableNow drains cost like any other query)
+    "dq_slo_attainment",           # latency SLO attainment bands
+    "llm_langid_confusion",        # language-ID confusion matrix
+    "ts_attribution_first_last",   # first/last-touch credit assignment
+    "agg_skyline_grid",            # grid-partitioned skyline (scale valve)
+    "dq_content_checksum",         # order-independent table checksums
+    "stream_cusum_alarm",          # streaming CUSUM drift (availableNow drain)
+    "stream_topk_foreachbatch",    # streaming top-K ledger (foreachBatch)
+    # round-8 additions (baselines in BASELINE.md §A.1 r8 block)
+    "llm_rouge_l_pairs",           # bit-parallel LCS ROUGE-L on LSH pairs
+    "graph_modularity_by_community",  # per-community Q_c drill-down
+    "join_geo_grid_knn",           # expanding-ring exact spatial k-NN
 )
 
 #: BASELINE.md §A.1 rows (sf0.1 full-sequence medians, seconds) — kept in
