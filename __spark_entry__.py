@@ -116,6 +116,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "llm_rouge_l_pairs",
         "graph_modularity_by_community",
         "join_geo_grid_knn",
+        "sql_qualify_rewrite",
+        "llm_sample_reservoir_k",
+        "llm_ngram_lm_kn",
     }
 )
 

@@ -2045,3 +2045,170 @@ def llm_rouge_l_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rougel_f1"
         ),
     )
+
+
+RESERVOIR_K = 50
+
+
+@query(
+    "llm_sample_reservoir_k",
+    oracle=f"""
+    SELECT source, doc_id, hk
+    FROM (
+      SELECT source, doc_id,
+             substr(md5('rsv1|' || CAST(doc_id AS VARCHAR)), 1, 12) AS hk,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY substr(md5('rsv1|' || CAST(doc_id AS VARCHAR)), 1, 12),
+                        doc_id
+             ) AS rn
+      FROM documents
+    ) t WHERE rn <= {RESERVOIR_K}
+    """,
+    tags=("llm", "sampling"),
+)
+def llm_sample_reservoir_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k uniform sample per source — the
+    reproducible replacement for reservoir sampling in a training-data
+    pipeline (classic reservoir is stream-order-dependent, so two runs
+    over the same corpus disagree; content-keyed hash ranking gives the
+    same k docs on every run, every partitioning, every engine — the
+    property that makes sample audits and incremental re-runs possible).
+    Keep the k={RESERVOIR_K} docs with the smallest salted-md5 rank per
+    source; the salt decorrelates this sample from every other hash
+    decision in the pipeline (split/dedup/temperature all use different
+    salts). Uniformity: md5 is uniform on doc ids, so rank-k selection
+    is a simple random sample conditioned on the corpus — same
+    hash-threshold discipline as llm_train_split_hash, fixed COUNT
+    instead of fixed RATE. Scale: per-group top-k by hash rank — the
+    window sort is per-source; at 100 TB swap for the max_by-k/
+    TakeOrdered per group spelling (no global sort either way)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    hk = F.substring(
+        F.md5(F.concat(F.lit("rsv1|"), F.col("doc_id").cast("string"))), 1, 12
+    )
+    w = Window.partitionBy("source").orderBy("hk", "doc_id")
+    return (
+        docs.select("source", "doc_id", hk.alias("hk"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RESERVOIR_K)
+        .drop("rn")
+    )
+
+
+# --- Interpolated Kneser-Ney bigram LM scoring (exact rational) ---------------
+
+_KN_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    big_inst AS (
+      SELECT doc_id, t[i] AS v, t[i + 1] AS w
+      FROM tok, unnest(range(1, len(t))) AS u(i)
+    ),
+    big AS (
+      SELECT v, w, CAST(count(*) AS BIGINT) AS c
+      FROM big_inst GROUP BY v, w
+    ),
+    vstats AS (
+      SELECT v, CAST(sum(c) AS BIGINT) AS cv,
+             CAST(count(*) AS BIGINT) AS n1v
+      FROM big GROUP BY v
+    ),
+    wstats AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n1w FROM big GROUP BY w
+    ),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM big),
+    p AS (
+      SELECT b.v, b.w,
+             CAST((((4 * b.c - 3)::HUGEINT * nt.nt
+                    + 3::HUGEINT * vs.n1v * ws.n1w) * 1000000)
+                  // (4::HUGEINT * vs.cv * nt.nt) AS BIGINT) AS p_micro
+      FROM big b
+      JOIN vstats vs ON vs.v = b.v
+      JOIN wstats ws ON ws.w = b.w
+      CROSS JOIN nt
+    )
+    SELECT i.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(p.p_micro) AS BIGINT) AS sum_p_micro,
+           CAST(sum(p.p_micro) // count(*) AS BIGINT) AS mean_p_micro
+    FROM big_inst i JOIN p ON p.v = i.v AND p.w = i.w
+    GROUP BY i.doc_id
+"""
+
+
+@query("llm_ngram_lm_kn", oracle=_KN_ORACLE, tags=("llm", "quality"))
+def llm_ngram_lm_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram language-model scoring per doc —
+    the real-LM upgrade of llm_surprisal_bits' unigram proxy, and the
+    quality signal CCNet-style pipelines filter on (docs whose bigrams
+    the corpus LM finds improbable are boilerplate/noise/foreign). KN is
+    THE standard smoothed n-gram estimator: p(w|v) = (c(vw) − d)/c(v) +
+    d·N1+(v·)/c(v) · N1+(·w)/N1+(··), absolute discount d interpolated
+    with the CONTINUATION probability (how many contexts a word follows,
+    not how often — the insight that made KN the default).
+
+    Exactness discipline: d = 3/4 makes every per-bigram probability the
+    exact rational ((4c−3)·N + 3·N1v·N1w) / (4·c_v·N); the engine floors
+    it once to fixed-point micros — Spark computes the products in
+    decimal(38,0) with integral `div`, DuckDB in HUGEINT with `//`, both
+    exact floor on positives (the cross-engine trap catalogue's
+    HUGEINT/decimal rule), so the hash certifies the entire LM, not a
+    float approximation of it. Σ_w p(w|v) = 1 pre-floor by construction
+    (test-pinned). Plan: one explode pass builds instances; counts,
+    context stats (cv + N1v fused in ONE groupBy), continuation stats
+    and the type total are all aggregate-sized; scoring re-joins the
+    instances gram-keyed — never more than |corpus bigrams| rows in
+    flight, same economics as TF-IDF. Docs with < 2 tokens carry no
+    bigram and emit no row (both engines, inner join)."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    inst = (
+        docs.withColumn("t", F.split(F.col("text"), " "))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 2 THEN"
+                    " transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS v, t[i + 1] AS w))"
+                    " ELSE array() END"
+                )
+            ).alias("vw"),
+        )
+        .select("doc_id", "vw.v", "vw.w")
+    )
+    big = inst.groupBy("v", "w").agg(F.count("*").cast("long").alias("c"))
+    vstats = big.groupBy("v").agg(
+        F.sum("c").cast("long").alias("cv"),
+        F.count("*").cast("long").alias("n1v"),
+    )
+    wstats = big.groupBy("w").agg(F.count("*").cast("long").alias("n1w"))
+    nt = big.agg(F.count("*").cast("long").alias("nt"))
+    p = (
+        big.join(vstats, "v")
+        .join(wstats, "w")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "v",
+            "w",
+            F.expr(
+                "CAST((((4 * c - 3) * CAST(nt AS DECIMAL(38,0))"
+                "       + 3 * CAST(n1v AS DECIMAL(38,0)) * n1w) * 1000000)"
+                "     div (4 * CAST(cv AS DECIMAL(38,0)) * nt) AS BIGINT)"
+            ).alias("p_micro"),
+        )
+    )
+    return (
+        inst.join(p, ["v", "w"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("p_micro").cast("long").alias("sum_p_micro"),
+        )
+        .withColumn(
+            "mean_p_micro", F.expr("sum_p_micro div n_bigrams").cast("long")
+        )
+    )

@@ -1407,3 +1407,43 @@ def sql_distinct_on_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.o_totalprice").alias("o_totalprice"),
         F.col("r.o_orderdate").alias("o_orderdate"),
     )
+
+
+@query(
+    "sql_qualify_rewrite",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+    QUALIFY rn <= 2
+    """,
+    tags=("sql", "dialect"),
+)
+def sql_qualify_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB/Snowflake/BigQuery `QUALIFY` — post-window filtering Spark
+    does not parse (verified: PARSE_SYNTAX_ERROR on 4.1) but every
+    migrating analytics workload uses for top-n-per-group. The engine
+    ships the standard rewrite: compute the window column in a subquery,
+    filter it one level up — semantically identical because QUALIFY is
+    DEFINED as filtering after window evaluation. Catalyst then plans
+    the same WindowExec + Filter a native QUALIFY would; the rank window
+    partitions by customer so no global sort, and the filter cannot push
+    below the window (that would change semantics) — the plan's
+    Filter-above-Window shape IS the correctness witness. Keeps the rn
+    column (QUALIFY exposes it), matching the oracle's projection."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+    )

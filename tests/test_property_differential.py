@@ -963,3 +963,77 @@ def test_skyline_grid_matches_bruteforce(spark, pts):
     df = spark.createDataFrame(rows, "id long, x long, y long")
     got = {r["id"] for r in skyline_grid(df, "x", "y", n_cells=4).collect()}
     assert got == expected
+
+
+@settings(max_examples=3 * _FUZZ, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=10)
+        .map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_kn_bigram_lm_matches_rational_reference(spark, texts, tmp_path_factory):
+    """llm_ngram_lm_kn driven through the REAL registry query on a
+    synthetic fixture must equal the pure-Python exact-rational KN
+    (d = 3/4): p_micro = ((4c−3)N + 3·N1v·N1w)·10⁶ // (4·c_v·N), summed
+    per doc. Tiny alphabet → heavy count collisions, the discount's
+    busiest regime; the Python // is the floor both engines must hit."""
+    import collections
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    big = collections.Counter()
+    for t in texts:
+        toks = t.split(" ") if t else [""]
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] += 1
+    expected = {}
+    if big:
+        cv, n1v, n1w = (
+            collections.Counter(),
+            collections.Counter(),
+            collections.Counter(),
+        )
+        for (a, b), c in big.items():
+            cv[a] += c
+            n1v[a] += 1
+            n1w[b] += 1
+        nt = len(big)
+
+        def p_micro(a, b):
+            c = big[(a, b)]
+            return ((4 * c - 3) * nt + 3 * n1v[a] * n1w[b]) * 1_000_000 // (
+                4 * cv[a] * nt
+            )
+
+        for i, t in enumerate(texts):
+            toks = t.split(" ") if t else [""]
+            pairs = list(zip(toks, toks[1:]))
+            if pairs:
+                s = sum(p_micro(a, b) for a, b in pairs)
+                expected[i] = (len(pairs), s, s // len(pairs))
+
+    tmp = tmp_path_factory.mktemp("knfix")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["fuzz"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+        str(tmp / "documents.parquet"),
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_p_micro"], r["mean_p_micro"])
+        for r in get_query("llm_ngram_lm_kn").fn(spark, str(tmp)).collect()
+    }
+    assert got == expected
