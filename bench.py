@@ -377,6 +377,21 @@ BASELINE_SEC = {
     "agg_ab_test_ztest": 0.4,
     "ts_twap": 0.38,
     "fn_luhn_checksum": 0.13,
+    # r8 wave (settled measure_wave.py runs, 2026-08-15; content_checksum
+    # baselined AFTER its overflow fix — see BASELINE.md r8 block)
+    "dq_slo_attainment": 0.59,
+    "llm_langid_confusion": 0.63,
+    "ts_attribution_first_last": 0.51,
+    "agg_skyline_grid": 0.54,
+    "dq_content_checksum": 0.57,
+    "stream_cusum_alarm": 1.95,
+    "stream_topk_foreachbatch": 0.68,
+    "llm_rouge_l_pairs": 2.64,
+    "graph_modularity_by_community": 7.79,
+    "join_geo_grid_knn": 5.66,
+    "sql_qualify_rewrite": 0.34,
+    "llm_sample_reservoir_k": 0.17,
+    "llm_ngram_lm_kn": 1.69,
 }
 
 

@@ -1082,7 +1082,8 @@ def _cksum_oracle() -> str:
         arms.append(f"""
     SELECT '{t}' AS table_name,
            CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(('0x' || substr(md5({expr}), 1, 12))::BIGINT) AS BIGINT)
+           CAST(sum(CAST(('0x' || substr(md5({expr}), 1, 12))::BIGINT
+                         AS HUGEINT)) % 9223372036854775807 AS BIGINT)
              AS content_checksum
     FROM {t}
         """)
@@ -1093,20 +1094,28 @@ def content_checksum(df: DataFrame, render_expr: str) -> DataFrame:
     """Library primitive (r8 pass 4): order/partitioning-independent
     content checksum of ANY DataFrame — SUM of 48-bit md5 prefixes over
     the caller's canonical row rendering (a SQL expression producing one
-    string per row). Equal row MULTISETS give equal checksums under any
-    order, because addition is the associative, commutative combine;
-    48-bit prefixes keep the sum far from int64 overflow (2⁴⁸ × 10⁹ rows
-    < 2⁶³). Returns one row (n_rows, content_checksum). The rendering is
-    part of the contract: include every column that must match, pin
-    float/money columns to fixed-point first (dq_content_checksum's
-    table renderings are the model)."""
+    string per row), reduced mod 2⁶³−1. Equal row MULTISETS give equal
+    checksums under any order, because addition is the associative,
+    commutative combine. The sum accumulates in decimal(38,0) and only
+    the final modulus lands in int64: the r8 sf0.1 measuring run caught
+    the plain BIGINT sum overflowing under ANSI mode at just 150k rows
+    (avg 48-bit value ≈ 1.4e14; ~65k rows is the real int64 budget — the
+    old "safe to 10⁹ rows" note was arithmetic fiction). decimal(38,0)
+    holds ~7×10²³ rows; the mod keeps the full per-row entropy. Returns
+    one row (n_rows, content_checksum). The rendering is part of the
+    contract: include every column that must match, pin float/money
+    columns to fixed-point first (dq_content_checksum's table renderings
+    are the model)."""
     return df.select(
         F.conv(F.substring(F.md5(F.expr(render_expr)), 1, 12), 16, 10)
         .cast("long")
         .alias("h")
     ).agg(
         F.count("*").cast("long").alias("n_rows"),
-        F.sum("h").cast("long").alias("content_checksum"),
+        F.expr(
+            "CAST(sum(CAST(h AS DECIMAL(38,0))) % 9223372036854775807"
+            " AS BIGINT)"
+        ).alias("content_checksum"),
     )
 
 
@@ -1118,12 +1127,14 @@ def dq_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is exactly what replica/migration verification needs (a
     concatenation checksum would be order-dependent; a full sort to
     canonicalize would cost a global sort per table). Addition is the
-    associative combine, 48-bit prefixes keep the sum far from int64
-    overflow (2⁴⁸ × 10⁹ rows < 2⁶³), and the row rendering pins the
-    same fixed-point money convention as every oracle. This checksum
-    IS how the parity gate's own value-hash works, promoted to a
-    user-facing operator (core exported as :func:`content_checksum`,
-    library pass 4)."""
+    associative combine; the sum accumulates in decimal(38,0)/HUGEINT
+    and reduces mod 2⁶³−1 at the end (r8 fix: the original BIGINT sum
+    claimed "safe to 10⁹ rows" but overflowed ANSI int64 at sf0.1's
+    150k orders — 48-bit values budget only ~65k rows in int64), and
+    the row rendering pins the same fixed-point money convention as
+    every oracle. This checksum IS how the parity gate's own value-hash
+    works, promoted to a user-facing operator (core exported as
+    :func:`content_checksum`, library pass 4)."""
     out = None
     for t, expr in _CKSUM_TABLES:
         row = content_checksum(load_table(spark, sf_dir, t), expr).select(
