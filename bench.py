@@ -214,6 +214,9 @@ HEADLINE = (
     "llm_rouge_l_pairs",           # bit-parallel LCS ROUGE-L on LSH pairs
     "graph_modularity_by_community",  # per-community Q_c drill-down
     "join_geo_grid_knn",           # expanding-ring exact spatial k-NN
+    "sql_qualify_rewrite",         # QUALIFY → subquery+filter rewrite
+    "llm_sample_reservoir_k",      # deterministic per-source k-sample
+    "llm_ngram_lm_kn",             # Kneser-Ney bigram LM doc scoring
 )
 
 #: BASELINE.md §A.1 rows (sf0.1 full-sequence medians, seconds) — kept in
