@@ -188,7 +188,9 @@ SELECT v AS vertex, r AS rank_fp FROM pr WHERE iter = {N_ROUNDS}
 
 
 @query("graph_pagerank_suppliers", oracle=_PR_ORACLE, tags=("graph", "iterative"))
-def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_pagerank_suppliers(
+    spark: SparkSession, sf_dir: str, shuffle_width: int | None = None
+) -> DataFrame:
     """PageRank over the customer↔supplier trading graph (distinct
     (custkey, suppkey) pairs from orders⋈lineitem, undirected), 5 rounds,
     damping 0.85, fixed-point integer ranks.
@@ -197,7 +199,17 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves trade widely — the Gelly PageRank example re-expressed as
     DataFrame rounds. Every vertex of the undirected graph has degree ≥ 1,
     so there is no dangling-mass term.
-    """
+
+    ``shuffle_width``: ``None`` (default) broadcasts the |V|-row rank
+    table into each round (the fixture-proven plan — PageRank runs no
+    measuring job, so there is no free place to auto-size; the caller
+    at scale picks via the exported ``lpa_shuffle_width`` arithmetic,
+    which governs this rank table identically); ``> 0`` runs the rounds
+    as co-partitioned merge joins at that width — the adjacency is
+    pre-partitioned on src once, each round exchanges only the |V|-row
+    rank side, and the merge hint keeps AQE from re-inflating the
+    broadcast (r8: the LPA valve's pattern applied to its sibling loop;
+    result-identical + plan-pinned in tests/test_graph.py)."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     # vertex ids are LONGS inside the loop (even = customer 2k, odd =
@@ -216,18 +228,24 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     deg = und.groupBy("src").agg(F.count("*").alias("d"))
-    # degree-annotated adjacency, materialized once for the 5 rounds
-    adj = und.join(deg, "src").localCheckpoint(eager=True)
+    # degree-annotated adjacency, materialized once for the 5 rounds; on
+    # the shuffle path pre-partitioned on src so the checkpoint pins the
+    # partitioning and every round exchanges only the rank side
+    adj = und.join(deg, "src")
+    if shuffle_width:
+        adj = adj.repartition(shuffle_width, "src")
+    adj = adj.localCheckpoint(eager=True)
     ranks = deg.select(F.col("src").alias("v"), F.lit(SCALE).cast("long").alias("r"))
     for _ in range(N_ROUNDS):
         # ranks is |V| rows of (long, long) — orders of magnitude smaller
         # than the edge list. Broadcasting it makes each round a map-side
         # join over the checkpointed adjacency (edges never re-shuffle;
-        # measured ~35% over the shuffle-join rounds). At a scale where the
-        # rank table outgrows executor memory, drop the broadcast() and the
-        # same loop runs as a co-partitioned shuffle join.
+        # measured ~35% over the shuffle-join rounds). When the rank
+        # table outgrows executor memory, shuffle_width > 0 runs the
+        # same round as a co-partitioned merge join instead.
+        rk = ranks.hint("merge") if shuffle_width else F.broadcast(ranks)
         contrib = (
-            adj.join(F.broadcast(ranks), adj.src == ranks.v)
+            adj.join(rk, adj.src == ranks.v)
             .groupBy("dst")
             .agg(F.sum(F.expr("r div d")).alias("total"))
         )

@@ -285,3 +285,22 @@ def test_modularity_by_community_sums_to_global_q(spark, sf_dir):
     assert len(per) == glob["n_communities"]
     q_sum = sum(r["q_contrib"] for r in per)
     assert abs(q_sum - glob["modularity"]) < 1e-4  # per-row rounding drift
+
+
+def test_pagerank_shuffle_path_result_identical(spark, sf_dir):
+    """PageRank's forced co-partitioned merge rounds (the 100 TB path)
+    return byte-identical fixed-point ranks to the default broadcast
+    rounds — the same equivalence gate the LPA valve carries."""
+    from streamline_hybrid_engine_spark.operators.graph import (
+        graph_pagerank_suppliers,
+    )
+
+    bcast = sorted(map(tuple, graph_pagerank_suppliers(spark, sf_dir).collect()))
+    shuf = sorted(
+        map(
+            tuple,
+            graph_pagerank_suppliers(spark, sf_dir, shuffle_width=5).collect(),
+        )
+    )
+    assert bcast == shuf
+    assert len(bcast) > 0
