@@ -119,6 +119,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "sql_qualify_rewrite",
         "llm_sample_reservoir_k",
         "llm_ngram_lm_kn",
+        "win_hop_distinct_hll",
+        "agg_decile_lift_binned",
     }
 )
 

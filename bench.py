@@ -217,6 +217,8 @@ HEADLINE = (
     "sql_qualify_rewrite",         # QUALIFY → subquery+filter rewrite
     "llm_sample_reservoir_k",      # deterministic per-source k-sample
     "llm_ngram_lm_kn",             # Kneser-Ney bigram LM doc scoring
+    "win_hop_distinct_hll",        # per-slide HLL sketches, union per hop
+    "agg_decile_lift_binned",      # exact ntile via bin offsets (no global sort)
 )
 
 #: BASELINE.md §A.1 rows (sf0.1 full-sequence medians, seconds) — kept in
@@ -395,6 +397,8 @@ BASELINE_SEC = {
     "sql_qualify_rewrite": 0.34,
     "llm_sample_reservoir_k": 0.17,
     "llm_ngram_lm_kn": 1.69,
+    "win_hop_distinct_hll": 0.87,
+    "agg_decile_lift_binned": 0.88,
 }
 
 

@@ -2156,3 +2156,100 @@ def agg_skyline_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").cast("long").alias("size"),
     )
     return skyline_grid(pts, "price_cents", "size", n_cells=16)
+
+
+@query(
+    "agg_decile_lift_binned",
+    oracle=_LIFT_ORACLE,
+    tags=("aggregate", "scoring"),
+)
+def agg_decile_lift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg_decile_lift's 100 TB relief valve, REALIZED (the skyline_grid
+    move): EXACT ntile(10) semantics without the single global sort.
+    Phase 1 bins customers into 1024 spend-range cells (bin key depends
+    only on cents, so ties never straddle bins) and takes per-bin counts
+    — a cell-sized table whose running sum gives each bin's global rank
+    OFFSET, broadcast back. Phase 2 sorts WITHIN bins only
+    (window partitioned by bin: local row_number + offset = exact global
+    rank under the total order (cents DESC, custkey)), then converts
+    rank → decile with ntile's own arithmetic (first n%10 buckets get
+    ceil(n/10)). The biggest task is the largest bin, not the whole
+    table — same decomposition story as the grid skyline, and like it
+    the ORACLE is deliberately the single-sort ntile form: any rank
+    fencepost (bin boundary, offset off-by-one, ceil arithmetic) breaks
+    the hash."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).cast("long").alias("n_f"),
+        F.count("*").alias("n_orders"),
+    )
+    lo_hi = spend.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    binned = spend.crossJoin(F.broadcast(lo_hi)).withColumn(
+        "bin",
+        # descending-order bins: bin 0 holds the HIGHEST spenders so the
+        # running offset accumulates in rank order
+        F.least(
+            F.expr("(hi - cents) * 1024 div greatest(hi - lo + 1, 1)"),
+            F.lit(1023).cast("long"),
+        ),
+    )
+    counts = binned.groupBy("bin").agg(F.count("*").alias("bn"))
+    w_off = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bin",
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).cast("long").alias("off"),
+        F.sum("bn").over(
+            Window.orderBy("bin").rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("n_total"),
+    )
+    w_local = Window.partitionBy("bin").orderBy(
+        F.col("cents").desc(), F.col("o_custkey")
+    )
+    r = F.col("off") + F.row_number().over(w_local)
+    ranked = (
+        binned.join(F.broadcast(offsets), "bin")
+        .withColumn("r", r)
+        .withColumn(
+            "decile",
+            F.expr(
+                "CASE WHEN r <= (n_total % 10) * (n_total div 10 + 1)"
+                " THEN (r + n_total div 10) div (n_total div 10 + 1)"
+                " ELSE n_total % 10 +"
+                "  (r - (n_total % 10) * (n_total div 10 + 1)"
+                "   + greatest(n_total div 10, 1) - 1)"
+                "  div greatest(n_total div 10, 1) END"
+            ).cast("int"),
+        )
+    )
+    tot = spend.agg(
+        F.sum("n_f").cast("long").alias("tot_f"),
+        F.sum("n_orders").cast("long").alias("tot_orders"),
+    )
+    dec = "decimal(38,0)"
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(F.col("cents").cast(dec)).cast("long").alias("decile_cents"),
+            F.sum("n_f").cast("long").alias("d_f"),
+            F.sum("n_orders").cast("long").alias("d_orders"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_cust",
+            "decile_cents",
+            F.round(
+                (F.col("d_f").cast("double") / F.col("d_orders"))
+                / (F.col("tot_f").cast("double") / F.col("tot_orders")),
+                6,
+            ).alias("lift_f"),
+        )
+    )

@@ -1100,3 +1100,27 @@ def test_geo_grid_knn_no_cartesian(spark, sf_dir):
     broadcast offset attaches — never a point×point cartesian."""
     p = plan(spark, sf_dir, "join_geo_grid_knn")
     assert "CartesianProduct" not in p
+
+
+def test_decile_lift_binned_no_global_range_sort(spark, sf_dir):
+    """Binned decile lift: the customer-sized rank window partitions by
+    bin (local sorts only) — no global range partitioning of the spend
+    table; the only single-partition window runs over the 1024-row bin
+    offset table (metadata-sized)."""
+    p = plan(spark, sf_dir, "agg_decile_lift_binned")
+    assert "rangepartitioning" not in p.lower()
+    assert "CartesianProduct" not in p
+    # the big window is bin-partitioned: its exchange hashes on bin
+    assert "hashpartitioning(bin" in p
+
+
+def test_hop_distinct_hll_replicates_sketches_not_events(spark, sf_dir):
+    """HLL hop-distinct: the ×4 expansion (Generate/explode) must sit
+    ABOVE the per-slide sketch aggregate — events aggregate once, only
+    sketch rows replicate."""
+    p = plan(spark, sf_dir, "win_hop_distinct_hll")
+    gen = p.find("Generate explode")
+    assert gen != -1
+    # below the explode (later in the printed tree) there is a partial
+    # hll_sketch_agg — i.e. the aggregate feeds the explode, not vice versa
+    assert "hll_sketch_agg" in p[gen:]
