@@ -1124,3 +1124,28 @@ def test_hop_distinct_hll_replicates_sketches_not_events(spark, sf_dir):
     # below the explode (later in the printed tree) there is a partial
     # hll_sketch_agg — i.e. the aggregate feeds the explode, not vice versa
     assert "hll_sketch_agg" in p[gen:]
+
+
+def test_modularity_by_community_composes_lpa(spark, sf_dir):
+    """The drill-down adds only label equi-joins + community-sized
+    aggregates to the audited LPA plan — no cartesian beyond the 1-row
+    scalar attach."""
+    p = plan(spark, sf_dir, "graph_modularity_by_community")
+    assert "CartesianProduct" not in p
+
+
+def test_kn_lm_gram_joins_partial_agg(spark, sf_dir):
+    """KN scoring: bigram counts partial-aggregate map-side and the
+    score join is gram-keyed equi — never a cartesian pair blowup."""
+    p = plan(spark, sf_dir, "llm_ngram_lm_kn")
+    assert "partial_" in p
+    assert "CartesianProduct" not in p
+
+
+def test_rouge_l_fold_stays_jvm(spark, sf_dir):
+    """The LCS fold is pure codegen: no Python evals anywhere in the
+    ROUGE-L plan (the bit-parallel aggregate is a JVM expression)."""
+    p = plan(spark, sf_dir, "llm_rouge_l_pairs")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in p
+    assert "CartesianProduct" not in p
