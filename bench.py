@@ -393,7 +393,7 @@ BASELINE_SEC = {
     "stream_topk_foreachbatch": 0.68,
     "llm_rouge_l_pairs": 2.64,
     "graph_modularity_by_community": 7.79,
-    "join_geo_grid_knn": 5.66,
+    "join_geo_grid_knn": 4.47,
     "sql_qualify_rewrite": 0.34,
     "llm_sample_reservoir_k": 0.17,
     "llm_ngram_lm_kn": 1.69,

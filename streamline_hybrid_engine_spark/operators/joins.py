@@ -1393,18 +1393,28 @@ def grid_knn_join(
             (F.col("cx") + F.col("dx")).alias("jx"),
             (F.col("cy") + F.col("dy")).alias("jy"),
         )
-        ranked = (
+        lim = F.lit(int(rho) * int(cell)).cast("long")
+        cand = (
             a.join(b, ["jx", "jy"])
             .filter(F.col("id") != F.col("nn_id"))
             .select("id", "nn_id", d2.alias("d2"))
-            .withColumn("nn_rank", F.row_number().over(w))
-            .filter(F.col("nn_rank") <= k)
+        )
+        if rho != rings[-1]:
+            # resolution-preserving prune BEFORE the rank window: a point
+            # resolves at ring ρ iff it has k candidates within ρ·cell, and
+            # those candidates ARE its top-k — anything farther can neither
+            # enter a resolving top-k nor block escalation, so dropping it
+            # only shrinks the window input (~3× at ring 1: the inscribed
+            # circle vs the 3×3 window). The covering final ring must keep
+            # everything (k nearest regardless of radius).
+            cand = cand.filter(F.col("d2") <= lim * lim)
+        ranked = cand.withColumn("nn_rank", F.row_number().over(w)).filter(
+            F.col("nn_rank") <= k
         )
         if rho == rings[-1]:
             # covering ring: exact by construction, everyone resolves
             parts.append(ranked)
             break
-        lim = F.lit(int(rho) * int(cell)).cast("long")
         ok = (
             ranked.groupBy("id")
             .agg(F.count("*").alias("n"), F.max("d2").alias("dk2"))
