@@ -1037,3 +1037,38 @@ def test_kn_bigram_lm_matches_rational_reference(spark, texts, tmp_path_factory)
         for r in get_query("llm_ngram_lm_kn").fn(spark, str(tmp)).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=10 * _FUZZ, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=2,
+        max_size=20,
+    ),
+    k=st.integers(1, 3),
+)
+def test_grid_knn_matches_bruteforce(spark, pts, k):
+    """grid_knn_join (expanding rings + the r8 resolution-preserving
+    prune) must equal the O(n²) exact k-NN definition — duplicate
+    points, coincident points (d2=0), and id tie-breaks included."""
+    from streamline_hybrid_engine_spark import grid_knn_join
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    expected = {}
+    for i, x, y in rows:
+        cand = sorted(
+            ((x - x2) ** 2 + (y - y2) ** 2, j)
+            for j, x2, y2 in rows
+            if j != i
+        )
+        for rank, (d2, j) in enumerate(cand[:k], 1):
+            expected[(i, rank)] = (j, d2)
+
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    out = grid_knn_join(df, "id", "x", "y", cell=7, k=k, rings=(1, 2, 10))
+    got = {
+        (r["id"], r["nn_rank"]): (r["nn_id"], r["d2"]) for r in out.collect()
+    }
+    assert got == expected
