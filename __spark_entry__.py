@@ -107,20 +107,13 @@ def _sweep_order(qs, correctness_dir: str | None = None) -> list[str]:
 #: while unstamped).
 _NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # r8 additions ONLY. At the r8 open the 123 r7 entries left this
-        # set: 42 were already stamped (CORRECTNESS_r07 and earlier — the
-        # rank no longer applied to them) and the 81 never-stamped r7 ids
-        # GRADUATED to the long-queued backlog (plain rank 1, sweep slots
-        # 1-81) so the driver's ~50-slot sweep stamps them before anything
-        # r8 adds. tests/test_registry.py pins set ∩ stamped == ∅.
-        "llm_rouge_l_pairs",
-        "graph_modularity_by_community",
-        "join_geo_grid_knn",
-        "sql_qualify_rewrite",
-        "llm_sample_reservoir_k",
-        "llm_ngram_lm_kn",
-        "win_hop_distinct_hll",
-        "agg_decile_lift_binned",
+        # r9 additions ONLY. At the r9 open the 8 r8 entries GRADUATED to
+        # the long-queued backlog (plain rank 1): CORRECTNESS_r08 stamped 50
+        # backlog ids and none of the r8 additions, leaving 39 never-stamped
+        # oracle ids (31 r7-wave at sweep slots 1-31, the 8 r8 ids at 32-39).
+        # r9 additions are capped so 39 + |this set| <= 50 — the whole queue
+        # fits ONE sweep and CORRECTNESS_r09 becomes the first fully-stamped
+        # official record. tests/test_registry.py pins set ∩ stamped == ∅.
     }
 )
 
