@@ -1048,11 +1048,19 @@ def test_kn_bigram_lm_matches_rational_reference(spark, texts, tmp_path_factory)
         max_size=20,
     ),
     k=st.integers(1, 3),
+    shell_carry=st.booleans(),
 )
-def test_grid_knn_matches_bruteforce(spark, pts, k):
-    """grid_knn_join (expanding rings + the r8 resolution-preserving
-    prune) must equal the O(n²) exact k-NN definition — duplicate
-    points, coincident points (d2=0), and id tie-breaks included."""
+def test_grid_knn_matches_bruteforce(spark, pts, k, shell_carry):
+    """grid_knn_join must equal the O(n²) exact k-NN definition —
+    duplicate points, coincident points (d2=0), and id tie-breaks
+    included — in BOTH escalation modes: the default full-window
+    re-scan (r8 resolution-preserving prune) and the r9 ring-shell
+    carry-forward (shell scan ∪ unpruned carried top-k, sort-free
+    resolution count). The carry mode's two danger zones are exactly
+    what this generator hits: candidates at d > ρ·cell inside an
+    already-scanned cell (must be carried, never distance-pruned) and
+    isolated points with zero candidates at ring 1 (must stay
+    pending)."""
     from streamline_hybrid_engine_spark import grid_knn_join
 
     rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
@@ -1067,7 +1075,10 @@ def test_grid_knn_matches_bruteforce(spark, pts, k):
             expected[(i, rank)] = (j, d2)
 
     df = spark.createDataFrame(rows, "id long, x long, y long")
-    out = grid_knn_join(df, "id", "x", "y", cell=7, k=k, rings=(1, 2, 10))
+    out = grid_knn_join(
+        df, "id", "x", "y", cell=7, k=k, rings=(1, 2, 10),
+        shell_carry=shell_carry,
+    )
     got = {
         (r["id"], r["nn_rank"]): (r["nn_id"], r["d2"]) for r in out.collect()
     }
