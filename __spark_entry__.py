@@ -114,6 +114,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         # r9 additions are capped so 39 + |this set| <= 50 — the whole queue
         # fits ONE sweep and CORRECTNESS_r09 becomes the first fully-stamped
         # official record. tests/test_registry.py pins set ∩ stamped == ∅.
+        "llm_rouge_l_long",
     }
 )
 

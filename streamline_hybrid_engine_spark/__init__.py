@@ -84,6 +84,8 @@ _LAZY_EXPORTS = {
     "content_checksum": "streamline_hybrid_engine_spark.operators.metrics",
     "skyline_grid": "streamline_hybrid_engine_spark.operators.aggregates",
     "grid_knn_join": "streamline_hybrid_engine_spark.operators.joins",
+    # multi-word bit-parallel LCS expression generator (r9 pass 5)
+    "lcs_fold_expr": "streamline_hybrid_engine_spark.llm.text",
 }
 
 __all__ = ["all_queries", "get_query", *sorted(_LAZY_EXPORTS)]

@@ -2047,6 +2047,192 @@ def llm_rouge_l_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- long-document ROUGE-L: multi-word bit-parallel LCS (r8 verdict task 4) ---
+
+#: usable bits per signed-BIGINT word of LCS state. 62 keeps the carry
+#: chain overflow-free: word + (word & mask) + carry_in ≤
+#: (2^62−1)+(2^62−1)+1 = 2^63−1, the exact top of signed 64 — so the
+#: multi-precision add never wraps and the carry is one unsigned shift.
+LCS_WORD_BITS = 62
+
+#: token clip for the long-form pair metric: 126 = the widest clip the
+#: DuckDB oracle can hold in ONE HUGEINT word (127 usable bits on signed
+#: 128) — which is the point: Spark folds ceil(126/62)=3 carry-chained
+#: 62-bit words while the oracle folds a single 126-bit word, so a carry
+#: or fencepost slip in either engine's arithmetic breaks the hash. The
+#: Spark-side generator itself has no such cap (any clip = more words).
+ROUGE_L_LONG_CLIP = 126
+
+
+def lcs_fold_expr(clip: int, a: str = "a", b: str = "b") -> str:
+    """SQL expression for token-level LCS length between array columns
+    `a` and `b` (each of size ≤ clip), as a MULTI-WORD bit-parallel
+    CIPR fold — the lift of the one-word `_LCS_EXPR` (clip ≤ 62) to
+    arbitrary clips (r8 verdict task 4: 200-token summarization
+    references stop being out of contract).
+
+    State is ceil(clip/62) signed-64 words of 62 usable bits each; per
+    reference token the recurrence L' = ((L + (L & M)) | (L & ~M)) & ones
+    runs word-by-word, with ONLY the addition carrying across words
+    (OR/AND are per-word): s_w = L_w + (L_w & M_w) + c_w, c_{w+1} =
+    s_w >>> 62 — overflow-free by the LCS_WORD_BITS argument. Pure JVM
+    whole-stage codegen, zero Python, zero shuffle. Fuzzed against the
+    classic O(n·m) DP at every word boundary (61/62/63, 123/124/125)
+    plus the 64-bit-intuition clips 64/65/127/128
+    (tests/test_property_differential.py)."""
+    nw = (max(1, clip) + LCS_WORD_BITS - 1) // LCS_WORD_BITS
+    m62 = f"CAST({(1 << LCS_WORD_BITS) - 1} AS BIGINT)"
+
+    def wmask(w: int) -> str:
+        # bits of b that land in word w: (1 << nb_w) - 1 with
+        # nb_w = clamp(size(b) - 62w, 0, 62); shiftleft(1, 0..62)-1 is safe
+        return (
+            f"(shiftleft(CAST(1 AS BIGINT), "
+            f"greatest(0, least({LCS_WORD_BITS}, "
+            f"size({b}) - {w * LCS_WORD_BITS}))) - 1)"
+        )
+
+    def tok_mask(w: int) -> str:
+        lo = w * LCS_WORD_BITS
+        return (
+            f"aggregate(sequence({lo}, {lo + LCS_WORD_BITS - 1}), "
+            f"CAST(0 AS BIGINT), (m, j) -> "
+            f"CASE WHEN j < size({b}) AND element_at({b}, j + 1) = tok "
+            f"THEN m | shiftleft(CAST(1 AS BIGINT), j - {lo}) ELSE m END)"
+        )
+
+    masks = ", ".join(tok_mask(w) for w in range(nw))
+    init = ", ".join(wmask(w) for w in range(nw))
+    # carry-chained word updates: build s_w as an expression string that
+    # embeds the previous word's carry (expression size grows O(nw²) —
+    # constant once the clip is chosen)
+    carry = "CAST(0 AS BIGINT)"
+    words = []
+    for w in range(nw):
+        lw = f"element_at(L, {w + 1})"
+        mw = f"element_at(M, {w + 1})"
+        s = f"({lw} + ({lw} & {mw}) + {carry})"
+        words.append(f"((({s} & {m62}) | ({lw} & ~{mw})) & {wmask(w)})")
+        carry = f"shiftrightunsigned({s}, {LCS_WORD_BITS})"
+    popcnt = " + ".join(f"bit_count(element_at(L, {w + 1}))" for w in range(nw))
+    # the 4-arg aggregate: the `finish` lambda binds the final state ONCE
+    # so the per-word popcounts don't re-evaluate the whole fold
+    return f"""
+CASE WHEN size({a}) = 0 OR size({b}) = 0 THEN CAST(0 AS BIGINT) ELSE
+  aggregate(
+    transform({a}, tok -> array({masks})),
+    array({init}),
+    (L, M) -> array({", ".join(words)}),
+    L -> CAST(size({b}) - ({popcnt}) AS BIGINT)
+  )
+END
+"""
+
+
+def _rouge_l_long_oracle() -> str:
+    from streamline_hybrid_engine_spark.llm.dedup import BAND_ROWS, _ORACLE_SIGS
+
+    return f"""
+    WITH RECURSIVE sigs AS ({_ORACLE_SIGS}),
+    bands AS (
+      SELECT doc_id, seed // {BAND_ROWS} AS band,
+             md5(string_agg(mh::VARCHAR, '|' ORDER BY seed)) AS bandsig
+      FROM sigs GROUP BY doc_id, seed // {BAND_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_slice(string_split(text, ' '), 1, {ROUGE_L_LONG_CLIP}) AS t
+      FROM documents
+    ),
+    p AS (
+      SELECT c.d1, c.d2, ta.t AS a, tb.t AS b
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.d1
+      JOIN toks tb ON tb.doc_id = c.d2
+    ),
+    dp AS (
+      SELECT d1, d2, a, b, 0 AS i,
+             ((1::HUGEINT << len(b)) - 1) AS L
+      FROM p
+      UNION ALL
+      SELECT d1, d2, a, b, i + 1,
+             (((L + (L & M)) | (L & ~M)) & ((1::HUGEINT << len(b)) - 1))
+      FROM (
+        SELECT d1, d2, a, b, i, L,
+               coalesce(list_sum(list_transform(range(1, len(b) + 1),
+                     j -> CASE WHEN b[j] = a[i + 1]
+                          THEN (1::HUGEINT << (j - 1))
+                          ELSE 0::HUGEINT END)), 0::HUGEINT) AS M
+        FROM dp WHERE i < len(a)
+      )
+    ),
+    fin AS (
+      SELECT d1, d2,
+             CAST(len(a) AS BIGINT) AS la,
+             CAST(len(b) AS BIGINT) AS lb,
+             CAST(len(b) - bit_count(L) AS BIGINT) AS lcs_len
+      FROM dp WHERE i = len(a)
+    )
+    SELECT d1, d2, lcs_len,
+           round(lcs_len / CAST(la AS DOUBLE), 6) AS rougel_recall,
+           round(lcs_len / CAST(lb AS DOUBLE), 6) AS rougel_precision,
+           round(2.0 * lcs_len / CAST(la + lb AS DOUBLE), 6) AS rougel_f1
+    FROM fin
+    """
+
+
+@query(
+    "llm_rouge_l_long",
+    oracle=_rouge_l_long_oracle(),
+    tags=("llm", "evaluation"),
+)
+def llm_rouge_l_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document ROUGE-L between LSH candidate pairs: the clip-126
+    lift of `llm_rouge_l_pairs` (clip 32) via the multi-word
+    bit-parallel LCS (r8 verdict task 4 — the difference between a demo
+    metric and one a summarization-eval user can run on real
+    references). Spark folds three carry-chained 62-bit BIGINT words
+    per pair; the DuckDB oracle folds the SAME recurrence in one
+    126-bit HUGEINT word — two different machine arithmetics evaluating
+    one recurrence, so a carry-propagation or word-boundary slip in
+    either engine breaks the hash. Candidate economics unchanged: LSH
+    band pairs only, never all-pairs; the fold is pure JVM codegen over
+    the candidate join, zero Python, zero extra shuffle."""
+    from streamline_hybrid_engine_spark.llm.dedup import llm_dedup_minhash_pairs
+
+    pairs = llm_dedup_minhash_pairs(spark, sf_dir).select("d1", "d2")
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id",
+        F.slice(F.split(F.col("text"), " "), 1, ROUGE_L_LONG_CLIP).alias(
+            "toks"
+        ),
+    )
+    ta = docs.select(F.col("doc_id").alias("d1"), F.col("toks").alias("a"))
+    tb = docs.select(F.col("doc_id").alias("d2"), F.col("toks").alias("b"))
+    j = (
+        pairs.join(ta, "d1")
+        .join(tb, "d2")
+        .withColumn("lcs_len", F.expr(lcs_fold_expr(ROUGE_L_LONG_CLIP)))
+    )
+    la = F.size("a").cast("double")
+    lb = F.size("b").cast("double")
+    return j.select(
+        "d1",
+        "d2",
+        "lcs_len",
+        F.round(F.col("lcs_len") / la, 6).alias("rougel_recall"),
+        F.round(F.col("lcs_len") / lb, 6).alias("rougel_precision"),
+        F.round(F.lit(2.0) * F.col("lcs_len") / (la + lb), 6).alias(
+            "rougel_f1"
+        ),
+    )
+
+
 RESERVOIR_K = 50
 
 

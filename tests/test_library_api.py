@@ -474,3 +474,22 @@ def test_grid_knn_join_on_toy_points(spark):
         # though it contributes no carry rows
         assert got[(4, 1)] == 3
         assert len(out) == 4 * 2
+
+
+def test_lcs_fold_expr_on_toy_pairs(spark):
+    from streamline_hybrid_engine_spark import lcs_fold_expr
+
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "b", "c", "d"], ["b", "d"]),
+            (2, ["x"] * 100, ["x"] * 100),      # crosses the 62-bit word
+            (3, [], ["a", "b"]),
+            (4, ["q", "r"], []),
+        ],
+        "i long, a array<string>, b array<string>",
+    )
+    got = {
+        r["i"]: r["lcs"]
+        for r in df.selectExpr("i", f"{lcs_fold_expr(128)} AS lcs").collect()
+    }
+    assert got == {1: 2, 2: 100, 3: 0, 4: 0}

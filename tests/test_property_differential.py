@@ -735,6 +735,94 @@ def test_lcs_bitparallel_matches_classic_dp(spark, duck_mem, pairs):
     assert [got_duck[i] for i in range(len(pairs))] == expected
 
 
+#: lengths that stress the multi-word fold's carry chain: the 62-bit
+#: word boundaries (61/62/63, 123/124/125) where a carry must cross
+#: words, plus the 64-bit-intuition clips (64/65, 127/128) the r8
+#: verdict named, plus degenerate empties
+_LCS_BOUNDARY_LENGTHS = st.one_of(
+    st.integers(0, 5),
+    st.integers(60, 66),
+    st.integers(122, 128),
+)
+
+
+@settings(max_examples=10 * _FUZZ, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.tuples(_LCS_BOUNDARY_LENGTHS, st.randoms(use_true_random=False)),
+            st.tuples(_LCS_BOUNDARY_LENGTHS, st.randoms(use_true_random=False)),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_lcs_multiword_matches_classic_dp(spark, duck_mem, pairs):
+    """llm_rouge_l_long's multi-word carry-chained CIPR fold (r8 verdict
+    task 4) must equal the classic LCS DP at every word boundary — token
+    lengths straddle 61/62/63 and 123/124/125 (where the 62-bit words
+    split and the addition's carry must propagate across words) plus the
+    64/65 and 127/128 clips the verdict named — on BOTH evaluators: the
+    Spark k-word fold and the DuckDB single-HUGEINT-word recursive CTE
+    (two machine arithmetics, one recurrence). Tiny alphabet keeps the
+    carry chain busiest (long runs of matches saturate L + (L & M))."""
+    from streamline_hybrid_engine_spark.llm.text import lcs_fold_expr
+
+    mk = lambda n, rng: [rng.choice("xy") for _ in range(n)]
+    toks = [(mk(na, ra), mk(nb, rb)) for (na, ra), (nb, rb) in pairs]
+    expected = [_lcs_classic(a, b) for a, b in toks]
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(toks)],
+        "i long, a array<string>, b array<string>",
+    )
+    expr = lcs_fold_expr(128)
+    got_spark = {
+        r["i"]: r["lcs"]
+        for r in df.selectExpr("i", f"{expr} AS lcs").collect()
+    }
+    assert [got_spark[i] for i in range(len(toks))] == expected
+
+    # the DuckDB form holds the state in ONE HUGEINT word, so it is only
+    # defined for len(b) ≤ 126 (1 << 127 overflows signed 128) — exactly
+    # why the registry id clips at ROUGE_L_LONG_CLIP = 126; the Spark
+    # fold above still covers 127/128
+    duck_pairs = [(i, a, b) for i, (a, b) in enumerate(toks) if len(b) <= 126]
+    duck_mem.execute(
+        "CREATE OR REPLACE TABLE lcsw_pairs (i BIGINT, a VARCHAR[], b VARCHAR[])"
+    )
+    duck_mem.executemany(
+        "INSERT INTO lcsw_pairs VALUES (?, ?, ?)", duck_pairs
+    ) if duck_pairs else None
+    got_duck = dict(
+        duck_mem.execute(
+            """
+    WITH RECURSIVE dp AS (
+      SELECT i, a, b, 0 AS r, ((1::HUGEINT << len(b)) - 1) AS L
+      FROM lcsw_pairs
+      UNION ALL
+      SELECT i, a, b, r + 1,
+             (((L + (L & M)) | (L & ~M)) & ((1::HUGEINT << len(b)) - 1))
+      FROM (
+        SELECT i, a, b, r, L,
+               coalesce(list_sum(list_transform(range(1, len(b) + 1),
+                     j -> CASE WHEN b[j] = a[r + 1]
+                          THEN (1::HUGEINT << (j - 1))
+                          ELSE 0::HUGEINT END)), 0::HUGEINT) AS M
+        FROM dp WHERE r < len(a)
+      )
+    )
+    SELECT i, CAST(len(b) - bit_count(L) AS BIGINT)
+    FROM dp WHERE r = len(a)
+            """
+        ).fetchall()
+    )
+    assert [got_duck[i] for i, _, _ in duck_pairs] == [
+        expected[i] for i, _, _ in duck_pairs
+    ]
+
+
 # --- r8 templates: the r7 wave-4/5 primitives (verdict task 8) ---------------
 
 ATTR_LOOKBACK_US = 86_400_000_000  # the 24 h bound the int64 encoding rides on
