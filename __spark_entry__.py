@@ -115,6 +115,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         # fits ONE sweep and CORRECTNESS_r09 becomes the first fully-stamped
         # official record. tests/test_registry.py pins set ∩ stamped == ∅.
         "llm_rouge_l_long",
+        "llm_dedup_substring",
+        "llm_kn_top_followers",
     }
 )
 

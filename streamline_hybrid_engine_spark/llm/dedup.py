@@ -1553,3 +1553,147 @@ def llm_dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# --- substring-level dedup: repeated-span removal (r8 verdict task 5) --------
+
+#: anchor width in tokens. A repeated span of L ≥ SPAN_ANCHOR tokens
+#: appears as exactly L − SPAN_ANCHOR + 1 consecutive repeated anchors,
+#: so anchor-run merging IS the "extend the match" step of Lee et al.
+#: 2022 ("Deduplicating Training Data Makes Language Models Better"),
+#: expressed relationally instead of via an in-memory suffix array.
+SPAN_ANCHOR = 8
+
+#: minimum span length (tokens) worth emitting for removal — spans
+#: shorter than this are overwhelmingly idiom, not duplication (Lee et
+#: al. use 50 BPE tokens at corpus scale; the fixture corpus is small,
+#: so the contract pins a proportionally smaller floor).
+SPAN_MIN_TOKENS = 12
+
+
+def _substring_oracle() -> str:
+    a, m = SPAN_ANCHOR, SPAN_MIN_TOKENS
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS p,
+             md5(array_to_string(t[i + 1 : i + {a}], ' ')) AS gh
+      FROM toks, unnest(range(0, len(t) - {a} + 1)) AS u(i)
+      WHERE len(t) >= {a}
+    ),
+    hot AS (
+      SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2
+    ),
+    rep AS (
+      SELECT g.doc_id, g.p FROM grams g JOIN hot USING (gh)
+    ),
+    isl0 AS (
+      SELECT doc_id, p,
+             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM rep
+    ),
+    isl AS (
+      SELECT doc_id, p,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g
+      FROM isl0
+    ),
+    spans AS (
+      SELECT doc_id, min(p) AS start_tok, max(p) + {a} - 1 AS end_tok
+      FROM isl GROUP BY doc_id, g
+      HAVING max(p) + {a} - min(p) >= {m}
+    ),
+    sh AS (
+      SELECT s.doc_id,
+             CAST(s.start_tok AS BIGINT) AS start_tok,
+             CAST(s.end_tok AS BIGINT) AS end_tok,
+             CAST(s.end_tok - s.start_tok + 1 AS BIGINT) AS n_tokens,
+             md5(array_to_string(
+               t[s.start_tok + 1 : s.end_tok + 1], ' ')) AS span_md5
+      FROM spans s JOIN toks USING (doc_id)
+    )
+    SELECT doc_id, start_tok, end_tok, n_tokens, span_md5,
+           (row_number() OVER (PARTITION BY span_md5
+                               ORDER BY doc_id, start_tok) = 1) AS keep
+    FROM sh
+    """
+
+
+@query(
+    "llm_dedup_substring",
+    oracle=_substring_oracle(),
+    tags=("llm", "dedup"),
+)
+def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup — the dedup family's last missing
+    granularity (r8 verdict task 5): remove REPEATED SPANS inside
+    otherwise-distinct documents, the Lee et al. 2022 corpus pass that
+    document-level MinHash/SimHash cannot see. Relational formulation:
+    (1) every SPAN_ANCHOR-token anchor gram per position (explode —
+    |tokens| rows, the same economics as llm_contamination_8gram);
+    (2) anchors repeated ≥ 2× anywhere in the corpus (map-side-combined
+    count, skew-safe for boilerplate grams); (3) per-doc ISLAND MERGE of
+    consecutive repeated anchor positions — a maximal repeated span of L
+    tokens is exactly a run of L−A+1 repeated anchors, so gaps-and-
+    islands IS match extension, bucketed end to end (never a suffix
+    array in memory, never doc×doc); (4) spans ≥ SPAN_MIN_TOKENS join
+    back to token arrays for a span content hash, and the first
+    occurrence by (doc_id, start_tok) per identical span text is marked
+    ``keep`` — the removal table a curation pipeline applies. All
+    windows are doc- or span-hash-partitioned; nothing global. Fuzzed
+    vs a brute-force Python span finder
+    (tests/test_property_differential.py)."""
+    a = SPAN_ANCHOR
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    grams = docs.filter(F.size("toks") >= a).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {a}), "
+                f"i -> md5(concat_ws(' ', slice(toks, i + 1, {a}))))"
+            )
+        ).alias("p", "gh"),
+    )
+    hot = (
+        grams.groupBy("gh")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gh")
+    )
+    rep = grams.join(hot, "gh", "left_semi").select("doc_id", "p")
+    wseq = Window.partitionBy("doc_id").orderBy("p")
+    isl = rep.withColumn(
+        "brk",
+        F.when(F.col("p") - F.lag("p").over(wseq) <= 1, 0).otherwise(1),
+    ).withColumn("isl", F.sum("brk").over(wseq))
+    spans = (
+        isl.groupBy("doc_id", "isl")
+        .agg(
+            F.min("p").cast("long").alias("start_tok"),
+            (F.max("p") + a - 1).cast("long").alias("end_tok"),
+        )
+        .withColumn(
+            "n_tokens", (F.col("end_tok") - F.col("start_tok") + 1)
+        )
+        .filter(F.col("n_tokens") >= SPAN_MIN_TOKENS)
+        .drop("isl")
+    )
+    sh = spans.join(docs, "doc_id").select(
+        "doc_id",
+        "start_tok",
+        "end_tok",
+        "n_tokens",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr("slice(toks, CAST(start_tok + 1 AS INT), "
+                       "CAST(n_tokens AS INT))"),
+            )
+        ).alias("span_md5"),
+    )
+    wk = Window.partitionBy("span_md5").orderBy("doc_id", "start_tok")
+    return sh.withColumn("keep", F.row_number().over(wk) == 1)

@@ -1171,3 +1171,110 @@ def test_grid_knn_matches_bruteforce(spark, pts, k, shell_carry):
         (r["id"], r["nn_rank"]): (r["nn_id"], r["d2"]) for r in out.collect()
     }
     assert got == expected
+
+
+# --- r9 templates: substring dedup / KN followers (verdict tasks 5-7) --------
+
+
+@settings(max_examples=8 * _FUZZ, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.data(),
+    n_docs=st.integers(2, 5),
+)
+def test_dedup_substring_matches_bruteforce(spark, data, n_docs,
+                                            tmp_path_factory):
+    """llm_dedup_substring — driven through the REAL registry query on a
+    synthetic documents fixture — must equal the brute-force span
+    finder: count every 8-token anchor gram, mark positions whose gram
+    repeats (>= 2 anywhere, same-doc included), merge consecutive
+    positions into maximal islands, keep spans >= 12 tokens, flag the
+    first occurrence per identical span text. Docs share injected
+    phrases (the signal) over a 3-token alphabet (natural 8-gram
+    collisions stay rare, so the phrase machinery is what's tested);
+    edges: docs shorter than the anchor, spans exactly at the 12-token
+    floor, islands separated by a 2-gap (must NOT merge)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streamline_hybrid_engine_spark.llm.dedup import (
+        SPAN_ANCHOR,
+        SPAN_MIN_TOKENS,
+    )
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    alphabet = ["aa", "bb", "cc"]
+    phrase_len = data.draw(st.integers(SPAN_MIN_TOKENS, SPAN_MIN_TOKENS + 4))
+    phrase = [
+        data.draw(st.sampled_from(alphabet), label=f"ph{i}")
+        for i in range(phrase_len)
+    ]
+    docs = {}
+    for d in range(n_docs):
+        pre = data.draw(
+            st.lists(st.sampled_from(alphabet), max_size=6), label=f"pre{d}"
+        )
+        post = data.draw(
+            st.lists(st.sampled_from(alphabet), max_size=6), label=f"post{d}"
+        )
+        use_phrase = data.draw(st.booleans(), label=f"use{d}")
+        docs[d] = pre + (phrase if use_phrase else []) + post
+
+    A, MIN = SPAN_ANCHOR, SPAN_MIN_TOKENS
+    from collections import Counter
+
+    gram_counts = Counter()
+    for t in docs.values():
+        for p in range(len(t) - A + 1):
+            gram_counts[" ".join(t[p : p + A])] += 1
+    spans = []
+    for d, t in docs.items():
+        ps = [
+            p
+            for p in range(len(t) - A + 1)
+            if gram_counts[" ".join(t[p : p + A])] >= 2
+        ]
+        runs = []
+        for p in ps:
+            if runs and p == runs[-1][1] + 1:
+                runs[-1][1] = p
+            else:
+                runs.append([p, p])
+        for s, e in runs:
+            et = e + A - 1
+            n = et - s + 1
+            if n >= MIN:
+                spans.append((d, s, et, n, " ".join(t[s : et + 1])))
+    expected, first = {}, set()
+    for d, s, e, n, txt in sorted(spans):
+        h = hashlib.md5(txt.encode()).hexdigest()
+        keep = h not in first
+        first.add(h)
+        expected[(d, s)] = (e, n, h, keep)
+
+    tmp = tmp_path_factory.mktemp("substrfix")
+    texts = [" ".join(docs[d]) for d in sorted(docs)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": sorted(docs),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["fuzz"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+        str(tmp / "documents.parquet"),
+    )
+    got = {
+        (r["doc_id"], r["start_tok"]): (
+            r["end_tok"],
+            r["n_tokens"],
+            r["span_md5"],
+            r["keep"],
+        )
+        for r in get_query("llm_dedup_substring").fn(spark, str(tmp)).collect()
+    }
+    assert got == expected
