@@ -1560,9 +1560,14 @@ def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("decile").agg(
         F.count("*").alias("n_cust"),
         F.sum(F.col("cents").cast(dec)).cast("long").alias("decile_cents"),
+        # try_divide: a corpus with ZERO target events has global rate 0 —
+        # DuckDB's x/0 is NULL, ANSI Spark throws; NULL lift is the shared
+        # semantics (r9 fuzz find, same class as binary_auc's one-class fix)
         F.round(
-            (F.sum("n_f").cast("double") / F.sum("n_orders"))
-            / (F.min("tot_f").cast("double") / F.min("tot_orders")),
+            F.try_divide(
+                F.sum("n_f").cast("double") / F.sum("n_orders"),
+                F.min("tot_f").cast("double") / F.min("tot_orders"),
+            ),
             6,
         ).alias("lift_f"),
     )
@@ -2246,9 +2251,13 @@ def agg_decile_lift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile",
             "n_cust",
             "decile_cents",
+            # try_divide: zero-target-event corpus → global rate 0 → NULL
+            # lift on both engines (r9 fuzz find, see agg_decile_lift)
             F.round(
-                (F.col("d_f").cast("double") / F.col("d_orders"))
-                / (F.col("tot_f").cast("double") / F.col("tot_orders")),
+                F.try_divide(
+                    F.col("d_f").cast("double") / F.col("d_orders"),
+                    F.col("tot_f").cast("double") / F.col("tot_orders"),
+                ),
                 6,
             ).alias("lift_f"),
         )

@@ -1137,8 +1137,9 @@ def test_kn_bigram_lm_matches_rational_reference(spark, texts, tmp_path_factory)
     ),
     k=st.integers(1, 3),
     shell_carry=st.booleans(),
+    cell=st.sampled_from([1, 7, 1000]),
 )
-def test_grid_knn_matches_bruteforce(spark, pts, k, shell_carry):
+def test_grid_knn_matches_bruteforce(spark, pts, k, shell_carry, cell):
     """grid_knn_join must equal the O(n²) exact k-NN definition —
     duplicate points, coincident points (d2=0), and id tie-breaks
     included — in BOTH escalation modes: the default full-window
@@ -1148,7 +1149,11 @@ def test_grid_knn_matches_bruteforce(spark, pts, k, shell_carry):
     what this generator hits: candidates at d > ρ·cell inside an
     already-scanned cell (must be carried, never distance-pruned) and
     isolated points with zero candidates at ring 1 (must stay
-    pending)."""
+    pending). ``cell`` sweeps the degenerate grids (r8 verdict task 7):
+    1000 puts every point in ONE cell (ring 1 is already covering),
+    1 puts ~one point per cell (maximal escalation — the shape where
+    carry actually carries); the final ring is sized to stay covering
+    at every cell choice (the caller contract)."""
     from streamline_hybrid_engine_spark import grid_knn_join
 
     rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
@@ -1163,8 +1168,9 @@ def test_grid_knn_matches_bruteforce(spark, pts, k, shell_carry):
             expected[(i, rank)] = (j, d2)
 
     df = spark.createDataFrame(rows, "id long, x long, y long")
+    covering = 31 // cell + 2  # grid span at this cell size, plus slack
     out = grid_knn_join(
-        df, "id", "x", "y", cell=7, k=k, rings=(1, 2, 10),
+        df, "id", "x", "y", cell=cell, k=k, rings=(1, 2, covering),
         shell_carry=shell_carry,
     )
     got = {
@@ -1278,3 +1284,217 @@ def test_dedup_substring_matches_bruteforce(spark, data, n_docs,
         for r in get_query("llm_dedup_substring").fn(spark, str(tmp)).collect()
     }
     assert got == expected
+
+
+def _kn_shape_texts(data, shape: str) -> list:
+    alphabet = ["a", "b", "c", "d"]
+    if shape == "singleton":
+        # every bigram unique: c(vw)=1 everywhere — the (4c−3)=1 discount
+        # boundary the r8 verdict names
+        n = data.draw(st.integers(1, 6), label="n_singleton")
+        return [f"s{2 * i} s{2 * i + 1}" for i in range(n)]
+    if shape == "dominant":
+        # one context follows everything: cv huge, N1+(v·) = vocab
+        n = data.draw(st.integers(2, 8), label="n_dominant")
+        return [" ".join(f"v w{i}" for i in range(n))]
+    return [
+        " ".join(
+            data.draw(
+                st.lists(st.sampled_from(alphabet), min_size=0, max_size=10),
+                label=f"doc{i}",
+            )
+        )
+        for i in range(data.draw(st.integers(1, 6), label="n_rand"))
+    ]
+
+
+@settings(max_examples=5 * _FUZZ, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.data(),
+    shape=st.sampled_from(["singleton", "dominant", "random"]),
+)
+def test_kn_probabilities_sum_to_one_prefloor(spark, data, shape,
+                                              tmp_path_factory):
+    """The KN estimator's defining identity, Σ_w p(w|v) = 1 over the
+    FULL vocabulary (observed bigrams get (c−d)/cv + the continuation
+    term, unobserved get the continuation term alone), must hold as an
+    EXACT pre-floor rational at the adversarial count shapes the r8
+    verdict names: all-singleton corpora (c(vw)=1, the discount
+    boundary where 4c−3 bottoms out) and a dominant context (cv and
+    N1+(v·) maximal). The engine is then driven through the REAL query
+    on the same fixture and must floor exactly those rationals."""
+    import collections
+    from fractions import Fraction
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    texts = _kn_shape_texts(data, shape)
+    big = collections.Counter()
+    for t in texts:
+        toks = t.split(" ") if t else [""]
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] += 1
+    if not big:
+        return
+    cv, n1v, n1w = (
+        collections.Counter(),
+        collections.Counter(),
+        collections.Counter(),
+    )
+    for (a, b), c in big.items():
+        cv[a] += c
+        n1v[a] += 1
+        n1w[b] += 1
+    nt = len(big)
+
+    # pre-floor identity, exact rationals, over the FULL vocab per context
+    for v in cv:
+        total = Fraction(0)
+        for w, nw in n1w.items():
+            cont = Fraction(3 * n1v[v] * nw, 4 * cv[v] * nt)
+            if (v, w) in big:
+                total += Fraction(4 * big[(v, w)] - 3, 4 * cv[v]) + cont
+            else:
+                total += cont
+        assert total == 1, f"Σ_w p(w|{v}) = {total} != 1 ({shape})"
+
+    # engine agreement at the same adversarial shape
+    def p_micro(a, b):
+        c = big[(a, b)]
+        return ((4 * c - 3) * nt + 3 * n1v[a] * n1w[b]) * 1_000_000 // (
+            4 * cv[a] * nt
+        )
+
+    expected = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ") if t else [""]
+        pairs = list(zip(toks, toks[1:]))
+        if pairs:
+            s = sum(p_micro(a, b) for a, b in pairs)
+            expected[i] = (len(pairs), s, s // len(pairs))
+
+    tmp = tmp_path_factory.mktemp("knshape")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["fuzz"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+        str(tmp / "documents.parquet"),
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_p_micro"], r["mean_p_micro"])
+        for r in get_query("llm_ngram_lm_kn").fn(spark, str(tmp)).collect()
+    }
+    assert got == expected
+
+
+@settings(max_examples=5 * _FUZZ, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n_users=st.sampled_from([1, 2, 3, 90, 100, 110, 300]),
+    n_slides=st.integers(1, 3),
+)
+def test_hll_hop_bound_near_threshold(spark, n_users, n_slides,
+                                      tmp_path_factory):
+    """win_hop_distinct_hll's error contract (estimate within 5% of
+    exact per hop window) at near-threshold cardinalities (r8 verdict
+    task 7): tiny sets (1-3, where HLL is exact by sparse mode), the
+    ~100 region (sparse→dense transition for small sketches), and a
+    few hundred. Exact counts are re-derived in Python over the same
+    slide→hop expansion; every hll_within_5pct must be TRUE."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for s in range(n_slides):
+        for u in range(n_users):
+            rows.append(
+                (eid, base + dt.timedelta(minutes=15 * s, seconds=u % 60),
+                 u, "view", 1.0, "{}")
+            )
+            eid += 1
+    tmp = tmp_path_factory.mktemp("hllfix")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [r[1] for r in rows],
+                "user_id": [r[2] for r in rows],
+                "event_type": [r[3] for r in rows],
+                "value": [r[4] for r in rows],
+                "props": [r[5] for r in rows],
+            }
+        ),
+        str(tmp / "events.parquet"),
+    )
+
+    expected = {}
+    for _, ts, u, _, _, _ in rows:
+        slide = ts.replace(minute=(ts.minute // 15) * 15, second=0,
+                           microsecond=0)
+        for kk in range(4):
+            ws = slide - dt.timedelta(minutes=15 * kk)
+            expected.setdefault(ws, set()).add(u)
+
+    out = get_query("win_hop_distinct_hll").fn(spark, str(tmp)).collect()
+    got = {r["ws"]: (r["n_users_exact"], r["hll_within_5pct"]) for r in out}
+    assert set(got) == set(expected)
+    for ws, users in expected.items():
+        n_exact, within = got[ws]
+        assert n_exact == len(users)
+        assert within is True, f"HLL off by >5% at cardinality {len(users)}"
+
+
+@settings(max_examples=5 * _FUZZ, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    cents_pool=st.lists(st.sampled_from([0, 100, 100, 100, 2500, 2500]),
+                        min_size=10, max_size=40),
+)
+def test_decile_lift_binned_equals_single_sort(spark, cents_pool,
+                                               tmp_path_factory):
+    """agg_decile_lift_binned (exact global ntile via per-bin rank
+    offsets, no global sort) must return EXACTLY what the single-sort
+    agg_decile_lift returns — including at bin-boundary ties (r8
+    verdict task 7): spend values drawn from a tiny pool so many
+    customers share identical cents and whole runs of the ntile
+    straddle bin boundaries, the case where an off-by-one in the bin
+    offset arithmetic silently shifts a decile."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    base = __import__("datetime").datetime(2024, 1, 1)
+    rows = {
+        "o_orderkey": list(range(len(cents_pool))),
+        "o_custkey": list(range(len(cents_pool))),  # one order per customer
+        "o_orderstatus": ["F" if c % 200 else "O" for c in cents_pool],
+        "o_totalprice": [c / 100.0 for c in cents_pool],
+        "o_orderdate": [base] * len(cents_pool),
+        "o_orderpriority": ["1-URGENT"] * len(cents_pool),
+    }
+    tmp = tmp_path_factory.mktemp("liftfix")
+    pq.write_table(pa.table(rows), str(tmp / "orders.parquet"))
+
+    canon = lambda df: sorted(
+        tuple(r) for r in df.collect()
+    )
+    single = canon(get_query("agg_decile_lift").fn(spark, str(tmp)))
+    binned = canon(get_query("agg_decile_lift_binned").fn(spark, str(tmp)))
+    assert binned == single
