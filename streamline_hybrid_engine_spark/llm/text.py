@@ -1025,9 +1025,10 @@ def waterfill(
             F.sum("uncapped").cast("long").alias("u"),
         )
     )
-    base = F.floor((F.col("b") - F.col("f")).cast("double") / F.col("u")).cast(
-        "long"
-    )
+    # exact integral division: floor of a DOUBLE quotient can be off by
+    # one once b - f exceeds 2^53, breaking the Σallocation == min(b, Σn)
+    # contract at extreme budgets (r8 advice item 1)
+    base = F.expr("(b - f) div u").cast("long")
     rem = (F.col("b") - F.col("f")) - base * F.col("u")
     w_unc = Window.partitionBy("uncapped").orderBy(n_col, tiebreak_col)
     return marked.crossJoin(F.broadcast(params)).select(
@@ -1550,7 +1551,13 @@ def binary_auc(scored: DataFrame, score_col: str, label_col: str) -> DataFrame:
     y = F.col(label_col)
     ranked = scored.select(
         y.alias("y"),
-        (2 * F.rank().over(w) + F.count("*").over(ws) - 1).alias("r2"),
+        # rank() is IntegerType — cast BEFORE the arithmetic so 2·rank
+        # can't overflow int32 past ~1.07e9 rows (r8 advice item 2)
+        (
+            2 * F.rank().over(w).cast("long")
+            + F.count("*").over(ws).cast("long")
+            - 1
+        ).alias("r2"),
     )
     agg = ranked.agg(
         F.sum(F.when(F.col("y") == 1, F.col("r2")).otherwise(0))

@@ -2072,8 +2072,30 @@ def skyline_grid(
     with pts' columns. Input must not already carry columns named
     lo/hi/cell/best_cheaper_local/best_at_price/best_prior_cells.
     Fuzz-pinned against the O(n²) dominance definition AND the
-    single-sort window form (tests/test_property_differential.py)."""
+    single-sort window form (tests/test_property_differential.py).
+
+    ``x_col`` MUST be integral (enforced): the strictly-cheaper frame is
+    rangeBetween(unboundedPreceding, -1), and "-1" only means "strictly
+    cheaper" when x values are whole — a decimal x with fractional
+    values would silently exclude cheaper points within 1 unit
+    (r8 advice item 3). Encode fractional prices as fixed-point ints
+    first (the cents convention used across the repo)."""
     from pyspark.sql import Window
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    xt = pts.schema[x_col].dataType
+    if not isinstance(xt, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"skyline_grid: x_col {x_col!r} must be an integral type "
+            f"(got {xt.simpleString()}); encode fractional values as "
+            "fixed-point integers (e.g. cents) first — the strictly-"
+            "cheaper window frame is only exact on whole numbers"
+        )
 
     x, y = F.col(x_col), F.col(y_col)
     lo_hi = pts.agg(F.min(x_col).alias("lo"), F.max(x_col).alias("hi"))
