@@ -117,6 +117,11 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "llm_rouge_l_long",
         "llm_dedup_substring",
         "llm_kn_top_followers",
+        "llm_tokenizer_fertility",
+        "llm_bleu_pairs",
+        "llm_kn_heldout_surprisal",
+        "llm_ann_recall_eval",
+        "ts_cross_correlation_lag",
     }
 )
 

@@ -958,3 +958,133 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("vec_id") == F.col("keep_id")).alias("keep"),
     )
+
+
+# --- r9: ANN recall evaluation (LSH vs exact ground truth) --------------------
+
+#: every RECALL_SAMPLE_MOD-th vector is a query in the recall eval —
+#: the sampled-query discipline real ANN benchmarks use (ann-benchmarks,
+#: BigANN): ground truth costs |queries| × |corpus|, so you buy accuracy
+#: of the ESTIMATE with query count, never with an all-pairs scan.
+RECALL_SAMPLE_MOD = 8
+
+#: top-k depth the recall is measured at (recall@10, the standard cut).
+RECALL_K = 10
+
+
+@query(
+    "llm_ann_recall_eval",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % {RECALL_SAMPLE_MOD} = 0
+    ),
+    exact AS (
+      SELECT vec_id, b_id, rnk FROM (
+        SELECT q.vec_id, b.vec_id AS b_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({_ODOT.format(a="q.embedding", b="b.embedding")}, 6) DESC,
+                          b.vec_id
+               ) AS rnk
+        FROM q CROSS JOIN embeddings b
+        WHERE b.vec_id <> q.vec_id
+      ) WHERE rnk <= {RECALL_K}
+    ),
+    bucketed AS (
+      SELECT vec_id, embedding,
+             {_OLSH % (N_PLANES, "embedding")} AS bucket
+      FROM embeddings
+    ),
+    approx AS (
+      SELECT vec_id, b_id FROM (
+        SELECT a.vec_id, b.vec_id AS b_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round({_ODOT.format(a="a.embedding", b="b.embedding")}, 6) DESC,
+                          b.vec_id
+               ) AS rnk
+        FROM bucketed a
+        JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        WHERE a.vec_id % {RECALL_SAMPLE_MOD} = 0
+      ) WHERE rnk <= {RECALL_K}
+    )
+    SELECT e.vec_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN a.b_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           CAST((sum(CASE WHEN a.b_id IS NOT NULL THEN 1 ELSE 0 END)::HUGEINT
+                 * 1000000) // {RECALL_K} AS BIGINT) AS recall_micro
+    FROM exact e
+    LEFT JOIN approx a ON a.vec_id = e.vec_id AND a.b_id = e.b_id
+    GROUP BY e.vec_id
+    """,
+    tags=("llm", "knn", "evaluation"),
+)
+def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH ANN path against exact ground truth — the
+    evaluation every ANN deployment runs before trusting the index
+    (ann-benchmarks' headline metric). For a deterministic sample of
+    query vectors (vec_id ≡ 0 mod {RECALL_SAMPLE_MOD}), compute the
+    EXACT top-{RECALL_K} by brute force and the top-{RECALL_K} the
+    hyperplane-LSH bucket (llm_knn_lsh's identical signature — same
+    md5-derived planes, so this id certifies THAT index, not a
+    lookalike) would return, and score |approx ∩ exact| / k per query.
+    Ranking is by ROUNDED cosine then vec_id — fully deterministic even
+    if the two engines' float folds ever diverged in the last ulp, so
+    ties can't flip the hash. Recall is an exact floored micro ratio.
+    Plan/economics: ground truth is |q| × |corpus| with the query side
+    BROADCAST (never corpus × corpus — the sample mod is the documented
+    valve: at 100 TB you take 1k queries, not 1/{RECALL_SAMPLE_MOD} of
+    the corpus); the approx side prunes to the query sample BEFORE the
+    bucket join; per-query top-k windows partition by query id. The
+    left join on (query, neighbor) is candidate-sized."""
+    e = load_table(spark, sf_dir, "embeddings", parallel=True).withColumn(
+        "ed", F.expr(_TO_DOUBLE.format(v="embedding"))
+    )
+    from pyspark.sql import Window
+
+    q = e.filter(F.col("vec_id") % RECALL_SAMPLE_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("ed").alias("qe")
+    )
+    corpus = e.select(F.col("vec_id").alias("b_id"), F.col("ed").alias("be"))
+    dot = F.round(F.expr(_DOT_D.format(a="qe", b="be")), 6)
+    wq = Window.partitionBy("qid").orderBy(F.col("s").desc(), "b_id")
+    exact = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("b_id") != F.col("qid"))
+        .withColumn("s", dot)
+        .withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= RECALL_K)
+        .select(F.col("qid").alias("vec_id"), "b_id")
+    )
+    bucketed = e.withColumn("bucket", F.expr(_lsh_bucket_expr("embedding")))
+    qa = bucketed.filter(F.col("vec_id") % RECALL_SAMPLE_MOD == 0).select(
+        F.col("vec_id").alias("qid"), "bucket", F.col("ed").alias("qe")
+    )
+    cb = bucketed.select(
+        F.col("vec_id").alias("b_id"), "bucket", F.col("ed").alias("be")
+    )
+    approx = (
+        qa.join(cb, "bucket")
+        .filter(F.col("b_id") != F.col("qid"))
+        .withColumn("s", dot)
+        .withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= RECALL_K)
+        .select(F.col("qid").alias("vec_id"), "b_id", F.lit(1).alias("hit"))
+    )
+    return (
+        exact.join(approx, ["vec_id", "b_id"], "left")
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .withColumn(
+            "recall_micro",
+            F.expr(
+                "CAST((CAST(n_hit AS DECIMAL(38,0)) * 1000000)"
+                f" div {RECALL_K} AS BIGINT)"
+            ),
+        )
+    )

@@ -2296,11 +2296,12 @@ def llm_sample_reservoir_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: shared CTE prefix: corpus bigram instances → counts → context stats
 #: (cv + N1v fused) → continuation stats → type total → exact-rational
 #: per-bigram p(w|v) in fixed-point micros. Reused verbatim by the
-#: doc-scoring id and the r9 top-followers drill-down so both oracles
-#: certify the SAME LM.
-_KN_CTES = """
+#: doc-scoring id, the top-followers drill-down and (with `{src}` bound
+#: to the TRAIN split) the held-out scorer, so every oracle certifies
+#: the SAME LM.
+_KN_CTES_TMPL = """
     WITH tok AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      SELECT doc_id, string_split(text, ' ') AS t FROM {src}
     ),
     big_inst AS (
       SELECT doc_id, t[i] AS v, t[i + 1] AS w
@@ -2331,6 +2332,8 @@ _KN_CTES = """
     )
 """
 
+_KN_CTES = _KN_CTES_TMPL.format(src="documents")
+
 _KN_ORACLE = _KN_CTES + """
     SELECT i.doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
@@ -2341,14 +2344,11 @@ _KN_ORACLE = _KN_CTES + """
 """
 
 
-def _kn_tables(spark: SparkSession, sf_dir: str):
-    """The KN LM's constituent tables — bigram instances, gram counts,
-    context stats (cv + N1v fused in one groupBy), continuation stats,
-    type total, and the exact-rational per-bigram p(w|v) in micros —
-    shared by the doc-scoring id and the top-followers drill-down
-    (mirrors the SQL side's _KN_CTES)."""
-    docs = load_table(spark, sf_dir, "documents", parallel=True)
-    inst = (
+def _bigram_instances(docs: DataFrame) -> DataFrame:
+    """(doc_id, v, w) bigram instances — one explode pass, ANSI-safe for
+    docs of < 2 tokens (empty array, no row). Shared by the KN trainer
+    and the held-out scorer so both sides tokenize identically."""
+    return (
         docs.withColumn("t", F.split(F.col("text"), " "))
         .select(
             "doc_id",
@@ -2363,6 +2363,18 @@ def _kn_tables(spark: SparkSession, sf_dir: str):
         )
         .select("doc_id", "vw.v", "vw.w")
     )
+
+
+def _kn_tables(spark: SparkSession, sf_dir: str, docs: DataFrame | None = None):
+    """The KN LM's constituent tables — bigram instances, gram counts,
+    context stats (cv + N1v fused in one groupBy), continuation stats,
+    type total, and the exact-rational per-bigram p(w|v) in micros —
+    shared by the doc-scoring id, the top-followers drill-down and the
+    held-out scorer, which trains on the split subset it passes as
+    `docs` (mirrors the SQL side's _KN_CTES_TMPL `{src}` binding)."""
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents", parallel=True)
+    inst = _bigram_instances(docs)
     big = inst.groupBy("v", "w").agg(F.count("*").cast("long").alias("c"))
     vstats = big.groupBy("v").agg(
         F.sum("c").cast("long").alias("cv"),
@@ -2501,5 +2513,347 @@ def llm_kn_top_followers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_micro",
             "ctx_rank",
             F.col("follower_rank").cast("long").alias("follower_rank"),
+        )
+    )
+
+
+# --- r9 wave: tokenizer fertility, BLEU-2 pairs, held-out KN scoring ----------
+
+
+@query(
+    "llm_tokenizer_fertility",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text,
+                '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS bpe_tokens,
+           CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+           CAST((sum(len(regexp_extract_all(text,
+                  '[a-z]+|[0-9]+|[^a-z0-9 ]')))::HUGEINT * 1000000)
+                // greatest(sum(len(string_split(text, ' ')))::HUGEINT, 1)
+                AS BIGINT) AS fertility_micro,
+           CAST((sum(strlen(text))::HUGEINT * 1000000)
+                // greatest(sum(len(regexp_extract_all(text,
+                     '[a-z]+|[0-9]+|[^a-z0-9 ]')))::HUGEINT, 1)
+                AS BIGINT) AS bytes_per_token_micro
+    FROM documents GROUP BY lang
+    """,
+    tags=("llm", "text", "tokens"),
+)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — the standard multilingual
+    tokenizer evaluation: subword tokens per whitespace word (fertility)
+    and bytes per subword token, per declared language. High fertility
+    means the tokenizer fragments that language's words (poor vocab
+    coverage → the language gets fewer effective context tokens); the
+    table is what a tokenizer-selection study reports (e.g. the XLM-R /
+    NLLB tokenizer audits). Uses the same BPE-ish regex pieces as
+    llm_token_count_bpe so the two ids triangulate one tokenizer. The
+    ratios are floored fixed-point micros via exact integral division
+    (HUGEINT // vs decimal div — the cross-engine rule), denominators
+    clamped ≥ 1 so an all-space pathological shard can't divide by zero
+    under ANSI. Plan: one scan, one language-keyed partial aggregate —
+    no joins, no windows; at 100 TB this is a pure map-side-combine
+    groupBy on a ~dozen-key column."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    bpe = F.size(
+        F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+    )
+    agg = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("ws_tokens"),
+        F.sum(bpe).cast("long").alias("bpe_tokens"),
+        F.sum(F.octet_length("text")).cast("long").alias("n_bytes"),
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    return agg.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        "n_bytes",
+        F.expr(
+            f"CAST(({dec.format('bpe_tokens')} * 1000000)"
+            f" div greatest({dec.format('ws_tokens')}, 1) AS BIGINT)"
+        ).alias("fertility_micro"),
+        F.expr(
+            f"CAST(({dec.format('n_bytes')} * 1000000)"
+            f" div greatest({dec.format('bpe_tokens')}, 1) AS BIGINT)"
+        ).alias("bytes_per_token_micro"),
+    )
+
+
+@query(
+    "llm_bleu_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    u1 AS (
+      SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+      FROM toks, unnest(t) AS z(g) GROUP BY doc_id, g
+    ),
+    u2 AS (
+      SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+      FROM toks, unnest(list_transform(range(1, len(t)),
+             i -> t[i] || ' ' || t[i + 1])) AS z(g)
+      GROUP BY doc_id, g
+    ),
+    ov1 AS (
+      SELECT r.doc_id AS ref_id, CAST(sum(least(r.c, c.c)) AS BIGINT) AS m1
+      FROM u1 r JOIN u1 c ON c.doc_id = r.doc_id + 1 AND c.g = r.g
+      GROUP BY r.doc_id
+    ),
+    ov2 AS (
+      SELECT r.doc_id AS ref_id, CAST(sum(least(r.c, c.c)) AS BIGINT) AS m2
+      FROM u2 r JOIN u2 c ON c.doc_id = r.doc_id + 1 AND c.g = r.g
+      GROUP BY r.doc_id
+    ),
+    lens AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n1,
+             CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n2
+      FROM toks
+    )
+    SELECT a.doc_id AS ref_id,
+           coalesce(ov1.m1, 0) AS m1,
+           coalesce(ov2.m2, 0) AS m2,
+           a.n1 AS ref_len,
+           b.n1 AS cand_len,
+           round(coalesce(ov1.m1, 0) / CAST(b.n1 AS DOUBLE), 6) AS p1,
+           CASE WHEN b.n2 > 0
+                THEN round(coalesce(ov2.m2, 0) / CAST(b.n2 AS DOUBLE), 6)
+                ELSE 0.0 END AS p2,
+           round(sqrt((coalesce(ov1.m1, 0) / CAST(b.n1 AS DOUBLE))
+                      * (CASE WHEN b.n2 > 0
+                         THEN coalesce(ov2.m2, 0) / CAST(b.n2 AS DOUBLE)
+                         ELSE 0.0 END)), 6) AS bleu2_nobp,
+           CAST((a.n1::HUGEINT * 1000000) // b.n1 AS BIGINT)
+             AS brevity_ratio_micro
+    FROM lens a
+    JOIN lens b ON b.doc_id = a.doc_id + 1
+    LEFT JOIN ov1 ON ov1.ref_id = a.doc_id
+    LEFT JOIN ov2 ON ov2.ref_id = a.doc_id
+    """,
+    tags=("llm", "evaluation"),
+)
+def llm_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 between adjacent document pairs — the precision-oriented
+    counterpart of llm_rouge_n_pairs, completing the MT/summarization
+    eval pair (ROUGE asks "did the candidate recover the reference?",
+    BLEU asks "is what the candidate said licensed by the reference?").
+    Modified n-gram precision in its proper CLIPPED-multiset form
+    (m_n = Σ_g min(count_ref, count_cand), the same discipline the
+    ROUGE id uses), geometric mean over n=1,2 — sqrt is IEEE
+    correctly-rounded in both engines, so the geometric mean is as
+    engine-exact as the integer components under it. The brevity
+    penalty is emitted as the EXACT fixed-point length ratio
+    (ref_len/cand_len in floored micros) rather than exp(1−r): libm
+    exp carries no correct-rounding guarantee across engines, and
+    BP = exp(1 − max(1, r)) is a trivial downstream map of the emitted
+    ratio — same keep-the-hash-exact call as the KN LM's micros. All
+    adjacent pairs are retained (zero-overlap pairs score 0 instead of
+    dropping — a BLEU of 0 is information). The adjacent-id join is the
+    stand-in for any blocked candidate stream; at scale this runs on
+    LSH candidates exactly like the ROUGE ids. Plan: gram counts
+    map-side, two gram-keyed equi-joins, one pair-keyed assembly —
+    never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    u1 = toks.select("doc_id", F.explode("t").alias("g")).groupBy(
+        "doc_id", "g"
+    ).agg(F.count("*").cast("long").alias("c"))
+    u2 = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN"
+                " transform(sequence(0, size(t) - 2),"
+                " i -> concat(t[i], ' ', t[i + 1]))"
+                " ELSE array() END"
+            )
+        ).alias("g"),
+    ).groupBy("doc_id", "g").agg(F.count("*").cast("long").alias("c"))
+
+    def _overlap(u: DataFrame, out: str) -> DataFrame:
+        r = u.select(F.col("doc_id").alias("ref_id"), "g", F.col("c").alias("cr"))
+        c = u.select(
+            (F.col("doc_id") - 1).alias("ref_id"), "g", F.col("c").alias("cc")
+        )
+        return (
+            r.join(c, ["ref_id", "g"])
+            .groupBy("ref_id")
+            .agg(F.sum(F.least("cr", "cc")).cast("long").alias(out))
+        )
+
+    lens = toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n1"),
+        F.greatest(F.size("t") - 1, F.lit(0)).cast("long").alias("n2"),
+    )
+    a = lens.select(
+        F.col("doc_id").alias("ref_id"),
+        F.col("n1").alias("ref_len"),
+    )
+    b = lens.select(
+        (F.col("doc_id") - 1).alias("ref_id"),
+        F.col("n1").alias("cand_len"),
+        F.col("n2").alias("cand_n2"),
+    )
+    m1 = F.coalesce(F.col("m1"), F.lit(0)).cast("long")
+    m2 = F.coalesce(F.col("m2"), F.lit(0)).cast("long")
+    p1 = m1 / F.col("cand_len").cast("double")
+    p2 = F.when(
+        F.col("cand_n2") > 0, m2 / F.col("cand_n2").cast("double")
+    ).otherwise(F.lit(0.0))
+    return (
+        a.join(b, "ref_id")
+        .join(_overlap(u1, "m1"), "ref_id", "left")
+        .join(_overlap(u2, "m2"), "ref_id", "left")
+        .select(
+            "ref_id",
+            m1.alias("m1"),
+            m2.alias("m2"),
+            "ref_len",
+            "cand_len",
+            F.round(p1, 6).alias("p1"),
+            F.round(p2, 6).alias("p2"),
+            F.round(F.sqrt(p1 * p2), 6).alias("bleu2_nobp"),
+            F.expr(
+                "CAST((CAST(ref_len AS DECIMAL(38,0)) * 1000000)"
+                " div cand_len AS BIGINT)"
+            ).alias("brevity_ratio_micro"),
+        )
+    )
+
+
+#: train-split predicate shared (textually) with llm_train_split_hash:
+#: first md5 hex digit of the doc id < 13 → 'train' (~81%); everything
+#: else (val+test) is the held-out pool the LM never saw.
+_KN_TRAIN_SQL = (
+    "strpos('0123456789abcdef',"
+    " substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 13"
+)
+
+_KN_HELDOUT_ORACLE = _KN_CTES_TMPL.format(
+    src=f"(SELECT * FROM documents WHERE {_KN_TRAIN_SQL})"
+) + f"""
+    , ho AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE NOT ({_KN_TRAIN_SQL})
+    ),
+    ho_inst AS (
+      SELECT doc_id, t[i] AS v, t[i + 1] AS w
+      FROM ho, unnest(range(1, len(t))) AS u(i)
+    ),
+    scored AS (
+      SELECT i.doc_id,
+             CASE WHEN p.p_micro IS NOT NULL THEN 'hit'
+                  WHEN vs.v IS NOT NULL AND ws.w IS NOT NULL THEN 'backoff'
+                  ELSE 'oov' END AS kind,
+             greatest(
+               CASE WHEN p.p_micro IS NOT NULL THEN p.p_micro
+                    WHEN vs.v IS NOT NULL AND ws.w IS NOT NULL THEN
+                      CAST((3::HUGEINT * vs.n1v * ws.n1w * 1000000)
+                           // (4::HUGEINT * vs.cv * nt.nt) AS BIGINT)
+                    ELSE 0 END, 1) AS p_eff
+      FROM ho_inst i
+      LEFT JOIN p ON p.v = i.v AND p.w = i.w
+      LEFT JOIN vstats vs ON vs.v = i.v
+      LEFT JOIN wstats ws ON ws.w = i.w
+      CROSS JOIN nt
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN kind = 'hit' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hit,
+           CAST(sum(CASE WHEN kind = 'backoff' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_backoff,
+           CAST(sum(CASE WHEN kind = 'oov' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(sum(p_eff) AS BIGINT) AS sum_p_micro,
+           CAST(sum(p_eff) // count(*) AS BIGINT) AS mean_p_micro
+    FROM scored GROUP BY doc_id
+"""
+
+
+@query(
+    "llm_kn_heldout_surprisal",
+    oracle=_KN_HELDOUT_ORACLE,
+    tags=("llm", "quality"),
+)
+def llm_kn_heldout_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out Kneser-Ney scoring — the actual CCNet-style perplexity
+    filter loop: train the bigram LM on the TRAIN split only (the same
+    deterministic md5-digit split llm_train_split_hash assigns, so the
+    split audit and the LM trainer can never disagree), then score the
+    docs the LM never saw. llm_ngram_lm_kn scores in-sample, which
+    flatters memorized boilerplate; quality filtering needs the
+    held-out number, and held-out scoring forces the LM's real decision
+    tree per bigram: seen (the full interpolated estimate), unseen pair
+    with both words known (the continuation-only backoff term
+    d·N1+(v·)/c(v) · N1+(·w)/N1+(··) — exactly the interpolation weight
+    KN reserves for novel combinations), or OOV (probability floor).
+    Every branch stays an exact rational floored once to micros
+    (decimal(38,0) div vs HUGEINT //), clamped ≥ 1 micro so downstream
+    log-surprisal never sees a zero. The hit/backoff/oov counts are the
+    drill-down a curation engineer reads: a doc that is mostly 'oov'
+    is foreign to the corpus, mostly-'backoff' is novel phrasing of
+    known vocabulary — different filtering decisions. Plan: the train
+    tables are aggregate-sized (vocabulary / bigram types); the
+    held-out instances join gram-keyed (never more than |held-out
+    bigrams| rows in flight); vstats/wstats attach by vocabulary key
+    and nt broadcasts — same economics as the in-sample scorer."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    digit = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+    ) - 1
+    train = docs.filter(digit < 13)
+    heldout = docs.filter(digit >= 13)
+    _, _, vstats, wstats, nt, p = _kn_tables(spark, sf_dir, docs=train)
+    ho_inst = _bigram_instances(heldout)
+    backoff = F.expr(
+        "CAST((3 * CAST(n1v AS DECIMAL(38,0)) * n1w * 1000000)"
+        " div (4 * CAST(cv AS DECIMAL(38,0)) * nt) AS BIGINT)"
+    )
+    scored = (
+        ho_inst.join(p, ["v", "w"], "left")
+        .join(vstats, "v", "left")
+        .join(wstats, "w", "left")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "doc_id",
+            F.when(F.col("p_micro").isNotNull(), "hit")
+            .when(F.col("cv").isNotNull() & F.col("n1w").isNotNull(), "backoff")
+            .otherwise("oov")
+            .alias("kind"),
+            F.greatest(
+                F.when(F.col("p_micro").isNotNull(), F.col("p_micro"))
+                .when(
+                    F.col("cv").isNotNull() & F.col("n1w").isNotNull(), backoff
+                )
+                .otherwise(F.lit(0).cast("long")),
+                F.lit(1).cast("long"),
+            ).alias("p_eff"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("kind") == "hit", 1).otherwise(0))
+            .cast("long")
+            .alias("n_hit"),
+            F.sum(F.when(F.col("kind") == "backoff", 1).otherwise(0))
+            .cast("long")
+            .alias("n_backoff"),
+            F.sum(F.when(F.col("kind") == "oov", 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.sum("p_eff").cast("long").alias("sum_p_micro"),
+        )
+        .withColumn(
+            "mean_p_micro", F.expr("sum_p_micro div n_bigrams").cast("long")
         )
     )

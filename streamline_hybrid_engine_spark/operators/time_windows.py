@@ -2886,3 +2886,147 @@ def win_hop_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("n_users_exact") * F.lit(0.05)
         ).alias("hll_within_5pct"),
     )
+
+
+# --- r9: lagged cross-correlation between event-type series -------------------
+
+#: maximum lead (in hours) scanned by the lagged cross-correlation.
+XCORR_MAX_LAG_H = 6
+
+
+@query(
+    "ts_cross_correlation_lag",
+    oracle=f"""
+    WITH hc AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY h, event_type
+    ),
+    grid AS (
+      SELECT hs.h, t.event_type, coalesce(hc.n, 0) AS n
+      FROM (SELECT DISTINCT h FROM hc) hs
+      CROSS JOIN (SELECT DISTINCT event_type FROM hc) t
+      LEFT JOIN hc ON hc.h = hs.h AND hc.event_type = t.event_type
+    ),
+    lags AS (SELECT unnest(range(0, {XCORR_MAX_LAG_H} + 1)) AS lag_h),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag_h,
+             count(*) AS m,
+             CAST(sum(CAST(a.n AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(sum(CAST(b.n AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(a.n * b.n AS HUGEINT)) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(a.n * a.n AS HUGEINT)) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(b.n * b.n AS HUGEINT)) AS DOUBLE) AS syy
+      FROM lags l
+      JOIN grid a ON TRUE
+      JOIN grid b ON b.h = a.h + to_hours(l.lag_h)
+                 AND b.event_type <> a.event_type
+      GROUP BY type_a, type_b, l.lag_h
+    ),
+    scored AS (
+      SELECT type_a, type_b, CAST(lag_h AS BIGINT) AS lag_h,
+             CAST(m AS BIGINT) AS n_hours,
+             CASE WHEN (m * sxx - sx * sx) > 0 AND (m * syy - sy * sy) > 0
+                  THEN round((m * sxy - sx * sy)
+                             / (sqrt(m * sxx - sx * sx)
+                                * sqrt(m * syy - sy * sy)), 6)
+                  ELSE NULL END AS xcorr
+      FROM pairs
+    )
+    SELECT type_a, type_b, lag_h, n_hours, xcorr,
+           CAST(CASE WHEN row_number() OVER (
+                  PARTITION BY type_a, type_b
+                  ORDER BY coalesce(xcorr, -2) DESC, lag_h
+                ) = 1 THEN 1 ELSE 0 END AS INT) AS is_best_lag
+    FROM scored
+    """,
+    tags=("timeseries", "statistics"),
+)
+def ts_cross_correlation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between event-type series — the
+    lead/lag screen behind "do errors FOLLOW deploy clicks by two
+    hours?": Pearson between series A at hour h and series B at hour
+    h+lag for every ordered type pair and lag 0..{XCORR_MAX_LAG_H},
+    plus the argmax-lag flag per pair (ties break to the smallest lag
+    — 'earliest strongest lead wins', deterministic in both engines
+    via coalesce(xcorr, -2) ranking so all-degenerate pairs can't
+    float). ts_series_correlation is this table's lag-0 diagonal;
+    the lagged sweep is what turns co-movement into a lead/lag story.
+    Same exactness discipline as the lag-0 id: the hourly grid is
+    ZERO-FILLED (absent cells = 0 — corr over co-present hours
+    silently conditions on activity), moments are five 128-bit
+    integer sums per (pair, lag) cell, the closed form divides once,
+    zero-variance cells emit NULL explicitly instead of relying on
+    either engine's x/0 behavior. Plan: the grid is hours × types
+    (metadata-sized per day of data); the lag table is a
+    {XCORR_MAX_LAG_H + 1}-row broadcast literal; the shifted self-join
+    keys on the hour, so every (pair, lag) moment is one partial
+    aggregate — no windows, no all-pairs. The grid subtree is
+    referenced twice (shifted and unshifted side), so the optimizer
+    may duplicate the events scan; both reads collapse map-side into
+    the hours × types aggregate before anything wide, and at 100 TB
+    the valve is a localCheckpoint of hc (same lineage-cut move as the
+    graph family) so the fact scan happens once."""
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        "event_type",
+    ).agg(F.count("*").cast("long").alias("n"))
+    hours = hc.select("h").distinct()
+    types = hc.select("event_type").distinct()
+    grid = (
+        hours.crossJoin(F.broadcast(types))
+        .join(hc, ["h", "event_type"], "left")
+        .select("h", "event_type", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    )
+    lags = spark.range(0, XCORR_MAX_LAG_H + 1).select(
+        F.col("id").cast("int").alias("lag_h")
+    )
+    a = grid.crossJoin(F.broadcast(lags)).select(
+        "lag_h",
+        F.expr("h + make_interval(0, 0, 0, 0, lag_h, 0, 0)").alias("hb"),
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("x"),
+    )
+    b = grid.select(
+        F.col("h").alias("hb"),
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("y"),
+    )
+    j = a.join(b, "hb").filter(F.col("type_a") != F.col("type_b"))
+    dec = "decimal(38,0)"
+    s = j.groupBy("type_a", "type_b", "lag_h").agg(
+        F.count("*").alias("m"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+    )
+    m = F.col("m").cast("double")
+    varx = m * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = m * F.col("syy") - F.col("sy") * F.col("sy")
+    xcorr = F.when(
+        (varx > 0) & (vary > 0),
+        F.round(
+            (m * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.sqrt(varx) * F.sqrt(vary)),
+            6,
+        ),
+    ).otherwise(F.lit(None).cast("double"))
+    from pyspark.sql import Window
+
+    scored = s.select(
+        "type_a",
+        "type_b",
+        F.col("lag_h").cast("long").alias("lag_h"),
+        F.col("m").cast("long").alias("n_hours"),
+        xcorr.alias("xcorr"),
+    )
+    wbest = Window.partitionBy("type_a", "type_b").orderBy(
+        F.coalesce(F.col("xcorr"), F.lit(-2.0)).desc(), "lag_h"
+    )
+    return scored.withColumn(
+        "is_best_lag",
+        F.when(F.row_number().over(wbest) == 1, 1).otherwise(0).cast("int"),
+    )

@@ -469,3 +469,95 @@ def test_semantic_dedup_semdedup_invariants(spark, sf_dir):
         want = min((cdots[v], v) for v in grp.vec_id)[1]
         got = grp[grp.keep].vec_id.iloc[0]
         assert got == want, (cid, got, want)
+
+
+# --- r9 wave-2: tokenizer fertility + ANN recall eval -------------------------
+
+
+def test_tokenizer_fertility_consistent_with_token_counts(spark, sf_dir):
+    """The per-language sums must equal llm_token_count_bpe's per-doc
+    counts re-aggregated, and the micro ratios must be the exact floor
+    of those integer sums — fertility is an AUDIT table, so it must
+    agree with the id it audits."""
+    per_doc = {
+        r["doc_id"]: (r["ws_tokens"], r["bpe_ish_tokens"])
+        for r in _QS["llm_token_count_bpe"].fn(spark, sf_dir).collect()
+    }
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    want = {}
+    for d, (ws, bpe) in per_doc.items():
+        lg = langs[d]
+        n, w, b = want.get(lg, (0, 0, 0))
+        want[lg] = (n + 1, w + ws, b + bpe)
+    out = _QS["llm_tokenizer_fertility"].fn(spark, sf_dir).collect()
+    assert {r["lang"] for r in out} == set(want)
+    for r in out:
+        n, w, b = want[r["lang"]]
+        assert (r["n_docs"], r["ws_tokens"], r["bpe_tokens"]) == (n, w, b)
+        assert r["fertility_micro"] == b * 1_000_000 // max(w, 1)
+        assert r["bytes_per_token_micro"] == r["n_bytes"] * 1_000_000 // max(
+            b, 1
+        )
+
+
+def test_ann_recall_matches_independent_reference(spark, sf_dir):
+    """llm_ann_recall_eval vs a from-scratch Python reference: the same
+    md5-derived hyperplanes, the same LEFT-TO-RIGHT double fold (python
+    float ops are the identical IEEE sequence, so not even an ulp can
+    differ), the same rounded-cosine + id ranking. Certifies that the
+    eval really measures the llm_knn_lsh index and that recall counts
+    the exact intersection."""
+    import hashlib
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+    signs = [
+        1.0
+        if int(hashlib.md5(f"plane:{i}".encode()).hexdigest()[0], 16) >= 8
+        else -1.0
+        for i in range(8 * 64)
+    ]
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def bucket(v):
+        bits = []
+        for p in range(8):
+            acc = 0.0
+            for i in range(64):
+                acc += v[i] * signs[p * 64 + i]
+            bits.append("1" if acc > 0 else "0")
+        return "".join(bits)
+
+    buckets = {vid: bucket(v) for vid, v in vecs.items()}
+    qids = sorted(v for v in vecs if v % 8 == 0)
+
+    def topk(qid, cands):
+        scored = sorted(
+            ((-round(fold_dot(vecs[qid], vecs[b]), 6), b) for b in cands),
+        )[:10]
+        return {b for _, b in scored}
+
+    expected = {}
+    for q in qids:
+        exact = topk(q, [b for b in vecs if b != q])
+        approx = topk(
+            q, [b for b in vecs if b != q and buckets[b] == buckets[q]]
+        )
+        n_hit = len(exact & approx)
+        expected[q] = (len(exact), n_hit, n_hit * 1_000_000 // 10)
+
+    got = {
+        r["vec_id"]: (r["n_exact"], r["n_hit"], r["recall_micro"])
+        for r in _QS["llm_ann_recall_eval"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected

@@ -180,3 +180,32 @@ def test_checkpoint_resume_exactly_once_accounting(spark, sf_dir):
     phase1 = rows["phase1"].n_rows
     assert phase1 > 0
     assert rows["phase2"].n_rows == total - phase1
+
+
+def test_xcorr_lag0_is_series_correlation_diagonal(spark, sf_dir):
+    """ts_cross_correlation_lag at lag 0 must reproduce
+    ts_series_correlation exactly (the lag-0 slice IS that id, just
+    ordered-pair-expanded), and every ordered pair must flag exactly
+    one best lag."""
+    lagged = _QS["ts_cross_correlation_lag"].fn(spark, sf_dir).collect()
+    base = {
+        (r["type_a"], r["type_b"]): (r["n_hours"], r["corr"])
+        for r in _QS["ts_series_correlation"].fn(spark, sf_dir).collect()
+    }
+    lag0 = {
+        (r["type_a"], r["type_b"]): (r["n_hours"], r["xcorr"])
+        for r in lagged
+        if r["lag_h"] == 0
+    }
+    # the unordered-pair id keeps type_a < type_b; lag-0 xcorr is
+    # symmetric so both ordered orientations must match it
+    for (a, b), v in base.items():
+        assert lag0[(a, b)] == v
+        assert lag0[(b, a)] == v
+    best = {}
+    for r in lagged:
+        if r["is_best_lag"] == 1:
+            key = (r["type_a"], r["type_b"])
+            assert key not in best, f"two best lags for {key}"
+            best[key] = r["lag_h"]
+    assert set(best) == {k for k in lag0}

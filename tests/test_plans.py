@@ -1149,3 +1149,52 @@ def test_rouge_l_fold_stays_jvm(spark, sf_dir):
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in p
     assert "CartesianProduct" not in p
+
+
+# --- r9 wave-2 plan pins -------------------------------------------------------
+
+
+def test_tokenizer_fertility_single_agg_no_joins(spark, sf_dir):
+    """Fertility is ONE map-side-combine groupBy over the scan: partial
+    aggregation present, no join of any kind, one exchange on lang."""
+    p = plan(spark, sf_dir, "llm_tokenizer_fertility")
+    assert "partial_" in p
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+              "BroadcastNestedLoopJoin"):
+        assert j not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_bleu_pairs_gram_keyed_no_cartesian(spark, sf_dir):
+    """BLEU assembles via gram-keyed and pair-keyed equi-joins only —
+    never a doc×doc product."""
+    p = plan(spark, sf_dir, "llm_bleu_pairs")
+    assert "CartesianProduct" not in p
+
+
+def test_kn_heldout_gram_keyed_no_cartesian(spark, sf_dir):
+    """Held-out scoring joins instances gram-keyed against aggregate-
+    sized train tables; the only nested-loop is the broadcast 1-row nt
+    attach — no cartesian over data-sized inputs."""
+    p = plan(spark, sf_dir, "llm_kn_heldout_surprisal")
+    assert "CartesianProduct" not in p
+
+
+def test_ann_recall_broadcast_queries_never_corpus_squared(spark, sf_dir):
+    """Ground truth is corpus × BROADCAST query sample (query side is
+    the small side by construction); the approx side joins bucket-keyed.
+    Pin: no CartesianProduct, and the per-query rank windows partition
+    by the query id (never a global sort)."""
+    p = plan(spark, sf_dir, "llm_ann_recall_eval")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the broadcast-query attach
+    assert "Window" in p
+
+
+def test_xcorr_lag_hour_keyed_join(spark, sf_dir):
+    """The lag sweep attaches a broadcast literal lag table and joins
+    the shifted grid HOUR-keyed — no cartesian over grid rows; the
+    moments partial-aggregate."""
+    p = plan(spark, sf_dir, "ts_cross_correlation_lag")
+    assert "CartesianProduct" not in p
+    assert "partial_" in p

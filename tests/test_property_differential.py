@@ -1498,3 +1498,195 @@ def test_decile_lift_binned_equals_single_sort(spark, cents_pool,
     single = canon(get_query("agg_decile_lift").fn(spark, str(tmp)))
     binned = canon(get_query("agg_decile_lift_binned").fn(spark, str(tmp)))
     assert binned == single
+
+
+# --- r9 wave-2 templates: BLEU pairs + held-out KN scoring --------------------
+
+
+@settings(max_examples=3 * _FUZZ, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=1, max_size=8)
+        .map(" ".join),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_bleu_pairs_matches_counter(spark, texts, tmp_path_factory):
+    """llm_bleu_pairs driven through the REAL registry query on a
+    synthetic fixture must equal the Counter-based BLEU-2 definition:
+    clipped modified precisions for n=1,2, geometric mean, exact
+    floored-micro brevity ratio. Tiny alphabet → heavy clipping, and
+    1-token candidates exercise the n2=0 guard. Unlike the ROUGE id
+    (inner join), zero-overlap pairs MUST be retained with score 0."""
+    import collections
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    def counts(t, n):
+        toks = t.split(" ")
+        if n == 1:
+            return collections.Counter(toks), len(toks)
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return collections.Counter(grams), len(grams)
+
+    expected = {}
+    for rid in range(len(texts) - 1):
+        c1r, n1r = counts(texts[rid], 1)
+        c2r, _ = counts(texts[rid], 2)
+        c1c, n1c = counts(texts[rid + 1], 1)
+        c2c, n2c = counts(texts[rid + 1], 2)
+        m1 = sum(min(c, c1c[g]) for g, c in c1r.items())
+        m2 = sum(min(c, c2c[g]) for g, c in c2r.items())
+        p1 = m1 / n1c
+        p2 = (m2 / n2c) if n2c > 0 else 0.0
+        expected[rid] = (
+            m1,
+            m2,
+            n1r,
+            n1c,
+            round(p1, 6),
+            round(p2, 6),
+            round(math.sqrt(p1 * p2), 6),
+            n1r * 1_000_000 // n1c,
+        )
+
+    tmp = tmp_path_factory.mktemp("bleufix")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["fuzz"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+        str(tmp / "documents.parquet"),
+    )
+    got = {
+        r["ref_id"]: (
+            r["m1"],
+            r["m2"],
+            r["ref_len"],
+            r["cand_len"],
+            r["p1"],
+            r["p2"],
+            r["bleu2_nobp"],
+            r["brevity_ratio_micro"],
+        )
+        for r in get_query("llm_bleu_pairs").fn(spark, str(tmp)).collect()
+    }
+    assert set(got) == set(expected)
+    for k, exp in expected.items():
+        g = got[k]
+        assert g[:4] == exp[:4] and g[7] == exp[7]
+        for gi, ei in zip(g[4:7], exp[4:7]):
+            assert gi == pytest.approx(ei, abs=1e-9)
+
+
+@settings(max_examples=3 * _FUZZ, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                 min_size=1, max_size=8)
+        .map(" ".join),
+        min_size=4,
+        max_size=12,
+    )
+)
+def test_kn_heldout_matches_rational_reference(spark, texts,
+                                               tmp_path_factory):
+    """llm_kn_heldout_surprisal vs a pure-Python rational reference:
+    the SAME md5-digit split (train < 13), KN tables built on train
+    only, and the full per-bigram decision tree — hit (interpolated
+    estimate), backoff (continuation-only term), oov (floor) — each an
+    exact integer. The tiny alphabet forces all three branches; docs
+    whose first-hex-digit lands ≥ 13 form the held-out pool (absent
+    some draws — empty-result equality is part of the contract)."""
+    import collections
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    def digit(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[0], 16)
+
+    train = [t for i, t in enumerate(texts) if digit(i) < 13]
+    held = {i: t for i, t in enumerate(texts) if digit(i) >= 13}
+
+    big = collections.Counter()
+    for t in train:
+        toks = t.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] += 1
+    cv, n1v, n1w = (
+        collections.Counter(),
+        collections.Counter(),
+        collections.Counter(),
+    )
+    for (a, b), c in big.items():
+        cv[a] += c
+        n1v[a] += 1
+        n1w[b] += 1
+    nt = len(big)
+
+    expected = {}
+    for i, t in held.items():
+        toks = t.split(" ")
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            continue
+        n_hit = n_back = n_oov = s = 0
+        for a, b in pairs:
+            if (a, b) in big:
+                n_hit += 1
+                c = big[(a, b)]
+                p = ((4 * c - 3) * nt + 3 * n1v[a] * n1w[b]) * 1_000_000 // (
+                    4 * cv[a] * nt
+                )
+            elif a in cv and b in n1w:
+                n_back += 1
+                p = 3 * n1v[a] * n1w[b] * 1_000_000 // (4 * cv[a] * nt)
+            else:
+                n_oov += 1
+                p = 0
+            s += max(p, 1)
+        expected[i] = (len(pairs), n_hit, n_back, n_oov, s, s // len(pairs))
+
+    tmp = tmp_path_factory.mktemp("knhofix")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["fuzz"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+        str(tmp / "documents.parquet"),
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_bigrams"],
+            r["n_hit"],
+            r["n_backoff"],
+            r["n_oov"],
+            r["sum_p_micro"],
+            r["mean_p_micro"],
+        )
+        for r in get_query("llm_kn_heldout_surprisal")
+        .fn(spark, str(tmp))
+        .collect()
+    }
+    assert got == expected
