@@ -219,6 +219,15 @@ HEADLINE = (
     "llm_ngram_lm_kn",             # Kneser-Ney bigram LM doc scoring
     "win_hop_distinct_hll",        # per-slide HLL sketches, union per hop
     "agg_decile_lift_binned",      # exact ntile via bin offsets (no global sort)
+    # round-9 wave (baselines in BASELINE.md §A.1 r9 block)
+    "llm_rouge_l_long",            # clip-126 multi-word bit-parallel LCS
+    "llm_dedup_substring",         # Lee-et-al repeated-span remover
+    "llm_kn_top_followers",        # per-context KN follower drill-down
+    "llm_tokenizer_fertility",     # tokens/word + bytes/token per language
+    "llm_bleu_pairs",              # clipped BLEU-2 on adjacent pairs
+    "llm_kn_heldout_surprisal",    # held-out KN scoring (train-split LM)
+    "llm_ann_recall_eval",         # recall@10 of LSH vs exact truth
+    "ts_cross_correlation_lag",    # lagged cross-correlation + argmax lag
 )
 
 #: BASELINE.md §A.1 rows (sf0.1 full-sequence medians, seconds) — kept in
@@ -399,6 +408,17 @@ BASELINE_SEC = {
     "llm_ngram_lm_kn": 1.69,
     "win_hop_distinct_hll": 0.87,
     "agg_decile_lift_binned": 0.88,
+    # r9 wave (settled medians, tools/measure_wave.py; llm_rouge_l_long
+    # re-measured AFTER the per-doc mask-map amortization landed —
+    # the inline-mask form read 11.68 s, the honest-re-record rule)
+    "llm_rouge_l_long": 3.64,
+    "llm_dedup_substring": 2.03,
+    "llm_kn_top_followers": 2.07,
+    "llm_tokenizer_fertility": 0.38,
+    "llm_bleu_pairs": 2.06,
+    "llm_kn_heldout_surprisal": 2.18,
+    "llm_ann_recall_eval": 1.52,
+    "ts_cross_correlation_lag": 1.14,
 }
 
 

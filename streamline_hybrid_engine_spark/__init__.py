@@ -86,6 +86,9 @@ _LAZY_EXPORTS = {
     "grid_knn_join": "streamline_hybrid_engine_spark.operators.joins",
     # multi-word bit-parallel LCS expression generator (r9 pass 5)
     "lcs_fold_expr": "streamline_hybrid_engine_spark.llm.text",
+    # per-doc mask-map spelling (candidate-degree-amortized LCS, r9)
+    "lcs_bmap_expr": "streamline_hybrid_engine_spark.llm.text",
+    "lcs_fold_map_expr": "streamline_hybrid_engine_spark.llm.text",
 }
 
 __all__ = ["all_queries", "get_query", *sorted(_LAZY_EXPORTS)]

@@ -2136,6 +2136,77 @@ END
 """
 
 
+def lcs_bmap_expr(clip: int, b: str = "b") -> str:
+    """Per-DOCUMENT token → match-mask-words map for the multi-word LCS
+    fold: for every distinct token of `{b}`, the ceil(clip/62)-word bit
+    mask of its positions. This is the candidate-degree amortization of
+    `lcs_fold_expr`'s inline masks: the inline form recomputes doc b's
+    mask table inside EVERY pair (O(|a|·|b|) interpreted-lambda work per
+    pair, k× redundantly for a doc in k LSH pairs); building the map
+    once per doc makes the per-pair fold O(|a|) map lookups — the form
+    that holds up when a hot near-dup cluster gives one doc thousands
+    of candidate pairs at 100 TB. One |b| scan per distinct token
+    (σ·|b| per doc, paid once)."""
+    nw = (max(1, clip) + LCS_WORD_BITS - 1) // LCS_WORD_BITS
+    zeros = ", ".join(["CAST(0 AS BIGINT)"] * nw)
+    upd = ", ".join(
+        f"CASE WHEN (j div {LCS_WORD_BITS}) = {w} THEN "
+        f"element_at(m, {w + 1}) | shiftleft(CAST(1 AS BIGINT), "
+        f"j % {LCS_WORD_BITS}) ELSE element_at(m, {w + 1}) END"
+        for w in range(nw)
+    )
+    return (
+        f"map_from_entries(transform(array_distinct({b}), t -> struct(t, "
+        f"aggregate(sequence(0, size({b}) - 1), array({zeros}), "
+        f"(m, j) -> CASE WHEN element_at({b}, j + 1) = t "
+        f"THEN array({upd}) ELSE m END))))"
+    )
+
+
+def lcs_fold_map_expr(
+    clip: int, a: str = "a", bmap: str = "bm", bsize: str = "nb"
+) -> str:
+    """The `lcs_fold_expr` recurrence with match masks looked up from a
+    precomputed per-doc map (`lcs_bmap_expr`) instead of rebuilt inline
+    per pair. Identical arithmetic — same words, same carry chain, same
+    final popcount — so it is fuzzed against the classic DP alongside
+    the inline form; `{bsize}` is the b-side token count column (the
+    map cannot answer size())."""
+    nw = (max(1, clip) + LCS_WORD_BITS - 1) // LCS_WORD_BITS
+    m62 = f"CAST({(1 << LCS_WORD_BITS) - 1} AS BIGINT)"
+    zeros = ", ".join(["CAST(0 AS BIGINT)"] * nw)
+
+    def wmask(w: int) -> str:
+        return (
+            f"(shiftleft(CAST(1 AS BIGINT), "
+            f"greatest(0, least({LCS_WORD_BITS}, "
+            f"{bsize} - {w * LCS_WORD_BITS}))) - 1)"
+        )
+
+    init = ", ".join(wmask(w) for w in range(nw))
+    carry = "CAST(0 AS BIGINT)"
+    words = []
+    for w in range(nw):
+        lw = f"element_at(L, {w + 1})"
+        mw = f"element_at(M, {w + 1})"
+        s = f"({lw} + ({lw} & {mw}) + {carry})"
+        words.append(f"((({s} & {m62}) | ({lw} & ~{mw})) & {wmask(w)})")
+        carry = f"shiftrightunsigned({s}, {LCS_WORD_BITS})"
+    popcnt = " + ".join(
+        f"bit_count(element_at(L, {w + 1}))" for w in range(nw)
+    )
+    return f"""
+CASE WHEN size({a}) = 0 OR {bsize} = 0 THEN CAST(0 AS BIGINT) ELSE
+  aggregate(
+    transform({a}, tok -> coalesce(element_at({bmap}, tok), array({zeros}))),
+    array({init}),
+    (L, M) -> array({", ".join(words)}),
+    L -> CAST({bsize} - ({popcnt}) AS BIGINT)
+  )
+END
+"""
+
+
 def _rouge_l_long_oracle() -> str:
     from streamline_hybrid_engine_spark.llm.dedup import BAND_ROWS, _ORACLE_SIGS
 
@@ -2208,8 +2279,14 @@ def llm_rouge_l_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     126-bit HUGEINT word — two different machine arithmetics evaluating
     one recurrence, so a carry-propagation or word-boundary slip in
     either engine breaks the hash. Candidate economics unchanged: LSH
-    band pairs only, never all-pairs; the fold is pure JVM codegen over
-    the candidate join, zero Python, zero extra shuffle."""
+    band pairs only, never all-pairs; the fold is pure JVM, zero
+    Python, zero extra shuffle. r9 perf: the b-side match masks are
+    built ONCE PER DOC as a token→words map (`lcs_bmap_expr`, below
+    the join) instead of inline per pair — the inline form redid
+    O(|a|·|b|) mask work for every pair, k× redundantly for a doc in
+    k candidate pairs (and a hot near-dup cluster at 100 TB means
+    large k); the fold is now O(|a|) map lookups per pair
+    (11.7 s → re-measured after the change, BASELINE.md r9 block)."""
     from streamline_hybrid_engine_spark.llm.dedup import llm_dedup_minhash_pairs
 
     pairs = llm_dedup_minhash_pairs(spark, sf_dir).select("d1", "d2")
@@ -2220,14 +2297,18 @@ def llm_rouge_l_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     ta = docs.select(F.col("doc_id").alias("d1"), F.col("toks").alias("a"))
-    tb = docs.select(F.col("doc_id").alias("d2"), F.col("toks").alias("b"))
+    tb = docs.select(
+        F.col("doc_id").alias("d2"),
+        F.size("toks").cast("int").alias("nb"),
+        F.expr(lcs_bmap_expr(ROUGE_L_LONG_CLIP, b="toks")).alias("bm"),
+    )
     j = (
         pairs.join(ta, "d1")
         .join(tb, "d2")
-        .withColumn("lcs_len", F.expr(lcs_fold_expr(ROUGE_L_LONG_CLIP)))
+        .withColumn("lcs_len", F.expr(lcs_fold_map_expr(ROUGE_L_LONG_CLIP)))
     )
     la = F.size("a").cast("double")
-    lb = F.size("b").cast("double")
+    lb = F.col("nb").cast("double")
     return j.select(
         "d1",
         "d2",

@@ -784,6 +784,27 @@ def test_lcs_multiword_matches_classic_dp(spark, duck_mem, pairs):
     }
     assert [got_spark[i] for i in range(len(toks))] == expected
 
+    # the per-doc mask-map spelling (what the registry id actually runs
+    # since the r9 candidate-degree amortization) must fold to the same
+    # arithmetic: same words, same carry chain, map lookups for M
+    from streamline_hybrid_engine_spark.llm.text import (
+        lcs_bmap_expr,
+        lcs_fold_map_expr,
+    )
+
+    got_map = {
+        r["i"]: r["lcs"]
+        for r in df.selectExpr(
+            "i",
+            "a",
+            f"{lcs_bmap_expr(128)} AS bm",
+            "CAST(size(b) AS INT) AS nb",
+        )
+        .selectExpr("i", f"{lcs_fold_map_expr(128)} AS lcs")
+        .collect()
+    }
+    assert [got_map[i] for i in range(len(toks))] == expected
+
     # the DuckDB form holds the state in ONE HUGEINT word, so it is only
     # defined for len(b) ≤ 126 (1 << 127 overflows signed 128) — exactly
     # why the registry id clips at ROUGE_L_LONG_CLIP = 126; the Spark
