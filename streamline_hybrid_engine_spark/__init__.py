@@ -89,6 +89,8 @@ _LAZY_EXPORTS = {
     # per-doc mask-map spelling (candidate-degree-amortized LCS, r9)
     "lcs_bmap_expr": "streamline_hybrid_engine_spark.llm.text",
     "lcs_fold_map_expr": "streamline_hybrid_engine_spark.llm.text",
+    # lagged cross-correlation with the checkpoint-grid 100 TB valve (r9)
+    "hourly_xcorr": "streamline_hybrid_engine_spark.operators.time_windows",
 }
 
 __all__ = ["all_queries", "get_query", *sorted(_LAZY_EXPORTS)]

@@ -2965,13 +2965,35 @@ def ts_cross_correlation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     referenced twice (shifted and unshifted side), so the optimizer
     may duplicate the events scan; both reads collapse map-side into
     the hours × types aggregate before anything wide, and at 100 TB
-    the valve is a localCheckpoint of hc (same lineage-cut move as the
-    graph family) so the fact scan happens once."""
-    ev = load_table(spark, sf_dir, "events")
-    hc = ev.groupBy(
+    the valve is `checkpoint_grid=True` (a localCheckpoint of hc —
+    the graph family's lineage-cut move, here as EXECUTABLE
+    parameterized code with a result-equality test) so the fact scan
+    happens once."""
+    return hourly_xcorr(spark, load_table(spark, sf_dir, "events"))
+
+
+def hourly_xcorr(
+    spark: SparkSession,
+    events: DataFrame,
+    max_lag_h: int = XCORR_MAX_LAG_H,
+    checkpoint_grid: bool = False,
+) -> DataFrame:
+    """Library form of the lagged cross-correlation over ANY DataFrame
+    with (`ts` timestamp, `event_type` string) columns. The contract id
+    runs the default; `checkpoint_grid=True` is the 100 TB valve: the
+    hours × types aggregate (`hc`) is referenced by both the shifted
+    and unshifted join side, and without a lineage cut the optimizer
+    duplicates the fact scan under each reference — at fixture scale
+    the extra scan is cheaper than materialization, at 100 TB it is
+    not. localCheckpoint materializes hc (metadata-sized: hours ×
+    |types| rows) once, so the scan happens once. Result-identical by
+    construction (tests pin it)."""
+    hc = events.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("h"),
         "event_type",
     ).agg(F.count("*").cast("long").alias("n"))
+    if checkpoint_grid:
+        hc = hc.localCheckpoint()
     hours = hc.select("h").distinct()
     types = hc.select("event_type").distinct()
     grid = (
@@ -2979,7 +3001,7 @@ def ts_cross_correlation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hc, ["h", "event_type"], "left")
         .select("h", "event_type", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
     )
-    lags = spark.range(0, XCORR_MAX_LAG_H + 1).select(
+    lags = spark.range(0, max_lag_h + 1).select(
         F.col("id").cast("int").alias("lag_h")
     )
     a = grid.crossJoin(F.broadcast(lags)).select(

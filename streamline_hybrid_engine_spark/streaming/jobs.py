@@ -34,6 +34,30 @@ EVENTS_RAW_SCHEMA = (
 )
 
 
+def ckpt_root() -> str | None:
+    """Directory for ephemeral streaming checkpoints.
+
+    Structured Streaming commits every micro-batch through fsync'd
+    offset/commit/state files; on the default system tempdir that means
+    a burst of small synchronous writes to the SHARED ROOT DISK per
+    batch — which is exactly the resource a noisy co-tenant VM saturates
+    (r9 root-cause of the r8→r9 drain-throughput slide: batch CPU
+    ratios moved ~1.1× while the fsync-bound drain moved ~1.9×, and
+    host steal/IO telemetry was elevated both rounds). These drains are
+    throwaway availableNow runs (the TemporaryDirectory deletes the
+    checkpoint on exit), so durability of the checkpoint ACROSS BOX
+    FAILURE buys nothing — put it on tmpfs when available and decouple
+    throughput from neighbor disk traffic. Production pendant:
+    cluster-local NVMe or a memory-backed volume for ephemeral
+    checkpoints, durable object storage only for resumable jobs
+    (stream_checkpoint_resume documents that distinction).
+    `SHE_CKPT_DIR` overrides; None falls back to the system default."""
+    env = os.environ.get("SHE_CKPT_DIR")
+    if env:
+        return env
+    return "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a micro-batch stream (nanos ts → micros, as batch)."""
     ensure_runtime_confs(spark)
@@ -70,15 +94,20 @@ def stream_shuffle_width(spark: SparkSession, sf_dir: str) -> int:
     drain the fixed costs dominate — measured on the sf0.1 events drain:
     32 partitions → 65-79k events/s, 8 → 86-137k (same result, state is
     ~3600 windows×types keys spread over stores that are each nearly
-    empty). Target ≈ one partition per 4 MB of source parquet, floor 4
-    for parallelism, capped at the session's cores.
+    empty). Target ≈ one partition per 4 MB of source parquet, FLOOR 8,
+    capped at the session's cores. The floor was 4 through r8, which
+    contradicted the 8-width measurement above; the r9 width sweep on
+    the same drain (widths 1/2/4/8/16 → 57/60/71/79/46 k events/s,
+    three runs each) confirmed 8 as the knee — per-partition store
+    fixed costs fall off up to 8 and the open/commit overhead takes
+    over by 16.
     """
     try:
         input_bytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
     except OSError:
         input_bytes = 0
     target = max(1, input_bytes // (4 << 20))
-    return max(4, min(spark.sparkContext.defaultParallelism, target))
+    return max(8, min(spark.sparkContext.defaultParallelism, target))
 
 
 def run_to_memory(
@@ -104,7 +133,7 @@ def run_to_memory(
     if width:
         spark.conf.set("spark.sql.shuffle.partitions", str(width))
     try:
-        with tempfile.TemporaryDirectory(prefix=f"she_ckpt_{name}_") as ckpt:
+        with tempfile.TemporaryDirectory(dir=ckpt_root(), prefix=f"she_ckpt_{name}_") as ckpt:
             q = (
                 df.writeStream.format("memory")
                 .queryName(name)
@@ -307,7 +336,7 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         # replaying epoch N after a crash rewrites epoch=N, never duplicates
         batch_df.write.mode("overwrite").parquet(f"{out}/data/epoch={epoch_id}")
 
-    with tempfile.TemporaryDirectory(prefix="she_sink_ckpt_") as ckpt:
+    with tempfile.TemporaryDirectory(dir=ckpt_root(), prefix="she_sink_ckpt_") as ckpt:
         q = (
             filtered.writeStream.foreachBatch(write_epoch)
             .option("checkpointLocation", ckpt)
@@ -473,7 +502,7 @@ def stream_watermark_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 candidate if wm["us"] is None else max(wm["us"], candidate)
             )
 
-    with tempfile.TemporaryDirectory(prefix="she_dlq_ckpt_") as ckpt:
+    with tempfile.TemporaryDirectory(dir=ckpt_root(), prefix="she_dlq_ckpt_") as ckpt:
         q = (
             raw.writeStream.foreachBatch(route)
             .option("checkpointLocation", ckpt)
@@ -526,7 +555,7 @@ def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.shuffle.partitions", str(stream_shuffle_width(spark, sf_dir))
     )
     try:
-        with tempfile.TemporaryDirectory(prefix="she_upsert_ckpt_") as ckpt:
+        with tempfile.TemporaryDirectory(dir=ckpt_root(), prefix="she_upsert_ckpt_") as ckpt:
             q = (
                 totals.writeStream.foreachBatch(publish)
                 .outputMode("complete")
@@ -651,7 +680,7 @@ def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.shuffle.partitions", str(stream_shuffle_width(spark, sf_dir))
     )
     try:
-        with tempfile.TemporaryDirectory(prefix="she_progress_ckpt_") as ckpt:
+        with tempfile.TemporaryDirectory(dir=ckpt_root(), prefix="she_progress_ckpt_") as ckpt:
             q = (
                 agg.writeStream.format("memory")
                 .queryName("she_stream_progress_metrics")
@@ -726,7 +755,7 @@ def stream_update_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.shuffle.partitions", str(stream_shuffle_width(spark, sf_dir))
     )
     try:
-        with tempfile.TemporaryDirectory(prefix="she_updlog_ckpt_") as ckpt:
+        with tempfile.TemporaryDirectory(dir=ckpt_root(), prefix="she_updlog_ckpt_") as ckpt:
             q = (
                 agg.writeStream.foreachBatch(emit)
                 .outputMode("update")
@@ -820,7 +849,7 @@ def stream_dynamic_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             publish_rules(2, [("purchase", 2.0), ("error", 0.0)])
 
     raw = _staged_events_stream(spark, sf_dir, "rules")
-    with tempfile.TemporaryDirectory(prefix="she_rules_ckpt_") as ckpt:
+    with tempfile.TemporaryDirectory(dir=ckpt_root(), prefix="she_rules_ckpt_") as ckpt:
         q = (
             raw.select("event_id", "event_type", "value")
             .writeStream.foreachBatch(match_epoch)
@@ -968,7 +997,7 @@ def stream_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the transaction id; overwrite == re-commit replaces, never appends
         batch_df.write.mode("overwrite").parquet(f"{base}/data/epoch={epoch_id}")
 
-    with tempfile.TemporaryDirectory(prefix="she_e1x_ckpt_") as ckpt:
+    with tempfile.TemporaryDirectory(dir=ckpt_root(), prefix="she_e1x_ckpt_") as ckpt:
         q = (
             purchases.writeStream.foreachBatch(commit_epoch)
             .option("checkpointLocation", ckpt)
@@ -1567,7 +1596,7 @@ def stream_rate_limited_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     def record(batch_df: DataFrame, epoch_id: int) -> None:
         ledger.append((int(epoch_id), batch_df.count()))
 
-    with tempfile.TemporaryDirectory(prefix="she_backfill_ckpt_") as ckpt:
+    with tempfile.TemporaryDirectory(dir=ckpt_root(), prefix="she_backfill_ckpt_") as ckpt:
         q = (
             stream.writeStream.foreachBatch(record)
             .option("checkpointLocation", ckpt)
@@ -1731,7 +1760,7 @@ def stream_topk_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 heapq.heappop(ledger)
 
     ev = read_events_stream(spark, sf_dir).select("event_id", "user_id", "value")
-    with tempfile.TemporaryDirectory(prefix="she_topk_fb_") as ckpt:
+    with tempfile.TemporaryDirectory(dir=ckpt_root(), prefix="she_topk_fb_") as ckpt:
         q = (
             ev.writeStream.foreachBatch(merge_topk)
             .option("checkpointLocation", ckpt)

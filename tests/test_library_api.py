@@ -493,3 +493,28 @@ def test_lcs_fold_expr_on_toy_pairs(spark):
         for r in df.selectExpr("i", f"{lcs_fold_expr(128)} AS lcs").collect()
     }
     assert got == {1: 2, 2: 100, 3: 0, 4: 0}
+
+
+def test_hourly_xcorr_checkpoint_valve_is_result_identical(spark, sf_dir):
+    """The 100 TB valve (checkpoint_grid=True — lineage-cut the twice-
+    referenced hours×types aggregate so the fact scan happens once)
+    must be a pure plan change: identical rows to the default form the
+    contract id runs."""
+    from streamline_hybrid_engine_spark import hourly_xcorr
+    from streamline_hybrid_engine_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def key(rows):
+        return sorted(
+            (r["type_a"], r["type_b"], r["lag_h"], r["n_hours"], r["xcorr"],
+             r["is_best_lag"])
+            for r in rows
+        )
+
+    base = key(hourly_xcorr(spark, ev).collect())
+    valve = key(hourly_xcorr(spark, ev, checkpoint_grid=True).collect())
+    assert base == valve
+    # narrower sweep stays a prefix of the lag grid
+    short = hourly_xcorr(spark, ev, max_lag_h=2).collect()
+    assert {r["lag_h"] for r in short} == {0, 1, 2}
