@@ -122,6 +122,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "llm_kn_heldout_surprisal",
         "llm_ann_recall_eval",
         "ts_cross_correlation_lag",
+        "agg_bootstrap_ci",
     }
 )
 

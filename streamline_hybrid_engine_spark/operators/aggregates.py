@@ -2284,3 +2284,172 @@ def agg_decile_lift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_f"),
         )
     )
+
+
+# --- r9: Poisson-bootstrap confidence intervals --------------------------------
+
+#: resample count for the bootstrap CI. 200 makes the 2.5% / 97.5%
+#: percentile ranks exact integers (5 and 196) — no interpolation to
+#: disagree about across engines.
+BOOT_B = 200
+
+#: cumulative Poisson(1) probabilities as EXACT 48-bit integer
+#: thresholds (round(cdf_k · 2^48), k = 0..6; P(w > 7) < 1e-5 → weights
+#: cap at 7). Comparing the 48-bit hash against integer literals keeps
+#: the weight assignment pure integer arithmetic — no engine ever
+#: evaluates exp(−1) at query time.
+_POIS1_T48 = (
+    103548857136061,   # P(0) = e⁻¹
+    207097714272122,   # + P(1)
+    258872142840152,   # + P(2)
+    276130285696162,   # + P(3)
+    280444821410165,   # + P(4)
+    281307728552965,   # + P(5)
+    281451546410099,   # + P(6)
+)
+
+
+def _pois_weight_sql(u: str) -> str:
+    """CASE ladder mapping a 48-bit uniform to a Poisson(1) weight —
+    shared text for both engines (pure integer comparisons)."""
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS1_T48)
+        )
+        + " ELSE 7 END"
+    )
+
+
+@query(
+    "agg_bootstrap_ci",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders
+    ),
+    pt AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST((sum(cents)::HUGEINT * 1000000)
+                  // count(*) AS BIGINT) AS mean_micro
+      FROM base GROUP BY grp
+    ),
+    seeded AS (
+      SELECT grp, cents,
+             ('0x' || substr(md5('bootA|' || CAST(o_orderkey AS VARCHAR)),
+                             1, 12))::BIGINT AS sa,
+             (('0x' || substr(md5('bootC|' || CAST(o_orderkey AS VARCHAR)),
+                              1, 12))::BIGINT | 1) AS sc
+      FROM base
+    ),
+    w AS (
+      SELECT grp, b.b,
+             {_pois_weight_sql("((sa + b.b * sc) % 281474976710656)")} AS wt,
+             cents
+      FROM seeded CROSS JOIN (SELECT unnest(range(0, {BOOT_B})) AS b) b
+    ),
+    means AS (
+      SELECT grp, b,
+             CAST((sum(wt::HUGEINT * cents) * 1000000)
+                  // greatest(sum(wt::HUGEINT), 1) AS BIGINT) AS m
+      FROM w GROUP BY grp, b
+    ),
+    ranked AS (
+      SELECT grp, m,
+             row_number() OVER (PARTITION BY grp ORDER BY m, b) AS rnk
+      FROM means
+    )
+    SELECT p.grp, p.n_rows, p.mean_micro,
+           max(CASE WHEN r.rnk = 5 THEN r.m END) AS boot_lo_micro,
+           max(CASE WHEN r.rnk = 196 THEN r.m END) AS boot_hi_micro
+    FROM pt p JOIN ranked r ON r.grp = p.grp
+    GROUP BY p.grp, p.n_rows, p.mean_micro
+    """,
+    tags=("aggregate", "statistics"),
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for the mean order
+    value per priority — THE scale technique for uncertainty
+    quantification (online A/B platforms bootstrap this way because
+    classic resample-n-with-replacement needs the whole sample on one
+    machine; Poisson(1) weights make every resample a single weighted
+    pass, embarrassingly parallel). Determinism discipline: each row
+    draws TWO 48-bit md5 seeds once (sa, sc|1), and resample b's
+    uniform is the affine stream (sa + b·sc) mod 2^48 — compared
+    against PRECOMPUTED integer thresholds round(PoissonCDF(k)·2^48).
+    No rand(), no runtime exp(), the same resamples on every engine,
+    partitioning and run (the llm_train_split_hash argument, applied
+    to statistics) — and hashing cost is per ROW, not per (row, b):
+    the first cut md5'd every (row, b) pair and read 47.6 s at sf0.1;
+    the seeded stream pays B integer mul-add-mask ops per row instead
+    (re-measured below). Independence story: ACROSS rows the streams
+    are independent md5 seeds (that is where bootstrap exchangeability
+    lives); within a row the B drawn weights ride an odd-stride
+    arithmetic progression mod 2^48 — equidistributed, and each lands
+    in a different resample. Resample means are exact floored micros
+    over exact
+    integer cents; the CI bounds are the rank-5 and rank-196 order
+    statistics of the {BOOT_B} means (exact integer ranks — B chosen
+    so 2.5%/97.5% need no interpolation), tie-broken by resample id.
+    Plan: one fact scan crossed with a broadcast {BOOT_B}-row resample
+    table, ONE map-side-combined groupBy to |groups|×{BOOT_B} cells,
+    then windows over metadata-sized tables; the fact is never
+    shuffled wider than its (group, b) partial aggregate. At 100 TB
+    the B multiplier rides the scan (map-side), not the shuffle."""
+    from pyspark.sql import Window
+
+    # parallel=True: the B-way expansion multiplies per-partition work
+    # 200×, so a single-file single-partition scan would run the whole
+    # 30M-row pipeline on ONE core (measured: 60 s vs ~2 s split)
+    orders = load_table(spark, sf_dir, "orders", parallel=True)
+    base = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        "o_orderkey",
+    )
+    dec = "decimal(38,0)"
+    pt = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.expr(
+            "CAST((sum(CAST(cents AS DECIMAL(38,0))) * 1000000)"
+            " div count(*) AS BIGINT)"
+        ).alias("mean_micro"),
+    )
+    bs = spark.range(0, BOOT_B).select(F.col("id").cast("int").alias("b"))
+    seeded = base.select(
+        "grp",
+        "cents",
+        F.expr(
+            "cast(conv(substr(md5(concat('bootA|',"
+            " cast(o_orderkey as string))), 1, 12), 16, 10) as bigint)"
+        ).alias("sa"),
+        F.expr(
+            "cast(conv(substr(md5(concat('bootC|',"
+            " cast(o_orderkey as string))), 1, 12), 16, 10) as bigint) | 1"
+        ).alias("sc"),
+    )
+    w = seeded.crossJoin(F.broadcast(bs)).select(
+        "grp",
+        "b",
+        F.expr(
+            _pois_weight_sql("pmod(sa + b * sc, 281474976710656)")
+        ).alias("wt"),
+        "cents",
+    )
+    means = w.groupBy("grp", "b").agg(
+        F.expr(
+            "CAST((sum(CAST(wt AS DECIMAL(38,0)) * cents) * 1000000)"
+            " div greatest(sum(CAST(wt AS DECIMAL(38,0))), 1) AS BIGINT)"
+        ).alias("m")
+    )
+    rw = Window.partitionBy("grp").orderBy("m", "b")
+    ranked = means.withColumn("rnk", F.row_number().over(rw))
+    ci = ranked.groupBy("grp").agg(
+        F.max(F.when(F.col("rnk") == 5, F.col("m"))).alias("boot_lo_micro"),
+        F.max(F.when(F.col("rnk") == 196, F.col("m"))).alias("boot_hi_micro"),
+    )
+    return pt.join(ci, "grp").select(
+        "grp", "n_rows", "mean_micro", "boot_lo_micro", "boot_hi_micro"
+    )

@@ -1198,3 +1198,13 @@ def test_xcorr_lag_hour_keyed_join(spark, sf_dir):
     p = plan(spark, sf_dir, "ts_cross_correlation_lag")
     assert "CartesianProduct" not in p
     assert "partial_" in p
+
+
+def test_bootstrap_ci_single_fact_shuffle(spark, sf_dir):
+    """The B-way resample explode must ride the SCAN (broadcast b-table
+    crossJoin), partial-aggregate map-side into groups x B cells, and
+    never shuffle the fact wider than that one (grp, b) aggregate."""
+    p = plan(spark, sf_dir, "agg_bootstrap_ci")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the 200-row resample attach
+    assert "partial_" in p

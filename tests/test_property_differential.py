@@ -1711,3 +1711,76 @@ def test_kn_heldout_matches_rational_reference(spark, texts,
         .collect()
     }
     assert got == expected
+
+
+def test_bootstrap_ci_matches_hashlib_reference(spark, sf_dir):
+    """agg_bootstrap_ci vs a from-scratch Python reference at sf0.001:
+    the same salted-md5 48-bit uniforms, the same integer Poisson(1)
+    thresholds, the same exact-micro resample means and rank-5/196
+    order statistics — certifying that the 'no rand(), no runtime
+    exp()' determinism claim holds all the way to the CI bounds."""
+    import hashlib
+
+    from streamline_hybrid_engine_spark.catalog import load_table
+    from streamline_hybrid_engine_spark.operators.aggregates import (
+        BOOT_B,
+        _POIS1_T48,
+    )
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice", "o_orderkey")
+        .collect()
+    )
+
+    def seeds(key):
+        sa = int(hashlib.md5(f"bootA|{key}".encode()).hexdigest()[:12], 16)
+        sc = int(hashlib.md5(f"bootC|{key}".encode()).hexdigest()[:12], 16) | 1
+        return sa, sc
+
+    def weight(b, key):
+        sa, sc = seeds(key)
+        u = (sa + b * sc) % (1 << 48)
+        for k, t in enumerate(_POIS1_T48):
+            if u < t:
+                return k
+        return 7
+
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r["o_orderpriority"], []).append(
+            (round(r["o_totalprice"] * 100), r["o_orderkey"])
+        )
+    expected = {}
+    for grp, items in by_grp.items():
+        n = len(items)
+        mean_micro = sum(c for c, _ in items) * 1_000_000 // n
+        means = []
+        for b in range(BOOT_B):
+            sw = swx = 0
+            for cents, key in items:
+                w = weight(b, key)
+                sw += w
+                swx += w * cents
+            means.append((swx * 1_000_000 // max(sw, 1), b))
+        means.sort()
+        expected[grp] = (
+            n,
+            mean_micro,
+            means[4][0],    # rank 5
+            means[195][0],  # rank 196
+        )
+
+    got = {
+        r["grp"]: (
+            r["n_rows"],
+            r["mean_micro"],
+            r["boot_lo_micro"],
+            r["boot_hi_micro"],
+        )
+        for r in get_query("agg_bootstrap_ci").fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    for n, mean, lo, hi in got.values():
+        assert lo <= mean <= hi
