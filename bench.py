@@ -228,6 +228,7 @@ HEADLINE = (
     "llm_kn_heldout_surprisal",    # held-out KN scoring (train-split LM)
     "llm_ann_recall_eval",         # recall@10 of LSH vs exact truth
     "ts_cross_correlation_lag",    # lagged cross-correlation + argmax lag
+    "agg_bootstrap_ci",            # Poisson-bootstrap CI, integer-exact
 )
 
 #: BASELINE.md §A.1 rows (sf0.1 full-sequence medians, seconds) — kept in
@@ -419,6 +420,7 @@ BASELINE_SEC = {
     "llm_kn_heldout_surprisal": 2.18,
     "llm_ann_recall_eval": 1.52,
     "ts_cross_correlation_lag": 1.14,
+    "agg_bootstrap_ci": 5.78,
 }
 
 
