@@ -252,9 +252,10 @@ def test_connected_components_width_scales_with_edges(spark):
 
 def test_stream_shuffle_width_scales_with_input(spark, tmp_path, monkeypatch):
     """stream_shuffle_width sizes state partitions from input volume:
-    floor 4 on tiny fixtures, growing with bytes, capped at session cores
-    — never a constant that starves a cluster or over-partitions a
-    bounded drain."""
+    floor 8 on tiny fixtures (the r9 width-sweep knee — 1/2/4/8/16 →
+    57/60/71/79/46 k events/s), growing with bytes, capped at session
+    cores — never a constant that starves a cluster or over-partitions
+    a bounded drain."""
     import streamline_hybrid_engine_spark.streaming.jobs as jobs
 
     cores = spark.sparkContext.defaultParallelism
@@ -265,14 +266,14 @@ def test_stream_shuffle_width_scales_with_input(spark, tmp_path, monkeypatch):
         )
 
     fake_size(1 << 20)  # 1 MB -> floor
-    assert jobs.stream_shuffle_width(spark, "/x") == 4
+    assert jobs.stream_shuffle_width(spark, "/x") == 8
     fake_size(40 << 20)  # 40 MB -> 10 partitions (4 MB each)
-    assert jobs.stream_shuffle_width(spark, "/x") == min(cores, 10)
+    assert jobs.stream_shuffle_width(spark, "/x") == min(cores, max(8, 10))
     fake_size(1 << 40)  # 1 TB -> capped at cores
     assert jobs.stream_shuffle_width(spark, "/x") == cores
     monkeypatch.undo()
     # missing file -> floor, not a crash
-    assert jobs.stream_shuffle_width(spark, "/nonexistent-dir") == 4
+    assert jobs.stream_shuffle_width(spark, "/nonexistent-dir") == 8
 
 
 def test_two_phase_sessions_equal_native_and_salt_the_shuffle(spark, sf_dir):
