@@ -123,6 +123,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "llm_ann_recall_eval",
         "ts_cross_correlation_lag",
         "agg_bootstrap_ci",
+        "llm_importance_dsir",
+        "llm_perplexity_buckets",
     }
 )
 

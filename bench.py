@@ -229,6 +229,8 @@ HEADLINE = (
     "llm_ann_recall_eval",         # recall@10 of LSH vs exact truth
     "ts_cross_correlation_lag",    # lagged cross-correlation + argmax lag
     "agg_bootstrap_ci",            # Poisson-bootstrap CI, integer-exact
+    "llm_importance_dsir",         # DSIR importance weights (Q8 log-ratio)
+    "llm_perplexity_buckets",      # CCNet per-lang terciles (binned ntile)
 )
 
 #: BASELINE.md §A.1 rows (sf0.1 full-sequence medians, seconds) — kept in
@@ -421,6 +423,8 @@ BASELINE_SEC = {
     "llm_ann_recall_eval": 1.52,
     "ts_cross_correlation_lag": 1.14,
     "agg_bootstrap_ci": 5.78,
+    "llm_importance_dsir": 2.15,
+    "llm_perplexity_buckets": 1.73,
 }
 
 

