@@ -423,7 +423,7 @@ BASELINE_SEC = {
     "llm_ann_recall_eval": 1.52,
     "ts_cross_correlation_lag": 1.14,
     "agg_bootstrap_ci": 5.78,
-    "llm_importance_dsir": 2.15,
+    "llm_importance_dsir": 1.73,
     "llm_perplexity_buckets": 1.73,
 }
 

@@ -229,11 +229,21 @@ def llm_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("c_t"),
         F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("long").alias("c_r"),
     )
-    tot = cells.agg(
-        F.sum("c_t").cast("long").alias("n_t"),
-        F.sum("c_r").cast("long").alias("n_r"),
-    )
-    ratio = cells.crossJoin(F.broadcast(tot)).select(
+    # totals as a window over the B-row cell table, NOT a separate
+    # aggregate: Catalyst does not share subplans across join branches,
+    # so cells.agg(...).crossJoin(cells) re-ran the corpus explode a
+    # third time (.explain showed 3 parquet scans; 2 is the minimum —
+    # doc-level tfs and bucket cells genuinely need one each). The
+    # unpartitioned window is the documented metadata-sized valve: it
+    # sorts B=128 rows, never corpus data.
+    w_all = Window.partitionBy()
+    ratio = cells.select(
+        "b",
+        "c_t",
+        "c_r",
+        F.sum("c_t").over(w_all).cast("long").alias("n_t"),
+        F.sum("c_r").over(w_all).cast("long").alias("n_r"),
+    ).select(
         "b",
         F.expr(_SPARK_SIGN).alias("sign"),
         F.expr(_SPARK_Q).alias("q"),

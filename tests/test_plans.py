@@ -1208,3 +1208,30 @@ def test_bootstrap_ci_single_fact_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p  # the 200-row resample attach
     assert "partial_" in p
+
+
+def test_importance_dsir_broadcasts_model_never_reshuffles_corpus(spark, sf_dir):
+    """DSIR: the 128-row score table must attach by BROADCAST hash join
+    (never a shuffle of the doc-bucket tfs against it), both corpus
+    aggregates partial-aggregate map-side, nothing cartesians, and the
+    corpus explodes exactly TWICE (doc-level tfs + bucket cells) — the
+    first cut's separate totals aggregate re-ran it a third time
+    because Catalyst does not share subplans across join branches;
+    totals now ride a window over the 128-row cell table."""
+    p = plan(spark, sf_dir, "llm_importance_dsir")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # score table onto doc-bucket tf
+    assert "partial_" in p
+    assert p.count("Scan parquet") == 2
+
+
+def test_perplexity_buckets_windows_partition_by_lang_bin(spark, sf_dir):
+    """CCNet terciles: the doc-sized rank window partitions by
+    (lang, bin) — no per-lang global range sort of the corpus; the only
+    lang-wide windows run over the langs x ~20-bin offset table
+    (metadata-sized)."""
+    p = plan(spark, sf_dir, "llm_perplexity_buckets")
+    assert "rangepartitioning" not in p.lower()
+    assert "CartesianProduct" not in p
+    # the doc-level window's exchange hashes on (lang, bin)
+    assert "hashpartitioning(lang" in p and "bin" in p
