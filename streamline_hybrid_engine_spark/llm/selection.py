@@ -144,6 +144,57 @@ _DUCK_SIGN, _DUCK_Q = _dsir_ratio_sql("{0}::HUGEINT", "//")
 _SPARK_SIGN, _SPARK_Q = _dsir_ratio_sql("cast({0} as decimal(38,0))", "div")
 
 
+def bucketize_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, is_t, b) token rows for a documents frame — the shared
+    front half of the batch query and its streaming face (works on a
+    streaming DataFrame unchanged: explode + projection only)."""
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return toks.select(
+        "doc_id",
+        F.col("source").isin(*DSIR_TARGET).alias("is_t"),
+        F.expr(
+            "cast(conv(substr(md5(concat('dsir|', tok)), 1, 6), 16, 10)"
+            f" as bigint) % {DSIR_BUCKETS}"
+        ).alias("b"),
+    )
+
+
+def dsir_score_table(docs: DataFrame) -> DataFrame:
+    """The DSIR "model": the B-row (b, score_q8) table fit on a STATIC
+    documents frame. Broadcast-sized by construction; the streaming face
+    attaches it to a document stream per micro-batch."""
+    cells = bucketize_tokens(docs).groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("c_t"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("long").alias("c_r"),
+    )
+    # totals as a window over the B-row cell table, NOT a separate
+    # aggregate: Catalyst does not share subplans across join branches,
+    # so cells.agg(...).crossJoin(cells) re-ran the corpus explode a
+    # third time (.explain showed 3 parquet scans; 2 is the minimum —
+    # doc-level tfs and bucket cells genuinely need one each). The
+    # unpartitioned window is the documented metadata-sized valve: it
+    # sorts B rows, never corpus data.
+    w_all = Window.partitionBy()
+    ratio = cells.select(
+        "b",
+        "c_t",
+        "c_r",
+        F.sum("c_t").over(w_all).cast("long").alias("n_t"),
+        F.sum("c_r").over(w_all).cast("long").alias("n_r"),
+    ).select(
+        "b",
+        F.expr(_SPARK_SIGN).alias("sign"),
+        F.expr(_SPARK_Q).alias("q"),
+    )
+    return _spark_log2_q8(ratio, "q").select(
+        "b", (F.col("sign") * F.col("lq8")).alias("score_q8")
+    )
+
+
 @query(
     "llm_importance_dsir",
     oracle=f"""
@@ -212,45 +263,8 @@ def llm_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     target/raw bucket ratios live within one bit of parity.
     """
     docs = load_table(spark, sf_dir, "documents", parallel=True)
-    toks = docs.select(
-        "doc_id",
-        "source",
-        F.explode(F.split("text", " ")).alias("tok"),
-    ).filter(F.col("tok") != "")
-    tb = toks.select(
-        "doc_id",
-        F.col("source").isin(*DSIR_TARGET).alias("is_t"),
-        F.expr(
-            "cast(conv(substr(md5(concat('dsir|', tok)), 1, 6), 16, 10)"
-            f" as bigint) % {DSIR_BUCKETS}"
-        ).alias("b"),
-    )
-    cells = tb.groupBy("b").agg(
-        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("c_t"),
-        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("long").alias("c_r"),
-    )
-    # totals as a window over the B-row cell table, NOT a separate
-    # aggregate: Catalyst does not share subplans across join branches,
-    # so cells.agg(...).crossJoin(cells) re-ran the corpus explode a
-    # third time (.explain showed 3 parquet scans; 2 is the minimum —
-    # doc-level tfs and bucket cells genuinely need one each). The
-    # unpartitioned window is the documented metadata-sized valve: it
-    # sorts B=128 rows, never corpus data.
-    w_all = Window.partitionBy()
-    ratio = cells.select(
-        "b",
-        "c_t",
-        "c_r",
-        F.sum("c_t").over(w_all).cast("long").alias("n_t"),
-        F.sum("c_r").over(w_all).cast("long").alias("n_r"),
-    ).select(
-        "b",
-        F.expr(_SPARK_SIGN).alias("sign"),
-        F.expr(_SPARK_Q).alias("q"),
-    )
-    scored = _spark_log2_q8(ratio, "q").select(
-        "b", (F.col("sign") * F.col("lq8")).alias("score_q8")
-    )
+    tb = bucketize_tokens(docs)
+    scored = dsir_score_table(docs)
     doc_b = tb.groupBy("doc_id", "b").agg(F.count("*").alias("tf"))
     return (
         doc_b.join(F.broadcast(scored), "b")

@@ -1773,3 +1773,39 @@ def stream_topk_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(-(neg_id), uid, v) for v, neg_id, uid in out],
         "event_id long, user_id long, value_micros long",
     )
+
+
+@query("stream_dsir_filter", oracle=None, tags=("streaming", "llm", "hybrid"))
+def stream_dsir_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DSIR scoring: the online half of importance-resampled
+    corpus construction. The hashed-unigram model (the 128-row
+    (bucket, score_q8) table from ``llm_importance_dsir``) is fit ONCE
+    on the static seed corpus, then every arriving document is scored
+    per micro-batch — explode, bucket, broadcast-join the model, one
+    stateful per-doc sum — so an ingestion pipeline can route
+    target-like docs (dsir_q8 >= 0) to the training corpus as they
+    land, without rescanning history. Hybrid batch-stream like
+    stream_static_enrich: the model is the static build side; the
+    stream is never shuffled except by the doc_id state aggregate.
+    Rows-only by design (streaming drain); equivalence to the batch id
+    on the same fixture is test-pinned (complete-mode drain == batch
+    llm_importance_dsir restricted to the same columns)."""
+    from ..llm.selection import bucketize_tokens, dsir_score_table
+
+    model = dsir_score_table(load_table(spark, sf_dir, "documents"))
+    docs = read_documents_stream(spark, sf_dir)
+    scored = (
+        bucketize_tokens(docs)
+        .join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("score_q8").cast("long").alias("dsir_q8"),
+        )
+    )
+    return run_to_memory(
+        scored,
+        "she_stream_dsir_filter",
+        "complete",
+        stream_shuffle_width(spark, sf_dir),
+    )

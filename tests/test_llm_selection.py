@@ -204,3 +204,18 @@ def test_perplexity_buckets_partition_languages_exactly(spark, sf_dir):
             assert by["middle"].hi_micro <= by["tail"].lo_micro
         for r in grp.itertuples():
             assert r.lo_micro <= r.avg_micro <= r.hi_micro
+
+
+def test_stream_dsir_filter_equals_batch_scores(spark, sf_dir):
+    """The streaming face drains to exactly the batch id's rows: same
+    docs, same n_tokens, same dsir_q8 (complete-mode drain over the
+    one-file fixture stream; the model is the same static table)."""
+    batch = {
+        r.doc_id: (r.n_tokens, r.dsir_q8)
+        for r in _QS["llm_importance_dsir"].fn(spark, sf_dir).collect()
+    }
+    stream = {
+        r.doc_id: (r.n_tokens, r.dsir_q8)
+        for r in _QS["stream_dsir_filter"].fn(spark, sf_dir).collect()
+    }
+    assert stream == batch
