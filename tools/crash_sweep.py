@@ -34,6 +34,12 @@ def main() -> int:
     warm(spark, sf_dir)
     fails: dict[str, str] = {}
     qs = all_queries()
+    if len(sys.argv) > 1:  # id args → incremental sweep (unknown id = error)
+        missing = [a for a in sys.argv[1:] if a not in qs]
+        if missing:
+            print(json.dumps({"unknown_ids": missing}), flush=True)
+            return 2
+        qs = {a: qs[a] for a in sys.argv[1:]}
     for name, q in qs.items():
         t0 = time.time()
         try:
