@@ -91,6 +91,10 @@ _LAZY_EXPORTS = {
     "lcs_fold_map_expr": "streamline_hybrid_engine_spark.llm.text",
     # lagged cross-correlation with the checkpoint-grid 100 TB valve (r9)
     "hourly_xcorr": "streamline_hybrid_engine_spark.operators.time_windows",
+    # data selection: DSIR importance model + exact-NTILE-from-rank (r9)
+    "dsir_score_table": "streamline_hybrid_engine_spark.llm.selection",
+    "bucketize_tokens": "streamline_hybrid_engine_spark.llm.selection",
+    "ntile_from_rank": "streamline_hybrid_engine_spark.llm.selection",
 }
 
 __all__ = ["all_queries", "get_query", *sorted(_LAZY_EXPORTS)]

@@ -144,18 +144,24 @@ _DUCK_SIGN, _DUCK_Q = _dsir_ratio_sql("{0}::HUGEINT", "//")
 _SPARK_SIGN, _SPARK_Q = _dsir_ratio_sql("cast({0} as decimal(38,0))", "div")
 
 
-def bucketize_tokens(docs: DataFrame) -> DataFrame:
-    """(doc_id, is_t, b) token rows for a documents frame — the shared
-    front half of the batch query and its streaming face (works on a
-    streaming DataFrame unchanged: explode + projection only)."""
+def bucketize_tokens(
+    docs: DataFrame, target: F.Column | None = None
+) -> DataFrame:
+    """(doc_id, is_t, b) token rows for ANY frame with (doc_id, text) —
+    the shared front half of the batch query and its streaming face
+    (works on a streaming DataFrame unchanged: explode + projection
+    only). ``target`` marks target-domain rows; None uses the registry
+    fixture predicate (source ∈ DSIR_TARGET, requires a source column)."""
+    if target is None:
+        target = F.col("source").isin(*DSIR_TARGET)
     toks = docs.select(
         "doc_id",
-        "source",
+        target.alias("is_t"),
         F.explode(F.split("text", " ")).alias("tok"),
     ).filter(F.col("tok") != "")
     return toks.select(
         "doc_id",
-        F.col("source").isin(*DSIR_TARGET).alias("is_t"),
+        "is_t",
         F.expr(
             "cast(conv(substr(md5(concat('dsir|', tok)), 1, 6), 16, 10)"
             f" as bigint) % {DSIR_BUCKETS}"
@@ -163,11 +169,14 @@ def bucketize_tokens(docs: DataFrame) -> DataFrame:
     )
 
 
-def dsir_score_table(docs: DataFrame) -> DataFrame:
+def dsir_score_table(
+    docs: DataFrame, target: F.Column | None = None
+) -> DataFrame:
     """The DSIR "model": the B-row (b, score_q8) table fit on a STATIC
-    documents frame. Broadcast-sized by construction; the streaming face
+    documents frame (any frame with doc_id, text and a target
+    predicate). Broadcast-sized by construction; the streaming face
     attaches it to a document stream per micro-batch."""
-    cells = bucketize_tokens(docs).groupBy("b").agg(
+    cells = bucketize_tokens(docs, target).groupBy("b").agg(
         F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("c_t"),
         F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("long").alias("c_r"),
     )

@@ -518,3 +518,56 @@ def test_hourly_xcorr_checkpoint_valve_is_result_identical(spark, sf_dir):
     # narrower sweep stays a prefix of the lag grid
     short = hourly_xcorr(spark, ev, max_lag_h=2).collect()
     assert {r["lag_h"] for r in short} == {0, 1, 2}
+
+
+def test_dsir_score_table_on_toy_corpus(spark):
+    """Library face: fit the DSIR model on YOUR frame with YOUR target
+    predicate; a token that only ever appears in the target must land a
+    strictly positive bucket score, a raw-only token strictly negative,
+    and scoring docs by the model separates them accordingly."""
+    import pyspark.sql.functions as F
+
+    from streamline_hybrid_engine_spark import (
+        bucketize_tokens,
+        dsir_score_table,
+    )
+
+    rows = [
+        (1, "alpha alpha beta", "wiki"),
+        (2, "alpha beta beta", "wiki"),
+        (3, "gamma gamma delta", "crawl"),
+        (4, "delta gamma gamma", "crawl"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    target = F.col("source") == "wiki"
+    model = dsir_score_table(docs, target)
+    assert model.count() <= 128
+    scored = (
+        bucketize_tokens(docs, target)
+        .join(model, "b")
+        .groupBy("doc_id")
+        .agg(F.sum("score_q8").alias("w"))
+    )
+    w = {r.doc_id: r.w for r in scored.collect()}
+    assert w[1] > 0 and w[2] > 0          # target-only vocabulary
+    assert w[3] < 0 and w[4] < 0          # raw-only vocabulary
+
+
+def test_ntile_from_rank_library_face(spark):
+    """Exact ANSI NTILE from a precomputed rank — the primitive behind
+    binned-rank plans; quartiles of 10 rows split 3/3/2/2."""
+    import pyspark.sql.functions as F
+
+    from streamline_hybrid_engine_spark import ntile_from_rank
+
+    df = spark.range(1, 11).select(
+        F.col("id").cast("int").alias("rnk"), F.lit(10).alias("n")
+    )
+    got = sorted(
+        (r.rnk, r.t)
+        for r in df.select("rnk", ntile_from_rank("rnk", "n", 4).alias("t")).collect()
+    )
+    sizes = {}
+    for _, t in got:
+        sizes[t] = sizes.get(t, 0) + 1
+    assert sizes == {1: 3, 2: 3, 3: 2, 4: 2}
