@@ -219,3 +219,33 @@ def test_stream_dsir_filter_equals_batch_scores(spark, sf_dir):
         for r in _QS["stream_dsir_filter"].fn(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+@settings(max_examples=25 * _FUZZ, deadline=None)
+@given(cases=st.lists(_counts, min_size=1, max_size=60))
+def test_dsir_q8_duckdb_side_matches_python_mirror(cases):
+    """The ORACLE side at 100 TB-regime counts: the sf0.01 gate only
+    exercises small counts, so the HUGEINT branch of the Q8 pipeline
+    gets its own differential (pure DuckDB, no Spark)."""
+    import duckdb
+
+    from streamline_hybrid_engine_spark.llm.selection import (
+        _DUCK_Q,
+        _DUCK_SIGN,
+        _duck_log2_q8_ctes,
+    )
+
+    values = ", ".join(
+        f"({i}, {a}, {b}, {c}, {d})" for i, (a, b, c, d) in enumerate(cases)
+    )
+    sql = f"""
+    WITH cells(i, c_t, c_r, n_t, n_r) AS (VALUES {values}),
+    ratio AS (
+      SELECT i, {_DUCK_SIGN} AS sign, {_DUCK_Q} AS q FROM cells
+    ),
+    {_duck_log2_q8_ctes("ratio")}
+    SELECT i, sign * lq8 AS s FROM lgf
+    """
+    got = dict(duckdb.sql(sql).fetchall())
+    for i, (a, b, c, d) in enumerate(cases):
+        assert got[i] == _expected_score_q8(a, b, c, d), (i, cases[i], got[i])
