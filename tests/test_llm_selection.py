@@ -249,3 +249,64 @@ def test_dsir_q8_duckdb_side_matches_python_mirror(cases):
     got = dict(duckdb.sql(sql).fetchall())
     for i, (a, b, c, d) in enumerate(cases):
         assert got[i] == _expected_score_q8(a, b, c, d), (i, cases[i], got[i])
+
+
+@settings(max_examples=10 * _FUZZ, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["aa", "bb", "cc"]),       # lang
+            st.integers(0, 50_000_000),                # mean_micro score
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_binned_tercile_assembly_equals_plain_ntile(spark, docs):
+    """End-to-end randomized differential for the binned-rank path: on
+    arbitrary (lang, score) corpora — duplicate scores, skewed langs,
+    n < 3 languages — assembling rank as broadcast bin-offset +
+    row_number within (lang, bin) and applying ntile_from_rank must
+    reproduce plain ntile(3) OVER (PARTITION BY lang ORDER BY score,
+    doc_id) row for row. This is the assembly llm_perplexity_buckets
+    runs; the fixture only exercises one corpus shape."""
+    rows = [
+        (i, lang, int(score)) for i, (lang, score) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, mean_micro long")
+    scored = df.withColumn("bin", F.expr("mean_micro div 1000000"))
+    bin_counts = scored.groupBy("lang", "bin").agg(F.count("*").alias("bn"))
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bin_counts.select(
+        "lang",
+        "bin",
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("off"),
+        F.sum("bn").over(Window.partitionBy("lang")).alias("n_lang"),
+    )
+    w_bin = Window.partitionBy("lang", "bin").orderBy("mean_micro", "doc_id")
+    assembled = scored.join(F.broadcast(offsets), ["lang", "bin"]).select(
+        "doc_id",
+        (F.row_number().over(w_bin) + F.col("off")).alias("rnk"),
+        "n_lang",
+    )
+    got = {
+        r.doc_id: r.t
+        for r in assembled.select(
+            "doc_id", ntile_from_rank("rnk", "n_lang", 3).alias("t")
+        ).collect()
+    }
+    ref = {
+        r.doc_id: r.t
+        for r in df.select(
+            "doc_id",
+            F.ntile(3)
+            .over(Window.partitionBy("lang").orderBy("mean_micro", "doc_id"))
+            .alias("t"),
+        ).collect()
+    }
+    assert got == ref
