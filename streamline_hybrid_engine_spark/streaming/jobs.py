@@ -26,7 +26,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from streamline_hybrid_engine_spark.catalog import load_table
-from streamline_hybrid_engine_spark.registry import query
+from streamline_hybrid_engine_spark.registry import get_query, query
 from streamline_hybrid_engine_spark.session import ensure_runtime_confs
 
 EVENTS_RAW_SCHEMA = (
@@ -1808,4 +1808,88 @@ def stream_dsir_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "she_stream_dsir_filter",
         "complete",
         stream_shuffle_width(spark, sf_dir),
+    )
+
+
+@query(
+    "stream_perplexity_router", oracle=None, tags=("streaming", "llm", "hybrid")
+)
+def stream_perplexity_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online CCNet staging: route arriving documents to head/middle/
+    tail quality tiers using TERCILE THRESHOLDS fit batch-side (the
+    `llm_perplexity_buckets` boundaries) — the deployment mode of
+    quantile bucketing at 100 TB, where the online path cannot rank
+    against history and instead compares each doc's score to frozen
+    per-lang cut points (score <= head_hi -> head, <= middle_hi ->
+    middle, else tail; boundary ties route LOW, so routed counts may
+    differ from exact batch terciles exactly at tied cut points — the
+    documented semantic gap between rank- and threshold-bucketing).
+
+    Static side: the unigram vocab model (token counts + corpus total;
+    stats-driven broadcast <-> shuffle like the batch id) and the
+    3-rows-per-lang threshold table (always broadcast). Stream side:
+    explode -> vocab join (unseen tokens OOV-drop, the llm_vocab_oov
+    convention) -> per-doc stateful score -> broadcast threshold join
+    -> per-(lang, route) complete-mode counts. Per-route score bounds
+    vs the batch boundaries are test-pinned."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    vocab = toks.groupBy("t").agg(F.count("*").alias("cnt"))
+    n = toks.agg(F.count("*").alias("total"))
+    cuts = (
+        get_query("llm_perplexity_buckets")
+        .fn(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.max(F.when(F.col("bucket") == "head", F.col("hi_micro"))).alias(
+                "head_hi"
+            ),
+            F.max(
+                F.when(F.col("bucket") == "middle", F.col("hi_micro"))
+            ).alias("middle_hi"),
+        )
+    )
+    stream = read_documents_stream(spark, sf_dir)
+    scored = (
+        stream.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("t")
+        )
+        .join(vocab, "t")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "lang",
+            (F.length(F.bin(F.expr("total div cnt"))) - 1).alias("bits"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.expr(
+                "CAST((sum(CAST(bits AS DECIMAL(38,0))) * 1000000)"
+                " div count(*) AS BIGINT)"
+            ).alias("mean_micro")
+        )
+    )
+    routed = scored.join(F.broadcast(cuts), "lang").select(
+        "lang",
+        "mean_micro",
+        F.when(F.col("mean_micro") <= F.col("head_hi"), "head")
+        .when(F.col("mean_micro") <= F.col("middle_hi"), "middle")
+        .otherwise("tail")
+        .alias("route"),
+    )
+    # ONE stateful operation on the stream (the per-doc score agg); the
+    # per-(lang, route) rollup runs batch-side on the drained table —
+    # Spark's multiple-stateful-operator correctness check rejects
+    # chained stateful aggregates on an unwatermarked stream, and the
+    # rollup needs no stream state anyway.
+    drained = run_to_memory(
+        routed,
+        "she_stream_perplexity_router",
+        "complete",
+        stream_shuffle_width(spark, sf_dir),
+    )
+    return drained.groupBy("lang", "route").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("mean_micro").alias("lo_micro"),
+        F.max("mean_micro").alias("hi_micro"),
     )

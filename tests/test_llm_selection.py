@@ -310,3 +310,34 @@ def test_binned_tercile_assembly_equals_plain_ntile(spark, docs):
         ).collect()
     }
     assert got == ref
+
+
+def test_stream_perplexity_router_respects_batch_boundaries(spark, sf_dir):
+    """Threshold routing invariants vs the batch terciles: per lang,
+    every routed doc's score respects the frozen cut points (head <=
+    head_hi < middle <= middle_hi < tail), per-lang totals equal the
+    lang's doc count, and within a lang the route score ranges are
+    ordered. Boundary ties route LOW by contract, so routed counts may
+    differ from exact batch tercile sizes — ranges, not sizes, are the
+    invariant."""
+    batch = _QS["llm_perplexity_buckets"].fn(spark, sf_dir).toPandas()
+    cuts = {}
+    for lang, grp in batch.groupby("lang"):
+        by = {r.bucket: r for r in grp.itertuples()}
+        cuts[lang] = (
+            by["head"].hi_micro if "head" in by else None,
+            by["middle"].hi_micro if "middle" in by else None,
+        )
+    routed = _QS["stream_perplexity_router"].fn(spark, sf_dir).toPandas()
+    lang_totals = batch.groupby("lang")["n_docs"].sum().to_dict()
+    assert routed.groupby("lang")["n_docs"].sum().to_dict() == lang_totals
+    for lang, grp in routed.groupby("lang"):
+        head_hi, middle_hi = cuts[lang]
+        by = {r.route: r for r in grp.itertuples()}
+        if "head" in by:
+            assert by["head"].hi_micro <= head_hi
+        if "middle" in by:
+            assert by["middle"].lo_micro > head_hi
+            assert by["middle"].hi_micro <= middle_hi
+        if "tail" in by:
+            assert by["tail"].lo_micro > middle_hi
