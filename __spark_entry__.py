@@ -107,24 +107,15 @@ def _sweep_order(qs, correctness_dir: str | None = None) -> list[str]:
 #: while unstamped).
 _NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # r9 additions ONLY. At the r9 open the 8 r8 entries GRADUATED to
-        # the long-queued backlog (plain rank 1): CORRECTNESS_r08 stamped 50
-        # backlog ids and none of the r8 additions, leaving 39 never-stamped
-        # oracle ids (31 r7-wave at sweep slots 1-31, the 8 r8 ids at 32-39).
-        # r9 additions are capped so 39 + |this set| <= 50 — the whole queue
-        # fits ONE sweep and CORRECTNESS_r09 becomes the first fully-stamped
-        # official record. tests/test_registry.py pins set ∩ stamped == ∅.
-        "llm_rouge_l_long",
-        "llm_dedup_substring",
-        "llm_kn_top_followers",
-        "llm_tokenizer_fertility",
-        "llm_bleu_pairs",
-        "llm_kn_heldout_surprisal",
-        "llm_ann_recall_eval",
-        "ts_cross_correlation_lag",
-        "agg_bootstrap_ci",
-        "llm_importance_dsir",
-        "llm_perplexity_buckets",
+        # r10 additions ONLY. The r9 entries GRADUATED at the r10 open:
+        # CORRECTNESS_r09.json stamped all 11 of them green (the record's
+        # first full sweep — every oracle-backed id now carries a stamp),
+        # so the never-stamped backlog is EMPTY and every id added this
+        # round stamps in the next sweep regardless of rank. Cap additions
+        # at <= 50 so that stays true. tests/test_registry.py pins
+        # set ∩ stamped == ∅ and every entry to be a live oracle-backed
+        # registry id, so ids are appended here IN THE SAME COMMIT that
+        # registers them.
     }
 )
 
