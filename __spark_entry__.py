@@ -116,6 +116,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         # set ∩ stamped == ∅ and every entry to be a live oracle-backed
         # registry id, so ids are appended here IN THE SAME COMMIT that
         # registers them.
+        "llm_classifier_auc_binned",
     }
 )
 

@@ -79,6 +79,7 @@ _LAZY_EXPORTS = {
     # budget allocation / eval / checksums / spatial / skyline (r8 pass 4)
     "waterfill": "streamline_hybrid_engine_spark.llm.text",
     "binary_auc": "streamline_hybrid_engine_spark.llm.text",
+    "binary_auc_binned": "streamline_hybrid_engine_spark.llm.text",
     "confusion_matrix": "streamline_hybrid_engine_spark.llm.text",
     "first_last_touch": "streamline_hybrid_engine_spark.operators.time_windows",
     "content_checksum": "streamline_hybrid_engine_spark.operators.metrics",

@@ -1609,6 +1609,121 @@ def llm_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_auc(clf.join(qual, "doc_id"), "s", "y")
 
 
+#: Score-bucket width for the binned AUC rank decomposition. The classifier
+#: logit spans ~±7e6 on the fixture corpus, so 2^16 yields ~10^2 buckets;
+#: at corpus scale the logit range is bounded by doc length × weight range,
+#: so the bucket table stays metadata-sized regardless of row count.
+AUC_BIN = 1 << 16
+
+
+def binary_auc_binned(
+    scored: DataFrame, score_col: str, label_col: str, bin_width: int = AUC_BIN
+) -> DataFrame:
+    """:func:`binary_auc` without the single-partition sort — the corpus-
+    scale form its docstring promises. Same exact Mann–Whitney answer,
+    decomposed by the binned-offset valve (agg_decile_lift_binned /
+    llm_perplexity_buckets pattern): ``bin = score div bin_width`` is a
+    PREFIX of the score order (integer div truncates toward zero, which is
+    monotone), so the global ANSI rank splits into
+
+        rank(s) = offset(bin) + rank_within_bin(s)
+
+    where ``offset(bin)`` = rows in strictly-lower bins — a broadcast
+    table of ~|score_range|/bin_width rows. Ties in s never cross bins
+    (equal scores share a bin), so the within-bin peer count IS the global
+    tiecount, and it rides the SAME bin-partitioned sorted exchange as the
+    rank (RANGE frame over the sort key). No window in the plan ever
+    partitions the corpus into one task.
+
+    The doubled-rank sum accumulates in DECIMAL(38,0): Σ 2·avg_rank over n
+    rows is Θ(n²), past int64 at ~3e9 rows — exactly the regime this form
+    exists for. The one float division happens after both exact integer
+    totals are in hand, matching the oracle's BIGINT→DOUBLE division.
+    Differential-fuzzed against :func:`binary_auc` (same result to the
+    last bit) in tests/test_property_differential.py."""
+    from pyspark.sql import Window
+
+    s, y = F.col(score_col), F.col(label_col)
+    binned = scored.select(
+        s.alias("s"),
+        y.alias("y"),
+        F.expr(f"{score_col} div {int(bin_width)}").alias("bin"),
+    )
+    # offsets: rows in strictly-lower bins + nothing corpus-sized — the
+    # cumulative window runs over the bucket table only.
+    w_off = (
+        Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        binned.groupBy("bin")
+        .agg(F.count("*").alias("bn"))
+        .select(
+            "bin",
+            F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("off"),
+        )
+    )
+    w_rank = Window.partitionBy("bin").orderBy("s")
+    r2 = (
+        2 * (F.col("off") + F.rank().over(w_rank).cast("long"))
+        + F.count("*").over(w_rank.rangeBetween(0, 0)).cast("long")
+        - 1
+    )
+    ranked = binned.join(F.broadcast(offsets), "bin").select(
+        "y", r2.alias("r2")
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("r2")).otherwise(0).cast(
+            "decimal(38,0)"
+        )).alias("r2_pos"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("n_neg"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.try_divide(
+                (
+                    F.col("r2_pos")
+                    - (F.col("n_pos") * (F.col("n_pos") + 1)).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double"),
+                (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+            ),
+            6,
+        ).alias("auc"),
+    )
+
+
+@query(
+    "llm_classifier_auc_binned",
+    oracle=_auc_oracle(),
+    tags=("llm", "evaluation", "scale-valve"),
+)
+def llm_classifier_auc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm_classifier_auc's answer through the corpus-scale plan — the
+    executable realization of the prose valve in that query's docstring
+    ("at corpus scale narrow into score buckets first"). Same inputs,
+    same oracle, same exact integer rank-sum AUC; the global
+    ``Window.orderBy(score)`` is replaced by the binned-offset
+    decomposition (see :func:`binary_auc_binned`): windows partition by
+    score bucket, the bucket-offset table broadcasts, and nothing ever
+    range-partitions the corpus into one task. The registry's fourth
+    executable binned-rank id, after agg_decile_lift_binned,
+    llm_perplexity_buckets, and the binned terciles."""
+    from streamline_hybrid_engine_spark.registry import all_queries
+
+    qs = all_queries()
+    clf = qs["llm_quality_classifier"].fn(spark, sf_dir).select(
+        "doc_id", F.col("logit_fp").alias("s")
+    )
+    qual = qs["llm_text_quality"].fn(spark, sf_dir).select(
+        "doc_id", F.col("passes_filter").alias("y")
+    )
+    return binary_auc_binned(clf.join(qual, "doc_id"), "s", "y")
+
+
 @query(
     "llm_rouge_n_pairs",
     oracle="""

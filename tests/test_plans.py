@@ -1235,3 +1235,21 @@ def test_perplexity_buckets_windows_partition_by_lang_bin(spark, sf_dir):
     assert "CartesianProduct" not in p
     # the doc-level window's exchange hashes on (lang, bin)
     assert "hashpartitioning(lang" in p and "bin" in p
+
+
+def test_classifier_auc_binned_no_global_score_sort(spark, sf_dir):
+    """Binned AUC (the executable form of llm_classifier_auc's scale
+    valve): the corpus-sized rank window partitions by score bucket —
+    rank and tie-peer count fused in ONE bin-partitioned window node —
+    and nothing range-partitions the scored table; single-partition
+    exchanges exist only for the bucket-offset table and the final
+    1-row aggregate."""
+    p = plan(spark, sf_dir, "llm_classifier_auc_binned")
+    assert "rangepartitioning" not in p.lower()
+    assert "CartesianProduct" not in p
+    # the corpus window's exchange hashes on the score bucket
+    assert "hashpartitioning(bin" in p
+    # rank and peer count share one window node (one sort, one exchange):
+    # no plan line carries rank() without count(1) beside it
+    rank_lines = [ln for ln in p.splitlines() if "rank(" in ln]
+    assert rank_lines and all("count(1)" in ln for ln in rank_lines)

@@ -928,6 +928,37 @@ def test_binary_auc_matches_pairwise(spark, rows):
 @settings(max_examples=15 * _FUZZ, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
+    rows=st.lists(
+        st.tuples(st.integers(-9, 9), st.integers(0, 1)),  # (score, label)
+        min_size=2,
+        max_size=60,
+    ),
+    bin_width=st.sampled_from([1, 2, 3, 5, 100]),
+)
+def test_binary_auc_binned_equals_global_rank(spark, rows, bin_width):
+    """The binned-offset rank decomposition must reproduce binary_auc to
+    the last bit for EVERY bin width: width 1 (every score its own bin —
+    the offset table does all the ranking), tiny widths that put bin
+    boundaries between tied scores on both sides of zero (negative
+    scores exercise div's truncate-toward-zero bins, including the
+    double-width bin straddling 0), and width 100 (one bin — the window
+    does all the ranking, offset identically 0). One-class inputs must
+    yield the same NULL auc through try_divide."""
+    from streamline_hybrid_engine_spark import binary_auc, binary_auc_binned
+
+    df = spark.createDataFrame(rows, "s long, y int")
+    want = binary_auc(df, "s", "y").collect()[0]
+    got = binary_auc_binned(df, "s", "y", bin_width=bin_width).collect()[0]
+    assert (got["n_pos"], got["n_neg"]) == (want["n_pos"], want["n_neg"])
+    if want["auc"] is None:
+        assert got["auc"] is None
+    else:
+        assert got["auc"] == want["auc"]
+
+
+@settings(max_examples=15 * _FUZZ, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
     sizes=st.lists(st.integers(0, 50), min_size=1, max_size=12),
     budget=st.integers(0, 400),
 )
