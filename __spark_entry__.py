@@ -117,6 +117,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         # registry id, so ids are appended here IN THE SAME COMMIT that
         # registers them.
         "llm_classifier_auc_binned",
+        "llm_bpe_train_merges",
     }
 )
 

@@ -1966,6 +1966,189 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Merge rounds for the full BPE trainer (fixed N, like KM_ROUNDS — the
+#: oracle unrolls the same count under a CTE chain).
+BPE_MERGES = 6
+
+
+def bpe_train_merges(words: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Full iterative BPE merge training over a (tok, freq) word table —
+    the N-merge driver loop llm_bpe_pair_counts is one counting step of
+    (the llm_kmeans_lloyd iteration pattern applied to tokenizer
+    training). Returns the learned merge table: one row per round,
+    (step, lhs, rhs, pair_count).
+
+    Segmentation state is a bracket encoding: every current symbol is
+    wrapped as ``(sym)``, so a word's state is e.g. ``(t)(h)(e)``.
+    Applying merge (x, y) is then ONE string replace of ``(x)(y)`` with
+    ``(xy)`` — and because scanning resumes past each replacement,
+    plain leftmost non-overlapping replace() IS the BPE greedy
+    left-to-right pass (``(a)(a)(a)`` under merge (a,a) →
+    ``(aa)(a)``, never a double merge of the shared middle). A merged
+    token can never re-match as the pair's right element (xy is
+    strictly longer than y), so one pass per round is exact. Brackets
+    are collision-free because the caller's tokens are [a-z]+ only
+    (the trainer's pre-tokenizer contract, enforced upstream).
+
+    Per round: adjacent-pair explode over the VOCAB-sized word table
+    (never the corpus — word-frequency rollup first is the classic BPE
+    trainer optimization), freq-weighted count, argmax merge (ties:
+    count desc, then lexicographic (lhs, rhs) — deterministic on both
+    engines, ASCII-only strings), then the merge applied via a
+    broadcast 1-row cross join — NO collect, the chosen pair never
+    visits the driver. Each round's word table is localCheckpoint-ed
+    (eager) so the 2-consumer lineage (next round + its merge row)
+    can't replay exponentially. Differential-fuzzed against a
+    pure-Python BPE trainer in tests/test_property_differential.py."""
+    enc = words.select(
+        "tok",
+        "freq",
+        F.regexp_replace("tok", "(.)", "($1)").alias("enc"),
+    ).localCheckpoint(eager=True)
+    merge_rows = []
+    for step in range(1, n_merges + 1):
+        arr = enc.select(
+            "freq",
+            F.split(
+                F.expr("substring(enc, 2, length(enc) - 2)"), r"\)\("
+            ).alias("arr"),
+        )
+        pairs = (
+            arr.filter(F.size("arr") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(arr) - 2),"
+                        " i -> struct(arr[i] AS lhs, arr[i + 1] AS rhs))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        best = pairs.orderBy(
+            F.col("cnt").desc(), F.col("lhs"), F.col("rhs")
+        ).limit(1)
+        merge_rows.append(
+            best.select(
+                F.lit(step).cast("int").alias("step"),
+                "lhs",
+                "rhs",
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        if step < n_merges:
+            pat = F.concat(
+                F.lit("("), F.col("lhs"), F.lit(")("), F.col("rhs"), F.lit(")")
+            )
+            rep = F.concat(F.lit("("), F.col("lhs"), F.col("rhs"), F.lit(")"))
+            enc = (
+                enc.crossJoin(F.broadcast(best.select("lhs", "rhs")))
+                .select("tok", "freq", F.replace("enc", pat, rep).alias("enc"))
+                .localCheckpoint(eager=True)
+            )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def _bpe_trainer_wordfreq_duck() -> str:
+    """The trainer's pre-tokenized word-frequency rollup (DuckDB side):
+    lowercased pure-alpha words only — the [a-z]+ restriction is the
+    pre-tokenizer contract that makes the bracket encoding collision-free."""
+    return """
+      SELECT tok, freq,
+             regexp_replace(tok, '(.)', '(\\1)', 'g') AS enc
+      FROM (SELECT lower(tok) AS tok, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY lower(tok))
+      WHERE regexp_matches(tok, '^[a-z]+$')
+    """
+
+
+def _bpe_trainer_oracle() -> str:
+    """Unrolled N-merge BPE training as a CTE chain (count → argmax →
+    replace per round), mirroring bpe_train_merges round for round.
+    Every CTE is MATERIALIZED: DuckDB inlines plain CTEs per reference,
+    and with w{r} referencing w{r-1} through b{r} the inlined tree grows
+    exponentially in rounds (the first cut of this oracle never finished
+    6 rounds). The merge applies via a 1-row cross join — same empty-best
+    semantics as the Spark side's broadcast crossJoin (no pairs left →
+    empty word table → no further merge rows on either engine)."""
+    ctes = [f"w0 AS MATERIALIZED ({_bpe_trainer_wordfreq_duck()})"]
+    for r in range(1, BPE_MERGES + 1):
+        prev = f"w{r - 1}"
+        ctes.append(
+            f"p{r} AS MATERIALIZED ("
+            f" SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt FROM ("
+            f"  SELECT freq, arr[i] AS lhs, arr[i + 1] AS rhs"
+            f"  FROM (SELECT freq,"
+            f"         string_split(substr(enc, 2, length(enc) - 2), ')(')"
+            f"          AS arr FROM {prev}),"
+            f"       unnest(range(1, len(arr))) AS u(i))"
+            f" GROUP BY lhs, rhs)"
+        )
+        ctes.append(
+            f"b{r} AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p{r}"
+            f" ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+        )
+        if r < BPE_MERGES:
+            ctes.append(
+                f"w{r} AS MATERIALIZED ("
+                f" SELECT w.tok, w.freq, replace(w.enc,"
+                f"  '(' || b.lhs || ')(' || b.rhs || ')',"
+                f"  '(' || b.lhs || b.rhs || ')') AS enc"
+                f" FROM {prev} w, b{r} b)"
+            )
+    body = ",\n".join(ctes)
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS step, lhs, rhs, cnt AS pair_count"
+        f" FROM b{r}"
+        for r in range(1, BPE_MERGES + 1)
+    )
+    return f"WITH {body}\n{selects}"
+
+
+@query(
+    "llm_bpe_train_merges",
+    oracle=_bpe_trainer_oracle(),
+    tags=("llm", "tokenizer", "iterative"),
+)
+def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL BPE tokenizer trainer: 6 merge rounds over the corpus
+    word-frequency table — llm_bpe_pair_counts runs one round's counting
+    step; this closes the loop a tokenizer-building user hits right after
+    llm_tokenizer_fertility says their tokenizer is bad. Output is the
+    learned merge table (step, lhs, rhs, pair_count), i.e. the merges.txt
+    a BPE tokenizer ships.
+
+    Pre-tokenizer: lowercased [a-z]+ words only (GPT-2-style
+    pre-tokenization splits letters from punctuation/digits before BPE;
+    the restriction also makes the bracket segmentation encoding
+    collision-free — see :func:`bpe_train_merges` for the round
+    mechanics, checkpoint discipline, and why one replace() per round is
+    exactly the greedy left-to-right merge pass).
+
+    Scale design (100 TB corpus): ONE corpus-sized aggregation total (the
+    word rollup); every round after that is vocab-sized — pair explode of
+    ~|vocab| short arrays, a map-side-combined count to |pairs| cells,
+    and a broadcast 1-row cross join to apply the argmax merge. No
+    collect, no global sort (the argmax is a TakeOrdered over the pair
+    table), rounds are a driver loop exactly like llm_kmeans_lloyd's."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("raw"))
+        .select(F.lower("raw").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .filter(F.col("tok").rlike("^[a-z]+$"))
+    )
+    return bpe_train_merges(words, BPE_MERGES)
+
+
 def _langid_confusion_oracle() -> str:
     langid = _REG["llm_text_langid"].oracle
     return f"""

@@ -956,6 +956,74 @@ def test_binary_auc_binned_equals_global_rank(spark, rows, bin_width):
         assert got["auc"] == want["auc"]
 
 
+def _py_bpe_train(words: dict, n_merges: int) -> list:
+    """Independent reference BPE trainer: dict segmentations, explicit
+    greedy left-to-right merge application, argmax with the engine's
+    tie-break (count desc, then lexicographic pair)."""
+    segs = {w: list(w) for w in words}
+    merges = []
+    for step in range(1, n_merges + 1):
+        cnt: dict = {}
+        for w, f in words.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                cnt[(s[i], s[i + 1])] = cnt.get((s[i], s[i + 1]), 0) + f
+        if not cnt:
+            break
+        (x, y), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, x, y, c))
+        for w, s in segs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == x and s[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return merges
+
+
+@settings(max_examples=5 * _FUZZ, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    entries=st.lists(
+        st.tuples(
+            st.text(alphabet="ab", min_size=1, max_size=6),
+            st.integers(1, 5),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+)
+def test_bpe_train_merges_matches_python_trainer(spark, entries):
+    """The N-merge trainer must equal an independent pure-Python BPE at
+    toy scale. The 2-letter alphabet makes repeated-letter words ('aaa',
+    'abab') common — the inputs where the bracket-encoding replace()
+    could diverge from greedy left-to-right non-overlapping application
+    (the shared-middle 'aaa' case) — and forces heavy count ties, so the
+    (count desc, lhs, rhs) tie-break is exercised every round. When the
+    pair supply dries up early, both sides must stop emitting merge rows
+    at the same step."""
+    from streamline_hybrid_engine_spark.llm.text import bpe_train_merges
+
+    words: dict = {}
+    for w, f in entries:
+        words[w] = words.get(w, 0) + f
+    expected = _py_bpe_train(words, 3)
+    df = spark.createDataFrame(
+        list(words.items()), "tok string, freq long"
+    )
+    got = sorted(
+        (r["step"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_train_merges(df, 3).collect()
+    )
+    assert got == expected
+
+
 @settings(max_examples=15 * _FUZZ, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
