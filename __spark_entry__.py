@@ -118,6 +118,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         # registers them.
         "llm_classifier_auc_binned",
         "llm_bpe_train_merges",
+        "mm_decode_bmp_stats",
     }
 )
 

@@ -95,6 +95,44 @@ def test_multimodal_checksum_matches_payload(spark, sf_dir):
     assert joined["n_bytes"] == len(joined["text"].encode())
 
 
+def test_bmp_codec_roundtrip_and_rejections():
+    """The real decoder: bit-exact round trip through encode_bmp for every
+    row-padding width (1..4 px) in BOTH row orders, and ValueError (never
+    NotImplementedError) on non-BMP / compressed / non-24bpp payloads."""
+    import struct
+
+    import pytest
+
+    from streamline_hybrid_engine_spark.llm.multimodal import (
+        decode_image_real,
+        encode_bmp,
+    )
+
+    for w in (1, 2, 3, 4):
+        for top_down in (False, True):
+            pixels = [
+                [((x * 37 + y * 101) % 256, (x + y) % 256, (x * y + 7) % 256)
+                 for x in range(w)]
+                for y in range(3)
+            ]
+            payload = encode_bmp(pixels, top_down=top_down)
+            assert len(payload) == 54 + 3 * ((w * 3 + 3) // 4 * 4)
+            assert decode_image_real(payload) == (w, 3, pixels)
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_image_real(b"\x89PNG" + b"\x00" * 64)
+    rle8 = bytearray(encode_bmp([[(0, 0, 0)]]))
+    struct.pack_into("<I", rle8, 30, 1)  # compression = BI_RLE8
+    with pytest.raises(ValueError, match="image library"):
+        decode_image_real(bytes(rle8))
+    pal8 = bytearray(encode_bmp([[(0, 0, 0)]]))
+    struct.pack_into("<H", pal8, 28, 8)  # bpp = 8 (paletted)
+    with pytest.raises(ValueError, match="image library"):
+        decode_image_real(bytes(pal8))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image_real(encode_bmp([[(1, 2, 3)]])[:-1])
+
+
 def test_stratified_sample_rate_and_determinism(spark, sf_dir):
     """~20% overall, no stratum wildly off, and byte-identical on re-run
     (the whole point vs rand()/sample())."""
