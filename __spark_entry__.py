@@ -119,6 +119,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "llm_classifier_auc_binned",
         "llm_bpe_train_merges",
         "mm_decode_bmp_stats",
+        "llm_pack_nostraddle",
     }
 )
 

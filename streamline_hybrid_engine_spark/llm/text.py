@@ -522,6 +522,98 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_pack_nostraddle",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_raw,
+             least(len(string_split(text, ' ')), 512) AS n
+      FROM documents
+      WHERE len(string_split(text, ' ')) > 0
+    ),
+    placed AS (
+      SELECT source, n, n_raw,
+             (row_number() OVER (PARTITION BY source, n ORDER BY doc_id) - 1)
+               // (512 // n) AS blk
+      FROM t
+    ),
+    blocks AS (
+      SELECT source, n, blk,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CASE WHEN n_raw > 512 THEN 1 ELSE 0 END) AS BIGINT)
+               AS trunc_cnt
+      FROM placed GROUP BY source, n, blk
+    )
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT) AS n_docs,
+           CAST(sum(trunc_cnt) AS BIGINT) AS n_trunc,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(cnt * n) AS BIGINT) AS packed_tokens,
+           CAST(sum(512 - cnt * n) AS BIGINT) AS pad_tokens,
+           round(CAST(sum(512 - cnt * n) AS DOUBLE)
+                 / CAST(count(*) * 512 AS DOUBLE), 6) AS pad_frac
+    FROM blocks GROUP BY source
+    """,
+    tags=("llm", "text", "packing"),
+)
+def llm_pack_nostraddle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, NO-STRADDLE layout — the other standard besides
+    llm_pack_sequences' GPT concatenation: documents never split across
+    512-token training sequences (instruction-tuning pipelines can't
+    straddle — a cross-boundary fragment detaches from its prompt), so
+    every block pads to 512 and the report accounts the padding waste.
+
+    Packing strategy is length-grouped greedy: docs sharing (source,
+    clipped length L) pack floor(512/L) per block in doc_id order —
+    blocks are homogeneous-length, assignment is pure arithmetic on a
+    (source, L)-partitioned row_number. That is the deterministic,
+    shuffle-minimal member of the no-straddle family: true first-fit-
+    decreasing is a sequential recurrence (one task per source at 100 TB);
+    length-grouping trades a bounded extra pad on each length class's
+    tail block for full data parallelism — windows partition by
+    (source, L), nothing coarser, and the whole id is two hash
+    aggregations past the window. Docs longer than 512 truncate to one
+    full block (counted in n_trunc); empty docs drop (as the straddling
+    id does). Output = the per-source packing efficiency report:
+    blocks, packed vs pad tokens, pad fraction."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_raw = F.size(F.split("text", " "))
+    t = docs.select(
+        "doc_id",
+        "source",
+        n_raw.alias("n_raw"),
+        F.least(n_raw, F.lit(512)).alias("n"),
+    ).filter(F.col("n_raw") > 0)
+    placed = t.withColumn(
+        "blk",
+        F.expr(
+            "cast(row_number() OVER (PARTITION BY source, n ORDER BY doc_id)"
+            " - 1 as bigint) div (512 div n)"
+        ),
+    )
+    blocks = placed.groupBy("source", "n", "blk").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(F.col("n_raw") > 512, 1).otherwise(0)).alias(
+            "trunc_cnt"
+        ),
+    )
+    return blocks.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.sum("trunc_cnt").cast("long").alias("n_trunc"),
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum(F.col("cnt") * F.col("n")).cast("long").alias("packed_tokens"),
+        F.sum(F.lit(512) - F.col("cnt") * F.col("n"))
+        .cast("long")
+        .alias("pad_tokens"),
+        F.round(
+            F.sum(F.lit(512) - F.col("cnt") * F.col("n")).cast("double")
+            / (F.count("*") * 512).cast("double"),
+            6,
+        ).alias("pad_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing + domain-temperature sampling (round-2 additions)
 # ---------------------------------------------------------------------------

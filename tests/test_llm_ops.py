@@ -95,6 +95,22 @@ def test_multimodal_checksum_matches_payload(spark, sf_dir):
     assert joined["n_bytes"] == len(joined["text"].encode())
 
 
+def test_pack_nostraddle_accounting_identities(spark, sf_dir):
+    """No-straddle packing report: every block is exactly 512 wide
+    (packed + pad == blocks * 512), the report covers every non-empty
+    doc exactly once, and pad_frac is the stated ratio."""
+    out = _QS["llm_pack_nostraddle"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_nonempty = docs.filter(F.size(F.split("text", " ")) > 0).count()
+    assert sum(r["n_docs"] for r in out) == n_nonempty
+    for r in out:
+        assert r["packed_tokens"] + r["pad_tokens"] == r["n_blocks"] * 512
+        assert r["pad_frac"] == round(
+            r["pad_tokens"] / (r["n_blocks"] * 512), 6
+        )
+        assert 0 <= r["n_trunc"] <= r["n_docs"]
+
+
 def test_bmp_codec_roundtrip_and_rejections():
     """The real decoder: bit-exact round trip through encode_bmp for every
     row-padding width (1..4 px) in BOTH row orders, and ValueError (never
