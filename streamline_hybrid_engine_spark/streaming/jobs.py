@@ -1787,20 +1787,29 @@ def stream_dsir_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     land, without rescanning history. Hybrid batch-stream like
     stream_static_enrich: the model is the static build side; the
     stream is never shuffled except by the doc_id state aggregate.
-    Rows-only by design (streaming drain); equivalence to the batch id
-    on the same fixture is test-pinned (complete-mode drain == batch
-    llm_importance_dsir restricted to the same columns)."""
+    Unseen-bucket tokens (hash buckets the static seed corpus never
+    occupied) still COUNT toward n_tokens and contribute score 0 —
+    a bucket the model knows nothing about is uninformative, not
+    absent (LEFT join + coalesce; the first cut's inner join silently
+    dropped such tokens from both outputs, which undercounts whenever
+    the seed corpus is smaller than the stream's vocabulary — the
+    fixture occupies all 128 buckets, so only a sparse real seed hits
+    it). Rows-only by design (streaming drain); equivalence to the
+    batch id on the same fixture is test-pinned (complete-mode drain
+    == batch llm_importance_dsir restricted to the same columns)."""
     from ..llm.selection import bucketize_tokens, dsir_score_table
 
     model = dsir_score_table(load_table(spark, sf_dir, "documents"))
     docs = read_documents_stream(spark, sf_dir)
     scored = (
         bucketize_tokens(docs)
-        .join(F.broadcast(model), "b")
+        .join(F.broadcast(model), "b", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
-            F.sum("score_q8").cast("long").alias("dsir_q8"),
+            F.sum(F.coalesce("score_q8", F.lit(0)))
+            .cast("long")
+            .alias("dsir_q8"),
         )
     )
     return run_to_memory(
@@ -1824,6 +1833,15 @@ def stream_perplexity_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     middle, else tail; boundary ties route LOW, so routed counts may
     differ from exact batch terciles exactly at tied cut points — the
     documented semantic gap between rank- and threshold-bucketing).
+
+    Sparse-language edges (both deliberate): a language with fewer
+    than 3 batch docs has no middle tercile, so its middle cut point
+    coalesces down to head_hi — the middle band is EMPTY (docs above
+    head_hi route straight to tail), never a NULL comparison silently
+    skipping a branch. A language the batch corpus has never seen has
+    NO cut points at all; the inner threshold join drops its docs —
+    routing an unknown language anywhere would be arbitrary, and the
+    production fix is refreshing the cut table, not guessing.
 
     Static side: the unigram vocab model (token counts + corpus total;
     stats-driven broadcast <-> shuffle like the batch id) and the
@@ -1872,8 +1890,15 @@ def stream_perplexity_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     routed = scored.join(F.broadcast(cuts), "lang").select(
         "lang",
         "mean_micro",
+        # middle_hi coalesces to head_hi for <3-doc languages: the
+        # middle band collapses to empty instead of a NULL comparison
+        # skipping the branch (docstring, sparse-language edges)
         F.when(F.col("mean_micro") <= F.col("head_hi"), "head")
-        .when(F.col("mean_micro") <= F.col("middle_hi"), "middle")
+        .when(
+            F.col("mean_micro")
+            <= F.coalesce(F.col("middle_hi"), F.col("head_hi")),
+            "middle",
+        )
         .otherwise("tail")
         .alias("route"),
     )

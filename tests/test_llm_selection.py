@@ -97,6 +97,80 @@ def test_dsir_score_expression_matches_integer_reference(spark):
             assert abs(row.s / 256.0 - true) < (2 / 256.0) + 1e-4, (row, true)
 
 
+#: r10 boundary templates: exact corners of the Q8 pipeline no random
+#: draw would hit. With B=128: den = (c_r+1)(n_t+128), num = (c_t+1)(n_r+128).
+_Q8_BOUNDARY_CASES = [
+    # num == den exactly (score 0, sign must take the >= branch) and the
+    # adjacent integers on both sides (sign flips at equality)
+    (0, 0, 872, 871),   # num=999,  den=1000 → sign −1
+    (0, 0, 872, 872),   # num=1000, den=1000 → 0
+    (0, 0, 872, 873),   # num=1001, den=1000 → sign +1
+    # the 2^44 saturation switch, exact and ±1 of n_r (den=200, so
+    # num−den·2^44 = ±200): k=−1 is the LARGEST unsaturated quotient
+    (199, 0, 72, (1 << 44) - 128 - 1),
+    (199, 0, 72, (1 << 44) - 128),      # big div 2^44 == small exactly
+    (199, 0, 72, (1 << 44) - 128 + 1),
+    # one unit below saturation in num itself: num = 200·2^44 − 1
+    (0, 0, 72, 200 * (1 << 44) - 129),
+    # mantissa start exactly at a power of two: q = 2^17 (ratio 2.0)
+    (0, 0, 872, 1872),  # num=2000, den=1000 → q=131072 → exactly 1 bit
+]
+
+
+def test_dsir_q8_saturation_and_equality_boundaries(spark):
+    """r10 boundary template (Spark side): the saturate-BEFORE-divide
+    switch at exactly ratio = 2^44 and ±1 (the wrap-before-clamp class
+    the r9 fuzz caught lives here), num == den ± 1 around the sign
+    branch, and the exact power-of-two mantissa. Ground truth = the
+    pure-Python mirror."""
+    df = spark.createDataFrame(
+        [(i, a, b, c, d) for i, (a, b, c, d) in enumerate(_Q8_BOUNDARY_CASES)],
+        "i int, c_t long, c_r long, n_t long, n_r long",
+    ).select(
+        "i", F.expr(_SPARK_SIGN).alias("sign"), F.expr(_SPARK_Q).alias("q")
+    )
+    got = {
+        r.i: r.s
+        for r in _spark_log2_q8(df, "q")
+        .select("i", (F.col("sign") * F.col("lq8")).alias("s"))
+        .collect()
+    }
+    for i, (a, b, c, d) in enumerate(_Q8_BOUNDARY_CASES):
+        assert got[i] == _expected_score_q8(a, b, c, d), (i, _Q8_BOUNDARY_CASES[i])
+    # the switch itself: k=−1 stays below _SAT, k=0 and k=+1 saturate
+    assert _expected_score_q8(*_Q8_BOUNDARY_CASES[4]) == 44 * 256
+    assert _expected_score_q8(*_Q8_BOUNDARY_CASES[3]) < 44 * 256
+    # ratio exactly 2: 1.0 bit → 256 q8
+    assert _expected_score_q8(*_Q8_BOUNDARY_CASES[7]) == 256
+
+
+def test_dsir_q8_boundaries_duckdb_side():
+    """Same boundary corners through the ORACLE's HUGEINT pipeline."""
+    import duckdb
+
+    from streamline_hybrid_engine_spark.llm.selection import (
+        _DUCK_Q,
+        _DUCK_SIGN,
+        _duck_log2_q8_ctes,
+    )
+
+    values = ", ".join(
+        f"({i}, {a}, {b}, {c}, {d})"
+        for i, (a, b, c, d) in enumerate(_Q8_BOUNDARY_CASES)
+    )
+    sql = f"""
+    WITH cells(i, c_t, c_r, n_t, n_r) AS (VALUES {values}),
+    ratio AS (
+      SELECT i, {_DUCK_SIGN} AS sign, {_DUCK_Q} AS q FROM cells
+    ),
+    {_duck_log2_q8_ctes("ratio")}
+    SELECT i, sign * lq8 AS s FROM lgf
+    """
+    got = dict(duckdb.sql(sql).fetchall())
+    for i, (a, b, c, d) in enumerate(_Q8_BOUNDARY_CASES):
+        assert got[i] == _expected_score_q8(a, b, c, d), (i, _Q8_BOUNDARY_CASES[i])
+
+
 _counts = st.tuples(
     st.integers(0, 10**13),
     st.integers(0, 10**13),
@@ -158,7 +232,16 @@ def test_dsir_target_sources_score_higher_on_average(spark, sf_dir):
         .collect()
     )
     if len(means) == 2:
-        assert means[True] >= means[False]
+        # strict whenever ANY nonzero score separates the groups — a
+        # regression that floors every score to 0 (the documented
+        # floor-ilog2 failure mode) must FAIL here, not slide through >=
+        separates = (
+            out.filter(F.col("dsir_q8") != 0).limit(1).count() > 0
+        )
+        if separates:
+            assert means[True] > means[False]
+        else:
+            assert means[True] >= means[False]
 
 
 def test_ntile_from_rank_equals_spark_ntile_all_small_n(spark):
@@ -274,6 +357,14 @@ def test_binned_tercile_assembly_equals_plain_ntile(spark, docs):
     rows = [
         (i, lang, int(score)) for i, (lang, score) in enumerate(docs)
     ]
+    got, ref = _assembled_vs_plain_ntile(spark, rows)
+    assert got == ref
+
+
+def _assembled_vs_plain_ntile(spark, rows):
+    """(assembled-tier, plain-ntile-tier) dicts for (doc_id, lang,
+    mean_micro) rows — the exact binned-offset assembly
+    llm_perplexity_buckets runs, against F.ntile(3) ground truth."""
     df = spark.createDataFrame(rows, "doc_id long, lang string, mean_micro long")
     scored = df.withColumn("bin", F.expr("mean_micro div 1000000"))
     bin_counts = scored.groupBy("lang", "bin").agg(F.count("*").alias("bn"))
@@ -309,6 +400,28 @@ def test_binned_tercile_assembly_equals_plain_ntile(spark, docs):
             .alias("t"),
         ).collect()
     }
+    return got, ref
+
+
+def test_binned_tercile_exact_bin_boundary_ties(spark):
+    """r10 boundary template: every score an EXACT multiple of 1e6 —
+    i.e. sitting precisely on a bin boundary, where an off-by-one in
+    the offset/row_number hand-off would mis-tier — with heavy
+    duplicates straddling two adjacent bins, at every remainder class
+    n % 3 ∈ {0, 1, 2} (lang sizes 1..9 include n < 3, where ANSI ntile
+    leaves tiles empty). Assembled tiers must equal plain ntile(3) row
+    for row."""
+    rows = []
+    doc = 0
+    for n in range(1, 10):
+        lang = f"l{n}"
+        for j in range(n):
+            # alternate exactly-on-boundary scores across two bins with
+            # duplicates: 1_000_000 and 2_000_000 only
+            score = 1_000_000 * (1 + (j % 2))
+            rows.append((doc, lang, score))
+            doc += 1
+    got, ref = _assembled_vs_plain_ntile(spark, rows)
     assert got == ref
 
 

@@ -1812,6 +1812,122 @@ def test_kn_heldout_matches_rational_reference(spark, texts,
     assert got == expected
 
 
+def test_poisson_ladder_exact_threshold_boundaries(spark, duck_mem):
+    """r10 boundary template: the Poisson(1) CASE ladder at EVERY exact
+    48-bit threshold and one unit to either side, plus the domain ends
+    (0 and 2^48−1), on BOTH engines. The ladder is strict-less-than —
+    u == threshold k must already fall in weight k+1's band; an
+    off-by-one here shifts ~4e-15 of the probability mass silently and
+    no random fuzz would ever sample these exact integers."""
+    import pyspark.sql.functions as F
+
+    from streamline_hybrid_engine_spark.operators.aggregates import (
+        _POIS1_T48,
+        _pois_weight_sql,
+    )
+
+    us = sorted(
+        {0, (1 << 48) - 1}
+        | {t + d for t in _POIS1_T48 for d in (-1, 0, 1)}
+    )
+
+    def ref(u: int) -> int:
+        for k, t in enumerate(_POIS1_T48):
+            if u < t:
+                return k
+        return 7
+
+    df = spark.createDataFrame([(u,) for u in us], "u long")
+    got = {
+        r["u"]: r["wt"]
+        for r in df.select(
+            "u", F.expr(_pois_weight_sql("u")).alias("wt")
+        ).collect()
+    }
+    assert got == {u: ref(u) for u in us}
+    values = ", ".join(f"({u})" for u in us)
+    duck = dict(
+        duck_mem.sql(
+            f"SELECT u, {_pois_weight_sql('u')} AS wt"
+            f" FROM (VALUES {values}) AS t(u)"
+        ).fetchall()
+    )
+    assert duck == {u: ref(u) for u in us}
+
+
+def test_bleu_brevity_and_precision_floors(spark, tmp_path_factory):
+    """r10 boundary template: llm_bleu_pairs at the brevity-penalty
+    boundary r == c (ratio exactly 1_000_000 micros — the point where
+    BP = exp(1−max(1,r)) kicks in downstream) and one token to either
+    side (floored micros: 3e6 div 4, 4e6 div 3), the single-token
+    candidate (n2 = 0 → p2 defined as 0.0, not NULL), and a
+    zero-overlap pair (BLEU 0 is a row, not a drop). Expected values
+    from an independent clipped-Counter mirror."""
+    import collections
+    import math as _math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    texts = [
+        "a b c",    # pair 0→1: r==c == 3, full overlap
+        "c a b",    # pair 1→2: r=3, c=4
+        "a a a a",  # pair 2→3: r=4, c=1 (single-token candidate, n2=0)
+        "x",        # pair 3→4: r=1, c=2, ZERO overlap
+        "y z",
+    ]
+    tmp = tmp_path_factory.mktemp("bleufix")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["fuzz"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+        str(tmp / "documents.parquet"),
+    )
+
+    def grams(t, n):
+        toks = t.split(" ")
+        return collections.Counter(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+
+    expected = {}
+    for i in range(len(texts) - 1):
+        ref, cand = texts[i], texts[i + 1]
+        r, c = len(ref.split(" ")), len(cand.split(" "))
+        m1 = sum((grams(ref, 1) & grams(cand, 1)).values())
+        m2 = sum((grams(ref, 2) & grams(cand, 2)).values())
+        n2 = max(c - 1, 0)
+        p1 = m1 / c
+        p2 = m2 / n2 if n2 > 0 else 0.0
+        expected[i] = (
+            m1, m2, r, c,
+            round(p1, 6), round(p2, 6),
+            round(_math.sqrt(p1 * p2), 6),
+            r * 1_000_000 // c,
+        )
+    got = {
+        row["ref_id"]: (
+            row["m1"], row["m2"], row["ref_len"], row["cand_len"],
+            row["p1"], row["p2"], row["bleu2_nobp"],
+            row["brevity_ratio_micro"],
+        )
+        for row in get_query("llm_bleu_pairs").fn(spark, str(tmp)).collect()
+    }
+    assert got == expected
+    assert got[0][7] == 1_000_000  # r == c: exactly the BP boundary
+    assert got[1][7] == 750_000    # r < c: floored micros
+    assert got[2][7] == 4_000_000  # r > c
+    assert got[3] == (0, 0, 1, 2, 0.0, 0.0, 0.0, 500_000)  # zero overlap
+
+
 def test_bootstrap_ci_matches_hashlib_reference(spark, sf_dir):
     """agg_bootstrap_ci vs a from-scratch Python reference at sf0.001:
     the same salted-md5 48-bit uniforms, the same integer Poisson(1)
