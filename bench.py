@@ -570,10 +570,29 @@ def main() -> int:
     # incomparable across runs
     drop_run_state()
     runs = []
+    phase_runs = []
     for _ in range(3):
         t0 = time.time()
         fn(spark, sf_dir).collect()
         runs.append(time.time() - t0)
+        # drain phase anatomy (r9-verdict task 9): per-run durationMs
+        # totals across the drain's micro-batches, read from the jobs
+        # module's last-drain hook. This is what adjudicated the
+        # r7→r9 events/s drift (engine vs host-serial-latency) — now
+        # every BENCH artifact carries it instead of an ad hoc capture.
+        try:
+            from streamline_hybrid_engine_spark.streaming.jobs import (
+                LAST_DRAIN_PROGRESS,
+            )
+
+            phases: dict[str, int] = {}
+            for p in LAST_DRAIN_PROGRESS:
+                for k, v in (p["durationMs"] or {}).items():
+                    phases[k] = phases.get(k, 0) + int(v)
+            phases["n_batches"] = len(LAST_DRAIN_PROGRESS)
+            phase_runs.append(phases)
+        except Exception:
+            pass
         drop_run_state()
     stream_dt = sorted(runs)[1]
     times["stream_tumble_1h"] = round(stream_dt, 3)
@@ -582,6 +601,13 @@ def main() -> int:
         "load1_before": stream_load1,
         "heap_after_gc_mb": heap_used_mb(),
     }
+    if phase_runs:
+        # report the phase row of the MEDIAN-wall run (same run the
+        # headline events/s number comes from)
+        med_idx = runs.index(sorted(runs)[1])
+        telemetry["stream_tumble_1h"]["phase_ms"] = phase_runs[
+            min(med_idx, len(phase_runs) - 1)
+        ]
     total += stream_dt
 
     # The driver records only the LAST ~2000 chars of stdout and parses the

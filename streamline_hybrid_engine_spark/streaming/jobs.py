@@ -110,6 +110,17 @@ def stream_shuffle_width(spark: SparkSession, sf_dir: str) -> int:
     return max(8, min(spark.sparkContext.defaultParallelism, target))
 
 
+#: The most recent drain's recentProgress records (overwritten by every
+#: run_to_memory call). Telemetry hook for bench.py's streaming
+#: phase-anatomy row — per-batch durationMs (addBatch / getBatch /
+#: latestOffset / queryPlanning / commitOffsets / walCommit /
+#: triggerExecution) is what distinguishes "the engine got slower" from
+#: "the host's serial-latency budget degraded" (the r8/r9 streaming-drift
+#: adjudication needed exactly this, captured ad hoc). Tests should keep
+#: using the explicit ``progress_out`` parameter.
+LAST_DRAIN_PROGRESS: list = []
+
+
 def run_to_memory(
     df: DataFrame,
     name: str,
@@ -143,8 +154,10 @@ def run_to_memory(
                 .start()
             )
             q.awaitTermination()
+            recs = q.recentProgress or []
+            LAST_DRAIN_PROGRESS[:] = recs
             if progress_out is not None:
-                progress_out.extend(q.recentProgress or [])
+                progress_out.extend(recs)
     finally:
         if width and prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
