@@ -120,6 +120,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "llm_bpe_train_merges",
         "mm_decode_bmp_stats",
         "llm_pack_nostraddle",
+        "llm_bpe_segment",
     }
 )
 

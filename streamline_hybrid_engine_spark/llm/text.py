@@ -2063,35 +2063,14 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 6
 
 
-def bpe_train_merges(words: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
-    """Full iterative BPE merge training over a (tok, freq) word table —
-    the N-merge driver loop llm_bpe_pair_counts is one counting step of
-    (the llm_kmeans_lloyd iteration pattern applied to tokenizer
-    training). Returns the learned merge table: one row per round,
-    (step, lhs, rhs, pair_count).
-
-    Segmentation state is a bracket encoding: every current symbol is
-    wrapped as ``(sym)``, so a word's state is e.g. ``(t)(h)(e)``.
-    Applying merge (x, y) is then ONE string replace of ``(x)(y)`` with
-    ``(xy)`` — and because scanning resumes past each replacement,
-    plain leftmost non-overlapping replace() IS the BPE greedy
-    left-to-right pass (``(a)(a)(a)`` under merge (a,a) →
-    ``(aa)(a)``, never a double merge of the shared middle). A merged
-    token can never re-match as the pair's right element (xy is
-    strictly longer than y), so one pass per round is exact. Brackets
-    are collision-free because the caller's tokens are [a-z]+ only
-    (the trainer's pre-tokenizer contract, enforced upstream).
-
-    Per round: adjacent-pair explode over the VOCAB-sized word table
-    (never the corpus — word-frequency rollup first is the classic BPE
-    trainer optimization), freq-weighted count, argmax merge (ties:
-    count desc, then lexicographic (lhs, rhs) — deterministic on both
-    engines, ASCII-only strings), then the merge applied via a
-    broadcast 1-row cross join — NO collect, the chosen pair never
-    visits the driver. Each round's word table is localCheckpoint-ed
-    (eager) so the 2-consumer lineage (next round + its merge row)
-    can't replay exponentially. Differential-fuzzed against a
-    pure-Python BPE trainer in tests/test_property_differential.py."""
+def bpe_train_and_segment(
+    words: DataFrame, n_merges: int = BPE_MERGES
+) -> tuple[DataFrame, DataFrame]:
+    """(merge table, final word segmentation) after ``n_merges`` BPE
+    rounds — the loop body shared by :func:`bpe_train_merges` (which
+    returns the merges) and llm_bpe_segment (which consumes the final
+    per-word symbol state the training loop already holds). See
+    bpe_train_merges for the round mechanics."""
     enc = words.select(
         "tok",
         "freq",
@@ -2130,20 +2109,52 @@ def bpe_train_merges(words: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
                 F.col("cnt").alias("pair_count"),
             )
         )
-        if step < n_merges:
-            pat = F.concat(
-                F.lit("("), F.col("lhs"), F.lit(")("), F.col("rhs"), F.lit(")")
-            )
-            rep = F.concat(F.lit("("), F.col("lhs"), F.col("rhs"), F.lit(")"))
-            enc = (
-                enc.crossJoin(F.broadcast(best.select("lhs", "rhs")))
-                .select("tok", "freq", F.replace("enc", pat, rep).alias("enc"))
-                .localCheckpoint(eager=True)
-            )
+        pat = F.concat(
+            F.lit("("), F.col("lhs"), F.lit(")("), F.col("rhs"), F.lit(")")
+        )
+        rep = F.concat(F.lit("("), F.col("lhs"), F.col("rhs"), F.lit(")"))
+        enc = (
+            enc.crossJoin(F.broadcast(best.select("lhs", "rhs")))
+            .select("tok", "freq", F.replace("enc", pat, rep).alias("enc"))
+            .localCheckpoint(eager=True)
+        )
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionAll(m)
-    return out
+    return out, enc
+
+
+def bpe_train_merges(words: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Full iterative BPE merge training over a (tok, freq) word table —
+    the N-merge driver loop llm_bpe_pair_counts is one counting step of
+    (the llm_kmeans_lloyd iteration pattern applied to tokenizer
+    training). Returns the learned merge table: one row per round,
+    (step, lhs, rhs, pair_count).
+
+    Segmentation state is a bracket encoding: every current symbol is
+    wrapped as ``(sym)``, so a word's state is e.g. ``(t)(h)(e)``.
+    Applying merge (x, y) is then ONE string replace of ``(x)(y)`` with
+    ``(xy)`` — and because scanning resumes past each replacement,
+    plain leftmost non-overlapping replace() IS the BPE greedy
+    left-to-right pass (``(a)(a)(a)`` under merge (a,a) →
+    ``(aa)(a)``, never a double merge of the shared middle). A merged
+    token can never re-match as the pair's right element (xy is
+    strictly longer than y), so one pass per round is exact. Brackets
+    are collision-free because the caller's tokens are [a-z]+ only
+    (the trainer's pre-tokenizer contract, enforced upstream).
+
+    Per round: adjacent-pair explode over the VOCAB-sized word table
+    (never the corpus — word-frequency rollup first is the classic BPE
+    trainer optimization), freq-weighted count, argmax merge (ties:
+    count desc, then lexicographic (lhs, rhs) — deterministic on both
+    engines, ASCII-only strings), then the merge applied via a
+    broadcast 1-row cross join — NO collect, the chosen pair never
+    visits the driver. Each round's word table is localCheckpoint-ed
+    (eager) so the 2-consumer lineage (next round + its merge row)
+    can't replay exponentially. Differential-fuzzed against a
+    pure-Python BPE trainer in tests/test_property_differential.py."""
+    merges, _ = bpe_train_and_segment(words, n_merges)
+    return merges
 
 
 def _bpe_trainer_wordfreq_duck() -> str:
@@ -2161,15 +2172,17 @@ def _bpe_trainer_wordfreq_duck() -> str:
     """
 
 
-def _bpe_trainer_oracle() -> str:
+def _bpe_cte_body(with_final: bool) -> str:
     """Unrolled N-merge BPE training as a CTE chain (count → argmax →
-    replace per round), mirroring bpe_train_merges round for round.
+    replace per round), mirroring bpe_train_and_segment round for round.
     Every CTE is MATERIALIZED: DuckDB inlines plain CTEs per reference,
     and with w{r} referencing w{r-1} through b{r} the inlined tree grows
     exponentially in rounds (the first cut of this oracle never finished
     6 rounds). The merge applies via a 1-row cross join — same empty-best
     semantics as the Spark side's broadcast crossJoin (no pairs left →
-    empty word table → no further merge rows on either engine)."""
+    empty word table → no further merge rows on either engine).
+    ``with_final`` also materializes w{N}, the post-last-merge word
+    segmentation the segment id reads."""
     ctes = [f"w0 AS MATERIALIZED ({_bpe_trainer_wordfreq_duck()})"]
     for r in range(1, BPE_MERGES + 1):
         prev = f"w{r - 1}"
@@ -2187,7 +2200,7 @@ def _bpe_trainer_oracle() -> str:
             f"b{r} AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p{r}"
             f" ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
         )
-        if r < BPE_MERGES:
+        if r < BPE_MERGES or with_final:
             ctes.append(
                 f"w{r} AS MATERIALIZED ("
                 f" SELECT w.tok, w.freq, replace(w.enc,"
@@ -2195,13 +2208,16 @@ def _bpe_trainer_oracle() -> str:
                 f"  '(' || b.lhs || b.rhs || ')') AS enc"
                 f" FROM {prev} w, b{r} b)"
             )
-    body = ",\n".join(ctes)
+    return ",\n".join(ctes)
+
+
+def _bpe_trainer_oracle() -> str:
     selects = " UNION ALL ".join(
         f"SELECT CAST({r} AS INT) AS step, lhs, rhs, cnt AS pair_count"
         f" FROM b{r}"
         for r in range(1, BPE_MERGES + 1)
     )
-    return f"WITH {body}\n{selects}"
+    return f"WITH {_bpe_cte_body(with_final=False)}\n{selects}"
 
 
 @query(
@@ -2239,6 +2255,99 @@ def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok").rlike("^[a-z]+$"))
     )
     return bpe_train_merges(words, BPE_MERGES)
+
+
+@query(
+    "llm_bpe_segment",
+    oracle=f"""
+    WITH {_bpe_cte_body(with_final=True)},
+    seg AS (
+      SELECT tok,
+             CAST(len(string_split(substr(enc, 2, length(enc) - 2), ')('))
+                  AS BIGINT) AS n_syms
+      FROM w{BPE_MERGES}
+    ),
+    sw AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT source, lower(tok) AS tok
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                  FROM documents))
+      WHERE regexp_matches(tok, '^[a-z]+$')
+      GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(sum(freq) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_distinct_words,
+           CAST(sum(freq * n_syms) AS BIGINT) AS bpe_tokens,
+           CAST(sum(freq * length(tok)) AS BIGINT) AS n_chars,
+           CAST((sum(freq * n_syms)::HUGEINT * 1000000)
+                // sum(freq) AS BIGINT) AS fertility_micro,
+           CAST((sum(freq * length(tok))::HUGEINT * 1000000)
+                // sum(freq * n_syms) AS BIGINT) AS chars_per_token_micro
+    FROM sw JOIN seg USING (tok)
+    GROUP BY source
+    """,
+    tags=("llm", "tokenizer", "iterative"),
+)
+def llm_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained tokenizer — the step after llm_bpe_train_merges
+    that closes the train → segment → audit loop (llm_tokenizer_fertility
+    audits a fixed external tokenizer; this audits the one the trainer
+    just learned). The training loop's final word-segmentation state is
+    reused directly (same 6 rounds, same argmax merges — the trainer
+    already holds every word's post-merge symbol string; re-deriving it
+    by replaying merges would double the work), then joined back to the
+    per-(source, word) frequency table for the corpus-weighted report:
+    tokens/word fertility and chars/token compression per source, in
+    exact floored micros — the before/after numbers a tokenizer-building
+    user compares against the fertility audit that sent them here.
+
+    Scale: the segmentation table is vocab-sized (one row per distinct
+    word), the per-source rollup is corpus-sized ONCE (the same word
+    count every id in this family starts from), and the join is
+    vocab × (source-vocab) — never corpus-wide. Sums ride exact longs;
+    both divisions are integer micros (the registry's no-libm float
+    discipline)."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("raw"))
+        .select(F.lower("raw").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .filter(F.col("tok").rlike("^[a-z]+$"))
+    )
+    _, enc = bpe_train_and_segment(words, BPE_MERGES)
+    seg = enc.select(
+        "tok",
+        F.size(
+            F.split(
+                F.expr("substring(enc, 2, length(enc) - 2)"), r"\)\("
+            )
+        )
+        .cast("long")
+        .alias("n_syms"),
+    )
+    sw = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("raw"))
+        .select("source", F.lower("raw").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .filter(F.col("tok").rlike("^[a-z]+$"))
+    )
+    return sw.join(seg, "tok").groupBy("source").agg(
+        F.sum("freq").cast("long").alias("n_words"),
+        F.count("*").cast("long").alias("n_distinct_words"),
+        F.sum(F.col("freq") * F.col("n_syms")).cast("long").alias("bpe_tokens"),
+        F.sum(F.col("freq") * F.length("tok")).cast("long").alias("n_chars"),
+        F.expr(
+            "CAST((sum(CAST(freq AS DECIMAL(38,0)) * n_syms) * 1000000)"
+            " div sum(freq) AS BIGINT)"
+        ).alias("fertility_micro"),
+        F.expr(
+            "CAST((sum(CAST(freq AS DECIMAL(38,0)) * length(tok)) * 1000000)"
+            " div sum(CAST(freq AS DECIMAL(38,0)) * n_syms) AS BIGINT)"
+        ).alias("chars_per_token_micro"),
+    )
 
 
 def _langid_confusion_oracle() -> str:
