@@ -231,200 +231,209 @@ HEADLINE = (
     "agg_bootstrap_ci",            # Poisson-bootstrap CI, integer-exact
     "llm_importance_dsir",         # DSIR importance weights (Q8 log-ratio)
     "llm_perplexity_buckets",      # CCNet per-lang terciles (binned ntile)
+    # round-10 wave (baselines in BASELINE.md §A.1 r10 re-anchor block)
+    "llm_classifier_auc_binned",   # exact AUC via binned-offset ranks
+    "llm_bpe_train_merges",        # full N-merge BPE trainer loop
+    "llm_bpe_segment",             # apply trained merges: fertility report
+    "mm_decode_bmp_stats",         # real BMP encode->decode->stats pipeline
+    "llm_pack_nostraddle",         # no-straddle packing + waste report
 )
 
 #: BASELINE.md §A.1 rows (sf0.1 full-sequence medians, seconds) — kept in
 #: sync with that table so the artifact can carry ratio_vs_baseline.
 BASELINE_SEC = {
-    "agg_pricing_summary": 0.69,
-    "agg_global_revenue": 0.27,
-    "agg_count_distinct_users": 0.34,
-    "agg_rollup_nation_region": 0.36,
-    "topk_revenue_orders": 0.79,
-    "join_5way_regional_revenue": 0.55,
-    "join_asof_last_purchase": 0.63,
-    "win_rank_orders_per_cust": 0.60,
-    "win_tumble_1h_batch": 0.27,
-    "win_session_30m_batch": 1.20,
-    "llm_doc_token_stats": 0.24,
-    "llm_tfidf_top_terms": 1.16,
-    "llm_knn_cosine_label": 0.80,
-    "llm_knn_ivf": 2.17,
-    "llm_dedup_minhash_sig": 1.32,
-    "llm_dedup_minhash_pairs": 1.43,
-    "llm_dedup_simhash": 0.41,
-    "mm_decode_meta": 0.29,
-    "cep_pattern_abc": 1.14,
-    "llm_quality_repetition": 0.42,
-    "llm_pack_sequences": 0.24,
-    "llm_dedup_keep": 3.85,
-    "graph_pagerank_suppliers": 3.79,
-    "subquery_scalar_part_avg": 0.52,
-    "graph_triangle_count": 3.95,
-    "llm_pii_redact": 0.29,
-    "llm_sample_temperature": 0.56,
-    "llm_corpus_final": 4.63,
-    "cep_pattern_funnel4": 1.24,
-    "graph_connected_components": 2.09,
-    "enrich_async_orders_nation": 1.53,
-    "llm_kmeans_lloyd": 2.29,
-    "llm_embedding_gram": 0.74,
-    "llm_boilerplate_grams": 1.36,
-    "join_range_binned": 0.99,
-    "graph_sssp_hops": 4.07,
-    "llm_chunk_overlap": 0.28,
-    "dq_expectations_orders": 0.64,
+    # FULL r10 RE-ANCHOR (2026-08-16, tools/measure_wave.py, settled
+    # box): every row re-recorded in ONE methodology-identical run
+    # because the host's serial-latency budget drifted ~2.3x since
+    # most rows were recorded (SCALE.md cross-version experiment) and
+    # unchanged-code queries re-measured 1.3-2.3x their stale rows.
+    # Per-wave history and the honest-re-record notes live in
+    # BASELINE.md SA.1; this table is the CURRENT-hardware anchor.
+    "agg_pricing_summary": 0.68,
+    "agg_global_revenue": 0.28,
+    "agg_count_distinct_users": 0.27,
+    "agg_rollup_nation_region": 0.4,
+    "topk_revenue_orders": 0.59,
+    "join_5way_regional_revenue": 0.51,
+    "join_asof_last_purchase": 0.61,
+    "win_rank_orders_per_cust": 0.66,
+    "win_tumble_1h_batch": 0.31,
+    "win_session_30m_batch": 1.28,
+    "llm_doc_token_stats": 0.33,
+    "llm_tfidf_top_terms": 1.12,
+    "llm_knn_cosine_label": 0.8,
+    "llm_knn_ivf": 2.71,
+    "llm_dedup_minhash_sig": 1.46,
+    "llm_dedup_minhash_pairs": 1.52,
+    "llm_dedup_simhash": 0.46,
+    "mm_decode_meta": 0.28,
+    "cep_pattern_abc": 1.07,
+    "llm_quality_repetition": 0.45,
+    "llm_pack_sequences": 0.25,
+    "llm_dedup_keep": 4.14,
+    "graph_pagerank_suppliers": 4.46,
+    "subquery_scalar_part_avg": 0.5,
+    "graph_triangle_count": 3.86,
+    "llm_pii_redact": 0.19,
+    "llm_sample_temperature": 0.4,
+    "llm_corpus_final": 3.65,
+    "cep_pattern_funnel4": 0.91,
+    "graph_connected_components": 2.01,
+    "enrich_async_orders_nation": 1.47,
+    "llm_kmeans_lloyd": 1.79,
+    "llm_embedding_gram": 0.6,
+    "llm_boilerplate_grams": 1.44,
+    "join_range_binned": 0.61,
+    "graph_sssp_hops": 3.75,
+    "llm_chunk_overlap": 0.21,
+    "dq_expectations_orders": 0.55,
     "q8_market_share": 0.36,
-    "q18_large_volume_customer": 0.92,
-    "agg_cms_heavy_hitters": 0.65,
-    "join_bloom_pruned_fact": 0.48,
-    "graph_label_propagation": 4.70,
-    "llm_ann_pq": 1.14,
-    "dq_anomaly_mad_window": 1.16,
-    "agg_theta_sketch_ops": 0.89,
-    "cep_match_recognize_quantified": 1.29,
-    "llm_dedup_semantic": 4.66,
-    "win_percent_rank_cume": 0.98,
-    "join_asof_tolerance": 0.38,
-    "ts_resample_ohlc": 0.29,
-    "ts_ewma_bitshift": 0.86,
-    "fn_geo_bundle": 0.92,
-    "join_scd2_point_in_time": 0.63,
-    "dq_freshness_lag": 0.48,
-    "sql_group_by_all": 0.31,
-    "ts_linear_trend": 0.60,
-    "llm_dedup_url_canonical": 0.58,
-    "win_range_numeric_frame": 0.90,
-    "agg_filter_clause": 0.61,
-    "llm_vocab_oov": 1.08,
-    "dq_benford_digits": 0.57,
-    "pivot_dynamic_discovery": 0.85,
-    "agg_rollup_grouping_id": 0.31,
-    "ts_seasonal_profile": 0.85,
+    "q18_large_volume_customer": 0.72,
+    "agg_cms_heavy_hitters": 0.77,
+    "join_bloom_pruned_fact": 0.55,
+    "graph_label_propagation": 4.27,
+    "llm_ann_pq": 0.94,
+    "dq_anomaly_mad_window": 1.31,
+    "agg_theta_sketch_ops": 0.84,
+    "cep_match_recognize_quantified": 0.95,
+    "llm_dedup_semantic": 4.93,
+    "win_percent_rank_cume": 0.91,
+    "join_asof_tolerance": 0.39,
+    "ts_resample_ohlc": 0.33,
+    "ts_ewma_bitshift": 0.92,
+    "fn_geo_bundle": 1.03,
+    "join_scd2_point_in_time": 0.59,
+    "dq_freshness_lag": 0.67,
+    "sql_group_by_all": 0.37,
+    "ts_linear_trend": 0.87,
+    "llm_dedup_url_canonical": 0.79,
+    "win_range_numeric_frame": 0.79,
+    "agg_filter_clause": 0.53,
+    "llm_vocab_oov": 1.04,
+    "dq_benford_digits": 0.67,
+    "pivot_dynamic_discovery": 0.52,
+    "agg_rollup_grouping_id": 0.23,
+    "ts_seasonal_profile": 0.78,
     "agg_rollup_count_distinct": 0.37,
-    "lake_merge_upsert": 1.07,
-    "ts_interval_merge": 1.15,
-    "agg_market_basket_pairs": 1.89,
-    "agg_rfm_segments": 0.57,
-    "cep_funnel_conversion": 1.12,
-    "graph_link_prediction": 4.37,
-    "join_geo_grid_radius": 2.50,
-    "llm_surprisal_bits": 0.66,
-    "win_weighted_median": 0.89,
-    "fn_busday_bundle": 1.90,
-    "llm_spell_candidates": 0.83,
-    "agg_percentile_narrowed": 2.14,
-    "dq_drift_chi2": 0.84,
-    "join_asof_nearest": 0.82,
-    "llm_dedup_incremental": 1.96,
-    # r7 third wave (clean settled run, 2026-08-15, start load1 0.23)
-    "agg_gini_concentration": 0.54,
-    "win_zscore_normalize": 0.78,
-    "dq_referential_integrity": 0.68,
-    "agg_pareto_topshare": 0.41,
-    "ts_fill_forward_limit": 0.71,
-    "fn_uuid_deterministic": 0.08,
-    "cep_debounce_events": 0.72,
-    "sql_star_except": 0.21,
-    "graph_degree_distribution": 1.22,
-    "agg_decile_lift": 0.35,
-    "dq_outlier_iqr": 1.62,
-    "ts_mom_growth": 0.36,
-    "llm_dedup_token_sort": 0.22,
-    "llm_ngram_novelty": 1.21,
-    "ts_direction_changes": 0.37,
-    "ts_cusum_alarm": 0.38,
-    "dq_column_profile": 0.71,
-    "agg_histogram_log2_bins": 0.84,
-    "ts_repurchase_intervals": 0.43,
-    "llm_rarity_score": 0.72,
+    "lake_merge_upsert": 0.96,
+    "ts_interval_merge": 1.14,
+    "agg_market_basket_pairs": 1.88,
+    "agg_rfm_segments": 0.53,
+    "cep_funnel_conversion": 1.07,
+    "graph_link_prediction": 4.24,
+    "join_geo_grid_radius": 2.95,
+    "llm_surprisal_bits": 0.74,
+    "win_weighted_median": 1.16,
+    "fn_busday_bundle": 2.22,
+    "llm_spell_candidates": 0.9,
+    "agg_percentile_narrowed": 2.39,
+    "dq_drift_chi2": 0.75,
+    "join_asof_nearest": 0.86,
+    "llm_dedup_incremental": 1.91,
+    "agg_gini_concentration": 0.74,
+    "win_zscore_normalize": 0.92,
+    "dq_referential_integrity": 0.81,
+    "agg_pareto_topshare": 0.48,
+    "ts_fill_forward_limit": 0.81,
+    "fn_uuid_deterministic": 0.09,
+    "cep_debounce_events": 0.8,
+    "sql_star_except": 0.2,
+    "graph_degree_distribution": 1.34,
+    "agg_decile_lift": 0.38,
+    "dq_outlier_iqr": 1.61,
+    "ts_mom_growth": 0.41,
+    "llm_dedup_token_sort": 0.25,
+    "llm_ngram_novelty": 1.09,
+    "ts_direction_changes": 0.4,
+    "ts_cusum_alarm": 0.42,
+    "dq_column_profile": 0.87,
+    "agg_histogram_log2_bins": 1.02,
+    "ts_repurchase_intervals": 0.46,
+    "llm_rarity_score": 0.84,
     "fn_isoweek_bundle": 0.11,
     "subquery_all_rewrite": 0.18,
-    "ts_new_vs_returning": 0.42,
-    "ts_status_transitions": 0.41,
-    "ts_bounce_rate": 0.37,
-    "scan_pushdown_in_list": 0.16,
-    "win_hop_distinct_users": 0.54,
-    "fn_strsim_bundle": 0.33,
-    "graph_degree_assortativity": 1.61,
-    "ivm_retractable_agg": 0.31,
-    "fn_ipv4_bundle": 0.19,
-    "agg_event_type_bitmask": 0.33,
-    "ts_conversion_latency": 0.41,
-    "llm_corpus_mix_report": 0.2,
-    "sql_join_hints": 0.29,
-    # r7 fourth wave (clean settled run 2, 2026-08-15; run 1 hit an
-    # external steal spike mid-sequence and was discarded)
-    "agg_rate_wilson_ci": 0.29,
-    "ts_local_peaks": 0.34,
-    "cep_strict_contiguity": 0.31,
-    "sql_parameter_binding": 0.15,
-    "dq_volume_by_month": 0.26,
-    "llm_token_offsets": 0.28,
-    "ts_time_in_state": 0.33,
-    "dq_pk_uniqueness": 0.66,
-    "agg_skyline_2d": 0.2,
-    "ts_series_correlation": 0.55,
-    "cep_match_recognize_alternation": 0.88,
-    "graph_modularity": 7.13,
-    "llm_dedup_eval_pr": 3.19,
-    "fn_binary_codec_bundle": 0.09,
-    "ts_burstiness": 0.48,
-    "agg_simpson_diversity": 0.26,
-    "ts_median3_smooth": 0.7,
-    "ts_seasonal_anomaly": 0.79,
-    "sql_distinct_on_rewrite": 0.36,
-    "dq_reconcile_orders_lineitem": 1.06,
-    "llm_classifier_auc": 0.74,
-    "llm_rouge_n_pairs": 1.47,
-    "ts_path_trigrams": 0.4,
-    "ts_session_depth_hist": 0.45,
-    "llm_dataset_card": 0.75,
-    # r7 fifth wave (clean settled run, 2026-08-15, start load1 0.88)
-    "win_winsorize_p5p95": 1.32,
-    "win_running_sum_reset": 0.7,
-    "agg_hhi_index": 1.05,
-    "ts_forecast_snaive_mae": 0.33,
-    "join_campaign_overlap": 0.44,
-    "ts_rolling_mau": 1.0,
-    "fn_duration_format": 0.2,
-    "llm_bpe_pair_counts": 0.5,
-    "graph_community_sizes": 4.27,
-    "agg_target_encode_loo": 0.98,
-    "agg_ab_test_ztest": 0.4,
-    "ts_twap": 0.38,
-    "fn_luhn_checksum": 0.13,
-    # r8 wave (settled measure_wave.py runs, 2026-08-15; content_checksum
-    # baselined AFTER its overflow fix — see BASELINE.md r8 block)
-    "dq_slo_attainment": 0.59,
-    "llm_langid_confusion": 0.63,
-    "ts_attribution_first_last": 0.51,
-    "agg_skyline_grid": 0.54,
-    "dq_content_checksum": 0.57,
-    "stream_cusum_alarm": 1.95,
-    "stream_topk_foreachbatch": 0.68,
-    "llm_rouge_l_pairs": 2.64,
-    "graph_modularity_by_community": 7.79,
-    "join_geo_grid_knn": 4.47,
-    "sql_qualify_rewrite": 0.34,
-    "llm_sample_reservoir_k": 0.17,
-    "llm_ngram_lm_kn": 1.69,
-    "win_hop_distinct_hll": 0.87,
-    "agg_decile_lift_binned": 0.88,
-    # r9 wave (settled medians, tools/measure_wave.py; llm_rouge_l_long
-    # re-measured AFTER the per-doc mask-map amortization landed —
-    # the inline-mask form read 11.68 s, the honest-re-record rule)
-    "llm_rouge_l_long": 3.64,
-    "llm_dedup_substring": 2.03,
-    "llm_kn_top_followers": 2.07,
-    "llm_tokenizer_fertility": 0.38,
-    "llm_bleu_pairs": 2.06,
-    "llm_kn_heldout_surprisal": 2.18,
-    "llm_ann_recall_eval": 1.52,
-    "ts_cross_correlation_lag": 1.14,
-    "agg_bootstrap_ci": 5.78,
-    "llm_importance_dsir": 1.73,
-    "llm_perplexity_buckets": 1.73,
+    "ts_new_vs_returning": 0.48,
+    "ts_status_transitions": 0.54,
+    "ts_bounce_rate": 0.49,
+    "scan_pushdown_in_list": 0.19,
+    "win_hop_distinct_users": 0.7,
+    "fn_strsim_bundle": 0.38,
+    "graph_degree_assortativity": 2.36,
+    "ivm_retractable_agg": 0.42,
+    "fn_ipv4_bundle": 0.27,
+    "agg_event_type_bitmask": 0.36,
+    "ts_conversion_latency": 0.61,
+    "llm_corpus_mix_report": 0.33,
+    "sql_join_hints": 0.48,
+    "agg_rate_wilson_ci": 0.36,
+    "ts_local_peaks": 0.45,
+    "cep_strict_contiguity": 0.45,
+    "sql_parameter_binding": 0.23,
+    "dq_volume_by_month": 0.4,
+    "llm_token_offsets": 0.32,
+    "ts_time_in_state": 0.36,
+    "dq_pk_uniqueness": 0.95,
+    "agg_skyline_2d": 0.18,
+    "ts_series_correlation": 0.61,
+    "cep_match_recognize_alternation": 1.04,
+    "graph_modularity": 8.61,
+    "llm_dedup_eval_pr": 2.87,
+    "fn_binary_codec_bundle": 0.11,
+    "ts_burstiness": 0.55,
+    "agg_simpson_diversity": 0.28,
+    "ts_median3_smooth": 0.69,
+    "ts_seasonal_anomaly": 0.98,
+    "sql_distinct_on_rewrite": 0.45,
+    "dq_reconcile_orders_lineitem": 1.55,
+    "llm_classifier_auc": 0.95,
+    "llm_rouge_n_pairs": 1.76,
+    "ts_path_trigrams": 0.52,
+    "ts_session_depth_hist": 0.52,
+    "llm_dataset_card": 0.87,
+    "win_winsorize_p5p95": 1.75,
+    "win_running_sum_reset": 0.86,
+    "agg_hhi_index": 1.28,
+    "ts_forecast_snaive_mae": 0.48,
+    "join_campaign_overlap": 0.63,
+    "ts_rolling_mau": 1.54,
+    "fn_duration_format": 0.27,
+    "llm_bpe_pair_counts": 0.87,
+    "graph_community_sizes": 6.49,
+    "agg_target_encode_loo": 1.4,
+    "agg_ab_test_ztest": 0.7,
+    "ts_twap": 0.85,
+    "fn_luhn_checksum": 0.22,
+    "dq_slo_attainment": 0.55,
+    "llm_langid_confusion": 0.76,
+    "ts_attribution_first_last": 0.96,
+    "agg_skyline_grid": 0.71,
+    "dq_content_checksum": 0.58,
+    "stream_cusum_alarm": 2.34,
+    "stream_topk_foreachbatch": 0.93,
+    "llm_rouge_l_pairs": 4.69,
+    "graph_modularity_by_community": 10.55,
+    "join_geo_grid_knn": 5.33,
+    "sql_qualify_rewrite": 0.6,
+    "llm_sample_reservoir_k": 0.21,
+    "llm_ngram_lm_kn": 2.45,
+    "win_hop_distinct_hll": 0.99,
+    "agg_decile_lift_binned": 1.11,
+    "llm_rouge_l_long": 4.31,
+    "llm_dedup_substring": 1.54,
+    "llm_kn_top_followers": 2.11,
+    "llm_tokenizer_fertility": 0.43,
+    "llm_bleu_pairs": 2.1,
+    "llm_kn_heldout_surprisal": 2.5,
+    "llm_ann_recall_eval": 1.69,
+    "ts_cross_correlation_lag": 1.41,
+    "agg_bootstrap_ci": 6.82,
+    "llm_importance_dsir": 1.85,
+    "llm_perplexity_buckets": 1.59,
+    "llm_classifier_auc_binned": 1.52,
+    "llm_bpe_train_merges": 2.33,
+    "llm_bpe_segment": 2.63,
+    "mm_decode_bmp_stats": 0.34,
+    "llm_pack_nostraddle": 0.34,
 }
 
 
