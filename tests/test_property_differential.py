@@ -908,7 +908,13 @@ def test_binary_auc_matches_pairwise(spark, rows):
     """The integral tie-averaged rank form (2·rank + ties − 1) must equal
     the O(n²) pairwise definition: AUC = (#[s⁺>s⁻] + ½#[s⁺=s⁻]) / n⁺n⁻.
     Small score alphabet → heavy ties, the case the integrality trick is
-    for."""
+    for. Reference rounding is HALF-UP, matching Spark/DuckDB round():
+    the r10 deep fuzz (SHE_FUZZ_SCALE=10) found an AUC landing exactly on
+    a 6th-decimal half (0.7265625 — dyadic, so the double is exact) where
+    Python's banker's round() said .726562 against both engines' .726563;
+    the engines agree with each other, the old mirror didn't."""
+    import math
+
     from streamline_hybrid_engine_spark import binary_auc
 
     pos = [s for s, y in rows if y == 1]
@@ -921,7 +927,8 @@ def test_binary_auc_matches_pairwise(spark, rows):
         return
     wins = sum(1 for p in pos for n in neg if p > n)
     ties = sum(1 for p in pos for n in neg if p == n)
-    expected = round((wins + 0.5 * ties) / (len(pos) * len(neg)), 6)
+    raw = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    expected = math.floor(raw * 1e6 + 0.5) / 1e6  # HALF_UP, AUC >= 0
     assert got["auc"] == pytest.approx(expected, abs=1e-9)
 
 
