@@ -121,6 +121,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "mm_decode_bmp_stats",
         "llm_pack_nostraddle",
         "llm_bpe_segment",
+        "llm_classifier_auc_by_lang",
     }
 )
 

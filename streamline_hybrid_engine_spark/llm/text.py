@@ -1709,7 +1709,11 @@ AUC_BIN = 1 << 16
 
 
 def binary_auc_binned(
-    scored: DataFrame, score_col: str, label_col: str, bin_width: int = AUC_BIN
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    bin_width: int = AUC_BIN,
+    group_cols: tuple = (),
 ) -> DataFrame:
     """:func:`binary_auc` without the single-partition sort — the corpus-
     scale form its docstring promises. Same exact Mann–Whitney answer,
@@ -1732,38 +1736,51 @@ def binary_auc_binned(
     exists for. The one float division happens after both exact integer
     totals are in hand, matching the oracle's BIGINT→DOUBLE division.
     Differential-fuzzed against :func:`binary_auc` (same result to the
-    last bit) in tests/test_property_differential.py."""
+    last bit) in tests/test_property_differential.py.
+
+    ``group_cols`` computes an independent AUC per group (the per-slice
+    eval a model auditor wants — per language, per domain): every window
+    gains the group keys as leading partition columns, the offset table
+    grows to groups × buckets rows (still broadcast-sized), and the
+    output carries one (group_cols..., n_pos, n_neg, auc) row per group.
+    Grouped results are fuzz-pinned equal to running :func:`binary_auc`
+    per group independently."""
     from pyspark.sql import Window
 
+    g = list(group_cols)
     s, y = F.col(score_col), F.col(label_col)
     binned = scored.select(
+        *g,
         s.alias("s"),
         y.alias("y"),
         F.expr(f"{score_col} div {int(bin_width)}").alias("bin"),
     )
-    # offsets: rows in strictly-lower bins + nothing corpus-sized — the
-    # cumulative window runs over the bucket table only.
+    # offsets: rows in strictly-lower bins of the same group + nothing
+    # corpus-sized — the cumulative window runs over the bucket table only.
     w_off = (
-        Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+        Window.partitionBy(*g)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
-        binned.groupBy("bin")
+        binned.groupBy(*g, "bin")
         .agg(F.count("*").alias("bn"))
         .select(
+            *g,
             "bin",
             F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("off"),
         )
     )
-    w_rank = Window.partitionBy("bin").orderBy("s")
+    w_rank = Window.partitionBy(*g, "bin").orderBy("s")
     r2 = (
         2 * (F.col("off") + F.rank().over(w_rank).cast("long"))
         + F.count("*").over(w_rank.rangeBetween(0, 0)).cast("long")
         - 1
     )
-    ranked = binned.join(F.broadcast(offsets), "bin").select(
-        "y", r2.alias("r2")
+    ranked = binned.join(F.broadcast(offsets), [*g, "bin"]).select(
+        *g, "y", r2.alias("r2")
     )
-    agg = ranked.agg(
+    agg = ranked.groupBy(*g).agg(
         F.sum(F.when(F.col("y") == 1, F.col("r2")).otherwise(0).cast(
             "decimal(38,0)"
         )).alias("r2_pos"),
@@ -1771,6 +1788,7 @@ def binary_auc_binned(
         F.sum(1 - F.col("y")).cast("long").alias("n_neg"),
     )
     return agg.select(
+        *g,
         "n_pos",
         "n_neg",
         F.round(
@@ -1814,6 +1832,72 @@ def llm_classifier_auc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("passes_filter").alias("y")
     )
     return binary_auc_binned(clf.join(qual, "doc_id"), "s", "y")
+
+
+def _auc_by_lang_oracle() -> str:
+    clf = _REG["llm_quality_classifier"].oracle
+    qual = _REG["llm_text_quality"].oracle
+    return f"""
+    WITH clf AS ({clf}),
+    qual AS ({qual}),
+    scored AS (
+      SELECT d.lang, c.logit_fp AS s, q.passes_filter AS y
+      FROM clf c
+      JOIN qual q ON q.doc_id = c.doc_id
+      JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    ranked AS (
+      SELECT lang, y,
+             2 * rank() OVER (PARTITION BY lang ORDER BY s)
+               + count(*) OVER (PARTITION BY lang, s) - 1 AS r2
+      FROM scored
+    ),
+    agg AS (
+      SELECT lang,
+             CAST(sum(CASE WHEN y = 1 THEN r2 ELSE 0 END) AS BIGINT)
+               AS r2_pos,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(1 - y) AS BIGINT) AS n_neg
+      FROM ranked GROUP BY lang
+    )
+    SELECT lang, n_pos, n_neg,
+           round((r2_pos - n_pos * (n_pos + 1))
+                 / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc
+    FROM agg
+    """
+
+
+@query(
+    "llm_classifier_auc_by_lang",
+    oracle=_auc_by_lang_oracle(),
+    tags=("llm", "evaluation", "scale-valve"),
+)
+def llm_classifier_auc_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language classifier AUC — the sliced eval a model auditor
+    reads right after the corpus-level number: a quality classifier can
+    rank well in aggregate while being noise on one language (the
+    fastText-filter failure mode CCNet documents), and the per-slice
+    AUC table is what surfaces it. Same exact integer Mann–Whitney
+    rank-sum as llm_classifier_auc, computed per language through the
+    grouped binned-offset valve (:func:`binary_auc_binned` with
+    group_cols): windows partition by (lang, score bucket) — no
+    language's corpus ever sorts in one task — the offset table is
+    langs × buckets rows (broadcast), and a one-class language yields
+    NULL auc through try_divide instead of an ANSI divide error.
+    Grouped results are fuzz-pinned equal to independent per-group
+    :func:`binary_auc` runs."""
+    from streamline_hybrid_engine_spark.registry import all_queries
+
+    qs = all_queries()
+    clf = qs["llm_quality_classifier"].fn(spark, sf_dir).select(
+        "doc_id", F.col("logit_fp").alias("s")
+    )
+    qual = qs["llm_text_quality"].fn(spark, sf_dir).select(
+        "doc_id", F.col("passes_filter").alias("y")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = clf.join(qual, "doc_id").join(docs, "doc_id")
+    return binary_auc_binned(scored, "s", "y", group_cols=("lang",))
 
 
 @query(

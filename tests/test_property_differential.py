@@ -963,6 +963,44 @@ def test_binary_auc_binned_equals_global_rank(spark, rows, bin_width):
         assert got["auc"] == want["auc"]
 
 
+@settings(max_examples=10 * _FUZZ, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["aa", "bb", "cc"]),       # group
+            st.integers(-9, 9),                        # score
+            st.integers(0, 1),                         # label
+        ),
+        min_size=2,
+        max_size=60,
+    ),
+    bin_width=st.sampled_from([1, 3, 100]),
+)
+def test_binary_auc_binned_grouped_equals_per_group(spark, rows, bin_width):
+    """The grouped form (group_cols) must equal running binary_auc on
+    each group's rows independently — including one-class groups (NULL
+    auc) and single-row groups. This is the contract
+    llm_classifier_auc_by_lang ships on."""
+    from streamline_hybrid_engine_spark import binary_auc, binary_auc_binned
+
+    df = spark.createDataFrame(rows, "g string, s long, y int")
+    got = {
+        r["g"]: (r["n_pos"], r["n_neg"], r["auc"])
+        for r in binary_auc_binned(
+            df, "s", "y", bin_width=bin_width, group_cols=("g",)
+        ).collect()
+    }
+    groups = sorted({g for g, _, _ in rows})
+    assert set(got) == set(groups)
+    for g in groups:
+        sub = spark.createDataFrame(
+            [(s, y) for gg, s, y in rows if gg == g], "s long, y int"
+        )
+        w = binary_auc(sub, "s", "y").collect()[0]
+        assert got[g] == (w["n_pos"], w["n_neg"], w["auc"]), g
+
+
 def _py_bpe_train(words: dict, n_merges: int) -> list:
     """Independent reference BPE trainer: dict segmentations, explicit
     greedy left-to-right merge application, argmax with the engine's
