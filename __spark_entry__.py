@@ -122,6 +122,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "llm_pack_nostraddle",
         "llm_bpe_segment",
         "llm_classifier_auc_by_lang",
+        "llm_knn_ivf_multiprobe",
     }
 )
 

@@ -391,6 +391,120 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NPROBE = 2  # cells each query inspects in the multi-probe IVF
+
+
+@query(
+    "llm_knn_ivf_multiprobe",
+    oracle=f"""
+    WITH cents AS ({_ORACLE_CENTROIDS}),
+    ranked AS (
+      SELECT e.vec_id, e.embedding, c.label,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_ODOT.format(a="e.embedding", b="c.cvec")} DESC, c.label
+             ) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    probes AS (
+      SELECT vec_id, embedding, label AS cell, rn FROM ranked
+      WHERE rn <= {NPROBE}
+    ),
+    data AS (SELECT vec_id, embedding, cell FROM probes WHERE rn = 1)
+    SELECT vec_id, nn_cell, nn_id, nn_cos FROM (
+      SELECT a.vec_id, b.cell AS nn_cell, b.vec_id AS nn_id,
+             round({_ODOT.format(a="a.embedding", b="b.embedding")}, 6) AS nn_cos,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_ODOT.format(a="a.embedding", b="b.embedding")} DESC,
+                        b.vec_id
+             ) AS rn2
+      FROM probes a JOIN data b ON b.cell = a.cell AND b.vec_id <> a.vec_id
+    ) WHERE rn2 = 1
+    """,
+    tags=("llm", "knn", "ivf"),
+)
+def llm_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF — the first knob a user turns when llm_knn_ivf's
+    recall is low (llm_ann_recall_eval is the audit that sends them
+    here): every vector still LIVES in exactly one cell (its top-1
+    centroid — the index is stored once), but each QUERY inspects its
+    top-{NPROBE} cells and exact-reranks over the union, recovering the
+    neighbors that sit just across a Voronoi boundary. FAISS nprobe
+    semantics, deterministic end to end: probe ranking ties break to the
+    smaller centroid label, rerank ties to the smaller vector id, so the
+    oracle is exact.
+
+    Scale shape: the centroid scoring stays a broadcast crossJoin, but
+    the probe ranking needs top-{NPROBE} per vector, not top-1 — a
+    row_number over (vec_id) partitions of the SKINNY (vec_id, label,
+    score) table (embeddings are dropped before the window and joined
+    back after, so the shuffle moves N×K scalar rows, never N×K vector
+    copies). The probe side then carries {NPROBE} rows per query into
+    the same salted cell-keyed rerank join the nprobe=1 id uses —
+    candidate volume scales linearly in nprobe, never all-pairs. A
+    (query, candidate) pair can match at most once: the candidate has
+    ONE home cell and a query's probe cells are distinct. Per-query
+    nn_cos dominance over the nprobe=1 answer is test-pinned (the
+    candidate set is a superset by construction)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = label_centroids(e)
+    cdot = F.expr(_DOT.format(a="embedding", b="cvec"))
+    scored = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "c_label", cdot.alias("cdot"))
+    )
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.col("cdot").desc(), F.col("c_label")
+    )
+    probes = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= NPROBE)
+        .select("vec_id", F.col("c_label").alias("cell"), "rn")
+    )
+    emb = e.select(
+        "vec_id", F.expr(_TO_DOUBLE.format(v="embedding")).alias("ed")
+    )
+    # both rerank sides read the probe table; one lazy materialization
+    probes = probes.localCheckpoint(eager=False)
+    a = probes.join(emb, "vec_id").select(
+        "vec_id", "cell", F.col("ed").alias("ea")
+    )
+    b = (
+        probes.filter(F.col("rn") == 1)
+        .join(emb, "vec_id")
+        .select(
+            F.col("vec_id").alias("b_id"),
+            F.col("cell").alias("b_cell"),
+            F.col("ed").alias("eb"),
+        )
+    )
+    from streamline_hybrid_engine_spark.operators.skew import salted_join
+
+    pdot = F.expr(_DOT_D.format(a="ea", b="eb"))
+    return (
+        salted_join(a, b, "cell", "b_cell", n_salts=8)
+        .drop("b_cell")
+        .filter(F.col("vec_id") != F.col("b_id"))
+        .withColumn("dot", pdot)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("cell").alias("c"), "b_id", "dot"),
+                F.struct(F.col("dot"), (-F.col("b_id")).alias("nb")),
+            ).alias("s")
+        )
+        .select(
+            "vec_id",
+            F.col("s.c").alias("nn_cell"),
+            F.col("s.b_id").alias("nn_id"),
+            F.round("s.dot", 6).alias("nn_cos"),
+        )
+    )
+
+
 @query(
     "llm_dedup_embedding_cosine",
     oracle=f"""

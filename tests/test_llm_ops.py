@@ -95,6 +95,25 @@ def test_multimodal_checksum_matches_payload(spark, sf_dir):
     assert joined["n_bytes"] == len(joined["text"].encode())
 
 
+def test_ivf_multiprobe_dominates_single_probe(spark, sf_dir):
+    """nprobe=2 reranks over a SUPERSET of nprobe=1's candidates (the
+    second-nearest cell is added, nothing removed), so per query the
+    multi-probe nn_cos can never be worse — and on the fixture at least
+    one query must actually improve (a neighbor just across a Voronoi
+    boundary), else the second probe is dead code."""
+    one = {
+        r["vec_id"]: r["nn_cos"]
+        for r in _QS["llm_knn_ivf"].fn(spark, sf_dir).collect()
+    }
+    two = {
+        r["vec_id"]: (r["nn_cos"], r["nn_cell"])
+        for r in _QS["llm_knn_ivf_multiprobe"].fn(spark, sf_dir).collect()
+    }
+    assert set(two) == set(one)
+    assert all(two[v][0] >= one[v] for v in one)
+    assert any(two[v][0] > one[v] for v in one)
+
+
 def test_pack_nostraddle_accounting_identities(spark, sf_dir):
     """No-straddle packing report: every block is exactly 512 wide
     (packed + pad == blocks * 512), the report covers every non-empty
