@@ -237,6 +237,8 @@ HEADLINE = (
     "llm_bpe_segment",             # apply trained merges: fertility report
     "mm_decode_bmp_stats",         # real BMP encode->decode->stats pipeline
     "llm_pack_nostraddle",         # no-straddle packing + waste report
+    "llm_classifier_auc_by_lang",  # per-slice AUC, grouped binned valve
+    "llm_knn_ivf_multiprobe",      # FAISS nprobe=2 recall knob
 )
 
 #: BASELINE.md §A.1 rows (sf0.1 full-sequence medians, seconds) — kept in
@@ -434,6 +436,11 @@ BASELINE_SEC = {
     "llm_bpe_segment": 2.63,
     "mm_decode_bmp_stats": 0.34,
     "llm_pack_nostraddle": 0.34,
+    # added after the re-anchor run (same day, settled median of THREE
+    # measure_wave sessions — single-session medians swung 2.6-3.8 s /
+    # 4.3-5.7 s with no code change, the documented microVM jitter)
+    "llm_classifier_auc_by_lang": 3.14,
+    "llm_knn_ivf_multiprobe": 5.35,
 }
 
 
