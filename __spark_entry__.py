@@ -107,22 +107,14 @@ def _sweep_order(qs, correctness_dir: str | None = None) -> list[str]:
 #: while unstamped).
 _NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # r10 additions ONLY. The r9 entries GRADUATED at the r10 open:
-        # CORRECTNESS_r09.json stamped all 11 of them green (the record's
-        # first full sweep — every oracle-backed id now carries a stamp),
-        # so the never-stamped backlog is EMPTY and every id added this
-        # round stamps in the next sweep regardless of rank. Cap additions
-        # at <= 50 so that stays true. tests/test_registry.py pins
-        # set ∩ stamped == ∅ and every entry to be a live oracle-backed
-        # registry id, so ids are appended here IN THE SAME COMMIT that
-        # registers them.
-        "llm_classifier_auc_binned",
-        "llm_bpe_train_merges",
-        "mm_decode_bmp_stats",
-        "llm_pack_nostraddle",
-        "llm_bpe_segment",
-        "llm_classifier_auc_by_lang",
-        "llm_knn_ivf_multiprobe",
+        # r11 additions ONLY. The r10 entries GRADUATED at the r11 open:
+        # CORRECTNESS_r10.json stamped all 7 of them green (second
+        # consecutive fully-stamped sweep), so the never-stamped backlog
+        # is EMPTY and every id added this round stamps in the next sweep
+        # regardless of rank. Cap additions at <= 50 so that stays true.
+        # tests/test_registry.py pins set ∩ stamped == ∅ and every entry
+        # to be a live oracle-backed registry id, so ids are appended here
+        # IN THE SAME COMMIT that registers them.
     }
 )
 
