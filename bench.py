@@ -608,7 +608,10 @@ def main() -> int:
             phases["n_batches"] = len(LAST_DRAIN_PROGRESS)
             phase_runs.append(phases)
         except Exception:
-            pass
+            # keep phase_runs index-aligned with runs even when capture
+            # fails: a swallowed exception here once shifted med_idx onto
+            # a DIFFERENT run's phases (ADVICE r10)
+            phase_runs.append(None)
         drop_run_state()
     stream_dt = sorted(runs)[1]
     times["stream_tumble_1h"] = round(stream_dt, 3)
@@ -617,13 +620,14 @@ def main() -> int:
         "load1_before": stream_load1,
         "heap_after_gc_mb": heap_used_mb(),
     }
-    if phase_runs:
-        # report the phase row of the MEDIAN-wall run (same run the
-        # headline events/s number comes from)
-        med_idx = runs.index(sorted(runs)[1])
-        telemetry["stream_tumble_1h"]["phase_ms"] = phase_runs[
-            min(med_idx, len(phase_runs) - 1)
-        ]
+    # report the phase row of the MEDIAN-wall run (same run the headline
+    # events/s number comes from). Duplicate medians: runs.index picks the
+    # first occurrence, whose phases are a valid capture OF a median-wall
+    # run, which is all the telemetry claims. Skip the row (rather than
+    # substitute a neighbor) when that run's capture failed.
+    med_idx = runs.index(sorted(runs)[1])
+    if med_idx < len(phase_runs) and phase_runs[med_idx] is not None:
+        telemetry["stream_tumble_1h"]["phase_ms"] = phase_runs[med_idx]
     total += stream_dt
 
     # The driver records only the LAST ~2000 chars of stdout and parses the

@@ -82,6 +82,11 @@ def decode_image_real(payload: bytes) -> tuple[int, int, list]:
         )
     top_down = h_signed < 0
     h = -h_signed if top_down else h_signed
+    if w <= 0 or h == 0:
+        # w<=0 would make row_size negative and sneak past the truncation
+        # check below (its RHS shrinks) to return (w, h, []) — malformed
+        # dimensions must fail loudly like every other malformed input
+        raise ValueError("invalid BMP dimensions")
     row_size = (w * 3 + 3) // 4 * 4
     if len(payload) < pix_off + h * row_size:
         raise ValueError("truncated BMP pixel array")

@@ -1793,13 +1793,19 @@ def binary_auc_binned(
         "n_neg",
         F.round(
             F.try_divide(
+                # n_pos enters decimal(38,0) BEFORE the multiply: at the
+                # >3e9-row regime this form exists for, n_pos*(n_pos+1)
+                # would overflow int64 (~3.04e9) if computed first. Same
+                # for the denominator: double-first keeps n_pos*n_neg
+                # exact far past the int64 product bound (~4.6e18) —
+                # doubles count integers exactly to 2^53, and the quotient
+                # is rounded to 6 places anyway.
                 (
                     F.col("r2_pos")
-                    - (F.col("n_pos") * (F.col("n_pos") + 1)).cast(
-                        "decimal(38,0)"
-                    )
+                    - F.col("n_pos").cast("decimal(38,0)")
+                    * (F.col("n_pos") + 1)
                 ).cast("double"),
-                (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+                F.col("n_pos").cast("double") * F.col("n_neg") * 2,
             ),
             6,
         ).alias("auc"),
