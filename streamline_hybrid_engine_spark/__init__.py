@@ -95,7 +95,9 @@ _LAZY_EXPORTS = {
     # data selection: DSIR importance model + exact-NTILE-from-rank (r9)
     "dsir_score_table": "streamline_hybrid_engine_spark.llm.selection",
     "bucketize_tokens": "streamline_hybrid_engine_spark.llm.selection",
-    "ntile_from_rank": "streamline_hybrid_engine_spark.llm.selection",
+    "ntile_from_rank": "streamline_hybrid_engine_spark.operators.ranks",
+    # the shared binned-offset global-rank decomposition (r11 pass 6)
+    "binned_rank": "streamline_hybrid_engine_spark.operators.ranks",
 }
 
 __all__ = ["all_queries", "get_query", *sorted(_LAZY_EXPORTS)]

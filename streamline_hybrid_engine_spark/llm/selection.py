@@ -291,24 +291,12 @@ def llm_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TIERS = ("head", "middle", "tail")
 
 
-def ntile_from_rank(rnk: str, n: str, tiles: int) -> F.Column:
-    """Exact ANSI NTILE(tiles) from a precomputed 1-based dense rank and
-    the partition size — the closed form that lets a binned-rank plan
-    skip the single-partition sort NTILE itself would need. ANSI rule:
-    base = n div tiles rows per tile, and the first n mod tiles tiles
-    take one extra. greatest(base, 1) guards the ANSI divide when
-    n < tiles (the ELSE branch is then unreachable but still
-    type-checked). Differential-tested against F.ntile() directly
-    (tests/test_llm_selection.py)."""
-    t = int(tiles)
-    return F.expr(
-        f"CASE WHEN {rnk} <= ({n} % {t}) * ({n} div {t} + 1)"
-        f" THEN ({rnk} - 1) div ({n} div {t} + 1) + 1"
-        f" ELSE ({n} % {t})"
-        f"  + ({rnk} - ({n} % {t}) * ({n} div {t} + 1) - 1)"
-        f"    div greatest({n} div {t}, 1) + 1"
-        " END"
-    )
+# ntile_from_rank moved to operators.ranks in r11 (it pairs with the
+# shared binned_rank primitive); re-imported here for its existing users.
+from streamline_hybrid_engine_spark.operators.ranks import (  # noqa: E402,F401
+    binned_rank,
+    ntile_from_rank,
+)
 
 
 @query(
@@ -395,28 +383,17 @@ def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang"), "doc_id"
     ).withColumn("bin", F.expr("mean_micro div 1000000"))
 
-    # bin offsets + per-lang totals: langs × ~20 bins of metadata.
-    bin_counts = scored.groupBy("lang", "bin").agg(
-        F.count("*").alias("bn")
-    )
-    w_off = (
-        Window.partitionBy("lang")
-        .orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = bin_counts.select(
-        "lang",
+    # shared binned-offset primitive (r11): bin = mean_micro div 1e6 is a
+    # monotone prefix of (mean_micro, doc_id); the offset table is
+    # langs × ~20 bins of metadata, windows partition by (lang, bin) only.
+    ranked = binned_rank(
+        scored,
         "bin",
-        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("off"),
-        F.sum("bn").over(Window.partitionBy("lang")).alias("n_lang"),
-    )
-    w_bin = Window.partitionBy("lang", "bin").orderBy("mean_micro", "doc_id")
-    ranked = scored.join(F.broadcast(offsets), ["lang", "bin"]).select(
-        "lang",
-        "mean_micro",
-        (F.row_number().over(w_bin) + F.col("off")).alias("rnk"),
-        "n_lang",
-    )
+        ["mean_micro", "doc_id"],
+        group_cols=("lang",),
+        rank_col="rnk",
+        total_col="n_lang",
+    ).select("lang", "mean_micro", "rnk", "n_lang")
     tier = ntile_from_rank("rnk", "n_lang", 3)
     bucket = (
         F.when(tier == 1, _TIERS[0])

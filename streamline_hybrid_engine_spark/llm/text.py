@@ -1744,8 +1744,13 @@ def binary_auc_binned(
     grows to groups × buckets rows (still broadcast-sized), and the
     output carries one (group_cols..., n_pos, n_neg, auc) row per group.
     Grouped results are fuzz-pinned equal to running :func:`binary_auc`
-    per group independently."""
-    from pyspark.sql import Window
+    per group independently.
+
+    The rank decomposition itself is the shared
+    :func:`..operators.ranks.binned_rank` primitive (r11): bin = score
+    div bin_width satisfies its monotone-prefix contract, method="rank"
+    + peers gives the tie-averaged Mann–Whitney doubled rank."""
+    from ..operators.ranks import binned_rank
 
     g = list(group_cols)
     s, y = F.col(score_col), F.col(label_col)
@@ -1755,30 +1760,18 @@ def binary_auc_binned(
         y.alias("y"),
         F.expr(f"{score_col} div {int(bin_width)}").alias("bin"),
     )
-    # offsets: rows in strictly-lower bins of the same group + nothing
-    # corpus-sized — the cumulative window runs over the bucket table only.
-    w_off = (
-        Window.partitionBy(*g)
-        .orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        binned.groupBy(*g, "bin")
-        .agg(F.count("*").alias("bn"))
-        .select(
-            *g,
-            "bin",
-            F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("off"),
-        )
-    )
-    w_rank = Window.partitionBy(*g, "bin").orderBy("s")
-    r2 = (
-        2 * (F.col("off") + F.rank().over(w_rank).cast("long"))
-        + F.count("*").over(w_rank.rangeBetween(0, 0)).cast("long")
-        - 1
-    )
-    ranked = binned.join(F.broadcast(offsets), [*g, "bin"]).select(
-        *g, "y", r2.alias("r2")
+    ranked = binned_rank(
+        binned,
+        "bin",
+        ["s"],
+        group_cols=g,
+        rank_col="rnk",
+        method="rank",
+        peers_col="peers",
+    ).select(
+        *g,
+        "y",
+        (2 * F.col("rnk") + F.col("peers") - 1).alias("r2"),
     )
     agg = ranked.groupBy(*g).agg(
         F.sum(F.when(F.col("y") == 1, F.col("r2")).otherwise(0).cast(

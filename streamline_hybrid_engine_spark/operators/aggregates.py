@@ -2225,36 +2225,21 @@ def agg_decile_lift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1023).cast("long"),
         ),
     )
-    counts = binned.groupBy("bin").agg(F.count("*").alias("bn"))
-    w_off = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
+    # shared binned-offset primitive (r11): descending-bin key is a
+    # monotone prefix of (cents DESC, custkey), so the per-bin row_number
+    # plus the broadcast offset IS the exact global rank
+    from streamline_hybrid_engine_spark.operators.ranks import (
+        binned_rank,
+        ntile_from_rank,
+    )
+
+    ranked = binned_rank(
+        binned,
         "bin",
-        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).cast("long").alias("off"),
-        F.sum("bn").over(
-            Window.orderBy("bin").rangeBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).cast("long").alias("n_total"),
-    )
-    w_local = Window.partitionBy("bin").orderBy(
-        F.col("cents").desc(), F.col("o_custkey")
-    )
-    r = F.col("off") + F.row_number().over(w_local)
-    ranked = (
-        binned.join(F.broadcast(offsets), "bin")
-        .withColumn("r", r)
-        .withColumn(
-            "decile",
-            F.expr(
-                "CASE WHEN r <= (n_total % 10) * (n_total div 10 + 1)"
-                " THEN (r + n_total div 10) div (n_total div 10 + 1)"
-                " ELSE n_total % 10 +"
-                "  (r - (n_total % 10) * (n_total div 10 + 1)"
-                "   + greatest(n_total div 10, 1) - 1)"
-                "  div greatest(n_total div 10, 1) END"
-            ).cast("int"),
-        )
-    )
+        [F.col("cents").desc(), F.col("o_custkey")],
+        rank_col="r",
+        total_col="n_total",
+    ).withColumn("decile", ntile_from_rank("r", "n_total", 10).cast("int"))
     tot = spend.agg(
         F.sum("n_f").cast("long").alias("tot_f"),
         F.sum("n_orders").cast("long").alias("tot_orders"),

@@ -571,3 +571,63 @@ def test_ntile_from_rank_library_face(spark):
     for _, t in got:
         sizes[t] = sizes.get(t, 0) + 1
     assert sizes == {1: 3, 2: 3, 3: 2, 4: 2}
+
+
+def test_binned_rank_matches_global_window(spark):
+    """The shared binned-offset primitive (r11): ranks equal the global
+    window's for BOTH methods, grouped and ungrouped, with ties; peers
+    equals the global tiecount; no window in the plan partitions wider
+    than (group, bin)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from streamline_hybrid_engine_spark import binned_rank
+    from streamline_hybrid_engine_spark.plans import executed_plan
+
+    rows = [
+        # (grp, v, tb): v ties both within and across tie-break order
+        ("a", 5, 1), ("a", 5, 2), ("a", 17, 3), ("a", 23, 4), ("a", 23, 5),
+        ("a", 41, 6), ("b", 5, 1), ("b", 99, 2), ("b", 99, 3),
+    ]
+    df = spark.createDataFrame(rows, "grp string, v long, tb long").withColumn(
+        "bin", F.expr("v div 10")
+    )
+
+    # method="row_number", grouped, with total
+    got = binned_rank(
+        df, "bin", ["v", "tb"], group_cols=("grp",),
+        rank_col="r", total_col="n",
+    )
+    w = Window.partitionBy("grp").orderBy("v", "tb")
+    exp = df.select(
+        "grp", "v", "tb",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count("*").over(Window.partitionBy("grp")).alias("n"),
+    )
+    key = lambda r: (r["grp"], r["v"], r["tb"])  # noqa: E731
+    assert sorted(got.select("grp", "v", "tb", "r", "n").collect(), key=key) \
+        == sorted(exp.collect(), key=key)
+
+    # method="rank" + peers, ungrouped — the Mann–Whitney shape
+    got2 = binned_rank(
+        df, "bin", ["v"], rank_col="r", method="rank", peers_col="p"
+    )
+    w2 = Window.orderBy("v")
+    exp2 = df.select(
+        "grp", "v", "tb",
+        F.rank().over(w2).cast("long").alias("r"),
+        F.count("*").over(Window.partitionBy("v")).cast("long").alias("p"),
+    )
+    assert sorted(got2.select("grp", "v", "tb", "r", "p").collect(), key=key) \
+        == sorted(exp2.collect(), key=key)
+
+    # scale contract: every Window operator in the plan partitions by
+    # something (never the "No Partition Defined" single-task form)
+    plan = executed_plan(got)
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "windowspecdefinition(" in line
+            spec = line.split("windowspecdefinition(")[1]
+            # first args before the sort spec are the partition cols —
+            # a single-partition window renders windowspecdefinition(v ASC..
+            assert not spec.lstrip().startswith("v#"), line
