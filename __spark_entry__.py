@@ -115,6 +115,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         # tests/test_registry.py pins set ∩ stamped == ∅ and every entry
         # to be a live oracle-backed registry id, so ids are appended here
         # IN THE SAME COMMIT that registers them.
+        "agg_rfm_segments_binned",
+        "ts_conversion_latency_binned",
     }
 )
 

@@ -1114,6 +1114,26 @@ def test_decile_lift_binned_no_global_range_sort(spark, sf_dir):
     assert "hashpartitioning(bin" in p
 
 
+def test_rfm_segments_binned_no_global_range_sort(spark, sf_dir):
+    """Binned RFM (r11 valve): all three metric rankings partition by
+    their bin keys — nothing range-partitions the customer aggregate;
+    the single-partition windows run over bin-offset tables only."""
+    p = plan(spark, sf_dir, "agg_rfm_segments_binned")
+    assert "rangepartitioning" not in p.lower()
+    assert "CartesianProduct" not in p
+    for b in ("bin_r", "bin_f", "bin_m"):
+        assert f"hashpartitioning({b}" in p
+
+
+def test_conversion_latency_binned_no_global_range_sort(spark, sf_dir):
+    """Binned conversion-latency quartiles (r11 valve): the converted-user
+    rank window partitions by the delay bucket; no global range sort."""
+    p = plan(spark, sf_dir, "ts_conversion_latency_binned")
+    assert "rangepartitioning" not in p.lower()
+    assert "CartesianProduct" not in p
+    assert "hashpartitioning(bin" in p
+
+
 def test_hop_distinct_hll_replicates_sketches_not_events(spark, sf_dir):
     """HLL hop-distinct: the ×4 expansion (Generate/explode) must sit
     ABOVE the per-slide sketch aggregate — events aggregate once, only

@@ -1001,6 +1001,81 @@ def test_binary_auc_binned_grouped_equals_per_group(spark, rows, bin_width):
         assert got[g] == (w["n_pos"], w["n_neg"], w["auc"]), g
 
 
+@settings(max_examples=10 * _FUZZ, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),             # group
+            st.integers(-20, 20),                      # value
+            st.integers(0, 9),                         # tiebreak seed
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    width=st.sampled_from([1, 4, 16, 1000]),
+    descending=st.booleans(),
+)
+def test_binned_rank_fuzz_equals_global_window(spark, rows, width, descending):
+    """The shared binned_rank primitive (r11) vs the global window it
+    replaces, over random grouped data with ties AT bin boundaries
+    (values are multiples of small widths often enough that hypothesis
+    lands exact-boundary ties), ascending and descending orders,
+    width 1 (offsets do everything) through one-bin (window does
+    everything). Both rank methods and the peer count must match; this
+    is the contract agg_rfm_segments_binned / ts_conversion_latency_binned
+    ship on."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from streamline_hybrid_engine_spark import binned_rank
+
+    data = [(g, v, i) for i, (g, v, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, v long, tb long")
+    if descending:
+        # descending order needs an ascending bin: negate the bucket
+        df = df.withColumn("bin", -F.expr(f"v div {width}"))
+        order = [F.col("v").desc(), F.col("tb")]
+        w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("tb"))
+        wp = Window.partitionBy("g", "v")
+    else:
+        df = df.withColumn("bin", F.expr(f"v div {width}"))
+        order = [F.col("v"), F.col("tb")]
+        w = Window.partitionBy("g").orderBy("v", "tb")
+        wp = Window.partitionBy("g", "v")
+    key = lambda r: (r["g"], r["v"], r["tb"])  # noqa: E731
+    for method, fn in (("row_number", F.row_number), ("rank", F.rank)):
+        got = binned_rank(
+            df, "bin", order, group_cols=("g",),
+            rank_col="r", total_col="n", method=method,
+        )
+        exp = df.select(
+            "g", "v", "tb",
+            fn().over(w).cast("long").alias("r"),
+            F.count("*").over(Window.partitionBy("g")).cast("long").alias("n"),
+        )
+        assert (
+            sorted(got.select("g", "v", "tb", "r", "n").collect(), key=key)
+            == sorted(exp.collect(), key=key)
+        ), (method, width, descending)
+    # peers (the Mann–Whitney tiecount) needs a SINGLE order column per
+    # the contract; pair it with method="rank" so ties stay deterministic
+    got_p = binned_rank(
+        df, "bin", [order[0]], group_cols=("g",),
+        rank_col="r", method="rank", peers_col="p",
+    )
+    w1 = Window.partitionBy("g").orderBy(order[0])
+    exp_p = df.select(
+        "g", "v", "tb",
+        F.rank().over(w1).cast("long").alias("r"),
+        F.count("*").over(wp).cast("long").alias("p"),
+    )
+    assert (
+        sorted(got_p.select("g", "v", "tb", "r", "p").collect(), key=key)
+        == sorted(exp_p.collect(), key=key)
+    ), (width, descending)
+
+
 def _py_bpe_train(words: dict, n_merges: int) -> list:
     """Independent reference BPE trainer: dict segmentations, explicit
     greedy left-to-right merge application, argmax with the engine's
