@@ -117,6 +117,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         # IN THE SAME COMMIT that registers them.
         "agg_rfm_segments_binned",
         "ts_conversion_latency_binned",
+        "llm_embedding_pca_project",
     }
 )
 

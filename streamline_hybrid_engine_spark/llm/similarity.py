@@ -658,6 +658,186 @@ def llm_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- PCA closure (r10-verdict task 5) ----------------------------------------
+
+PCA_SCALE = 1_000_000  # micros fixed point, matching the gram's 1e6
+PCA_T = 10  # power-iteration rounds per component (fixed → finite oracle)
+_PCA_DIM = 64
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — what Spark ``div`` and
+    DuckDB ``//`` both do (verified incl. HUGEINT), and what Python ``//``
+    does NOT (floor). Divisors here are always positive."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def pca_power_component(
+    gram: list, v0: list, t_iters: int = PCA_T, orth: list | None = None
+) -> list:
+    """One eigen-component of a symmetric integer matrix by EXACT-INTEGER
+    power iteration — the driver-side half of PCA over
+    :func:`llm_embedding_gram`'s output. Each round: u = G·v (exact
+    Python-int matvec), optional deflation against ``orth`` (u −
+    trunc(⟨u,w⟩·w / ⟨w,w⟩) — integer Gram–Schmidt; truncation makes it
+    approximate orthogonalization, but every step is deterministic
+    integer arithmetic), then ∞-norm renormalization to micros
+    (v = trunc(u·1e6 / max|u|)) — no sqrt, no float, so the oracle's
+    unrolled HUGEINT CTE chain reproduces the sequence BIT-FOR-BIT
+    rather than to-within-ulps (the same reason the engine's AUC/DSIR
+    math is integer by policy). The gram is PSD, so the iteration
+    converges without sign oscillation; the sign convention is pinned by
+    v0 (all +1e6 for c1; alternating ±1e6 for c2) instead of a
+    post-hoc flip. Convergence quality is fuzz-audited against numpy's
+    eigh (cos > 0.99 on random PSD matrices); cross-engine equality is
+    what the oracle hash certifies."""
+    n = len(v0)
+    v = list(v0)
+    d = sum(w * w for w in orth) if orth is not None else 0
+    for _ in range(t_iters):
+        u = [sum(gram[i][j] * v[j] for j in range(n)) for i in range(n)]
+        if orth is not None:
+            c = sum(u[i] * orth[i] for i in range(n))
+            u = [u[i] - _tdiv(c * orth[i], d) for i in range(n)]
+        m = max(max(abs(x) for x in u), 1)
+        v = [_tdiv(x * PCA_SCALE, m) for x in u]
+    return v
+
+
+def _pca_oracle() -> str:
+    """Unrolled exact-integer power iteration as a MATERIALIZED CTE chain
+    (plain CTEs inline per reference and go exponential on iterative
+    chains — the llm_bpe_train_merges lesson). Every value is a
+    BIGINT/HUGEINT; sums are order-independent, so the oracle equals the
+    Spark side's driver-Python ints bit-for-bit."""
+    s = PCA_SCALE
+    ctes = [
+        f"ex AS MATERIALIZED (SELECT vec_id, gs.i AS i,"
+        f" CAST(embedding[gs.i + 1] AS DOUBLE) AS x"
+        f" FROM embeddings, (SELECT unnest(range(0, {_PCA_DIM})) AS i) gs)",
+        f"gram_ut AS MATERIALIZED (SELECT a.i AS i, b.i AS j,"
+        f" CAST(sum(CAST(floor(a.x * b.x * {s}) AS BIGINT)) AS BIGINT) AS g"
+        f" FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i"
+        f" GROUP BY a.i, b.i)",
+        "gram AS MATERIALIZED (SELECT i, j, g FROM gram_ut UNION ALL"
+        " SELECT j AS i, i AS j, g FROM gram_ut WHERE i < j)",
+        f"c1v0 AS MATERIALIZED (SELECT CAST(gs.i AS BIGINT) AS i,"
+        f" CAST({s} AS HUGEINT) AS v"
+        f" FROM (SELECT unnest(range(0, {_PCA_DIM})) AS i) gs)",
+    ]
+    for t in range(1, PCA_T + 1):
+        ctes.append(
+            f"c1u{t} AS MATERIALIZED (SELECT g.i AS i,"
+            f" sum(g.g::HUGEINT * v.v) AS u"
+            f" FROM gram g JOIN c1v{t - 1} v ON v.i = g.j GROUP BY g.i)"
+        )
+        ctes.append(
+            f"c1v{t} AS MATERIALIZED (SELECT i, (u * {s}) //"
+            f" greatest((SELECT max(abs(u)) FROM c1u{t}), 1) AS v"
+            f" FROM c1u{t})"
+        )
+    ctes += [
+        f"w1 AS MATERIALIZED (SELECT i, CAST(v AS BIGINT) AS w FROM c1v{PCA_T})",
+        "den AS MATERIALIZED (SELECT sum(w::HUGEINT * w::HUGEINT) AS d FROM w1)",
+        f"c2v0 AS MATERIALIZED (SELECT CAST(gs.i AS BIGINT) AS i,"
+        f" CAST(CASE WHEN gs.i % 2 = 0 THEN {s} ELSE -{s} END AS HUGEINT) AS v"
+        f" FROM (SELECT unnest(range(0, {_PCA_DIM})) AS i) gs)",
+    ]
+    for t in range(1, PCA_T + 1):
+        ctes.append(
+            f"c2u{t} AS MATERIALIZED (SELECT g.i AS i,"
+            f" sum(g.g::HUGEINT * v.v) AS u"
+            f" FROM gram g JOIN c2v{t - 1} v ON v.i = g.j GROUP BY g.i)"
+        )
+        ctes.append(
+            f"c2c{t} AS MATERIALIZED (SELECT sum(u.u * w.w::HUGEINT) AS c"
+            f" FROM c2u{t} u JOIN w1 w ON w.i = u.i)"
+        )
+        ctes.append(
+            f"c2o{t} AS MATERIALIZED (SELECT u.i,"
+            f" u.u - ((SELECT c FROM c2c{t}) * w.w::HUGEINT)"
+            f" // (SELECT d FROM den) AS u"
+            f" FROM c2u{t} u JOIN w1 w ON w.i = u.i)"
+        )
+        ctes.append(
+            f"c2v{t} AS MATERIALIZED (SELECT i, (u * {s}) //"
+            f" greatest((SELECT max(abs(u)) FROM c2o{t}), 1) AS v"
+            f" FROM c2o{t})"
+        )
+    ctes += [
+        f"w2 AS MATERIALIZED (SELECT i, CAST(v AS BIGINT) AS w FROM c2v{PCA_T})",
+        f"xq AS MATERIALIZED (SELECT vec_id, gs.i AS i,"
+        f" CAST(floor(CAST(embedding[gs.i + 1] AS DOUBLE) * {s}) AS BIGINT)"
+        f" AS xq"
+        f" FROM embeddings, (SELECT unnest(range(0, {_PCA_DIM})) AS i) gs)",
+        "proj AS (SELECT x.vec_id,"
+        " CAST(sum(x.xq * w1.w) AS BIGINT) AS p1_fp,"
+        " CAST(sum(x.xq * w2.w) AS BIGINT) AS p2_fp"
+        " FROM xq x JOIN w1 ON w1.i = x.i JOIN w2 ON w2.i = x.i"
+        " GROUP BY x.vec_id)",
+    ]
+    body = ",\n    ".join(ctes)
+    return (
+        f"WITH {body}\n"
+        "SELECT e.vec_id, e.label, p.p1_fp, p.p2_fp\n"
+        "FROM proj p JOIN embeddings e ON e.vec_id = p.vec_id"
+    )
+
+
+@query(
+    "llm_embedding_pca_project",
+    oracle=_pca_oracle(),
+    tags=("llm", "embedding", "linalg", "ml"),
+)
+def llm_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA closure (SURVEY §2.11): llm_embedding_gram is "the distributed
+    half of PCA" — this id is the other half, end to end. The corpus-sized
+    work is ONE pass (the exact-integer gram, identical plan to
+    llm_embedding_gram); the 64×64 eigen problem is driver-side trivia by
+    that id's own contract (2080 collected cells — dimension-sized, the
+    same policy as AQE plan finalization), solved here by the
+    deterministic integer power iteration (:func:`pca_power_component`,
+    top-2 components, integer deflation); the projection matrix then
+    rides back as TWO 64-long literal arrays folded map-side into every
+    row (zip_with/aggregate — pure codegen, zero shuffle, no UDF). Output
+    is (vec_id, label, p1_fp, p2_fp) exact-integer projections at 1e12
+    fixed point — the k-dim embedding a semantic-dedup/IVF stage would
+    consume instead of the raw 64 floats (8× less shuffle per cosine
+    join). The oracle replays the identical integer recurrence as an
+    unrolled MATERIALIZED HUGEINT CTE chain, so any drift in the matvec,
+    deflation truncation, or ∞-norm renormalization breaks the hash."""
+    e = load_table(spark, sf_dir, "embeddings", parallel=True)
+    cells = llm_embedding_gram(spark, sf_dir).collect()
+    gram = [[0] * _PCA_DIM for _ in range(_PCA_DIM)]
+    for r in cells:
+        gram[r["i"]][r["j"]] = gram[r["j"]][r["i"]] = r["g_fp"]
+    w1 = pca_power_component(gram, [PCA_SCALE] * _PCA_DIM)
+    w2 = pca_power_component(
+        gram,
+        [PCA_SCALE if i % 2 == 0 else -PCA_SCALE for i in range(_PCA_DIM)],
+        orth=w1,
+    )
+
+    def lit_arr(w: list) -> str:
+        return "array(" + ", ".join(f"{x}L" for x in w) + ")"
+
+    xq = (
+        f"transform({_TO_DOUBLE.format(v='embedding')},"
+        f" x -> CAST(floor(x * {PCA_SCALE}) AS BIGINT))"
+    )
+    proj = (
+        "aggregate(zip_with({x}, {w}, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.expr(proj.format(x=xq, w=lit_arr(w1))).alias("p1_fp"),
+        F.expr(proj.format(x=xq, w=lit_arr(w2))).alias("p2_fp"),
+    )
+
+
 K_MEANS = 10  # clusters (seeded from vec_id 0..9)
 KM_ROUNDS = 3  # fixed rounds keep the oracle finite (unrolled CTE chain)
 

@@ -179,6 +179,50 @@ def test_bmp_codec_roundtrip_and_rejections():
             decode_image_real(bytes(mal))
 
 
+def test_pca_projection_covers_corpus_and_separates_variance(spark, sf_dir):
+    """PCA projection: one exact-integer coordinate pair per vector,
+    byte-identical on re-run (deterministic integer eigen — the whole
+    point), and component 1 carries at least as much variance as
+    component 2 (it targeted the dominant eigenvector)."""
+    out = _QS["llm_embedding_pca_project"].fn(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert len(out) == emb.count()
+    assert len({r["vec_id"] for r in out}) == len(out)
+    again = _QS["llm_embedding_pca_project"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # component 1 captures at least component 2's energy once the
+    # different L2 norms of the ∞-normalized directions are divided out
+    from streamline_hybrid_engine_spark.llm.similarity import (
+        PCA_SCALE,
+        _PCA_DIM,
+        llm_embedding_gram,
+        pca_power_component,
+    )
+
+    cells = llm_embedding_gram(spark, sf_dir).collect()
+    gram = [[0] * _PCA_DIM for _ in range(_PCA_DIM)]
+    for r in cells:
+        gram[r["i"]][r["j"]] = gram[r["j"]][r["i"]] = r["g_fp"]
+    w1 = pca_power_component(gram, [PCA_SCALE] * _PCA_DIM)
+    w2 = pca_power_component(
+        gram,
+        [PCA_SCALE if i % 2 == 0 else -PCA_SCALE for i in range(_PCA_DIM)],
+        orth=w1,
+    )
+    e1 = sum(r["p1_fp"] ** 2 for r in out) / sum(x * x for x in w1)
+    e2 = sum(r["p2_fp"] ** 2 for r in out) / sum(x * x for x in w2)
+    # the unit-norm fixture's gram spectrum is nearly flat (random-ish
+    # directions), so strict e1 >= e2 can flip by truncation noise when
+    # λ1 ≈ λ2 — demand near-parity instead; the spectral-gap-gated strict
+    # ordering lives in the numpy fuzz (test_property_differential)
+    assert e1 >= 0.9 * e2, (e1, e2)
+    # and the two directions must be genuinely distinct (deflation did
+    # something): |cos(w1, w2)| well away from 1
+    num = abs(sum(a * b for a, b in zip(w1, w2)))
+    den = (sum(a * a for a in w1) * sum(b * b for b in w2)) ** 0.5
+    assert num / den < 0.05, num / den
+
+
 def test_stratified_sample_rate_and_determinism(spark, sf_dir):
     """~20% overall, no stratum wildly off, and byte-identical on re-run
     (the whole point vs rand()/sample())."""

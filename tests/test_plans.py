@@ -1114,6 +1114,20 @@ def test_decile_lift_binned_no_global_range_sort(spark, sf_dir):
     assert "hashpartitioning(bin" in p
 
 
+def test_pca_projection_is_map_side_only(spark, sf_dir):
+    """llm_embedding_pca_project: the eigen half happens at plan-build
+    time (collected dimension-sized gram); the RETURNED projection plan
+    must be pure scan + codegen'd fold — no exchange, no join, no window,
+    no Python UDF."""
+    p = plan(spark, sf_dir, "llm_embedding_pca_project")
+    # the only allowed exchange is the fixture loader's round-robin
+    # fan-out of the single small file — never a key shuffle
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p.lower()
+    assert "Window" not in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
 def test_rfm_segments_binned_no_global_range_sort(spark, sf_dir):
     """Binned RFM (r11 valve): all three metric rankings partition by
     their bin keys — nothing range-partitions the customer aggregate;

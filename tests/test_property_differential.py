@@ -1076,6 +1076,63 @@ def test_binned_rank_fuzz_equals_global_window(spark, rows, width, descending):
     ), (width, descending)
 
 
+@settings(max_examples=10 * _FUZZ, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    dim=st.sampled_from([3, 5, 8]),
+    n_vecs=st.integers(5, 40),
+)
+def test_pca_power_component_tracks_numpy_eigh(seed, dim, n_vecs):
+    """The exact-integer power iteration behind llm_embedding_pca_project
+    vs numpy's eigh on random PSD integer gram matrices: the first
+    component must align with the dominant eigenvector (|cos| > 0.99
+    when the spectral gap is honest), stay ∞-normalized to exactly
+    ±PCA_SCALE, and the deflated second component must be near-orthogonal
+    to the first. Also pins _tdiv's truncate-toward-zero convention
+    (Python // floors — the one-character bug this mirror exists to
+    catch)."""
+    import numpy as np
+
+    from streamline_hybrid_engine_spark.llm.similarity import (
+        PCA_SCALE,
+        _tdiv,
+        pca_power_component,
+    )
+
+    assert _tdiv(-7, 2) == -3 and _tdiv(7, 2) == 3  # trunc, not floor
+
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n_vecs, dim))
+    gram = [
+        [int(np.floor(np.dot(x[:, i], x[:, j]) * 1e6)) for j in range(dim)]
+        for i in range(dim)
+    ]
+    # symmetrize exactly the way the id does (mirror one triangle)
+    for i in range(dim):
+        for j in range(i + 1, dim):
+            gram[j][i] = gram[i][j]
+    w1 = pca_power_component(gram, [PCA_SCALE] * dim, t_iters=30)
+    assert max(abs(v) for v in w1) == PCA_SCALE
+    evals, evecs = np.linalg.eigh(np.array(gram, dtype=float))
+    top = evecs[:, -1]
+    c = abs(float(np.dot(w1, top))) / (
+        float(np.linalg.norm(w1)) * float(np.linalg.norm(top))
+    )
+    # only demand alignment when the gap is real (degenerate spectra
+    # legitimately mix components)
+    if evals[-1] > 1.05 * abs(evals[-2]):
+        assert c > 0.99, (c, evals)
+    w2 = pca_power_component(
+        gram,
+        [PCA_SCALE if i % 2 == 0 else -PCA_SCALE for i in range(dim)],
+        t_iters=30,
+        orth=w1,
+    )
+    dot12 = abs(float(np.dot(w1, w2)))
+    n1, n2 = float(np.linalg.norm(w1)), float(np.linalg.norm(w2))
+    assert dot12 / (n1 * n2) < 0.05, (w1, w2)
+
+
 def _py_bpe_train(words: dict, n_merges: int) -> list:
     """Independent reference BPE trainer: dict segmentations, explicit
     greedy left-to-right merge application, argmax with the engine's
