@@ -118,6 +118,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "agg_rfm_segments_binned",
         "ts_conversion_latency_binned",
         "llm_embedding_pca_project",
+        "llm_bpe_apply_merges",
     }
 )
 

@@ -98,6 +98,11 @@ _LAZY_EXPORTS = {
     "ntile_from_rank": "streamline_hybrid_engine_spark.operators.ranks",
     # the shared binned-offset global-rank decomposition (r11 pass 6)
     "binned_rank": "streamline_hybrid_engine_spark.operators.ranks",
+    # tokenizer train + deploy faces (r10/r11)
+    "bpe_train_merges": "streamline_hybrid_engine_spark.llm.text",
+    "bpe_apply_merges": "streamline_hybrid_engine_spark.llm.text",
+    # driver-side integer eigen over the distributed gram (r11)
+    "pca_power_component": "streamline_hybrid_engine_spark.llm.similarity",
 }
 
 __all__ = ["all_queries", "get_query", *sorted(_LAZY_EXPORTS)]

@@ -2240,22 +2240,25 @@ def bpe_train_merges(words: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     return merges
 
 
-def _bpe_trainer_wordfreq_duck() -> str:
+def _bpe_trainer_wordfreq_duck(where: str = "") -> str:
     """The trainer's pre-tokenized word-frequency rollup (DuckDB side):
     lowercased pure-alpha words only — the [a-z]+ restriction is the
-    pre-tokenizer contract that makes the bracket encoding collision-free."""
-    return """
+    pre-tokenizer contract that makes the bracket encoding collision-free.
+    ``where`` optionally restricts the source documents (the deployment
+    id trains on the hash-split train fold only)."""
+    src = f"documents {where}" if where else "documents"
+    return f"""
       SELECT tok, freq,
              regexp_replace(tok, '(.)', '(\\1)', 'g') AS enc
       FROM (SELECT lower(tok) AS tok, CAST(count(*) AS BIGINT) AS freq
             FROM (SELECT unnest(string_split(text, ' ')) AS tok
-                  FROM documents)
+                  FROM {src})
             GROUP BY lower(tok))
       WHERE regexp_matches(tok, '^[a-z]+$')
     """
 
 
-def _bpe_cte_body(with_final: bool) -> str:
+def _bpe_cte_body(with_final: bool, where: str = "") -> str:
     """Unrolled N-merge BPE training as a CTE chain (count → argmax →
     replace per round), mirroring bpe_train_and_segment round for round.
     Every CTE is MATERIALIZED: DuckDB inlines plain CTEs per reference,
@@ -2266,7 +2269,7 @@ def _bpe_cte_body(with_final: bool) -> str:
     empty word table → no further merge rows on either engine).
     ``with_final`` also materializes w{N}, the post-last-merge word
     segmentation the segment id reads."""
-    ctes = [f"w0 AS MATERIALIZED ({_bpe_trainer_wordfreq_duck()})"]
+    ctes = [f"w0 AS MATERIALIZED ({_bpe_trainer_wordfreq_duck(where)})"]
     for r in range(1, BPE_MERGES + 1):
         prev = f"w{r - 1}"
         ctes.append(
@@ -2430,6 +2433,186 @@ def llm_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((sum(CAST(freq AS DECIMAL(38,0)) * length(tok)) * 1000000)"
             " div sum(CAST(freq AS DECIMAL(38,0)) * n_syms) AS BIGINT)"
         ).alias("chars_per_token_micro"),
+    )
+
+
+def bpe_apply_merges(words: DataFrame, merges: list) -> DataFrame:
+    """Replay a SHIPPED merge table (the rows of merges.txt, in step
+    order) over ANY word table — the INFERENCE path of a BPE tokenizer,
+    the half :func:`bpe_train_merges` trains. ``words`` needs a ``tok``
+    column ([a-z]+ per the pre-tokenizer contract); ``merges`` is a
+    sequence of rows/dicts with ``step``/``lhs``/``rhs`` (a collected
+    merge table or a parsed merges.txt — it IS the shipped artifact, so
+    driver-side literals are the honest deployment shape). Appends
+    ``enc``, the bracket-encoded segmentation after all merges.
+
+    The whole replay is ONE projection: the initial per-char bracket
+    encoding with |merges| nested leftmost-non-overlapping replace()
+    calls folded around it — pure whole-stage codegen, no loop state, no
+    shuffle, no checkpoint (unlike training, which must re-count between
+    merges). Each replace() is exactly the greedy left-to-right BPE merge
+    pass (see bpe_train_merges for why), so replaying the merge list
+    reproduces the trainer's internal segmentation state bit-for-bit on
+    the training vocab — the merges.txt portability contract, pinned by
+    test and by llm_bpe_apply_merges' oracle."""
+    enc = F.regexp_replace("tok", "(.)", "($1)")
+    for m in sorted(merges, key=lambda r: r["step"]):
+        enc = F.replace(
+            enc,
+            F.lit(f"({m['lhs']})({m['rhs']})"),
+            F.lit(f"({m['lhs']}{m['rhs']})"),
+        )
+    return words.withColumn("enc", enc)
+
+
+_BPE_TRAIN_WHERE = (
+    "WHERE strpos('0123456789abcdef',"
+    " substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 13"
+)
+_BPE_HELD_WHERE = _BPE_TRAIN_WHERE.replace("< 13", ">= 13")
+
+
+def _bpe_apply_oracle() -> str:
+    """Train chain on the TRAIN fold, then replay b1..bN over the
+    held-out fold's vocab encodings — the same replace per round, no
+    recounting (that is the deployment claim). MATERIALIZED throughout
+    (the iterative-oracle lesson)."""
+    ctes = [_bpe_cte_body(with_final=False, where=_BPE_TRAIN_WHERE)]
+    ctes.append(
+        f"h0 AS MATERIALIZED ("
+        f" SELECT tok, regexp_replace(tok, '(.)', '(\\1)', 'g') AS enc"
+        f" FROM (SELECT DISTINCT lower(tok) AS tok"
+        f"       FROM (SELECT unnest(string_split(text, ' ')) AS tok"
+        f"             FROM documents {_BPE_HELD_WHERE}))"
+        f" WHERE regexp_matches(tok, '^[a-z]+$'))"
+    )
+    for r in range(1, BPE_MERGES + 1):
+        ctes.append(
+            f"h{r} AS MATERIALIZED (SELECT h.tok, replace(h.enc,"
+            f" '(' || b.lhs || ')(' || b.rhs || ')',"
+            f" '(' || b.lhs || b.rhs || ')') AS enc"
+            f" FROM h{r - 1} h, b{r} b)"
+        )
+    ctes += [
+        f"seg AS MATERIALIZED (SELECT tok,"
+        f" CAST(len(string_split(substr(enc, 2, length(enc) - 2), ')('))"
+        f" AS BIGINT) AS n_syms FROM h{BPE_MERGES})",
+        f"tv AS MATERIALIZED (SELECT DISTINCT lower(tok) AS tok"
+        f" FROM (SELECT unnest(string_split(text, ' ')) AS tok"
+        f"       FROM documents {_BPE_TRAIN_WHERE})"
+        f" WHERE regexp_matches(lower(tok), '^[a-z]+$'))",
+        f"sw AS MATERIALIZED ("
+        f" SELECT source, tok, CAST(count(*) AS BIGINT) AS freq"
+        f" FROM (SELECT source, lower(tok) AS tok"
+        f"       FROM (SELECT source, unnest(string_split(text, ' ')) AS tok"
+        f"             FROM documents {_BPE_HELD_WHERE}))"
+        f" WHERE regexp_matches(tok, '^[a-z]+$')"
+        f" GROUP BY source, tok)",
+    ]
+    body = ",\n".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT sw.source,
+           CAST(sum(sw.freq) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_distinct_words,
+           CAST(count(*) FILTER (WHERE tv.tok IS NULL) AS BIGINT)
+             AS n_unseen_words,
+           CAST(sum(sw.freq * seg.n_syms) AS BIGINT) AS bpe_tokens,
+           CAST((sum(sw.freq * seg.n_syms)::HUGEINT * 1000000)
+                // sum(sw.freq) AS BIGINT) AS fertility_micro
+    FROM sw JOIN seg ON seg.tok = sw.tok
+    LEFT JOIN tv ON tv.tok = sw.tok
+    GROUP BY sw.source
+    """
+
+
+@query(
+    "llm_bpe_apply_merges",
+    oracle=_bpe_apply_oracle(),
+    tags=("llm", "tokenizer", "iterative"),
+)
+def llm_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE DEPLOYMENT face (r10-verdict task 6): train merges.txt on
+    the hash-split TRAIN fold (the llm_train_split_hash convention,
+    digit < 13), then segment the HELD-OUT folds by REPLAYING the shipped
+    merge table over their vocab — never by reusing the trainer's
+    internal state. This is the path that certifies merges.txt
+    portability: the replay (:func:`bpe_apply_merges`, one codegen'd
+    projection of chained replaces) must reproduce segmentation without
+    any recounting, on text the trainer never saw. Output per held-out
+    source: word/distinct counts, UNSEEN-vocab count (words absent from
+    the training fold — the deployment OOV pressure a tokenizer report
+    leads with), total BPE tokens, and exact floored-micros fertility —
+    the numbers that tell a user whether the trained tokenizer
+    generalizes off its own corpus.
+
+    Scale: training is the audited vocab-sized loop; the replay is a
+    single map over the held-out VOCAB (no corpus pass beyond the word
+    rollups), the unseen check is a vocab×vocab left join, and the
+    report rides exact integer sums. Precondition shared with the
+    trainer: the corpus yields all BPE_MERGES merges (an empty argmax
+    empties the word table on both engines identically)."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    digit = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+    ) - 1
+    train_docs = docs.filter(digit < 13)
+    held_docs = docs.filter(digit >= 13)
+
+    def rollup(d: DataFrame) -> DataFrame:
+        return (
+            d.select(F.explode(F.split("text", " ")).alias("raw"))
+            .select(F.lower("raw").alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").cast("long").alias("freq"))
+            .filter(F.col("tok").rlike("^[a-z]+$"))
+        )
+
+    train_words = rollup(train_docs)
+    # merges.txt: the shipped artifact — BPE_MERGES rows to the driver
+    merges = [
+        r.asDict()
+        for r in bpe_train_merges(train_words, BPE_MERGES)
+        .orderBy("step")
+        .collect()
+    ]
+    seg = bpe_apply_merges(rollup(held_docs).select("tok"), merges).select(
+        "tok",
+        F.size(
+            F.split(F.expr("substring(enc, 2, length(enc) - 2)"), r"\)\(")
+        )
+        .cast("long")
+        .alias("n_syms"),
+    )
+    sw = (
+        held_docs.select(
+            "source", F.explode(F.split("text", " ")).alias("raw")
+        )
+        .select("source", F.lower("raw").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .filter(F.col("tok").rlike("^[a-z]+$"))
+    )
+    tv = train_words.select("tok", F.lit(1).alias("in_train"))
+    return (
+        sw.join(seg, "tok")
+        .join(tv, "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("freq").cast("long").alias("n_words"),
+            F.count("*").cast("long").alias("n_distinct_words"),
+            F.sum(F.when(F.col("in_train").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unseen_words"),
+            F.sum(F.col("freq") * F.col("n_syms"))
+            .cast("long")
+            .alias("bpe_tokens"),
+            F.expr(
+                "CAST((sum(CAST(freq AS DECIMAL(38,0)) * n_syms) * 1000000)"
+                " div sum(freq) AS BIGINT)"
+            ).alias("fertility_micro"),
+        )
     )
 
 

@@ -1201,6 +1201,45 @@ def test_bpe_train_merges_matches_python_trainer(spark, entries):
     assert got == expected
 
 
+@settings(max_examples=5 * _FUZZ, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    entries=st.lists(
+        st.tuples(
+            st.text(alphabet="ab", min_size=1, max_size=6),
+            st.integers(1, 5),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+)
+def test_bpe_replay_equals_trainer_state(spark, entries):
+    """merges.txt portability (the llm_bpe_apply_merges contract):
+    replaying the collected merge table over the TRAINING vocab's initial
+    encodings must reproduce the trainer's internal final segmentation
+    state bit-for-bit — on the same adversarial 2-letter corpus that
+    stresses shared-middle overlaps and tie-breaks. Requires every merge
+    round to have fired (an early-dry corpus empties the trainer's word
+    table by design, which the replay deliberately does not mimic)."""
+    from streamline_hybrid_engine_spark.llm.text import (
+        bpe_apply_merges,
+        bpe_train_and_segment,
+    )
+
+    words: dict = {}
+    for w, f in entries:
+        words[w] = words.get(w, 0) + f
+    df = spark.createDataFrame(list(words.items()), "tok string, freq long")
+    merges_df, state = bpe_train_and_segment(df, 3)
+    merges = [r.asDict() for r in merges_df.orderBy("step").collect()]
+    if len(merges) < 3:
+        return  # pair supply dried up: trainer state is empty by contract
+    replay = bpe_apply_merges(df.select("tok"), merges)
+    got = sorted((r["tok"], r["enc"]) for r in replay.collect())
+    want = sorted((r["tok"], r["enc"]) for r in state.collect())
+    assert got == want
+
+
 @settings(max_examples=15 * _FUZZ, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
