@@ -119,6 +119,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "ts_conversion_latency_binned",
         "llm_embedding_pca_project",
         "llm_bpe_apply_merges",
+        "llm_ann_recall_multiprobe",
     }
 )
 

@@ -1382,3 +1382,189 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- r11: multi-probe recall delta (the nprobe tuning table) ------------------
+
+
+@query(
+    "llm_ann_recall_multiprobe",
+    oracle=f"""
+    WITH cents AS ({_ORACLE_CENTROIDS}),
+    ranked AS (
+      SELECT e.vec_id, e.embedding, c.label,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_ODOT.format(a="e.embedding", b="c.cvec")} DESC, c.label
+             ) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    probes AS (
+      SELECT vec_id, label AS cell, rn FROM ranked WHERE rn <= {NPROBE}
+    ),
+    data AS (SELECT vec_id, embedding, label AS cell FROM ranked WHERE rn = 1),
+    q AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % {RECALL_SAMPLE_MOD} = 0
+    ),
+    exact AS (
+      SELECT vec_id, b_id FROM (
+        SELECT q.vec_id, b.vec_id AS b_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({_ODOT.format(a="q.embedding", b="b.embedding")}, 6) DESC,
+                          b.vec_id
+               ) AS rnk
+        FROM q CROSS JOIN embeddings b
+        WHERE b.vec_id <> q.vec_id
+      ) WHERE rnk <= {RECALL_K}
+    ),
+    cand AS (
+      SELECT q.vec_id, p.rn AS probe_rank, b.vec_id AS b_id,
+             round({_ODOT.format(a="q.embedding", b="b.embedding")}, 6) AS s
+      FROM q
+      JOIN probes p ON p.vec_id = q.vec_id
+      JOIN data b ON b.cell = p.cell AND b.vec_id <> q.vec_id
+    ),
+    ap1 AS (
+      SELECT vec_id, b_id FROM (
+        SELECT vec_id, b_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, b_id)
+                 AS rnk
+        FROM cand WHERE probe_rank = 1
+      ) WHERE rnk <= {RECALL_K}
+    ),
+    ap2 AS (
+      SELECT vec_id, b_id FROM (
+        SELECT vec_id, b_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, b_id)
+                 AS rnk
+        FROM cand
+      ) WHERE rnk <= {RECALL_K}
+    ),
+    scored AS (
+      SELECT CAST(1 AS INT) AS nprobe, e.vec_id,
+             CASE WHEN a.b_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM exact e LEFT JOIN ap1 a ON a.vec_id = e.vec_id AND a.b_id = e.b_id
+      UNION ALL
+      SELECT CAST({NPROBE} AS INT) AS nprobe, e.vec_id,
+             CASE WHEN a.b_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM exact e LEFT JOIN ap2 a ON a.vec_id = e.vec_id AND a.b_id = e.b_id
+    )
+    SELECT nprobe,
+           CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(hit) AS BIGINT) AS n_hits,
+           CAST((sum(hit)::HUGEINT * 1000000) // count(*) AS BIGINT)
+             AS recall_micro
+    FROM scored GROUP BY nprobe
+    """,
+    tags=("llm", "knn", "ivf", "evaluation"),
+)
+def llm_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe TUNING TABLE (r10-verdict task 8): recall@{RECALL_K} of
+    the IVF index at nprobe=1 vs nprobe={NPROBE}, side by side against
+    the same brute-force ground truth llm_ann_recall_eval uses (identical
+    sampled-query discipline, identical rounded-cosine tie-breaking) —
+    the per-query dominance TEST pins that nprobe=2 can't be worse; THIS
+    id reports how much better, which is the number a user actually
+    tunes nprobe from (FAISS's recall/latency curve, one row per probe
+    setting).
+
+    Composition, not reimplementation: the probe/home-cell CTEs are
+    llm_knn_ivf_multiprobe's verbatim (same centroid ranking, same
+    rn<=NPROBE probes, same rn=1 home cells), and the ground-truth CTE
+    is llm_ann_recall_eval's verbatim — so the recall this table reports
+    is certified against exactly the index those ids ship. The nprobe=1
+    candidate set is the probe_rank=1 SLICE of the nprobe=2 candidates:
+    dots are computed ONCE on the widest set and both top-k rankings
+    read the same scored table (per-query windows over candidate-sized
+    partitions only).
+
+    Scale: ground truth is |q| × corpus with the query side broadcast
+    (the sample mod is the valve — at 100 TB you take 1k queries);
+    candidates are cell-bounded, linear in nprobe; everything downstream
+    is (query × k)-sized. Recall is an exact floored micro ratio."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings", parallel=True).withColumn(
+        "ed", F.expr(_TO_DOUBLE.format(v="embedding"))
+    )
+    cent = label_centroids(e)
+    cdot = F.expr(_DOT.format(a="embedding", b="cvec"))
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.col("cdot").desc(), F.col("c_label")
+    )
+    ranked = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "c_label", cdot.alias("cdot"))
+        .withColumn("rn", F.row_number().over(wq))
+    )
+    emb = e.select("vec_id", "ed")
+    probes = ranked.filter(F.col("rn") <= NPROBE).select(
+        F.col("vec_id").alias("qid"), F.col("c_label").alias("cell"), "rn"
+    )
+    data = (
+        ranked.filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("b_id"), F.col("c_label").alias("cell"))
+        .join(emb.select(F.col("vec_id").alias("b_id"),
+                         F.col("ed").alias("be")), "b_id")
+    )
+    q = (
+        e.filter(F.col("vec_id") % RECALL_SAMPLE_MOD == 0)
+        .select(F.col("vec_id").alias("qid"), F.col("ed").alias("qe"))
+    )
+    dot = F.round(F.expr(_DOT_D.format(a="qe", b="be")), 6)
+    wrank = Window.partitionBy("qid").orderBy(F.col("s").desc(), "b_id")
+    # ground truth: broadcast queries against the corpus
+    corpus = e.select(F.col("vec_id").alias("b_id"), F.col("ed").alias("be"))
+    exact = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("b_id") != F.col("qid"))
+        .withColumn("s", dot)
+        .withColumn("rnk", F.row_number().over(wrank))
+        .filter(F.col("rnk") <= RECALL_K)
+        .select("qid", "b_id")
+    )
+    # candidates once, at the widest probe setting; score once
+    cand = (
+        q.join(probes, "qid")
+        .join(data, "cell")
+        .filter(F.col("b_id") != F.col("qid"))
+        .withColumn("s", dot)
+        .select("qid", F.col("rn").alias("probe_rank"), "b_id", "s")
+        .localCheckpoint(eager=False)
+    )
+
+    def topk(c: DataFrame) -> DataFrame:
+        return (
+            c.withColumn("rnk", F.row_number().over(wrank))
+            .filter(F.col("rnk") <= RECALL_K)
+            .select("qid", "b_id", F.lit(1).alias("hit"))
+        )
+
+    def scoreboard(ap: DataFrame, p: int) -> DataFrame:
+        return (
+            exact.join(ap, ["qid", "b_id"], "left")
+            .agg(
+                F.countDistinct("qid").cast("long").alias("n_queries"),
+                F.count("*").cast("long").alias("n_exact"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                .cast("long")
+                .alias("n_hits"),
+            )
+            .select(
+                F.lit(p).cast("int").alias("nprobe"),
+                "n_queries",
+                "n_exact",
+                "n_hits",
+                F.expr(
+                    "CAST((CAST(n_hits AS DECIMAL(38,0)) * 1000000)"
+                    " div n_exact AS BIGINT)"
+                ).alias("recall_micro"),
+            )
+        )
+
+    return scoreboard(topk(cand.filter(F.col("probe_rank") == 1)), 1).unionAll(
+        scoreboard(topk(cand), NPROBE)
+    )

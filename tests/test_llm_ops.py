@@ -117,6 +117,24 @@ def test_ivf_multiprobe_dominates_single_probe(spark, sf_dir):
     assert any(two[v][0] > one[v] for v in one)
 
 
+def test_multiprobe_recall_table_is_consistent(spark, sf_dir):
+    """The nprobe tuning table: both rows cover the same query sample and
+    ground truth; recall at nprobe=2 is >= nprobe=1 (its candidate set is
+    a superset per query); hits never exceed exact; recall_micro is the
+    stated floored ratio."""
+    rows = {
+        r["nprobe"]: r
+        for r in _QS["llm_ann_recall_multiprobe"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {1, 2}
+    r1, r2 = rows[1], rows[2]
+    assert r1["n_queries"] == r2["n_queries"] > 0
+    assert r1["n_exact"] == r2["n_exact"] >= r1["n_queries"]
+    assert 0 <= r1["n_hits"] <= r2["n_hits"] <= r2["n_exact"]
+    for r in (r1, r2):
+        assert r["recall_micro"] == r["n_hits"] * 1_000_000 // r["n_exact"]
+
+
 def test_pack_nostraddle_accounting_identities(spark, sf_dir):
     """No-straddle packing report: every block is exactly 512 wide
     (packed + pad == blocks * 512), the report covers every non-empty
