@@ -120,6 +120,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "llm_embedding_pca_project",
         "llm_bpe_apply_merges",
         "llm_ann_recall_multiprobe",
+        "llm_pca_recall_eval",
     }
 )
 

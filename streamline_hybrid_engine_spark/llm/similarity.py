@@ -705,12 +705,14 @@ def pca_power_component(
     return v
 
 
-def _pca_oracle() -> str:
+def _pca_cte_chain() -> str:
     """Unrolled exact-integer power iteration as a MATERIALIZED CTE chain
     (plain CTEs inline per reference and go exponential on iterative
-    chains — the llm_bpe_train_merges lesson). Every value is a
-    BIGINT/HUGEINT; sums are order-independent, so the oracle equals the
-    Spark side's driver-Python ints bit-for-bit."""
+    chains — the llm_bpe_train_merges lesson), ending in ``proj``
+    (vec_id, p1_fp, p2_fp). Every value is a BIGINT/HUGEINT; sums are
+    order-independent, so the chain equals the Spark side's
+    driver-Python ints bit-for-bit. Shared by _pca_oracle and the
+    recall-delta eval's oracle (llm_pca_recall_eval)."""
     s = PCA_SCALE
     ctes = [
         f"ex AS MATERIALIZED (SELECT vec_id, gs.i AS i,"
@@ -771,15 +773,18 @@ def _pca_oracle() -> str:
         f" CAST(floor(CAST(embedding[gs.i + 1] AS DOUBLE) * {s}) AS BIGINT)"
         f" AS xq"
         f" FROM embeddings, (SELECT unnest(range(0, {_PCA_DIM})) AS i) gs)",
-        "proj AS (SELECT x.vec_id,"
+        "proj AS MATERIALIZED (SELECT x.vec_id,"
         " CAST(sum(x.xq * w1.w) AS BIGINT) AS p1_fp,"
         " CAST(sum(x.xq * w2.w) AS BIGINT) AS p2_fp"
         " FROM xq x JOIN w1 ON w1.i = x.i JOIN w2 ON w2.i = x.i"
         " GROUP BY x.vec_id)",
     ]
-    body = ",\n    ".join(ctes)
+    return ",\n    ".join(ctes)
+
+
+def _pca_oracle() -> str:
     return (
-        f"WITH {body}\n"
+        f"WITH {_pca_cte_chain()}\n"
         "SELECT e.vec_id, e.label, p.p1_fp, p.p2_fp\n"
         "FROM proj p JOIN embeddings e ON e.vec_id = p.vec_id"
     )
@@ -1567,4 +1572,133 @@ def llm_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return scoreboard(topk(cand.filter(F.col("probe_rank") == 1)), 1).unionAll(
         scoreboard(topk(cand), NPROBE)
+    )
+
+
+@query(
+    "llm_pca_recall_eval",
+    oracle=f"""
+    WITH {{pca}},
+    q AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % {RECALL_SAMPLE_MOD} = 0
+    ),
+    exact AS (
+      SELECT vec_id, b_id FROM (
+        SELECT q.vec_id, b.vec_id AS b_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({_ODOT.format(a="q.embedding", b="b.embedding")}, 6) DESC,
+                          b.vec_id
+               ) AS rnk
+        FROM q CROSS JOIN embeddings b
+        WHERE b.vec_id <> q.vec_id
+      ) WHERE rnk <= {RECALL_K}
+    ),
+    approx AS (
+      SELECT vec_id, b_id FROM (
+        SELECT a.vec_id, b.vec_id AS b_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY (a.p1_fp - b.p1_fp)::HUGEINT * (a.p1_fp - b.p1_fp)
+                        + (a.p2_fp - b.p2_fp)::HUGEINT * (a.p2_fp - b.p2_fp),
+                          b.vec_id
+               ) AS rnk
+        FROM proj a JOIN proj b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id % {RECALL_SAMPLE_MOD} = 0
+      ) WHERE rnk <= {RECALL_K}
+    )
+    SELECT e.vec_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN a.b_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           CAST((sum(CASE WHEN a.b_id IS NOT NULL THEN 1 ELSE 0 END)::HUGEINT
+                 * 1000000) // {RECALL_K} AS BIGINT) AS recall_micro
+    FROM exact e
+    LEFT JOIN approx a ON a.vec_id = e.vec_id AND a.b_id = e.b_id
+    GROUP BY e.vec_id
+    """.replace("{pca}", _pca_cte_chain()),
+    tags=("llm", "knn", "evaluation", "ml"),
+)
+def llm_pca_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the dimensionality cut costs (the composition r10-verdict
+    task 5 asks for): recall@{RECALL_K} of nearest-neighbor search run
+    on llm_embedding_pca_project's 2-dim integer coordinates, against
+    the same 64-dim brute-force ground truth llm_ann_recall_eval uses —
+    the number that tells a user whether projecting before the cosine
+    joins (8-32× less shuffle bandwidth) is worth the recall it gives
+    up, per query like the LSH eval so the loss distribution (not just
+    the mean) is visible.
+
+    The approx side ranks by exact-integer squared Euclidean distance in
+    the projected plane — differences and squares ride HUGEINT/decimal,
+    so there is NO float anywhere in the approx ranking (the projected
+    coordinates are exact integers by construction) and ties break by
+    id; the ground-truth CTE is llm_ann_recall_eval's verbatim. Scale:
+    the projection is the audited map-side fold; the 2-dim rank is the
+    brute-force baseline shape (query sample × corpus with the skinny
+    3-column projected table — the table one would IVF/grid-bucket next,
+    but 2-dim brute force over scalars is already ~20× narrower than the
+    64-float exact side)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings", parallel=True).withColumn(
+        "ed", F.expr(_TO_DOUBLE.format(v="embedding"))
+    )
+    proj = llm_embedding_pca_project(spark, sf_dir).select(
+        "vec_id", "p1_fp", "p2_fp"
+    )
+    q64 = e.filter(F.col("vec_id") % RECALL_SAMPLE_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("ed").alias("qe")
+    )
+    corpus = e.select(F.col("vec_id").alias("b_id"), F.col("ed").alias("be"))
+    dot = F.round(F.expr(_DOT_D.format(a="qe", b="be")), 6)
+    wrank = Window.partitionBy("qid").orderBy(F.col("s").desc(), "b_id")
+    exact = (
+        corpus.crossJoin(F.broadcast(q64))
+        .filter(F.col("b_id") != F.col("qid"))
+        .withColumn("s", dot)
+        .withColumn("rnk", F.row_number().over(wrank))
+        .filter(F.col("rnk") <= RECALL_K)
+        .select("qid", "b_id")
+    )
+    qp = proj.filter(F.col("vec_id") % RECALL_SAMPLE_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("p1_fp").alias("q1"),
+        F.col("p2_fp").alias("q2"),
+    )
+    bp = proj.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("p1_fp").alias("b1"),
+        F.col("p2_fp").alias("b2"),
+    )
+    d2 = F.expr(
+        "CAST(q1 - b1 AS DECIMAL(38,0)) * (q1 - b1)"
+        " + CAST(q2 - b2 AS DECIMAL(38,0)) * (q2 - b2)"
+    )
+    wd = Window.partitionBy("qid").orderBy("d2", "b_id")
+    approx = (
+        bp.crossJoin(F.broadcast(qp))
+        .filter(F.col("b_id") != F.col("qid"))
+        .withColumn("d2", d2)
+        .withColumn("rnk", F.row_number().over(wd))
+        .filter(F.col("rnk") <= RECALL_K)
+        .select("qid", "b_id", F.lit(1).alias("hit"))
+    )
+    return (
+        exact.join(approx, ["qid", "b_id"], "left")
+        .groupBy(F.col("qid").alias("vec_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hit"),
+        )
+        .withColumn(
+            "recall_micro",
+            F.expr(
+                "CAST((CAST(n_hit AS DECIMAL(38,0)) * 1000000)"
+                f" div {RECALL_K} AS BIGINT)"
+            ),
+        )
     )

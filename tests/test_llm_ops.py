@@ -135,6 +135,24 @@ def test_multiprobe_recall_table_is_consistent(spark, sf_dir):
         assert r["recall_micro"] == r["n_hits"] * 1_000_000 // r["n_exact"]
 
 
+def test_pca_recall_eval_covers_sample_and_bounds(spark, sf_dir):
+    """PCA recall delta: one row per sampled query, n_exact == k, hits
+    within [0, k], recall the stated floored ratio — and the 2-dim cut
+    must retain SOME signal (mean recall strictly above the ~k/N
+    random-guess floor)."""
+    out = _QS["llm_pca_recall_eval"].fn(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    n_q = emb.filter(F.col("vec_id") % 8 == 0).count()
+    assert len(out) == n_q
+    for r in out:
+        assert r["n_exact"] == 10
+        assert 0 <= r["n_hit"] <= 10
+        assert r["recall_micro"] == r["n_hit"] * 1_000_000 // 10
+    mean_recall = sum(r["n_hit"] for r in out) / (10 * len(out))
+    assert mean_recall > 2 * 10 / n, mean_recall
+
+
 def test_pack_nostraddle_accounting_identities(spark, sf_dir):
     """No-straddle packing report: every block is exactly 512 wide
     (packed + pad == blocks * 512), the report covers every non-empty
