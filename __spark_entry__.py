@@ -121,6 +121,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "llm_bpe_apply_merges",
         "llm_ann_recall_multiprobe",
         "llm_pca_recall_eval",
+        "llm_pca_knn_grid",
     }
 )
 

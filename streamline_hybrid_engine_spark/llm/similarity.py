@@ -1702,3 +1702,64 @@ def llm_pca_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+PCA_KNN_K = 3  # neighbors per vector in the projected-plane kNN
+
+
+@query(
+    "llm_pca_knn_grid",
+    oracle=f"""
+    WITH {{pca}},
+    pts AS (
+      SELECT vec_id, p1_fp // 1000000 AS x, p2_fp // 1000000 AS y FROM proj
+    )
+    SELECT vec_id, nn_rank, nn_id, d2 FROM (
+      SELECT a.vec_id, b.vec_id AS nn_id,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2,
+             CAST(row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY (a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y), b.vec_id
+             ) AS BIGINT) AS nn_rank
+      FROM pts a JOIN pts b ON b.vec_id <> a.vec_id
+    ) WHERE nn_rank <= {PCA_KNN_K}
+    """.replace("{pca}", _pca_cte_chain()),
+    tags=("llm", "knn", "ml", "spatial"),
+)
+def llm_pca_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PCA pipeline's SCALE path, end to end: project to the 2-dim
+    integer plane (llm_embedding_pca_project), downscale to micros
+    resolution (p div 1e6 — trunc on both engines), then EXACT
+    k={PCA_KNN_K} nearest neighbors via the audited expanding-ring grid
+    join (:func:`..operators.joins.grid_knn_join`) — cell-keyed
+    equi-joins only, never corpus². This is what replaces the 64-float
+    cosine self-join once PCA has cut the dimensionality: the grid path
+    is exact BY CONSTRUCTION in the projected plane, so the oracle is
+    deliberately the brute-force quadratic kNN over the same projected
+    coordinates — certifying the whole chain (integer eigen → projection
+    → downscale → ring search) equals the definition, while the Spark
+    plan never materializes all pairs. Cell size is a power of two
+    (exact double division in the floor-grid) derived from the collected
+    coordinate span (2 scalar rows — plan-finalization policy); recall
+    vs the ORIGINAL 64-dim space is the separate llm_pca_recall_eval
+    table."""
+    proj = llm_embedding_pca_project(spark, sf_dir)
+    pts = proj.select(
+        "vec_id",
+        F.expr("p1_fp div 1000000").alias("x"),
+        F.expr("p2_fp div 1000000").alias("y"),
+    )
+    span = pts.agg(
+        F.max("x").alias("hx"),
+        F.min("x").alias("lx"),
+        F.max("y").alias("hy"),
+        F.min("y").alias("ly"),
+    ).collect()[0]
+    rng = max(span["hx"] - span["lx"], span["hy"] - span["ly"], 1)
+    cell = 1 << max(int(rng // 16), 1).bit_length()
+    from streamline_hybrid_engine_spark.operators.joins import grid_knn_join
+
+    return grid_knn_join(pts, "vec_id", "x", "y", cell=cell, k=PCA_KNN_K).select(
+        F.col("id").alias("vec_id"), "nn_rank", "nn_id", "d2"
+    )

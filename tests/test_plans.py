@@ -1128,6 +1128,15 @@ def test_pca_projection_is_map_side_only(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+def test_pca_knn_grid_no_cartesian(spark, sf_dir):
+    """PCA-plane grid kNN: every ring phase is a cell-id equi-join; the
+    only nested-loop joins are broadcast offset attaches — never a
+    point×point cartesian (the brute-force shape lives in the oracle
+    only)."""
+    p = plan(spark, sf_dir, "llm_pca_knn_grid")
+    assert "CartesianProduct" not in p
+
+
 def test_rfm_segments_binned_no_global_range_sort(spark, sf_dir):
     """Binned RFM (r11 valve): all three metric rankings partition by
     their bin keys — nothing range-partitions the customer aggregate;
