@@ -239,6 +239,14 @@ HEADLINE = (
     "llm_pack_nostraddle",         # no-straddle packing + waste report
     "llm_classifier_auc_by_lang",  # per-slice AUC, grouped binned valve
     "llm_knn_ivf_multiprobe",      # FAISS nprobe=2 recall knob
+    # round-11 wave (baselines in BASELINE.md §A.1 r11 wave block)
+    "agg_rfm_segments_binned",     # RFM quartiles via shared binned_rank
+    "ts_conversion_latency_binned",  # latency quartiles, binned valve
+    "llm_embedding_pca_project",   # integer eigen + map-side projection
+    "llm_bpe_apply_merges",        # merges.txt replay on held-out folds
+    "llm_ann_recall_multiprobe",   # nprobe=1 vs 2 recall tuning table
+    "llm_pca_recall_eval",         # 64d->2d recall delta per query
+    "llm_pca_knn_grid",            # exact k-NN in the projected plane
 )
 
 #: BASELINE.md §A.1 rows (sf0.1 full-sequence medians, seconds) — kept in
@@ -441,6 +449,15 @@ BASELINE_SEC = {
     # 4.3-5.7 s with no code change, the documented microVM jitter)
     "llm_classifier_auc_by_lang": 3.14,
     "llm_knn_ivf_multiprobe": 5.35,
+    # r11 wave (2026-08-16, tools/measure_wave.py settled runs; the two
+    # jittery rows are medians of 3 settled sessions — BASELINE.md §A.1)
+    "agg_rfm_segments_binned": 5.18,
+    "ts_conversion_latency_binned": 2.24,
+    "llm_embedding_pca_project": 1.69,
+    "llm_bpe_apply_merges": 5.72,
+    "llm_ann_recall_multiprobe": 5.25,
+    "llm_pca_recall_eval": 4.16,
+    "llm_pca_knn_grid": 7.17,
 }
 
 
