@@ -1118,10 +1118,32 @@ def test_pca_power_component_tracks_numpy_eigh(seed, dim, n_vecs):
     c = abs(float(np.dot(w1, top))) / (
         float(np.linalg.norm(w1)) * float(np.linalg.norm(top))
     )
-    # only demand alignment when the gap is real (degenerate spectra
-    # legitimately mix components)
-    if evals[-1] > 1.05 * abs(evals[-2]):
-        assert c > 0.99, (c, evals)
+    # demand tight alignment only when power iteration can actually
+    # deliver it in 30 rounds: the residual off-axis mixing obeys the
+    # textbook bound sin θ_t ≤ (λ2/λ1)^t · tan θ_0, so gate on THAT —
+    # BOTH terms. The r11 deep-fuzz catches: a 1.067× gap passed a raw
+    # 1.05× gap gate with (λ2/λ1)^30 ≈ 0.14 (cos 0.65, legitimate), and
+    # a decay-only gate then fell to a near-orthogonal start (tan θ_0
+    # large: decay 0.0036 × tan θ_0 ≈ 0.21 → cos 0.977, also legitimate)
+    lam1, lam2 = float(evals[-1]), abs(float(evals[-2]))
+    if lam1 > 0:
+        v0u = np.ones(dim) / np.sqrt(dim)
+        c0 = abs(float(v0u @ top))
+        if c0 > 1e-6:
+            tan0 = float(np.sqrt(max(1.0 - c0 * c0, 0.0))) / c0
+            residual = (lam2 / lam1) ** 30 * tan0
+            if residual < 0.05:
+                assert c > 0.99, (c, residual, evals)
+    # always-on progress check: components with λi ≪ λ1 decay by
+    # (λi/λ1)^30, so any surviving mixture sits high in the spectrum —
+    # demand the Rayleigh quotient clear λ2/2 (loose on purpose: this
+    # catches sign/matrix bugs, never spectrum shapes)
+    if lam1 > 0:
+        wv = np.array(w1, dtype=float)
+        rayleigh = float(wv @ np.array(gram, dtype=float) @ wv) / float(
+            wv @ wv
+        )
+        assert rayleigh >= 0.5 * lam2, (rayleigh, evals)
     w2 = pca_power_component(
         gram,
         [PCA_SCALE if i % 2 == 0 else -PCA_SCALE for i in range(dim)],
