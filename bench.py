@@ -589,19 +589,19 @@ def main() -> int:
             t["ratio_vs_baseline"] = round(dt / base, 2)
         # machine-readable host-weather adjudication (r10-verdict task 7):
         # two rounds in a row a human re-derived exactly this flag from
-        # steal_s/load1 to discard contended readings (the builder's
-        # discarded r10 run; the driver's official BENCH_r10 artifact at
-        # 19.7% steal / load1 23.7). A row is contaminated when the box
-        # stole >5% of its busy cpu during the runs, or the sequence
-        # entered the query already loaded past the settle gate's margin.
+        # steal_s to discard contended readings (the builder's discarded
+        # r10 run; the driver's official BENCH_r10 artifact at 19.7%
+        # steal). The criterion is STEAL-ONLY: >5% of the query's busy
+        # cpu stolen by the hypervisor during its runs. load1_before is
+        # recorded for human corroboration but is NOT a criterion — the
+        # bench's own 32-way stages keep mid-sequence load1 at ~4-10 on
+        # a healthy run (r11 calibration: median load1_before 4.17 on a
+        # run whose flagged-vs-clean split was fully explained by steal).
         t["contaminated"] = bool(
-            (
-                c0
-                and c1
-                and t.get("busy_cpu_s", 0) > 0
-                and t["steal_s"] > 0.05 * t["busy_cpu_s"]
-            )
-            or load1 >= 4.0
+            c0
+            and c1
+            and t.get("busy_cpu_s", 0) > 0
+            and t["steal_s"] > 0.05 * t["busy_cpu_s"]
         )
         telemetry[name] = t
 
