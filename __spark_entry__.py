@@ -107,21 +107,14 @@ def _sweep_order(qs, correctness_dir: str | None = None) -> list[str]:
 #: while unstamped).
 _NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # r11 additions ONLY. The r10 entries GRADUATED at the r11 open:
-        # CORRECTNESS_r10.json stamped all 7 of them green (second
+        # r12 additions ONLY. The r11 entries GRADUATED at the r12 open:
+        # CORRECTNESS_r11.json stamped all 7 of them green (third
         # consecutive fully-stamped sweep), so the never-stamped backlog
         # is EMPTY and every id added this round stamps in the next sweep
         # regardless of rank. Cap additions at <= 50 so that stays true.
         # tests/test_registry.py pins set ∩ stamped == ∅ and every entry
         # to be a live oracle-backed registry id, so ids are appended here
         # IN THE SAME COMMIT that registers them.
-        "agg_rfm_segments_binned",
-        "ts_conversion_latency_binned",
-        "llm_embedding_pca_project",
-        "llm_bpe_apply_merges",
-        "llm_ann_recall_multiprobe",
-        "llm_pca_recall_eval",
-        "llm_pca_knn_grid",
     }
 )
 
