@@ -662,6 +662,21 @@ def _lpa_round(und: DataFrame, labels: DataFrame, shuffle_width: int) -> DataFra
     )
 
 
+#: Per-(session, sf_dir, forced-width) memo of the shared LPA core. Four
+#: registry consumers (graph_label_propagation, graph_modularity,
+#: graph_modularity_by_community, graph_community_sizes) each call
+#: :func:`lpa_labels`; without the memo each one re-runs the identical
+#: LPA_ROUNDS loop (~30 s of the settled headline bench — r11 verdict
+#: wrong #2). The returned ``labels`` frame is localCheckpointed (its
+#: blocks live for the session), so handing the same object to every
+#: consumer is safe; keyed on applicationId so a restarted session never
+#: sees dead checkpoint blocks. Same pattern as ``catalog._WARMED``.
+_LPA_MEMO: dict[tuple[str, str, int | None], tuple[DataFrame, DataFrame]] = {}
+#: Number of times the LPA round-loop actually executed this process —
+#: tests pin that N consumers cause exactly ONE loop execution.
+_LPA_LOOP_RUNS: int = 0
+
+
 def lpa_labels(
     spark: SparkSession, sf_dir: str, shuffle_width: int | None = None
 ):
@@ -680,7 +695,22 @@ def lpa_labels(
     turned SCALE.md's documented one-liner into this tested parameter,
     the same pattern ``cc_width`` proves for CC). Both paths run the
     identical round algebra (:func:`_lpa_round`), so results are
-    bit-identical by construction and pinned by test."""
+    bit-identical by construction and pinned by test.
+
+    Memoized per (session, sf_dir, shuffle_width): the first consumer runs
+    the loop, later consumers reuse the checkpointed label table
+    (``_LPA_MEMO``); each registry id stays independently callable."""
+    import os as _os
+
+    global _LPA_LOOP_RUNS
+    memo_key = (
+        spark.sparkContext.applicationId,
+        _os.path.realpath(sf_dir),
+        shuffle_width,
+    )
+    hit = _LPA_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = (
@@ -725,6 +755,8 @@ def lpa_labels(
         labels = _lpa_round(und, labels, shuffle_width).localCheckpoint(
             eager=True
         )
+    _LPA_LOOP_RUNS += 1
+    _LPA_MEMO[memo_key] = (labels, edges)
     return labels, edges
 
 

@@ -236,6 +236,31 @@ def test_lpa_shuffle_path_result_identical(spark, sf_dir):
     assert len(rows_b) > 0
 
 
+def test_lpa_labels_memoized_across_consumers(spark, sf_dir):
+    """The shared LPA core runs its round loop ONCE per (session, sf_dir,
+    width) no matter how many registry consumers call it — the r11-verdict
+    wrong-#2 fix (~30 s of the settled headline bench was the same 4-round
+    loop computed four times). Pin: the loop-run counter advances exactly
+    once across a direct call plus two full registry consumers, and repeat
+    calls hand back the identical checkpointed DataFrame object."""
+    from streamline_hybrid_engine_spark.operators import graph as G
+
+    G._LPA_MEMO.clear()
+    runs0 = G._LPA_LOOP_RUNS
+    labels1, edges1 = G.lpa_labels(spark, sf_dir)
+    assert G._LPA_LOOP_RUNS == runs0 + 1
+    labels2, edges2 = G.lpa_labels(spark, sf_dir)
+    assert labels2 is labels1 and edges2 is edges1  # object-level reuse
+    # two real consumers of the shared core: still no extra loop run
+    G.graph_community_sizes(spark, sf_dir).collect()
+    G.graph_modularity(spark, sf_dir).collect()
+    assert G._LPA_LOOP_RUNS == runs0 + 1
+    # a forced width is a DIFFERENT memo slot (results proven identical
+    # by test_lpa_shuffle_path_result_identical)
+    G.lpa_labels(spark, sf_dir, shuffle_width=5)
+    assert G._LPA_LOOP_RUNS == runs0 + 2
+
+
 def test_lpa_round_plan_broadcast_vs_shuffle(spark, sf_dir):
     """Plan pin for both round forms: width 0 broadcasts the label table
     (BroadcastHashJoin); forced width produces NO BroadcastExchange in the
