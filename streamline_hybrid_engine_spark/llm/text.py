@@ -1788,17 +1788,19 @@ def binary_auc_binned(
             F.try_divide(
                 # n_pos enters decimal(38,0) BEFORE the multiply: at the
                 # >3e9-row regime this form exists for, n_pos*(n_pos+1)
-                # would overflow int64 (~3.04e9) if computed first. Same
-                # for the denominator: double-first keeps n_pos*n_neg
-                # exact far past the int64 product bound (~4.6e18) —
-                # doubles count integers exactly to 2^53, and the quotient
-                # is rounded to 6 places anyway.
+                # would overflow int64 (~3.04e9) if computed first. The
+                # denominator gets the same treatment — a double product
+                # is exact only to 2^53 (~9e15), which the >3e9-row regime
+                # can exceed — so both quotient inputs stay exact integers
+                # until the one cast at the division itself.
                 (
                     F.col("r2_pos")
                     - F.col("n_pos").cast("decimal(38,0)")
                     * (F.col("n_pos") + 1)
                 ).cast("double"),
-                F.col("n_pos").cast("double") * F.col("n_neg") * 2,
+                (
+                    F.col("n_pos").cast("decimal(38,0)") * F.col("n_neg") * 2
+                ).cast("double"),
             ),
             6,
         ).alias("auc"),
@@ -2595,6 +2597,13 @@ def llm_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok").rlike("^[a-z]+$"))
     )
     tv = train_words.select("tok", F.lit(1).alias("in_train"))
+    if len(merges) < BPE_MERGES:
+        # Degrade exactly like the oracle: when the train fold yields
+        # fewer than BPE_MERGES merges, the oracle's per-round h{r} CTEs
+        # cross-join an EMPTY b{r} and emit no rows — so mirror that
+        # empty result instead of replaying the shorter merge list over
+        # a non-empty held-out vocab (r11 ADVICE #2).
+        sw = sw.limit(0)
     return (
         sw.join(seg, "tok")
         .join(tv, "tok", "left")

@@ -92,6 +92,13 @@ def binned_rank(
     extras. ``df`` must not already carry columns named ``__bn``/``__off``
     or the requested output names.
     """
+    if peers_col is not None and len(list(order_by)) != 1:
+        # with multiple order columns RANGE (0, 0) would resolve over the
+        # composite key and silently return full-key tie counts
+        raise ValueError(
+            "peers_col requires exactly one order_by column; got "
+            f"{len(list(order_by))}"
+        )
     g = list(group_cols)
     counts = df.groupBy(*g, bin_col).agg(F.count("*").alias("__bn"))
     w_off = (

@@ -621,6 +621,13 @@ def test_binned_rank_matches_global_window(spark):
     assert sorted(got2.select("grp", "v", "tb", "r", "p").collect(), key=key) \
         == sorted(exp2.collect(), key=key)
 
+    # peers_col + composite order key: rejected loudly (r11 ADVICE #3 —
+    # RANGE (0,0) over a composite key would silently count full-key ties)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="peers_col"):
+        binned_rank(df, "bin", ["v", "tb"], rank_col="r", peers_col="p")
+
     # scale contract: every Window operator in the plan partitions by
     # something (never the "No Partition Defined" single-task form)
     plan = executed_plan(got)
