@@ -545,11 +545,35 @@ def main() -> int:
         time.sleep(5.0)
         settle_waited += 5.0
 
+    # steal gate (r12, r11-verdict task 8): the load1 settle can't see
+    # hypervisor contention — the r10 AND r11 official artifacts were both
+    # recorded inside multi-minute steal bursts (up to 79% of busy) that
+    # the per-row adjudication then had to discount. Probe /proc/stat
+    # steal over short windows BEFORE the sequence and wait, bounded,
+    # until the box-wide steal share clears the same 5%-of-busy criterion
+    # the per-query flags use; record the outcome either way (the per-row
+    # flags remain the backstop if a burst starts mid-sequence).
+    steal_waited = 0.0
+    steal_share = None
+    while True:
+        p0 = cpu_counters()
+        time.sleep(3.0)
+        p1 = cpu_counters()
+        if not (p0 and p1) or p1[0] - p0[0] <= 0:
+            break  # counters unreadable / clock idle: nothing to gate on
+        steal_share = round((p1[1] - p0[1]) / (p1[0] - p0[0]), 3)
+        if steal_share <= 0.05 or steal_waited >= 600.0:
+            break
+        time.sleep(27.0)
+        steal_waited += 30.0
+
     times: dict[str, float] = {}
     telemetry: dict[str, dict] = {
         "_bench_start": {
             "load1": round(os.getloadavg()[0], 2),
             "settle_waited_s": settle_waited,
+            "steal_probe_share": steal_share,
+            "steal_waited_s": steal_waited,
         }
     }
     total = 0.0
