@@ -115,6 +115,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         # tests/test_registry.py pins set ∩ stamped == ∅ and every entry
         # to be a live oracle-backed registry id, so ids are appended here
         # IN THE SAME COMMIT that registers them.
+        "win_weighted_median_binned",
+        "ts_rolling_mau_hll",
+        "ts_seasonal_anomaly_bucketed",
     }
 )
 

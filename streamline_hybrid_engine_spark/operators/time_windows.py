@@ -2467,6 +2467,105 @@ def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_seasonal_anomaly_bucketed",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, user_id,
+             extract(hour FROM CAST(ts AS TIMESTAMP)) AS hod,
+             CAST(round(value * 1000000) AS BIGINT) AS v_us
+      FROM events
+    ),
+    prof AS (
+      SELECT hod,
+             CAST(floor(CAST(sum(CAST(v_us AS HUGEINT)) AS DOUBLE)
+                        / count(*)) AS BIGINT) AS hod_mean
+      FROM v GROUP BY hod
+    ),
+    resid AS (
+      SELECT v.event_id, v.user_id, v.hod, v.v_us - p.hod_mean AS r
+      FROM v JOIN prof p ON p.hod = v.hod
+    ),
+    ranked AS (
+      SELECT r, abs(r) AS a,
+             row_number() OVER (ORDER BY abs(r), r) AS rn,
+             count(*) OVER () AS n
+      FROM resid
+    ),
+    mad AS (
+      SELECT max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                      THEN a END) AS mad_r
+      FROM ranked
+    )
+    SELECT resid.event_id, resid.user_id, resid.hod, resid.r AS residual_us,
+           CASE WHEN 10000 * abs(resid.r) > 3 * 14826 * mad.mad_r
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM resid CROSS JOIN mad
+    WHERE 10000 * abs(resid.r) > 3 * 14826 * mad.mad_r
+    """,
+    tags=("timeseries", "anomaly", "scale-valve"),
+)
+def ts_seasonal_anomaly_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_seasonal_anomaly's answer through the bucketed-MAD plan — the
+    executable realization of that docstring's promised 100 TB path
+    (r11-verdict task 5). Same output schema, SAME oracle (the global
+    form's, verbatim): the residual computation is identical, but the
+    GLOBAL rank that locates the MAD (the single-partition
+    row_number() over (ORDER BY |r|, r) — the one operator in the
+    global form that cannot scale) is re-expressed through the shared
+    :func:`..ranks.binned_rank` primitive over equi-width |r| buckets
+    (width 2^22 µ): per-bucket counts ride a map-side-combined groupBy,
+    the only single-partition window runs over the bucket-offset table
+    (metadata-sized), and the rank window partitions by bucket. The
+    located MAD is bit-identical to the global form's (the bin offsets
+    reconstruct the exact global rank), so the emitted flag SET is
+    identical too — test-pinned against ts_seasonal_anomaly on the
+    fixture."""
+    from streamline_hybrid_engine_spark.operators.ranks import binned_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        "user_id",
+        F.hour(F.col("ts")).cast("long").alias("hod"),
+        F.round(F.col("value") * 1000000).cast("long").alias("v_us"),
+    )
+    dec = "decimal(38,0)"
+    prof = v.groupBy("hod").agg(
+        F.floor(
+            F.sum(F.col("v_us").cast(dec)).cast("double") / F.count("*")
+        )
+        .cast("long")
+        .alias("hod_mean")
+    )
+    resid = v.join(F.broadcast(prof), "hod").select(
+        "event_id",
+        "user_id",
+        "hod",
+        (F.col("v_us") - F.col("hod_mean")).alias("r"),
+    )
+    absr = resid.select(
+        F.abs(F.col("r")).alias("a"),
+        "r",
+    ).withColumn("bin", F.floor(F.col("a") / F.lit(1 << 22)).cast("long"))
+    ranked = binned_rank(
+        absr, "bin", ["a", "r"], rank_col="rn", total_col="n"
+    )
+    mad = ranked.filter(
+        F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long")
+    ).agg(F.max("a").alias("mad_r"))
+    j = resid.crossJoin(F.broadcast(mad))
+    return j.filter(
+        10000 * F.abs(F.col("r")) > 3 * 14826 * F.col("mad_r")
+    ).select(
+        "event_id",
+        "user_id",
+        "hod",
+        F.col("r").alias("residual_us"),
+        F.lit(1).alias("is_anomaly"),
+    )
+
+
+@query(
     "ts_path_trigrams",
     oracle="""
     WITH seq AS (
@@ -2700,6 +2799,89 @@ def ts_rolling_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return dau.join(mau, "report_day").select(
         "report_day", "dau", "mau28"
+    )
+
+
+@query(
+    "ts_rolling_mau_hll",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    expanded AS (
+      SELECT ud.user_id, ud.d + CAST(gs.i AS INT) AS report_day
+      FROM ud CROSS JOIN
+           (SELECT generate_series AS i FROM generate_series(0, 27)) gs
+    )
+    SELECT CAST(days.d AS TIMESTAMP) AS report_day,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS mau28_exact,
+           TRUE AS hll_within_5pct
+    FROM days JOIN expanded e ON e.report_day = days.d
+    GROUP BY days.d
+    """,
+    tags=("timeseries", "engagement", "approx", "sketch", "scale-valve"),
+)
+def ts_rolling_mau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-28-day MAU via per-day HLL sketches — the 100 TB relief
+    valve ts_rolling_mau's docstring promises, REALIZED as its own id
+    (r11-verdict task 3; the win_hop_distinct_hll move applied to the
+    28-day trailing window): events are touched ONCE (a 1-day TUMBLE
+    builds one sketch per active day), and the ×28 replication that the
+    exact form pays on every (user, day) pair moves to the SKETCH table
+    (28 rows × ~1 KB per day — metadata-sized regardless of user-day
+    volume); each report day then unions its 28 trailing day-sketches
+    and estimates. Report days are restricted to observed days — the
+    identical day set the exact form emits, pinned by test.
+
+    ERROR-BOUND oracle (the win_hop_distinct_hll pattern): the estimate
+    has no cross-engine oracle, so each row carries the EXACT trailing
+    distinct as its anchor plus a Spark-computed verdict the SQL pins
+    TRUE — the 28-sketch union lands within 5% of the true MAU on every
+    report day (at fixture cardinality Datasketches HLL runs sparse and
+    the estimate is exactly right; the bound is the contract that
+    survives growth)."""
+    ev = load_table(spark, sf_dir, "events")
+    day_sk = ev.groupBy(F.window("ts", "1 day").alias("dw")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    days = day_sk.select(F.col("dw.start").alias("report_day"))
+    shifted = day_sk.select(
+        F.explode(F.expr("sequence(0, 27)")).alias("i"), "dw", "sk"
+    ).select(
+        F.expr("timestampadd(DAY, i, dw.start)").alias("report_day"), "sk"
+    )
+    est = (
+        shifted.join(days, "report_day")
+        .groupBy("report_day")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+    )
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d0")
+    ).distinct()
+    exact = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, 27),"
+                    " i -> timestampadd(DAY, i, d0))"
+                )
+            ).alias("report_day"),
+        )
+        .join(days, "report_day")
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").cast("long").alias("mau28_exact"))
+    )
+    return exact.join(est, "report_day").select(
+        "report_day",
+        "mau28_exact",
+        (
+            F.abs(F.col("est") - F.col("mau28_exact"))
+            <= F.col("mau28_exact") * F.lit(0.05)
+        ).alias("hll_within_5pct"),
     )
 
 

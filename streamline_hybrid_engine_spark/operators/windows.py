@@ -694,6 +694,142 @@ def weighted_median(
     )
 
 
+def weighted_median_binned(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    weight_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """:func:`weighted_median` through the histogram-narrowing plan —
+    the SAME answer with NO per-key sort of the data (SURVEY §2.5
+    weighted-median row's promised 100 TB path, realized r12).
+
+    Phase 1 bins values equi-width (``floor(value / bin_width)`` —
+    monotone, so bin ascending is a prefix of the value order and equal
+    values share a bin) and sums weights per (key, bin): one map-side
+    combined groupBy. Phase 2 runs cumulative/total weight windows over
+    the BUCKET table only (keys × bins rows — metadata-sized) and picks
+    each key's CROSSING bin: the first whose cumulative weight reaches
+    half the total, carrying the cumulative weight BEFORE it as the
+    offset. Phase 3 broadcast-joins the one-row-per-key crossing table
+    back and sorts ONLY the crossing bin's rows — offset + in-bin
+    cumulative weight equals the global cumulative weight, so the min
+    qualifying value is exactly the plain form's crossing value
+    (bin-width-invariant; differentially fuzzed at several widths).
+
+    Exactness argument: every bin before the crossing bin has
+    2·cum < tot for all its rows (its bin-end cumulative already fails
+    the crossing test), and within the crossing bin the crossing VALUE
+    is intra-tie-order invariant — the same argument the plain form's
+    docstring proves."""
+    b = df.withColumn(
+        "__wmb", F.floor(F.col(value_col) / F.lit(bin_width)).cast("long")
+    )
+    bins = b.groupBy(*keys, "__wmb").agg(
+        F.sum(weight_col).cast("long").alias("__bw")
+    )
+    w_off = (
+        Window.partitionBy(*keys)
+        .orderBy("__wmb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ann = bins.select(
+        *keys,
+        "__wmb",
+        F.coalesce(F.sum("__bw").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("__off"),
+        (F.coalesce(F.sum("__bw").over(w_off), F.lit(0)) + F.col("__bw"))
+        .cast("long")
+        .alias("__cum"),
+        F.sum("__bw")
+        .over(Window.partitionBy(*keys))
+        .cast("long")
+        .alias("__tot"),
+    )
+    crossing = (
+        ann.filter(2 * F.col("__cum") >= F.col("__tot"))
+        .groupBy(*keys)
+        .agg(
+            F.min("__wmb").alias("__wmb"),
+            F.min_by("__off", "__wmb").cast("long").alias("__off"),
+            F.min("__tot").alias("__tot"),
+        )
+    )
+    in_bin = b.join(F.broadcast(crossing), [*keys, "__wmb"])
+    w_in = (
+        Window.partitionBy(*keys)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = in_bin.select(
+        *keys,
+        value_col,
+        "__tot",
+        (F.col("__off") + F.sum(weight_col).over(w_in))
+        .cast("long")
+        .alias("__cumg"),
+    )
+    return (
+        c.filter(2 * F.col("__cumg") >= F.col("__tot"))
+        .groupBy(*keys)
+        .agg(
+            F.min(value_col).alias("wmedian"),
+            F.min("__tot").alias("total_weight"),
+        )
+    )
+
+
+@query(
+    "win_weighted_median_binned",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(floor(l_quantity) AS BIGINT) AS wt
+      FROM lineitem
+    ),
+    c AS (
+      SELECT flag, cents, wt,
+             CAST(sum(wt) OVER (PARTITION BY flag ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum,
+             CAST(sum(wt) OVER (PARTITION BY flag) AS BIGINT) AS tot
+      FROM w
+    )
+    SELECT flag, min(cents) AS wmedian_cents, min(tot) AS total_weight
+    FROM c WHERE 2 * cum >= tot
+    GROUP BY flag
+    """,
+    tags=("window", "aggregate", "scale-valve"),
+)
+def win_weighted_median_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """win_weighted_median's answer through the equi-width-histogram
+    narrowing plan — the executable realization of that docstring's
+    promised 100 TB path (r11-verdict task 4). Same output schema, SAME
+    oracle (the plain form's, verbatim): per-bin weight sums ride a
+    map-side-combined groupBy, the cumulative window runs over the
+    flag × bin bucket table only, and the exact sort touches just the
+    crossing bin's rows — no per-flag sort of the 6M-row (or 100 TB)
+    weighted table ever happens (plan-pinned: no range partitioning of
+    the data; the data window partitions by (flag, bin-membership) via
+    the crossing-bin broadcast semi-filter). Bin width 2^20 cents
+    (~10 bins over the fixture price range); the answer is
+    width-invariant (differential fuzz at widths 1 / 7 / 2^20 / ∞)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("l_quantity")).cast("long").alias("wt"),
+    )
+    return weighted_median_binned(w, ["flag"], "cents", "wt", 1 << 20).select(
+        "flag",
+        F.col("wmedian").alias("wmedian_cents"),
+        "total_weight",
+    )
+
+
 @query(
     "win_zscore_normalize",
     oracle="""

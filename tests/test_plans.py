@@ -1296,3 +1296,39 @@ def test_classifier_auc_binned_no_global_score_sort(spark, sf_dir):
     # no plan line carries rank() without count(1) beside it
     rank_lines = [ln for ln in p.splitlines() if "rank(" in ln]
     assert rank_lines and all("count(1)" in ln for ln in rank_lines)
+
+
+def test_weighted_median_binned_no_data_sort_outside_crossing_bin(spark, sf_dir):
+    """Binned weighted median (r12 valve): the weighted table is never
+    range-partitioned; the bucket rollup hashes on (flag, bin) and the
+    crossing-bin attach is a broadcast join — the only rows that reach a
+    value-ordered window are the crossing bin's."""
+    p = plan(spark, sf_dir, "win_weighted_median_binned")
+    assert "rangepartitioning" not in p.lower()
+    assert "CartesianProduct" not in p
+    assert "hashpartitioning(flag" in p
+    assert "__wmb" in p  # the bin key actually drives the rollup
+    assert "BroadcastHashJoin" in p  # crossing-bin semi-filter
+
+
+def test_rolling_mau_hll_replicates_sketches_not_events(spark, sf_dir):
+    """HLL rolling MAU (r12 valve): the ×28 expansion (Generate/explode)
+    must sit ABOVE the per-day sketch aggregate — events aggregate once,
+    only KB-sized day-sketch rows replicate."""
+    p = plan(spark, sf_dir, "ts_rolling_mau_hll")
+    gen = p.find("Generate explode")
+    assert gen != -1
+    # below the explode (later in the printed tree) there is a partial
+    # hll_sketch_agg — i.e. the aggregate feeds the explode, not vice versa
+    assert "hll_sketch_agg" in p[gen:]
+
+
+def test_seasonal_anomaly_bucketed_no_global_residual_sort(spark, sf_dir):
+    """Bucketed seasonal-MAD (r12 valve): the residual rank window
+    partitions by the |r| bucket — nothing range-partitions the residual
+    table; single-partition windows run over the bucket-offset table
+    only."""
+    p = plan(spark, sf_dir, "ts_seasonal_anomaly_bucketed")
+    assert "rangepartitioning" not in p.lower()
+    assert "CartesianProduct" not in p
+    assert "hashpartitioning(bin" in p

@@ -2237,3 +2237,40 @@ def test_bootstrap_ci_matches_hashlib_reference(spark, sf_dir):
     assert got == expected
     for n, mean, lo, hi in got.values():
         assert lo <= mean <= hi
+
+
+@settings(max_examples=10 * _FUZZ, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),   # group
+            st.integers(-50, 50),            # value (signed: floor-bin path)
+            st.integers(0, 9),               # weight (0 allowed)
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    width=st.sampled_from([1, 7, 16, 10000]),
+)
+def test_weighted_median_binned_fuzz_equals_plain(spark, rows, width):
+    """weighted_median_binned (r12 valve) vs the single-sort plain form
+    over random grouped data with ties, zero weights, negative values
+    (exercising the floor-division bin monotonicity), and widths from 1
+    (offsets do everything) to one-bin (the in-bin sort does
+    everything). The crossing value and total weight must be identical
+    at every width — the contract win_weighted_median_binned ships on."""
+    from streamline_hybrid_engine_spark.operators.windows import (
+        weighted_median,
+        weighted_median_binned,
+    )
+
+    df = spark.createDataFrame(rows, "g string, v long, wt long")
+    exp = sorted(map(tuple, weighted_median(df, ["g"], "v", "wt").collect()))
+    got = sorted(
+        map(
+            tuple,
+            weighted_median_binned(df, ["g"], "v", "wt", width).collect(),
+        )
+    )
+    assert got == exp, width

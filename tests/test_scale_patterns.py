@@ -293,3 +293,41 @@ def test_two_phase_sessions_equal_native_and_salt_the_shuffle(spark, sf_dir):
 
     p = executed_plan(two)
     assert re.search(r"Exchange hashpartitioning\(user_id#\d+L?, bucket#", p), p
+
+
+def test_rolling_mau_hll_day_set_and_anchor_match_exact_form(spark, sf_dir):
+    """ts_rolling_mau_hll (r12 valve): report-day set identical to the
+    exact form's, the exact anchor equals the exact form's mau28 per
+    day, and the 28-sketch-union estimate lands within the 5% contract
+    on every day."""
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    exact = {
+        r["report_day"]: r["mau28"]
+        for r in get_query("ts_rolling_mau").fn(spark, sf_dir).collect()
+    }
+    hll = get_query("ts_rolling_mau_hll").fn(spark, sf_dir).collect()
+    assert {r["report_day"] for r in hll} == set(exact)
+    assert len(hll) > 0
+    for r in hll:
+        assert r["mau28_exact"] == exact[r["report_day"]]
+        assert r["hll_within_5pct"] is True
+
+
+def test_seasonal_anomaly_bucketed_flags_equal_global_form(spark, sf_dir):
+    """ts_seasonal_anomaly_bucketed (r12 valve): the bucketed-MAD rank
+    reconstructs the exact global rank, so the emitted flag SET is
+    row-identical to the global form's."""
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    a = sorted(
+        map(tuple, get_query("ts_seasonal_anomaly").fn(spark, sf_dir).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            get_query("ts_seasonal_anomaly_bucketed").fn(spark, sf_dir).collect(),
+        )
+    )
+    assert a == b
+    assert len(a) > 0
