@@ -118,6 +118,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "win_weighted_median_binned",
         "ts_rolling_mau_hll",
         "ts_seasonal_anomaly_bucketed",
+        "llm_ann_ivfpq",
+        "llm_ann_recall_ivfpq",
     }
 )
 

@@ -1125,6 +1125,198 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVFPQ_RERANK = 20  # ADC shortlist size the exact rerank reads
+
+
+@query(
+    "llm_ann_ivfpq",
+    oracle=f"""
+    WITH cents AS ({_ORACLE_CENTROIDS}),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    qcells AS (
+      SELECT cell FROM (
+        SELECT c.label AS cell,
+               row_number() OVER (
+                 ORDER BY {_ODOT.format(a="qe", b="c.cvec")} DESC, c.label
+               ) AS qr
+        FROM cents c, q
+      ) WHERE qr <= {NPROBE}
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.label AS cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_ODOT.format(a="e.embedding", b="c.cvec")} DESC,
+                          c.label
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id <> 0
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT a.vec_id, a.embedding, a.cell
+      FROM assigned a JOIN qcells p ON p.cell = a.cell
+    ),
+    lut AS (
+      SELECT m.m, c.label AS c_label, c.cvec,
+             list_sum(list_transform(range(1, {PQ_D + 1}),
+               j -> CAST(qe[m.m * {PQ_D} + j] AS DOUBLE)
+                  * cvec[m.m * {PQ_D} + j])) AS qdot
+      FROM cents c, (SELECT unnest(range(0, {PQ_M})) AS m) m, q
+    ),
+    enc AS (
+      SELECT vec_id, cell, m, qdot,
+             row_number() OVER (PARTITION BY vec_id, m
+                                ORDER BY sqd, c_label) AS rn
+      FROM (
+        SELECT e.vec_id, e.cell, l.m, l.c_label, l.qdot,
+               list_sum(list_transform(range(1, {PQ_D + 1}),
+                 j -> (CAST(e.embedding[l.m * {PQ_D} + j] AS DOUBLE)
+                       - l.cvec[l.m * {PQ_D} + j])
+                    * (CAST(e.embedding[l.m * {PQ_D} + j] AS DOUBLE)
+                       - l.cvec[l.m * {PQ_D} + j]))) AS sqd
+        FROM cand e, lut l
+      )
+    ),
+    adc AS (
+      SELECT vec_id, cell,
+             sum(CAST(floor(qdot * 1000000) AS BIGINT)) AS adc_fx
+      FROM enc WHERE rn = 1 GROUP BY vec_id, cell
+    ),
+    short AS (
+      SELECT vec_id, cell, adc_fx FROM (
+        SELECT vec_id, cell, adc_fx,
+               row_number() OVER (ORDER BY adc_fx DESC, vec_id) AS sr
+        FROM adc
+      ) WHERE sr <= {IVFPQ_RERANK}
+    )
+    SELECT s.vec_id, s.cell,
+           round(CAST(s.adc_fx AS DOUBLE) / 1000000, 6) AS adc_cos,
+           round({_ODOT.format(a="e.embedding", b="q.qe")}, 6) AS exact_cos
+    FROM short s JOIN embeddings e ON e.vec_id = s.vec_id, q
+    ORDER BY round({_ODOT.format(a="e.embedding", b="q.qe")}, 6) DESC,
+             s.vec_id
+    LIMIT 10
+    """,
+    tags=("llm", "knn", "ivf", "pq"),
+)
+def llm_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ COMPOSED — the FAISS ``IVFPQ`` index shape (r11-verdict
+    task 6), built from the two audited halves: `llm_knn_ivf`'s coarse
+    routing (the query probes its {NPROBE} nearest centroid cells;
+    every data vector lives in its top-1 cell) generates a cell-bounded
+    candidate set, `llm_ann_pq`'s asymmetric distance (per-subspace
+    nearest-sub-centroid codes, query-side LUT, micros-floored integer
+    LUT-sum) scores ONLY those candidates, and the top-{IVFPQ_RERANK}
+    ADC shortlist gets an EXACT rerank (full dot against the query) —
+    the production three-stage funnel: route → compressed scan →
+    exact top slice. Output: the exact-reranked top 10 with both the
+    ADC estimate and the exact cosine side by side (the pair a user
+    reads PQ distortion from; the informativeness-vs-exact pin lives in
+    tests/test_llm_ops.py).
+
+    100 TB shape: centroids and the K×{PQ_M} LUT broadcast; cell
+    assignment is a map-side argmax; the candidate scan is bounded by
+    nprobe cells (~nprobe·N/K rows) and scans CODES ({PQ_M} bytes), not
+    vectors; only {IVFPQ_RERANK} full vectors are ever re-read for the
+    exact stage. Deterministic everywhere: integer ADC with (adc desc,
+    id) shortlist ties, rounded-cosine (desc, id) final ties."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = label_centroids(e)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    qcells = (
+        cent.crossJoin(F.broadcast(q))
+        .select(
+            F.col("c_label").alias("cell"),
+            F.expr(_DOT.format(a="qe", b="cvec")).alias("cdot"),
+        )
+        .orderBy(F.desc("cdot"), "cell")
+        .limit(NPROBE)
+        .select("cell")
+    )
+    cdot = F.expr(_DOT.format(a="embedding", b="cvec"))
+    assigned = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("cdot", cdot)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "c_label",
+                F.struct(F.col("cdot"), (-F.col("c_label")).alias("nl")),
+            ).alias("cell"),
+            F.first("embedding").alias("emb"),
+        )
+    )
+    cand = assigned.join(F.broadcast(qcells), "cell")
+    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    lut = (
+        cent.crossJoin(ms)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "m",
+            "c_label",
+            F.expr(f"slice(cvec, m * {PQ_D} + 1, {PQ_D})").alias("csub"),
+            F.expr(
+                f"aggregate(zip_with(slice(qe, m * {PQ_D} + 1, {PQ_D}),"
+                f" slice(cvec, m * {PQ_D} + 1, {PQ_D}),"
+                " (x, y) -> CAST(x AS DOUBLE) * y),"
+                " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            ).alias("qdot"),
+        )
+    )
+    sub = cand.select(
+        "vec_id",
+        "cell",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), m -> "
+                f"struct(m, transform(slice(emb, m * {PQ_D} + 1, {PQ_D}),"
+                " x -> CAST(x AS DOUBLE)) AS sv))"
+            )
+        ).alias("s"),
+    ).select(
+        "vec_id", "cell", F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
+    )
+    sqd = F.expr(
+        "aggregate(zip_with(sv, csub, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    contrib = (
+        sub.join(F.broadcast(lut), "m")
+        .withColumn("sqd", sqd)
+        .groupBy("vec_id", "cell", "m")
+        .agg(F.min_by("qdot", F.struct("sqd", "c_label")).alias("qdot"))
+    )
+    short = (
+        contrib.groupBy("vec_id", "cell")
+        .agg(
+            F.sum(F.floor(F.col("qdot") * 1_000_000).cast("long")).alias(
+                "adc_fx"
+            )
+        )
+        .orderBy(F.desc("adc_fx"), "vec_id")
+        .limit(IVFPQ_RERANK)
+    )
+    exact_raw = F.expr(_DOT.format(a="embedding", b="qe"))
+    return (
+        short.join(e.select("vec_id", "embedding"), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .withColumn("exact_r", F.round(exact_raw, 6))
+        .orderBy(F.desc("exact_r"), "vec_id")
+        .limit(10)
+        .select(
+            "vec_id",
+            "cell",
+            F.round(F.col("adc_fx").cast("double") / 1_000_000, 6).alias(
+                "adc_cos"
+            ),
+            F.col("exact_r").alias("exact_cos"),
+        )
+    )
+
+
 #: SemDeDup in-cell cosine threshold — calibrated to the synthetic
 #: fixture (same-label cosines top out near 0.48; production corpora use
 #: ~0.9+, same pipeline).
@@ -1572,6 +1764,248 @@ def llm_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return scoreboard(topk(cand.filter(F.col("probe_rank") == 1)), 1).unionAll(
         scoreboard(topk(cand), NPROBE)
+    )
+
+
+@query(
+    "llm_ann_recall_ivfpq",
+    oracle=f"""
+    WITH cents AS MATERIALIZED ({_ORACLE_CENTROIDS}),
+    ranked AS (
+      SELECT e.vec_id, c.label,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_ODOT.format(a="e.embedding", b="c.cvec")} DESC,
+                        c.label
+             ) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    home AS MATERIALIZED (
+      SELECT vec_id AS b_id, label AS cell FROM ranked WHERE rn = 1
+    ),
+    q AS MATERIALIZED (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id % {RECALL_SAMPLE_MOD} = 0
+    ),
+    probes AS (
+      SELECT vec_id AS qid, label AS cell FROM ranked
+      WHERE rn <= {NPROBE} AND vec_id % {RECALL_SAMPLE_MOD} = 0
+    ),
+    codes AS MATERIALIZED (
+      SELECT b_id, m, code FROM (
+        SELECT e.vec_id AS b_id, s.m, c.label AS code,
+               row_number() OVER (
+                 PARTITION BY e.vec_id, s.m
+                 ORDER BY list_sum(list_transform(range(1, {PQ_D + 1}),
+                   j -> (CAST(e.embedding[s.m * {PQ_D} + j] AS DOUBLE)
+                         - c.cvec[s.m * {PQ_D} + j])
+                      * (CAST(e.embedding[s.m * {PQ_D} + j] AS DOUBLE)
+                         - c.cvec[s.m * {PQ_D} + j]))), c.label
+               ) AS rn
+        FROM embeddings e, cents c,
+             (SELECT unnest(range(0, {PQ_M})) AS m) s
+      ) WHERE rn = 1
+    ),
+    lutq AS MATERIALIZED (
+      SELECT q.qid, s.m, c.label AS code,
+             list_sum(list_transform(range(1, {PQ_D + 1}),
+               j -> CAST(q.qe[s.m * {PQ_D} + j] AS DOUBLE)
+                  * c.cvec[s.m * {PQ_D} + j])) AS qdot
+      FROM q, cents c, (SELECT unnest(range(0, {PQ_M})) AS m) s
+    ),
+    adc AS (
+      SELECT p.qid, h.b_id,
+             sum(CAST(floor(l.qdot * 1000000) AS BIGINT)) AS adc_fx
+      FROM probes p
+      JOIN home h ON h.cell = p.cell AND h.b_id <> p.qid
+      JOIN codes k ON k.b_id = h.b_id
+      JOIN lutq l ON l.qid = p.qid AND l.m = k.m AND l.code = k.code
+      GROUP BY p.qid, h.b_id
+    ),
+    short AS (
+      SELECT qid, b_id FROM (
+        SELECT qid, b_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY adc_fx DESC, b_id) AS sr
+        FROM adc
+      ) WHERE sr <= {IVFPQ_RERANK}
+    ),
+    ap AS (
+      SELECT qid, b_id FROM (
+        SELECT s.qid, s.b_id,
+               row_number() OVER (
+                 PARTITION BY s.qid
+                 ORDER BY round({_ODOT.format(a="q.qe", b="b.embedding")}, 6)
+                            DESC,
+                          s.b_id
+               ) AS rnk
+        FROM short s JOIN q ON q.qid = s.qid
+        JOIN embeddings b ON b.vec_id = s.b_id
+      ) WHERE rnk <= {RECALL_K}
+    ),
+    exact AS (
+      SELECT qid, b_id FROM (
+        SELECT q.qid, b.vec_id AS b_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round({_ODOT.format(a="q.qe", b="b.embedding")}, 6)
+                            DESC,
+                          b.vec_id
+               ) AS rnk
+        FROM q CROSS JOIN embeddings b
+        WHERE b.vec_id <> q.qid
+      ) WHERE rnk <= {RECALL_K}
+    )
+    SELECT CAST({NPROBE} AS INT) AS nprobe,
+           CAST(count(DISTINCT e.qid) AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN a.b_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST((sum(CASE WHEN a.b_id IS NOT NULL THEN 1 ELSE 0 END)::HUGEINT
+                 * 1000000) // count(*) AS BIGINT) AS recall_micro
+    FROM exact e LEFT JOIN ap a ON a.qid = e.qid AND a.b_id = e.b_id
+    """,
+    tags=("llm", "knn", "ivf", "pq", "evaluation"),
+)
+def llm_ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVFPQ row of the ANN tuning table (r11-verdict task 6's
+    evaluation half): recall@{RECALL_K} of `llm_ann_ivfpq`'s three-stage
+    funnel — probe {NPROBE} cells, ADC-score candidates from
+    query-independent PQ CODES (encoded once for the whole corpus, the
+    production layout), exact-rerank the per-query top-{IVFPQ_RERANK}
+    ADC shortlist — against the same brute-force ground truth and
+    sampled-query discipline as llm_ann_recall_eval /
+    llm_ann_recall_multiprobe, with IDENTICAL output columns so the rows
+    line up in one table. Because the candidate cells match the
+    nprobe={NPROBE} multiprobe row exactly, the recall gap between that
+    row and this one is pure PQ-shortlist loss — the number a user sizes
+    IVFPQ_RERANK from (dominance pinned in tests/test_llm_ops.py).
+
+    Scale: codes are {PQ_M} small ints per vector (encoded in one
+    map-side pass, broadcastable at fixture scale, cell-partitioned in
+    production); per-query work is cell-bounded candidates × {PQ_M}
+    lookups against a broadcast (query × K × {PQ_M}) LUT; only
+    shortlist × query rows ever touch full vectors again."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings", parallel=True).withColumn(
+        "ed", F.expr(_TO_DOUBLE.format(v="embedding"))
+    )
+    cent = label_centroids(e)
+    cdot = F.expr(_DOT.format(a="embedding", b="cvec"))
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.col("cdot").desc(), F.col("c_label")
+    )
+    ranked = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "c_label", cdot.alias("cdot"))
+        .withColumn("rn", F.row_number().over(wq))
+    )
+    home = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("b_id"), F.col("c_label").alias("cell")
+    )
+    q = e.filter(F.col("vec_id") % RECALL_SAMPLE_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("ed").alias("qe")
+    )
+    probes = ranked.filter(
+        (F.col("rn") <= NPROBE)
+        & (F.col("vec_id") % RECALL_SAMPLE_MOD == 0)
+    ).select(F.col("vec_id").alias("qid"), F.col("c_label").alias("cell"))
+    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    csubs = cent.crossJoin(ms).select(
+        "m",
+        "c_label",
+        F.expr(f"slice(cvec, m * {PQ_D} + 1, {PQ_D})").alias("csub"),
+    )
+    sub = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), m -> "
+                f"struct(m, transform(slice(embedding, m * {PQ_D} + 1,"
+                f" {PQ_D}), x -> CAST(x AS DOUBLE)) AS sv))"
+            )
+        ).alias("s"),
+    ).select("b_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    sqd = F.expr(
+        "aggregate(zip_with(sv, csub, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    codes = (
+        sub.join(F.broadcast(csubs), "m")
+        .withColumn("sqd", sqd)
+        .groupBy("b_id", "m")
+        .agg(F.min_by("c_label", F.struct("sqd", "c_label")).alias("code"))
+    )
+    lutq = (
+        q.crossJoin(F.broadcast(csubs))
+        .select(
+            "qid",
+            "m",
+            F.col("c_label").alias("code"),
+            F.expr(
+                f"aggregate(zip_with(slice(qe, m * {PQ_D} + 1, {PQ_D}),"
+                " csub, (x, y) -> x * y),"
+                " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            ).alias("qdot"),
+        )
+    )
+    adc = (
+        probes.join(home, "cell")
+        .filter(F.col("b_id") != F.col("qid"))
+        .join(codes, "b_id")
+        .join(F.broadcast(lutq), ["qid", "m", "code"])
+        .groupBy("qid", "b_id")
+        .agg(
+            F.sum(F.floor(F.col("qdot") * 1_000_000).cast("long")).alias(
+                "adc_fx"
+            )
+        )
+    )
+    w_adc = Window.partitionBy("qid").orderBy(F.desc("adc_fx"), "b_id")
+    short = (
+        adc.withColumn("sr", F.row_number().over(w_adc))
+        .filter(F.col("sr") <= IVFPQ_RERANK)
+        .select("qid", "b_id")
+    )
+    emb_b = e.select(F.col("vec_id").alias("b_id"), F.col("ed").alias("be"))
+    dot = F.round(F.expr(_DOT_D.format(a="qe", b="be")), 6)
+    wrank = Window.partitionBy("qid").orderBy(F.col("s").desc(), "b_id")
+    ap = (
+        short.join(q, "qid")
+        .join(emb_b, "b_id")
+        .withColumn("s", dot)
+        .withColumn("rnk", F.row_number().over(wrank))
+        .filter(F.col("rnk") <= RECALL_K)
+        .select("qid", "b_id", F.lit(1).alias("hit"))
+    )
+    exact = (
+        emb_b.crossJoin(F.broadcast(q))
+        .filter(F.col("b_id") != F.col("qid"))
+        .withColumn("s", dot)
+        .withColumn("rnk", F.row_number().over(wrank))
+        .filter(F.col("rnk") <= RECALL_K)
+        .select("qid", "b_id")
+    )
+    return (
+        exact.join(ap, ["qid", "b_id"], "left")
+        .agg(
+            F.countDistinct("qid").cast("long").alias("n_queries"),
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .select(
+            F.lit(NPROBE).cast("int").alias("nprobe"),
+            "n_queries",
+            "n_exact",
+            "n_hits",
+            F.expr(
+                "CAST((CAST(n_hits AS DECIMAL(38,0)) * 1000000)"
+                " div n_exact AS BIGINT)"
+            ).alias("recall_micro"),
+        )
     )
 
 

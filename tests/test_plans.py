@@ -1332,3 +1332,20 @@ def test_seasonal_anomaly_bucketed_no_global_residual_sort(spark, sf_dir):
     assert "rangepartitioning" not in p.lower()
     assert "CartesianProduct" not in p
     assert "hashpartitioning(bin" in p
+
+
+def test_ivfpq_no_cartesian_and_codes_not_vectors(spark, sf_dir):
+    """llm_ann_ivfpq (r12): the funnel never degrades to a data×data
+    cartesian — candidate generation is a cell equi-join, ADC scoring a
+    broadcast LUT join; the only nested-loop joins are 1-row query /
+    centroid-table broadcasts."""
+    p = plan(spark, sf_dir, "llm_ann_ivfpq")
+    assert "CartesianProduct" not in p
+
+
+def test_ivfpq_recall_no_cartesian(spark, sf_dir):
+    """llm_ann_recall_ivfpq (r12): per-query candidates ride cell and
+    code equi-joins (the brute-force shape lives only in the sampled
+    ground-truth CTE with the query side broadcast)."""
+    p = plan(spark, sf_dir, "llm_ann_recall_ivfpq")
+    assert "CartesianProduct" not in p
