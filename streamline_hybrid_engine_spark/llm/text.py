@@ -2147,6 +2147,68 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: oracle unrolls the same count under a CTE chain).
 BPE_MERGES = 6
 
+#: BPE pre-tokenizer classes (r12, r11-verdict task 7 — widened from the
+#: r9 [a-z]+-only contract): CASE FOLDING IS EXPLICIT (lower() before the
+#: split — merges.txt certifies on folded text, recorded here as part of
+#: the contract), then GPT-2-style class splits: letter RUNS, digit RUNS,
+#: and every other non-space char as its own pre-token. Spark and DuckDB
+#: share this exact pattern (same class convention as llm_doc_token_stats'
+#: bpe_ish counter).
+BPE_PRETOK_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+#: Byte-fallback bucket spelling: a pre-token outside [a-z0-9]+ (single
+#: punctuation or any non-ASCII char) becomes '<x' + lowercase hex of its
+#: UTF-8 bytes + '>' — one opaque SYMBOL, so the bracket segmentation
+#: encoding stays collision-free ('(' / ')' / uppercase never reach a
+#: token) and merges can still learn across buckets. '<'/'>' cannot occur
+#: inside letter or digit runs, so the symbol regex below is unambiguous.
+BPE_SYM_RE = "<x[0-9a-f]+>|."
+
+
+def bpe_pretokenize(docs: DataFrame, extra_cols: tuple = ()) -> DataFrame:
+    """The widened shared pre-tokenizer: (``*extra_cols``, tok) rows from
+    a ``text`` column — casefold, class split (:data:`BPE_PRETOK_RE`),
+    byte-fallback bucketing for everything outside [a-z0-9]+. DuckDB
+    twin: :func:`_bpe_pretok_duck`."""
+    safe = F.col("raw").rlike("^[a-z0-9]+$")
+    fallback = F.concat(
+        F.lit("<x"),
+        F.lower(F.hex(F.encode(F.col("raw"), "UTF-8"))),
+        F.lit(">"),
+    )
+    return docs.select(
+        *extra_cols,
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{BPE_PRETOK_RE}', 0)")
+        ).alias("raw"),
+    ).select(*extra_cols, F.when(safe, F.col("raw")).otherwise(fallback).alias("tok"))
+
+
+def bpe_bracket_enc(col: str = "tok"):
+    """Per-SYMBOL bracket wrap of a token: '(t)(h)(e)' for char symbols,
+    '(<x2e>)' for a byte-fallback bucket — the symbol-aware widening of
+    the old per-char wrap (identical on [a-z]+ tokens)."""
+    return F.regexp_replace(col, f"({BPE_SYM_RE})", "($1)")
+
+
+def _bpe_pretok_duck(src: str, extra: str = "") -> str:
+    """DuckDB twin of :func:`bpe_pretokenize`: (``extra``, tok) rows from
+    ``src`` (a table name or name+WHERE exposing ``text``). ``extra`` is
+    a leading column list like ``"source, "`` carried through."""
+    return f"""
+      SELECT {extra}CASE WHEN regexp_matches(raw, '^[a-z0-9]+$') THEN raw
+                  ELSE '<x' || lower(hex(raw)) || '>' END AS tok
+      FROM (SELECT {extra}unnest(regexp_extract_all(lower(text),
+                          '{BPE_PRETOK_RE}')) AS raw
+            FROM {src})
+    """
+
+
+#: DuckDB twin of :func:`bpe_bracket_enc` (applied to a column named tok).
+_BPE_BRACKET_DUCK = (
+    "regexp_replace(tok, '(" + BPE_SYM_RE + ")', '(\\1)', 'g')"
+)
+
 
 def bpe_train_and_segment(
     words: DataFrame, n_merges: int = BPE_MERGES
@@ -2159,7 +2221,7 @@ def bpe_train_and_segment(
     enc = words.select(
         "tok",
         "freq",
-        F.regexp_replace("tok", "(.)", "($1)").alias("enc"),
+        bpe_bracket_enc("tok").alias("enc"),
     ).localCheckpoint(eager=True)
     merge_rows = []
     for step in range(1, n_merges + 1):
@@ -2225,8 +2287,10 @@ def bpe_train_merges(words: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     ``(aa)(a)``, never a double merge of the shared middle). A merged
     token can never re-match as the pair's right element (xy is
     strictly longer than y), so one pass per round is exact. Brackets
-    are collision-free because the caller's tokens are [a-z]+ only
-    (the trainer's pre-tokenizer contract, enforced upstream).
+    are collision-free because the caller's tokens contain only
+    [a-z0-9] chars and <x..> byte-fallback symbols (the widened r12
+    pre-tokenizer contract, :func:`bpe_pretokenize`, enforced upstream
+    — '(' and ')' can never appear inside a token).
 
     Per round: adjacent-pair explode over the VOCAB-sized word table
     (never the corpus — word-frequency rollup first is the classic BPE
@@ -2244,19 +2308,17 @@ def bpe_train_merges(words: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
 
 def _bpe_trainer_wordfreq_duck(where: str = "") -> str:
     """The trainer's pre-tokenized word-frequency rollup (DuckDB side):
-    lowercased pure-alpha words only — the [a-z]+ restriction is the
-    pre-tokenizer contract that makes the bracket encoding collision-free.
+    the WIDENED contract (r12) — casefolded letter runs, digit runs, and
+    byte-fallback buckets for everything else (:func:`_bpe_pretok_duck`),
+    so the bracket encoding stays collision-free on realistic text.
     ``where`` optionally restricts the source documents (the deployment
     id trains on the hash-split train fold only)."""
     src = f"documents {where}" if where else "documents"
     return f"""
-      SELECT tok, freq,
-             regexp_replace(tok, '(.)', '(\\1)', 'g') AS enc
-      FROM (SELECT lower(tok) AS tok, CAST(count(*) AS BIGINT) AS freq
-            FROM (SELECT unnest(string_split(text, ' ')) AS tok
-                  FROM {src})
-            GROUP BY lower(tok))
-      WHERE regexp_matches(tok, '^[a-z]+$')
+      SELECT tok, freq, {_BPE_BRACKET_DUCK} AS enc
+      FROM (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+            FROM ({_bpe_pretok_duck(src)})
+            GROUP BY tok)
     """
 
 
@@ -2321,10 +2383,12 @@ def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned merge table (step, lhs, rhs, pair_count), i.e. the merges.txt
     a BPE tokenizer ships.
 
-    Pre-tokenizer: lowercased [a-z]+ words only (GPT-2-style
-    pre-tokenization splits letters from punctuation/digits before BPE;
-    the restriction also makes the bracket segmentation encoding
-    collision-free — see :func:`bpe_train_merges` for the round
+    Pre-tokenizer (widened r12): explicit case folding, then GPT-2-style
+    class splits — letter runs, digit runs, and byte-fallback buckets
+    (``<x..>`` UTF-8-hex symbols) for punctuation and non-ASCII — so the
+    trainer certifies on realistic text while the bracket segmentation
+    encoding stays collision-free (see :data:`BPE_PRETOK_RE` /
+    :func:`bpe_pretokenize`, and :func:`bpe_train_merges` for the round
     mechanics, checkpoint discipline, and why one replace() per round is
     exactly the greedy left-to-right merge pass).
 
@@ -2335,12 +2399,8 @@ def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect, no global sort (the argmax is a TakeOrdered over the pair
     table), rounds are a driver loop exactly like llm_kmeans_lloyd's."""
     docs = load_table(spark, sf_dir, "documents", parallel=True)
-    words = (
-        docs.select(F.explode(F.split("text", " ")).alias("raw"))
-        .select(F.lower("raw").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").cast("long").alias("freq"))
-        .filter(F.col("tok").rlike("^[a-z]+$"))
+    words = bpe_pretokenize(docs).groupBy("tok").agg(
+        F.count("*").cast("long").alias("freq")
     )
     return bpe_train_merges(words, BPE_MERGES)
 
@@ -2357,10 +2417,7 @@ def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sw AS (
       SELECT source, tok, CAST(count(*) AS BIGINT) AS freq
-      FROM (SELECT source, lower(tok) AS tok
-            FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
-                  FROM documents))
-      WHERE regexp_matches(tok, '^[a-z]+$')
+      FROM ({_bpe_pretok_duck("documents", extra="source, ")})
       GROUP BY source, tok
     )
     SELECT source,
@@ -2397,12 +2454,8 @@ def llm_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     both divisions are integer micros (the registry's no-libm float
     discipline)."""
     docs = load_table(spark, sf_dir, "documents", parallel=True)
-    words = (
-        docs.select(F.explode(F.split("text", " ")).alias("raw"))
-        .select(F.lower("raw").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").cast("long").alias("freq"))
-        .filter(F.col("tok").rlike("^[a-z]+$"))
+    words = bpe_pretokenize(docs).groupBy("tok").agg(
+        F.count("*").cast("long").alias("freq")
     )
     _, enc = bpe_train_and_segment(words, BPE_MERGES)
     seg = enc.select(
@@ -2416,11 +2469,9 @@ def llm_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_syms"),
     )
     sw = (
-        docs.select("source", F.explode(F.split("text", " ")).alias("raw"))
-        .select("source", F.lower("raw").alias("tok"))
+        bpe_pretokenize(docs, extra_cols=("source",))
         .groupBy("source", "tok")
         .agg(F.count("*").cast("long").alias("freq"))
-        .filter(F.col("tok").rlike("^[a-z]+$"))
     )
     return sw.join(seg, "tok").groupBy("source").agg(
         F.sum("freq").cast("long").alias("n_words"),
@@ -2442,7 +2493,8 @@ def bpe_apply_merges(words: DataFrame, merges: list) -> DataFrame:
     """Replay a SHIPPED merge table (the rows of merges.txt, in step
     order) over ANY word table — the INFERENCE path of a BPE tokenizer,
     the half :func:`bpe_train_merges` trains. ``words`` needs a ``tok``
-    column ([a-z]+ per the pre-tokenizer contract); ``merges`` is a
+    column ([a-z0-9] chars and <x..> fallback symbols per the widened
+    pre-tokenizer contract, :func:`bpe_pretokenize`); ``merges`` is a
     sequence of rows/dicts with ``step``/``lhs``/``rhs`` (a collected
     merge table or a parsed merges.txt — it IS the shipped artifact, so
     driver-side literals are the honest deployment shape). Appends
@@ -2457,7 +2509,7 @@ def bpe_apply_merges(words: DataFrame, merges: list) -> DataFrame:
     reproduces the trainer's internal segmentation state bit-for-bit on
     the training vocab — the merges.txt portability contract, pinned by
     test and by llm_bpe_apply_merges' oracle."""
-    enc = F.regexp_replace("tok", "(.)", "($1)")
+    enc = bpe_bracket_enc("tok")
     for m in sorted(merges, key=lambda r: r["step"]):
         enc = F.replace(
             enc,
@@ -2482,11 +2534,9 @@ def _bpe_apply_oracle() -> str:
     ctes = [_bpe_cte_body(with_final=False, where=_BPE_TRAIN_WHERE)]
     ctes.append(
         f"h0 AS MATERIALIZED ("
-        f" SELECT tok, regexp_replace(tok, '(.)', '(\\1)', 'g') AS enc"
-        f" FROM (SELECT DISTINCT lower(tok) AS tok"
-        f"       FROM (SELECT unnest(string_split(text, ' ')) AS tok"
-        f"             FROM documents {_BPE_HELD_WHERE}))"
-        f" WHERE regexp_matches(tok, '^[a-z]+$'))"
+        f" SELECT tok, {_BPE_BRACKET_DUCK} AS enc"
+        f" FROM (SELECT DISTINCT tok FROM"
+        f" ({_bpe_pretok_duck(f'documents {_BPE_HELD_WHERE}')})))"
     )
     for r in range(1, BPE_MERGES + 1):
         ctes.append(
@@ -2499,16 +2549,11 @@ def _bpe_apply_oracle() -> str:
         f"seg AS MATERIALIZED (SELECT tok,"
         f" CAST(len(string_split(substr(enc, 2, length(enc) - 2), ')('))"
         f" AS BIGINT) AS n_syms FROM h{BPE_MERGES})",
-        f"tv AS MATERIALIZED (SELECT DISTINCT lower(tok) AS tok"
-        f" FROM (SELECT unnest(string_split(text, ' ')) AS tok"
-        f"       FROM documents {_BPE_TRAIN_WHERE})"
-        f" WHERE regexp_matches(lower(tok), '^[a-z]+$'))",
+        f"tv AS MATERIALIZED (SELECT DISTINCT tok FROM"
+        f" ({_bpe_pretok_duck(f'documents {_BPE_TRAIN_WHERE}')}))",
         f"sw AS MATERIALIZED ("
         f" SELECT source, tok, CAST(count(*) AS BIGINT) AS freq"
-        f" FROM (SELECT source, lower(tok) AS tok"
-        f"       FROM (SELECT source, unnest(string_split(text, ' ')) AS tok"
-        f"             FROM documents {_BPE_HELD_WHERE}))"
-        f" WHERE regexp_matches(tok, '^[a-z]+$')"
+        f" FROM ({_bpe_pretok_duck(f'documents {_BPE_HELD_WHERE}', extra='source, ')})"
         f" GROUP BY source, tok)",
     ]
     body = ",\n".join(ctes)
@@ -2564,11 +2609,9 @@ def llm_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def rollup(d: DataFrame) -> DataFrame:
         return (
-            d.select(F.explode(F.split("text", " ")).alias("raw"))
-            .select(F.lower("raw").alias("tok"))
+            bpe_pretokenize(d)
             .groupBy("tok")
             .agg(F.count("*").cast("long").alias("freq"))
-            .filter(F.col("tok").rlike("^[a-z]+$"))
         )
 
     train_words = rollup(train_docs)
@@ -2588,13 +2631,9 @@ def llm_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_syms"),
     )
     sw = (
-        held_docs.select(
-            "source", F.explode(F.split("text", " ")).alias("raw")
-        )
-        .select("source", F.lower("raw").alias("tok"))
+        bpe_pretokenize(held_docs, extra_cols=("source",))
         .groupBy("source", "tok")
         .agg(F.count("*").cast("long").alias("freq"))
-        .filter(F.col("tok").rlike("^[a-z]+$"))
     )
     tv = train_words.select("tok", F.lit(1).alias("in_train"))
     if len(merges) < BPE_MERGES:

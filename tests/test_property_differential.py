@@ -2274,3 +2274,114 @@ def test_weighted_median_binned_fuzz_equals_plain(spark, rows, width):
         )
     )
     assert got == exp, width
+
+
+def _py_bpe_symbols(w: str) -> list:
+    """Symbol split under the widened r12 contract: a <x..> byte-fallback
+    bucket is ONE symbol; every other char is its own symbol."""
+    import re
+
+    return re.findall(r"<x[0-9a-f]+>|.", w)
+
+
+@settings(max_examples=5 * _FUZZ, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    entries=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["a", "b", "7", "<x2e>", "<xc3a9>"]),
+                min_size=1,
+                max_size=5,
+            ),
+            st.integers(1, 5),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_bpe_trainer_fuzz_mixed_symbols(spark, entries):
+    """The r12 mixed-content case (r11-verdict task 7): words built from
+    letters, digits, AND byte-fallback buckets (<x2e> '.', <xc3a9> 'é')
+    must train and replay identically to a symbol-aware pure-Python BPE —
+    fallback buckets are single symbols (never split), merges can span a
+    letter and a bucket, and the bracket replace() machinery stays exact
+    with multi-char symbols in play."""
+    from streamline_hybrid_engine_spark.llm.text import (
+        bpe_apply_merges,
+        bpe_train_and_segment,
+    )
+
+    words: dict = {}
+    for syms, f in entries:
+        w = "".join(syms)
+        words[w] = words.get(w, 0) + f
+    # python reference over SYMBOL lists, engine tie-break
+    segs = {w: _py_bpe_symbols(w) for w in words}
+    expected = []
+    for step in range(1, 4):
+        cnt: dict = {}
+        for w, f in words.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                cnt[(s[i], s[i + 1])] = cnt.get((s[i], s[i + 1]), 0) + f
+        if not cnt:
+            break
+        (x, y), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((step, x, y, c))
+        for w, s in segs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == x and s[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    df = spark.createDataFrame(list(words.items()), "tok string, freq long")
+    merges_df, state = bpe_train_and_segment(df, 3)
+    got = sorted(
+        (r["step"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in merges_df.collect()
+    )
+    assert got == expected
+    # replay portability holds on mixed symbols too (when all rounds fired)
+    merges = [r.asDict() for r in merges_df.orderBy("step").collect()]
+    if len(merges) == 3:
+        replay = bpe_apply_merges(df.select("tok"), merges)
+        got_enc = sorted((r["tok"], r["enc"]) for r in replay.collect())
+        want_enc = sorted((r["tok"], r["enc"]) for r in state.collect())
+        assert got_enc == want_enc
+
+
+def test_bpe_pretokenizer_matches_duckdb_twin(spark):
+    """The widened pre-tokenizer (case fold, class split, byte-fallback
+    buckets) produces the IDENTICAL token multiset in Spark and DuckDB on
+    mixed-content text — uppercase, digits, punctuation (including
+    brackets, the encoding's reserved chars), and multi-byte UTF-8."""
+    import duckdb
+
+    from streamline_hybrid_engine_spark.llm.text import (
+        _bpe_pretok_duck,
+        bpe_pretokenize,
+    )
+
+    texts = [
+        "Hello, WORLD! abc123 (x) [y] #tag",
+        "café déjà-vu 3.14 £9 emoji:🙂",
+        "MiXeD42case  double  space\ttab",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = sorted(r["tok"] for r in bpe_pretokenize(df).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs AS SELECT unnest(?) AS text", [texts])
+    want = sorted(
+        r[0] for r in con.execute(_bpe_pretok_duck("docs")).fetchall()
+    )
+    assert got == want
+    # reserved chars never survive into tokens; folding is total
+    assert all("(" not in t and ")" not in t for t in got)
+    assert all(t == t.lower() for t in got)
