@@ -710,7 +710,18 @@ def lpa_labels(
     )
     hit = _LPA_MEMO.get(memo_key)
     if hit is not None:
-        return hit
+        # Validate before reuse: the labels frame is backed by
+        # localCheckpoint BLOCKS, and harness hygiene (bench.py /
+        # crash-sweep drop_run_state) unpersists every persistent RDD
+        # between queries — a dead block raises
+        # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on next read (verified r12).
+        # One vertex-table count is the probe; on failure evict and
+        # recompute below.
+        try:
+            hit[0].count()
+            return hit
+        except Exception:
+            _LPA_MEMO.pop(memo_key, None)
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = (

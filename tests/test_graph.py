@@ -259,6 +259,16 @@ def test_lpa_labels_memoized_across_consumers(spark, sf_dir):
     # by test_lpa_shuffle_path_result_identical)
     G.lpa_labels(spark, sf_dir, shuffle_width=5)
     assert G._LPA_LOOP_RUNS == runs0 + 2
+    # harness hygiene resilience: bench/crash-sweep drop_run_state
+    # unpersists every persistent RDD, killing the memo's checkpoint
+    # blocks — the probe must detect the dead entry and recompute, not
+    # raise CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (verified failure mode r12)
+    n_before = labels1.count()
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        rdd.unpersist(True)
+    l3, _ = G.lpa_labels(spark, sf_dir)
+    assert l3.count() == n_before > 0
+    assert G._LPA_LOOP_RUNS == runs0 + 3  # recomputed, not reused dead
 
 
 def test_lpa_round_plan_broadcast_vs_shuffle(spark, sf_dir):
