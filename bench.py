@@ -247,6 +247,12 @@ HEADLINE = (
     "llm_ann_recall_multiprobe",   # nprobe=1 vs 2 recall tuning table
     "llm_pca_recall_eval",         # 64d->2d recall delta per query
     "llm_pca_knn_grid",            # exact k-NN in the projected plane
+    # round-12 wave (baselines in BASELINE.md §A.1 r12 wave block)
+    "win_weighted_median_binned",  # histogram-narrowed weighted median
+    "ts_rolling_mau_hll",          # per-day HLL union MAU valve
+    "ts_seasonal_anomaly_bucketed",  # binned_rank-located global MAD
+    "llm_ann_ivfpq",               # FAISS IVFPQ funnel: route+ADC+rerank
+    "llm_ann_recall_ivfpq",        # IVFPQ row of the recall tuning table
 )
 
 #: BASELINE.md §A.1 rows (sf0.1 full-sequence medians, seconds) — kept in
@@ -440,8 +446,8 @@ BASELINE_SEC = {
     "llm_importance_dsir": 1.85,
     "llm_perplexity_buckets": 1.59,
     "llm_classifier_auc_binned": 1.52,
-    "llm_bpe_train_merges": 2.33,
-    "llm_bpe_segment": 2.63,
+    "llm_bpe_train_merges": 4.04,  # re-anchored r12: widened pre-tokenizer
+    "llm_bpe_segment": 3.94,  # re-anchored r12: widened pre-tokenizer
     "mm_decode_bmp_stats": 0.34,
     "llm_pack_nostraddle": 0.34,
     # added after the re-anchor run (same day, settled median of THREE
@@ -454,10 +460,16 @@ BASELINE_SEC = {
     "agg_rfm_segments_binned": 5.18,
     "ts_conversion_latency_binned": 2.24,
     "llm_embedding_pca_project": 1.69,
-    "llm_bpe_apply_merges": 5.72,
+    "llm_bpe_apply_merges": 4.79,  # re-anchored r12: widened pre-tokenizer
     "llm_ann_recall_multiprobe": 5.25,
     "llm_pca_recall_eval": 4.16,
     "llm_pca_knn_grid": 7.17,
+    # r12 wave (BASELINE.md §A.1 r12 wave block, settled measure_wave)
+    "win_weighted_median_binned": 4.31,
+    "ts_rolling_mau_hll": 3.29,
+    "ts_seasonal_anomaly_bucketed": 4.52,
+    "llm_ann_ivfpq": 4.31,
+    "llm_ann_recall_ivfpq": 4.38,
 }
 
 
@@ -549,20 +561,38 @@ def main() -> int:
     # hypervisor contention — the r10 AND r11 official artifacts were both
     # recorded inside multi-minute steal bursts (up to 79% of busy) that
     # the per-row adjudication then had to discount. Probe /proc/stat
-    # steal over short windows BEFORE the sequence and wait, bounded,
-    # until the box-wide steal share clears the same 5%-of-busy criterion
-    # the per-query flags use; record the outcome either way (the per-row
-    # flags remain the backstop if a burst starts mid-sequence).
+    # steal UNDER SYNTHETIC LOAD (an idle box accrues steal against
+    # near-zero busy, so share-of-busy reads >90% on a harmlessly idle
+    # host — measured r12): spin a few worker processes for the probe
+    # window, then gate on the same 5%-of-busy criterion the per-query
+    # flags use; wait bounded, record the outcome either way (the
+    # per-row flags remain the backstop if a burst starts mid-sequence).
+    def steal_probe(seconds: float = 3.0, workers: int = 8) -> float | None:
+        import multiprocessing as mp
+
+        def _spin(stop_t: float) -> None:
+            while time.time() < stop_t:
+                pass
+
+        p0 = cpu_counters()
+        procs = [
+            mp.Process(target=_spin, args=(time.time() + seconds,), daemon=True)
+            for _ in range(workers)
+        ]
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join()
+        p1 = cpu_counters()
+        if not (p0 and p1) or p1[0] - p0[0] <= 0:
+            return None
+        return round((p1[1] - p0[1]) / (p1[0] - p0[0]), 3)
+
     steal_waited = 0.0
     steal_share = None
     while True:
-        p0 = cpu_counters()
-        time.sleep(3.0)
-        p1 = cpu_counters()
-        if not (p0 and p1) or p1[0] - p0[0] <= 0:
-            break  # counters unreadable / clock idle: nothing to gate on
-        steal_share = round((p1[1] - p0[1]) / (p1[0] - p0[0]), 3)
-        if steal_share <= 0.05 or steal_waited >= 600.0:
+        steal_share = steal_probe()
+        if steal_share is None or steal_share <= 0.05 or steal_waited >= 600.0:
             break
         time.sleep(27.0)
         steal_waited += 30.0
