@@ -120,6 +120,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "ts_seasonal_anomaly_bucketed",
         "llm_ann_ivfpq",
         "llm_ann_recall_ivfpq",
+        "llm_dedup_eval_pr_sampled",
     }
 )
 

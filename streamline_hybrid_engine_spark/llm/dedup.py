@@ -1578,9 +1578,13 @@ def llm_dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Hash-stable sample bucket for the sampled dedup eval: md5 first hex
-#: digit of doc_id < 8 → a deterministic ~half-corpus sample (the
-#: llm_train_split_hash digit convention).
-EVAL_SAMPLE_DIGIT_LT = 8
+#: digit of doc_id < 12 → a deterministic 3/4-corpus sample (the
+#: llm_train_split_hash digit convention). 12, not 8: true near-dup
+#: pairs are SPARSE on the fixture (1-2 corpus-wide) and both-endpoint
+#: sampling thins them quadratically — 3/4 keeps the sampled truth set
+#: non-degenerate at sf0.01 while still exercising the valve; at 100 TB
+#: the digit bound drops (e.g. < 1 for a 1/16 sample).
+EVAL_SAMPLE_DIGIT_LT = 12
 
 
 def _eval_pr_sampled_oracle() -> str:

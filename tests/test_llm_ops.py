@@ -783,3 +783,45 @@ def test_ivfpq_recall_row_dominated_by_exact_scored_multiprobe(spark, sf_dir):
     # informativeness floor: 12% recall@10 vs the ~2% random-shortlist
     # expectation at fixture size (measured 22.1% on the r12 fixture)
     assert r["recall_micro"] >= 120_000, r["recall_micro"]
+
+
+def test_dedup_eval_sampled_equals_endpoint_filtered_full(spark, sf_dir):
+    """llm_dedup_eval_pr_sampled (r12 valve): rebuilding both pair
+    pipelines from the hash-sampled shingle subset must yield EXACTLY
+    the full-corpus pair sets filtered to both-endpoints-in-sample —
+    the equivalence the docstring proves (pair scores are pairwise;
+    LSH buckets restricted to members lose nothing) — and the emitted
+    counts must match a recount over those filtered sets."""
+    import pyspark.sql.functions as F
+
+    from streamline_hybrid_engine_spark.llm.dedup import EVAL_SAMPLE_DIGIT_LT
+
+    digit = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.md5(F.col("d1").cast("string")), 1, 1),
+    ) - 1
+    digit2 = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.md5(F.col("d2").cast("string")), 1, 1),
+    ) - 1
+
+    def endpoint_filtered(name):
+        out = _QS[name].fn(spark, sf_dir).select("d1", "d2")
+        return sorted(
+            map(
+                tuple,
+                out.filter(
+                    (digit < EVAL_SAMPLE_DIGIT_LT)
+                    & (digit2 < EVAL_SAMPLE_DIGIT_LT)
+                ).collect(),
+            )
+        )
+
+    cand_f = endpoint_filtered("llm_dedup_minhash_pairs")
+    truth_f = endpoint_filtered("llm_dedup_ngram_jaccard")
+    row = _QS["llm_dedup_eval_pr_sampled"].fn(spark, sf_dir).collect()[0]
+    assert row["n_candidates"] == len(cand_f)
+    assert row["n_truth"] == len(truth_f)
+    assert row["n_hit"] == len(set(cand_f) & set(truth_f))
+    assert 0 < row["n_docs_sample"]
+    assert row["n_candidates"] > 0  # the sample still sees LSH candidates
