@@ -121,6 +121,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "llm_ann_ivfpq",
         "llm_ann_recall_ivfpq",
         "llm_dedup_eval_pr_sampled",
+        "llm_dataset_card_hll",
     }
 )
 

@@ -253,6 +253,8 @@ HEADLINE = (
     "ts_seasonal_anomaly_bucketed",  # binned_rank-located global MAD
     "llm_ann_ivfpq",               # FAISS IVFPQ funnel: route+ADC+rerank
     "llm_ann_recall_ivfpq",        # IVFPQ row of the recall tuning table
+    "llm_dedup_eval_pr_sampled",   # P/R eval on hash-stable doc sample
+    "llm_dataset_card_hll",        # dataset card with HLL distinct faces
 )
 
 #: BASELINE.md §A.1 rows (sf0.1 full-sequence medians, seconds) — kept in
@@ -470,6 +472,8 @@ BASELINE_SEC = {
     "ts_seasonal_anomaly_bucketed": 4.52,
     "llm_ann_ivfpq": 4.31,
     "llm_ann_recall_ivfpq": 4.38,
+    "llm_dedup_eval_pr_sampled": 4.38,  # median of 3 sessions: 5.01/4.38/3.78
+    "llm_dataset_card_hll": 1.21,
 }
 
 
