@@ -264,6 +264,16 @@ def test_lpa_labels_memoized_across_consumers(spark, sf_dir):
     # blocks — the probe must detect the dead entry and recompute, not
     # raise CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (verified failure mode r12)
     n_before = labels1.count()
+    # bench's drop_run_state honors the preserved-id set: memo survives
+    keep = G.lpa_preserved_rdd_ids()
+    assert keep  # the final-round diff capture actually landed
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        if rdd.id() in keep:
+            continue
+        rdd.unpersist(True)
+    l2b, _ = G.lpa_labels(spark, sf_dir)
+    assert l2b is labels1 and l2b.count() == n_before
+    assert G._LPA_LOOP_RUNS == runs0 + 2  # keep-aware drop: still a hit
     for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
         rdd.unpersist(True)
     l3, _ = G.lpa_labels(spark, sf_dir)
