@@ -2385,3 +2385,74 @@ def test_bpe_pretokenizer_matches_duckdb_twin(spark):
     # reserved chars never survive into tokens; folding is total
     assert all("(" not in t and ")" not in t for t in got)
     assert all(t == t.lower() for t in got)
+
+
+@settings(max_examples=5 * _FUZZ, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n_users=st.sampled_from([1, 2, 3, 90, 100, 110, 300]),
+    n_days=st.integers(1, 3),
+)
+def test_hll_rolling_mau_bound_near_threshold(spark, n_users, n_days,
+                                              tmp_path_factory):
+    """ts_rolling_mau_hll's error contract (28-sketch union within 5% of
+    the exact trailing distinct per report day) at near-threshold
+    cardinalities — the same sparse→dense transition sweep the hop-HLL
+    valve carries (r8 task 7 pattern): tiny sets, the ~100 region, a few
+    hundred. Exact trailing counts are re-derived in Python over the
+    same day→report-day expansion; every verdict must be TRUE and every
+    anchor must equal the Python recount."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streamline_hybrid_engine_spark.registry import get_query
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for d in range(n_days):
+        for u in range(n_users):
+            # day d sees users [d*7 .. d*7+n_users): overlapping but
+            # shifting membership, so trailing unions exceed single days
+            rows.append(
+                (eid, base + dt.timedelta(days=d, minutes=u % 60),
+                 d * 7 + u, "view", 1.0, "{}")
+            )
+            eid += 1
+    tmp = tmp_path_factory.mktemp("maufix")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [r[1] for r in rows],
+                "user_id": [r[2] for r in rows],
+                "event_type": [r[3] for r in rows],
+                "value": [r[4] for r in rows],
+                "props": [r[5] for r in rows],
+            }
+        ),
+        str(tmp / "events.parquet"),
+    )
+
+    day_users: dict = {}
+    for _, ts, u, _, _, _ in rows:
+        day_users.setdefault(ts.date(), set()).add(u)
+    expected = {}
+    for d in day_users:
+        trail = set()
+        for k in range(28):
+            trail |= day_users.get(d - dt.timedelta(days=k), set())
+        expected[d] = len(trail)
+
+    out = get_query("ts_rolling_mau_hll").fn(spark, str(tmp)).collect()
+    got = {
+        r["report_day"].date(): (r["mau28_exact"], r["hll_within_5pct"])
+        for r in out
+    }
+    assert set(got) == set(expected)
+    for d, n in expected.items():
+        n_exact, within = got[d]
+        assert n_exact == n, d
+        assert within is True, f"HLL off by >5% at cardinality {n}"
