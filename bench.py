@@ -502,24 +502,16 @@ def main() -> int:
         gc.collect()
         dropped = 0
         try:
-            # the shared LPA label memo (vertex-sized, hundreds of KB) is
-            # the ONE deliberate cross-query cache: preserving it realizes
-            # the session-cache win four graph rows share (r11-verdict
-            # task 2) and cannot distort other rows' timings; everything
-            # else below is leftover run state and gets dropped.
-            from streamline_hybrid_engine_spark.operators.graph import (
-                lpa_preserved_rdd_ids,
-            )
-
-            keep = lpa_preserved_rdd_ids()
-        except Exception:
-            keep = set()
-        try:
-            # leftover localCheckpoint blocks whose Python refs died between
-            # queries: unpersist NOW instead of waiting for ContextCleaner
+            # r12 OPTIMIZATION-round honesty: drop EVERYTHING, including the
+            # shared LPA label memo the r11-build bench preserved. Preserving
+            # it let timed runs reuse labels computed in the warm-up (a
+            # result memo outside the timed region — the optimization-round
+            # rules call that gaming, not optimization). The memo remains a
+            # legitimate session-level feature for interactive use; the
+            # bench evicts it between runs so every timed run recomputes the
+            # full loop from the parquet inputs (the library's dead-block
+            # probe detects the eviction and recomputes — test-pinned).
             for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-                if rdd.id() in keep:
-                    continue
                 rdd.unpersist(True)
                 dropped += 1
         except Exception:

@@ -665,20 +665,22 @@ def _lpa_round(und: DataFrame, labels: DataFrame, shuffle_width: int) -> DataFra
 #: Per-(session, sf_dir, forced-width) memo of the shared LPA core. Four
 #: registry consumers (graph_label_propagation, graph_modularity,
 #: graph_modularity_by_community, graph_community_sizes) each call
-#: :func:`lpa_labels`; without the memo each one re-runs the identical
-#: LPA_ROUNDS loop (~30 s of the settled headline bench — r11 verdict
-#: wrong #2). The returned ``labels`` frame is localCheckpointed (its
-#: blocks live for the session), so handing the same object to every
-#: consumer is safe; keyed on applicationId so a restarted session never
-#: sees dead checkpoint blocks. Same pattern as ``catalog._WARMED``.
+#: :func:`lpa_labels`; in a driver-style many-query sweep each one would
+#: re-run the identical LPA_ROUNDS loop. GATED ON ``catalog.is_warmed``
+#: exactly like dedup._SWEEP_MEMO (r12 optimization round): memoization
+#: fires ONLY in sweep context (the driver's correctness gate calls
+#: ``warm``), never under bench/parity/tests — so every bench timing
+#: computes the full loop from the parquet inputs, and the cross-query
+#: reuse stays a correctness-sweep throughput feature, not a benchmark
+#: shortcut. Keyed on applicationId so a restarted session never sees
+#: dead checkpoint blocks.
 _LPA_MEMO: dict[tuple[str, str, int | None], tuple[DataFrame, DataFrame]] = {}
 #: JVM RDD id backing each memo entry's final label checkpoint (captured
-#: by persistent-set diff around the last round). Harness hygiene that
-#: unpersists "all run state" (bench.py drop_run_state) consults
+#: by persistent-set diff around the last round). Sweep harness hygiene
+#: that unpersists "all run state" (crash-sweep) consults
 #: :func:`lpa_preserved_rdd_ids` to SKIP these — the label table is
-#: vertex-sized (hundreds of KB), cannot distort other rows' timings,
-#: and preserving it is exactly the session-cache win the memo exists
-#: for. Absent/uncaptured ids degrade to the probe-and-recompute path.
+#: vertex-sized (hundreds of KB). Absent/uncaptured ids degrade to the
+#: probe-and-recompute path.
 _LPA_MEMO_RDD_IDS: dict[tuple[str, str, int | None], int] = {}
 #: Number of times the LPA round-loop actually executed this process —
 #: tests pin that N consumers cause exactly ONE loop execution.
@@ -723,34 +725,49 @@ def lpa_labels(
     identical round algebra (:func:`_lpa_round`), so results are
     bit-identical by construction and pinned by test.
 
-    Memoized per (session, sf_dir, shuffle_width): the first consumer runs
-    the loop, later consumers reuse the checkpointed label table
-    (``_LPA_MEMO``); each registry id stays independently callable."""
+    Memoized per (session, sf_dir, shuffle_width) ONLY in driver-sweep
+    context (``catalog.is_warmed``, the dedup._SWEEP_MEMO discipline):
+    there the first consumer runs the loop and later consumers reuse the
+    checkpointed label table; under bench/parity every call computes the
+    full loop from the parquet inputs. Each registry id stays
+    independently callable.
+
+    Returned ``edges`` is localCheckpointed alongside the loop: the three
+    Q-score consumers each evaluate it 2-3× (intra-edge count, degree
+    table, |E|) and re-ran the orders⋈lineitem distinct from parquet for
+    every evaluation before r12."""
     import os as _os
 
+    from streamline_hybrid_engine_spark.catalog import is_warmed
+
     global _LPA_LOOP_RUNS
+    use_memo = is_warmed(spark, sf_dir)
     memo_key = (
         spark.sparkContext.applicationId,
         _os.path.realpath(sf_dir),
         shuffle_width,
     )
-    hit = _LPA_MEMO.get(memo_key)
-    if hit is not None:
-        # Validate before reuse: the labels frame is backed by
-        # localCheckpoint BLOCKS, and harness hygiene (bench.py /
-        # crash-sweep drop_run_state) unpersists every persistent RDD
-        # between queries — a dead block raises
-        # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on next read (verified r12).
-        # One vertex-table count is the probe; on failure evict and
-        # recompute below.
-        try:
-            hit[0].count()
-            return hit
-        except Exception:
-            _LPA_MEMO.pop(memo_key, None)
-            _LPA_MEMO_RDD_IDS.pop(memo_key, None)
+    if use_memo:
+        hit = _LPA_MEMO.get(memo_key)
+        if hit is not None:
+            # Validate before reuse: the labels frame is backed by
+            # localCheckpoint BLOCKS, and sweep harness hygiene
+            # (crash-sweep drop_run_state) unpersists every persistent RDD
+            # between queries — a dead block raises
+            # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on next read (verified
+            # r12). One vertex-table count is the probe; on failure evict
+            # and recompute below.
+            try:
+                hit[0].count()
+                return hit
+            except Exception:
+                _LPA_MEMO.pop(memo_key, None)
+                _LPA_MEMO_RDD_IDS.pop(memo_key, None)
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # lazy checkpoint: materializes as a side effect of the first job that
+    # reads it (the sizes agg below), then serves every later evaluation —
+    # the und build AND the consumers' edge passes — from memory
     edges = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
@@ -758,7 +775,24 @@ def lpa_labels(
             (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
+    if shuffle_width is None:
+        # one job over the (now-materialized) edge checkpoint: |E| plus
+        # per-side distinct endpoint counts (disjoint by parity, so they
+        # sum to |V|) — same numbers the r11 self-loop probe measured
+        sizes = edges.agg(
+            F.count("*").alias("n_e"),
+            F.countDistinct("c").alias("n_c"),
+            F.countDistinct("s").alias("n_s"),
+        ).first()
+        n_verts = sizes["n_c"] + sizes["n_s"]
+        shuffle_width = lpa_shuffle_width(
+            n_verts=n_verts,
+            n_und=2 * sizes["n_e"] + n_verts,
+            default_parallelism=spark.sparkContext.defaultParallelism,
+            broadcast_threshold_bytes=_broadcast_threshold_bytes(spark),
+        )
     verts = (
         edges.select(F.col("c").alias("v"))
         .union(edges.select(F.col("s").alias("v")))
@@ -768,39 +802,55 @@ def lpa_labels(
         edges.select(F.col("c").alias("src"), F.col("s").alias("dst"))
         .union(edges.select(F.col("s").alias("src"), F.col("c").alias("dst")))
         .union(verts.select(F.col("v").alias("src"), F.col("v").alias("dst")))
-        .localCheckpoint(eager=True)
     )
-    if shuffle_width is None:
-        # self-loop rows ≡ vertices; both sizes in ONE job off the
-        # in-memory checkpoint (no extra scan of the source tables)
-        sizes = und.agg(
-            F.count("*").alias("n_und"),
-            F.count(F.when(F.col("src") == F.col("dst"), 1)).alias("n_verts"),
-        ).first()
-        shuffle_width = lpa_shuffle_width(
-            n_verts=sizes["n_verts"],
-            n_und=sizes["n_und"],
-            default_parallelism=spark.sparkContext.defaultParallelism,
-            broadcast_threshold_bytes=_broadcast_threshold_bytes(spark),
-        )
     if shuffle_width:
-        # pre-partition the big side ONCE; the checkpoint pins
-        # hashpartitioning(src) so each round's merge join exchanges only
-        # the |V|-row label side
-        und = und.repartition(shuffle_width, "src").localCheckpoint(eager=True)
-    labels = verts.select("v", F.col("v").alias("l"))
+        # pre-partition the big side ONCE on src so each round's merge
+        # join exchanges only the |V|-row label side
+        und = und.repartition(shuffle_width, "src")
+    else:
+        # broadcast rounds: pre-partition ONCE on dst instead. The round's
+        # broadcast join preserves the streamed side's partitioning, and
+        # hashpartitioning(dst) satisfies the clustering of BOTH round
+        # aggregates (groupBy(dst, l) and groupBy(v2=dst)), so every round
+        # is a single zero-exchange stage over the in-memory adjacency —
+        # 2 exchanges/round → 0 (plan-pinned in tests/test_graph.py)
+        und = und.repartition(spark.sparkContext.defaultParallelism, "dst")
+    # persist, NOT localCheckpoint: a checkpointed LogicalRDD forgets its
+    # partitioning (UnknownPartitioning — measured r12), which would put
+    # the per-round exchanges right back; InMemoryRelation keeps the
+    # repartition in the plan so downstream rounds see it. The count()
+    # materializes the cache NOW (same job count as the old eager
+    # checkpoint) — required, because the partitioning only becomes
+    # visible to round planning once the cached AQE plan is final; with
+    # it every broadcast round is ONE stage (join + both aggregates,
+    # zero exchanges — measured r12). Dropped blocks (bench
+    # drop_run_state) recompute from lineage instead of failing like a
+    # dead checkpoint.
+    und = und.persist()
+    und.count()
+    # initial labels from the persisted self-loop rows: identical rows
+    # to verts (one per vertex), no second distinct exchange
+    labels = und.filter(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("v"), F.col("src").alias("l")
+    )
     final_rdd_id = None
     for _ in range(LPA_ROUNDS):
-        before_ids = _persistent_rdd_ids(spark)
+        before_ids = _persistent_rdd_ids(spark) if use_memo else set()
         labels = _lpa_round(und, labels, shuffle_width).localCheckpoint(
             eager=True
         )
-        new_ids = _persistent_rdd_ids(spark) - before_ids
-        final_rdd_id = next(iter(new_ids)) if len(new_ids) == 1 else None
+        if use_memo:
+            new_ids = _persistent_rdd_ids(spark) - before_ids
+            final_rdd_id = next(iter(new_ids)) if len(new_ids) == 1 else None
     _LPA_LOOP_RUNS += 1
-    _LPA_MEMO[memo_key] = (labels, edges)
-    if final_rdd_id is not None:
-        _LPA_MEMO_RDD_IDS[memo_key] = final_rdd_id
+    # every round's labels are eagerly checkpointed, so the adjacency
+    # cache is dead weight past the loop — release it (and its
+    # CacheManager entry) rather than waiting for harness hygiene
+    und.unpersist()
+    if use_memo:
+        _LPA_MEMO[memo_key] = (labels, edges)
+        if final_rdd_id is not None:
+            _LPA_MEMO_RDD_IDS[memo_key] = final_rdd_id
     return labels, edges
 
 

@@ -237,55 +237,100 @@ def test_lpa_shuffle_path_result_identical(spark, sf_dir):
 
 
 def test_lpa_labels_memoized_across_consumers(spark, sf_dir):
-    """The shared LPA core runs its round loop ONCE per (session, sf_dir,
-    width) no matter how many registry consumers call it — the r11-verdict
-    wrong-#2 fix (~30 s of the settled headline bench was the same 4-round
-    loop computed four times). Pin: the loop-run counter advances exactly
-    once across a direct call plus two full registry consumers, and repeat
-    calls hand back the identical checkpointed DataFrame object."""
+    """In DRIVER-SWEEP context (catalog.is_warmed — the dedup._SWEEP_MEMO
+    gate, applied to the LPA memo in the r12 optimization round) the
+    shared LPA core runs its round loop ONCE per (session, sf_dir, width)
+    no matter how many registry consumers call it. Pin: the loop-run
+    counter advances exactly once across a direct call plus two full
+    registry consumers, and repeat calls hand back the identical
+    checkpointed DataFrame object."""
+    import os
+
+    from streamline_hybrid_engine_spark import catalog
     from streamline_hybrid_engine_spark.operators import graph as G
 
+    wkey = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    was_warmed = wkey in catalog._WARMED
+    catalog._WARMED.add(wkey)  # sweep context WITHOUT persisting scans
+    G._LPA_MEMO.clear()
+    try:
+        runs0 = G._LPA_LOOP_RUNS
+        labels1, edges1 = G.lpa_labels(spark, sf_dir)
+        assert G._LPA_LOOP_RUNS == runs0 + 1
+        labels2, edges2 = G.lpa_labels(spark, sf_dir)
+        assert labels2 is labels1 and edges2 is edges1  # object-level reuse
+        # two real consumers of the shared core: still no extra loop run
+        G.graph_community_sizes(spark, sf_dir).collect()
+        G.graph_modularity(spark, sf_dir).collect()
+        assert G._LPA_LOOP_RUNS == runs0 + 1
+        # a forced width is a DIFFERENT memo slot (results proven identical
+        # by test_lpa_shuffle_path_result_identical)
+        G.lpa_labels(spark, sf_dir, shuffle_width=5)
+        assert G._LPA_LOOP_RUNS == runs0 + 2
+        # sweep-harness hygiene resilience: crash-sweep drop_run_state
+        # unpersists every persistent RDD, killing the memo's checkpoint
+        # blocks — the probe must detect the dead entry and recompute, not
+        # raise CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (verified failure mode r12)
+        n_before = labels1.count()
+        # a keep-aware drop honors the preserved-id set: memo survives
+        keep = G.lpa_preserved_rdd_ids()
+        assert keep  # the final-round diff capture actually landed
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            if rdd.id() in keep:
+                continue
+            rdd.unpersist(True)
+        l2b, _ = G.lpa_labels(spark, sf_dir)
+        assert l2b is labels1 and l2b.count() == n_before
+        assert G._LPA_LOOP_RUNS == runs0 + 2  # keep-aware drop: still a hit
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist(True)
+        l3, _ = G.lpa_labels(spark, sf_dir)
+        assert l3.count() == n_before > 0
+        assert G._LPA_LOOP_RUNS == runs0 + 3  # recomputed, not reused dead
+    finally:
+        G._LPA_MEMO.clear()
+        G._LPA_MEMO_RDD_IDS.clear()
+        if not was_warmed:
+            catalog._WARMED.discard(wkey)
+
+
+def test_lpa_labels_bench_context_never_memoizes(spark, sf_dir):
+    """OUTSIDE sweep context (no catalog.warm — the bench/parity/tests
+    situation) every lpa_labels call runs the full loop from the parquet
+    inputs: no cross-call result reuse, nothing stored in the memo. This
+    is the r12 optimization-round honesty gate — timed bench runs must
+    compute, not replay a module-level result memo."""
+    import os
+
+    from streamline_hybrid_engine_spark import catalog
+    from streamline_hybrid_engine_spark.operators import graph as G
+
+    wkey = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    assert wkey not in catalog._WARMED  # precondition: bench-like context
     G._LPA_MEMO.clear()
     runs0 = G._LPA_LOOP_RUNS
-    labels1, edges1 = G.lpa_labels(spark, sf_dir)
-    assert G._LPA_LOOP_RUNS == runs0 + 1
-    labels2, edges2 = G.lpa_labels(spark, sf_dir)
-    assert labels2 is labels1 and edges2 is edges1  # object-level reuse
-    # two real consumers of the shared core: still no extra loop run
-    G.graph_community_sizes(spark, sf_dir).collect()
-    G.graph_modularity(spark, sf_dir).collect()
-    assert G._LPA_LOOP_RUNS == runs0 + 1
-    # a forced width is a DIFFERENT memo slot (results proven identical
-    # by test_lpa_shuffle_path_result_identical)
-    G.lpa_labels(spark, sf_dir, shuffle_width=5)
-    assert G._LPA_LOOP_RUNS == runs0 + 2
-    # harness hygiene resilience: bench/crash-sweep drop_run_state
-    # unpersists every persistent RDD, killing the memo's checkpoint
-    # blocks — the probe must detect the dead entry and recompute, not
-    # raise CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (verified failure mode r12)
-    n_before = labels1.count()
-    # bench's drop_run_state honors the preserved-id set: memo survives
-    keep = G.lpa_preserved_rdd_ids()
-    assert keep  # the final-round diff capture actually landed
-    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-        if rdd.id() in keep:
-            continue
-        rdd.unpersist(True)
-    l2b, _ = G.lpa_labels(spark, sf_dir)
-    assert l2b is labels1 and l2b.count() == n_before
-    assert G._LPA_LOOP_RUNS == runs0 + 2  # keep-aware drop: still a hit
-    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-        rdd.unpersist(True)
-    l3, _ = G.lpa_labels(spark, sf_dir)
-    assert l3.count() == n_before > 0
-    assert G._LPA_LOOP_RUNS == runs0 + 3  # recomputed, not reused dead
+    l1, _ = G.lpa_labels(spark, sf_dir)
+    l2, _ = G.lpa_labels(spark, sf_dir)
+    assert G._LPA_LOOP_RUNS == runs0 + 2  # recomputed per call
+    assert not G._LPA_MEMO  # nothing memoized outside the sweep
+    assert l2 is not l1
+    assert sorted(map(tuple, l1.collect())) == sorted(map(tuple, l2.collect()))
 
 
 def test_lpa_round_plan_broadcast_vs_shuffle(spark, sf_dir):
-    """Plan pin for both round forms: width 0 broadcasts the label table
-    (BroadcastHashJoin); forced width produces NO BroadcastExchange in the
-    round join (merge join, AQE demotion included) and the adjacency side
-    arrives pre-partitioned on src — only the label side exchanges."""
+    """Plan pin for both round forms, over a persisted+materialized
+    adjacency exactly as lpa_labels builds it (r12: persist, not
+    localCheckpoint — a checkpointed LogicalRDD forgets its partitioning
+    and re-inflates the per-round exchanges).
+
+    Broadcast form (dst-partitioned cache): the label table broadcasts
+    and the WHOLE round — join plus both aggregates — adds ZERO shuffle
+    exchanges above the in-memory adjacency. Shuffle form
+    (src-partitioned cache): merge join, and the adjacency side is never
+    re-exchanged on src by the planner (the only src exchange is the
+    one-time REPARTITION_BY_NUM inside the cache build)."""
+    import re
+
     import pyspark.sql.functions as F
 
     from streamline_hybrid_engine_spark.operators.graph import _lpa_round
@@ -294,26 +339,40 @@ def test_lpa_round_plan_broadcast_vs_shuffle(spark, sf_dir):
     edges = spark.range(0, 400).select(
         (F.col("id") % 37).alias("src"), (F.col("id") % 11 + 37).alias("dst")
     )
-    und = (
-        edges.union(edges.select(F.col("dst").alias("src"), F.col("src")))
-        .repartition(5, "src")
+    both = edges.union(edges.select(F.col("dst").alias("src"), F.col("src")))
+
+    und_b = both.repartition(5, "dst").persist()
+    und_b.count()  # finalize the cached AQE plan: partitioning now visible
+    # production labels are a checkpoint scan (v, l) — mirror that so the
+    # label side's lineage can't smuggle a src-named exchange into the pin
+    labels = (
+        both.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("l"))
         .localCheckpoint(eager=True)
     )
-    labels = und.select(F.col("src").alias("v")).distinct().select(
-        "v", F.col("v").alias("l")
-    )
-
-    p_b = executed_plan(_lpa_round(und, labels, shuffle_width=0))
+    p_b = executed_plan(_lpa_round(und_b, labels, shuffle_width=0))
     assert "BroadcastHashJoin" in p_b
+    # tree prefix above the first cache scan = the round's whole streamed
+    # path (aggregates + join); a zero-exchange round has no shuffle there
+    above_cache = p_b.split("InMemoryTableScan")[0]
+    assert not re.search(r"\bExchange hashpartitioning", above_cache), (
+        above_cache
+    )
+    und_b.unpersist()
 
-    p_s = executed_plan(_lpa_round(und, labels, shuffle_width=5))
+    und_s = both.repartition(5, "src").persist()
+    und_s.count()
+    p_s = executed_plan(_lpa_round(und_s, labels, shuffle_width=5))
     assert "BroadcastExchange" not in p_s
     assert "SortMergeJoin" in p_s
-    # the big (adjacency) side reuses the pre-loop partitioning: the only
-    # hash exchanges in the plan feed the label side + the two aggregates,
-    # never re-shuffle und on src
-    join_seg = p_s.split("SortMergeJoin")[0]
-    assert "Exchange hashpartitioning(src" not in join_seg
+    # the adjacency side reuses the pre-loop partitioning: no planner-
+    # inserted (ENSURE_REQUIREMENTS) re-shuffle of src anywhere — the only
+    # src exchange is the cache build's own REPARTITION_BY_NUM
+    assert not re.search(
+        r"hashpartitioning\(src[^\n]*ENSURE_REQUIREMENTS", p_s
+    ), p_s
+    und_s.unpersist()
 
 
 def test_modularity_by_community_sums_to_global_q(spark, sf_dir):
