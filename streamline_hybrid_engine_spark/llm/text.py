@@ -2350,9 +2350,17 @@ def bpe_train_and_segment(
             .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
             .agg(F.sum("freq").cast("long").alias("cnt"))
         )
-        best = pairs.orderBy(
-            F.col("cnt").desc(), F.col("lhs"), F.col("rhs")
-        ).limit(1)
+        # LAZY checkpoint of the 1-row argmax: it has TWO consumers (this
+        # round's merge row in the final union + the replace broadcast
+        # below). Un-checkpointed, the merge-table evaluation re-ran every
+        # round's full pair explode+count a second time at collect; lazy
+        # (not eager) so it materializes inside the SAME job that builds
+        # the round's broadcast — one computation, no extra job barrier.
+        best = (
+            pairs.orderBy(F.col("cnt").desc(), F.col("lhs"), F.col("rhs"))
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
         merge_rows.append(
             best.select(
                 F.lit(step).cast("int").alias("step"),

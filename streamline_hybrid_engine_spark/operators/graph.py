@@ -86,11 +86,17 @@ def connected_components(
         n_edges=2 * n_pairs,
         default_parallelism=spark.sparkContext.defaultParallelism,
     )
+    # persist + eager count, NOT localCheckpoint (r12: a checkpointed
+    # LogicalRDD forgets its partitioning, so the d2-repartition never
+    # reached the round joins): with the cache's hashpartitioning(d2)
+    # visible, the per-round adj⋈labels merge join exchanges only the
+    # |V|-row label side — the adjacency never re-shuffles
     adj = (
         pairs.union(pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
         .repartition(n_parts, "d2")
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    adj.count()
     labels = (
         adj.select(F.col("d1").alias("vid"))
         .distinct()
@@ -152,6 +158,7 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
+    adj.unpersist()  # labels are checkpointed per round; the cache is done
     return labels
 
 N_ROUNDS = 5
@@ -228,14 +235,30 @@ def graph_pagerank_suppliers(
         edges.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     deg = und.groupBy("src").agg(F.count("*").alias("d"))
-    # degree-annotated adjacency, materialized once for the 5 rounds; on
-    # the shuffle path pre-partitioned on src so the checkpoint pins the
-    # partitioning and every round exchanges only the rank side
+    # degree-annotated adjacency, materialized once for the 5 rounds.
+    # persist + eager count, NOT localCheckpoint (same r12 finding as the
+    # LPA loop: a checkpointed LogicalRDD reports UnknownPartitioning, so
+    # the old "checkpoint pins the partitioning" claim never held): with
+    # the cache's partitioning visible, the broadcast round's
+    # groupBy(dst) runs exchange-free over the dst-partitioned adjacency
+    # (1 exchange/round → 0), and the shuffle path's merge join stops
+    # re-exchanging the |E|-row side (src-partitioned, only the rank
+    # side moves).
     adj = und.join(deg, "src")
     if shuffle_width:
         adj = adj.repartition(shuffle_width, "src")
-    adj = adj.localCheckpoint(eager=True)
-    ranks = deg.select(F.col("src").alias("v"), F.lit(SCALE).cast("long").alias("r"))
+    else:
+        adj = adj.repartition(spark.sparkContext.defaultParallelism, "dst")
+    adj = adj.persist()
+    adj.count()
+    # initial ranks from the materialized adjacency (und is symmetric, so
+    # distinct dst == the vertex set) — before r12 this re-ran the whole
+    # orders⋈lineitem edge build a second time for round 1's broadcast
+    ranks = (
+        adj.select(F.col("dst").alias("v"))
+        .distinct()
+        .select("v", F.lit(SCALE).cast("long").alias("r"))
+    )
     for _ in range(N_ROUNDS):
         # ranks is |V| rows of (long, long) — orders of magnitude smaller
         # than the edge list. Broadcasting it makes each round a map-side
@@ -256,6 +279,7 @@ def graph_pagerank_suppliers(
                 + F.expr(f"({DAMP_NUM} * total) div {DAMP_DEN}")
             ).cast("long").alias("r"),
         ).localCheckpoint(eager=True)
+    adj.unpersist()  # final ranks are checkpointed; the cache is done
     name = F.when(
         F.col("v") % 2 == 0,
         F.concat(F.lit("c"), (F.col("v") / 2).cast("long").cast("string")),
@@ -437,9 +461,21 @@ def graph_sssp_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = edges.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
         edges.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    adj = und.localCheckpoint(eager=True)
-    root = edges.agg(F.min("c")).collect()[0][0]  # 1-row scalar, like the
-    # triangle total — the source vertex id, not a data loop
+    # dst-partitioned persist + eager count (the r12 LPA/PageRank
+    # finding): each round's groupBy(dst) after the broadcast frontier
+    # join runs exchange-free over the cached adjacency — a checkpoint
+    # would forget the partitioning (UnknownPartitioning) and re-insert
+    # the exchange every round
+    adj = und.repartition(
+        spark.sparkContext.defaultParallelism, "dst"
+    ).persist()
+    adj.count()
+    # source vertex off the materialized adjacency (even parity = customer
+    # ids; und is symmetric so every c appears as src) — before r12 this
+    # re-ran the whole orders⋈lineitem edge build a second time
+    root = (
+        adj.filter(F.col("src") % 2 == 0).agg(F.min("src")).collect()[0][0]
+    )  # 1-row scalar, like the triangle total — not a data loop
     dist = spark.createDataFrame([(int(root), 0)], "v long, dist int")
     frontier = dist
     for _ in range(N_SSSP):
@@ -457,6 +493,7 @@ def graph_sssp_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         dist = dist.union(fresh).localCheckpoint(eager=True)
         frontier = fresh
+    adj.unpersist()  # dist/fresh are checkpointed; the cache is done
     name = F.when(
         F.col("v") % 2 == 0,
         F.concat(F.lit("c"), (F.col("v") / 2).cast("long").cast("string")),
