@@ -1549,8 +1549,21 @@ def llm_dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamline_hybrid_engine_spark.registry import all_queries
 
     qs = all_queries()
-    cand = qs["llm_dedup_minhash_pairs"].fn(spark, sf_dir).select("d1", "d2")
-    truth = qs["llm_dedup_ngram_jaccard"].fn(spark, sf_dir).select("d1", "d2")
+    # each pair set has TWO consumers (its count + the hit join) — lazy
+    # checkpoints so the LSH bucket join and, above all, the exact
+    # inverted-index Jaccard pipeline run ONCE, not twice (r12; the
+    # checkpoint tables are pair-sized, far below either pipeline's
+    # intermediates)
+    cand = (
+        qs["llm_dedup_minhash_pairs"].fn(spark, sf_dir)
+        .select("d1", "d2")
+        .localCheckpoint(eager=False)
+    )
+    truth = (
+        qs["llm_dedup_ngram_jaccard"].fn(spark, sf_dir)
+        .select("d1", "d2")
+        .localCheckpoint(eager=False)
+    )
     n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
     n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
     n_hit = cand.join(truth, ["d1", "d2"]).agg(
@@ -1648,10 +1661,16 @@ def llm_dedup_eval_pr_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
     ) - 1
     sh = _doc_shingles(spark, sf_dir).filter(digit < EVAL_SAMPLE_DIGIT_LT)
-    truth = ngram_jaccard_pairs(sh).select("d1", "d2")
+    # same two-consumer shape as the full eval: lazy-checkpoint both pair
+    # sets so each sampled pipeline computes once (r12)
+    truth = (
+        ngram_jaccard_pairs(sh)
+        .select("d1", "d2")
+        .localCheckpoint(eager=False)
+    )
     cand = band_pairs(
         _bands_with_sig(spark, sf_dir, sh=sh).localCheckpoint(eager=False)
-    ).select("d1", "d2")
+    ).select("d1", "d2").localCheckpoint(eager=False)
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.filter(digit < EVAL_SAMPLE_DIGIT_LT).agg(
         F.count("*").cast("long").alias("n_docs_sample")
