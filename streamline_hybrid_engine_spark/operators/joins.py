@@ -1388,13 +1388,18 @@ def grid_knn_join(
     carry costs ~n extra candidate-pass rows at ring 1 — shells win
     roughly when ε·(2ρ₂+1)² > 1 (ε > ~2% at ρ₂=3). SCALE.md records the
     measured A/B behind this arithmetic."""
+    # the home-cell index is read by the b side, ring 1's pending set,
+    # and every escalation's a side — one lazy materialization of the
+    # 5-column point table instead of re-deriving the caller's input
+    # lineage (for llm_pca_knn_grid that lineage is the whole PCA
+    # projection) per consumer (r12)
     cells = df.select(
         F.col(id_col).alias("id"),
         F.col(x_col).alias("x"),
         F.col(y_col).alias("y"),
         F.floor(F.col(x_col) / float(cell)).cast("long").alias("cx"),
         F.floor(F.col(y_col) / float(cell)).cast("long").alias("cy"),
-    )
+    ).localCheckpoint(eager=False)
     b = cells.select(
         F.col("id").alias("nn_id"),
         F.col("x").alias("_xb"),
@@ -1457,10 +1462,18 @@ def grid_knn_join(
             # farther can neither enter a resolving top-k nor block
             # escalation; ~3× window-input shrink at ring 1), then one
             # ranked pass decides resolution and emits resolved rows
+            # ≤ k·n rows, but THREE consumers hang off it (the resolve
+            # aggregate, the emitted arm's semi-join, and — through
+            # `pending`'s anti-join lineage — every later ring): lazy
+            # checkpoint so the ring's 9-cell join + rank window runs
+            # once, not once per consumer (r12; plans/r12/
+            # join_geo_grid_knn_before.txt showed the ring-1 subtree
+            # replicated 5× — 40 parquet scans, 52 Window nodes)
             ranked = (
                 cand.filter(F.col("d2") <= lim * lim)
                 .withColumn("nn_rank", F.row_number().over(w))
                 .filter(F.col("nn_rank") <= k)
+                .localCheckpoint(eager=False)
             )
             ok = (
                 ranked.groupBy("id")
