@@ -2960,14 +2960,25 @@ def llm_rouge_l_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.split(F.col("text"), " "), 1, ROUGE_L_CLIP).alias("toks"),
     )
     ta = docs.select(F.col("doc_id").alias("d1"), F.col("toks").alias("a"))
-    tb = docs.select(F.col("doc_id").alias("d2"), F.col("toks").alias("b"))
+    # b-side match masks built ONCE PER DOC as a token→word map (the r9
+    # amortization the clip-126 sibling already uses, applied here in
+    # r12): the inline `_LCS_EXPR` redid the O(|a|·|b|) mask fold inside
+    # every pair — k× redundantly for a doc in k LSH candidate pairs —
+    # where the map form pays σ·|b| once per doc and O(|a|) lookups per
+    # pair. Same recurrence, same words (nw=1 at clip 32), fuzz-pinned
+    # identical to the classic DP.
+    tb = docs.select(
+        F.col("doc_id").alias("d2"),
+        F.size("toks").cast("int").alias("nb"),
+        F.expr(lcs_bmap_expr(ROUGE_L_CLIP, b="toks")).alias("bm"),
+    )
     j = (
         pairs.join(ta, "d1")
         .join(tb, "d2")
-        .withColumn("lcs_len", F.expr(_LCS_EXPR))
+        .withColumn("lcs_len", F.expr(lcs_fold_map_expr(ROUGE_L_CLIP)))
     )
     la = F.size("a").cast("double")
-    lb = F.size("b").cast("double")
+    lb = F.col("nb").cast("double")
     return j.select(
         "d1",
         "d2",
