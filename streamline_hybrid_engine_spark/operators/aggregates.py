@@ -2501,11 +2501,33 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wt"),
         "cents",
     )
-    means = w.groupBy("grp", "b").agg(
-        F.expr(
-            "CAST((sum(CAST(wt AS DECIMAL(38,0)) * cents) * 1000000)"
-            " div greatest(sum(CAST(wt AS DECIMAL(38,0))), 1) AS BIGINT)"
-        ).alias("m")
+    # Hot partial aggregate (|rows|·B updates): all-LONG per-row work.
+    # wt·cents is exact in long (wt ≤ 7, cents ≤ ~6e7 ⇒ product ≤ 4.2e8);
+    # summing it split into hi/lo long parts (div/mod 2^20, both operands
+    # non-negative) keeps every per-row op on the compact-long path:
+    # s_lo ≤ (2^20−1)·n and s_hi ≤ 401·n both fit int64 to n ≈ 8.8e12 rows
+    # per (grp,b) cell — four orders of magnitude past the 100 TB row
+    # count — and s_hi·2^20 + s_lo == sum(wt·cents) exactly, recombined in
+    # decimal once per CELL (|groups|·B rows), not per row. The previous
+    # form summed CAST(wt AS DECIMAL(38,0))·cents: decimal(38,0) buffers
+    # are BigDecimal-backed, so every one of the 30M updates paid a
+    # BigDecimal multiply + two adds (bench: 116 busy-cpu-s/run; clean
+    # interleaved A/B median 3.32 s → 2.87 s, identical 5-row output).
+    means = (
+        w.groupBy("grp", "b")
+        .agg(
+            F.expr("sum((wt * cents) div 1048576)").alias("s_hi"),
+            F.expr("sum((wt * cents) % 1048576)").alias("s_lo"),
+            F.expr("sum(cast(wt as bigint))").alias("s_w"),
+        )
+        .select(
+            "grp",
+            "b",
+            F.expr(
+                "CAST(((CAST(s_hi AS DECIMAL(38,0)) * 1048576 + s_lo)"
+                " * 1000000) div greatest(s_w, 1) AS BIGINT)"
+            ).alias("m"),
+        )
     )
     rw = Window.partitionBy("grp").orderBy("m", "b")
     ranked = means.withColumn("rnk", F.row_number().over(rw))

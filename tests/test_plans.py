@@ -1253,6 +1253,26 @@ def test_bootstrap_ci_single_fact_shuffle(spark, sf_dir):
     assert "partial_" in p
 
 
+def test_bootstrap_ci_hot_aggregate_is_decimal_free(spark, sf_dir):
+    """The |rows|·B partial aggregate must run on compact-long buffers:
+    sum(wt·cents) is split into hi/lo long sums (div/mod 2^20, exact —
+    recombined in decimal once per (grp, b) CELL), because a
+    decimal(38,0) buffer is BigDecimal-backed and paid a per-row
+    BigDecimal multiply + add 30M times (r12: 3.32 s → 2.87 s clean
+    A/B median, identical output)."""
+    p = plan(spark, sf_dir, "agg_bootstrap_ci")
+    assert "partial_sum(((cast(wt" in p  # the hi/lo long products
+    assert "div 1048576" in p and "% 1048576" in p
+    # no decimal anywhere in the wt-side partial sums: the only decimal
+    # partial_sum is the per-row-once sum(cents) of the point-estimate arm
+    import re
+
+    wt_partials = [
+        f for f in re.findall(r"partial_sum\([^\n]*?wt[^\n]*?\)", p)
+    ]
+    assert wt_partials and all("decimal" not in f for f in wt_partials)
+
+
 def test_importance_dsir_broadcasts_model_never_reshuffles_corpus(spark, sf_dir):
     """DSIR: the 128-row score table must attach by BROADCAST hash join
     (never a shuffle of the doc-bucket tfs against it), both corpus
