@@ -107,21 +107,15 @@ def _sweep_order(qs, correctness_dir: str | None = None) -> list[str]:
 #: while unstamped).
 _NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # r12 additions ONLY. The r11 entries GRADUATED at the r12 open:
-        # CORRECTNESS_r11.json stamped all 7 of them green (third
+        # EMPTY at the r13 open: the 7 r12 additions GRADUATED —
+        # CORRECTNESS_r12.json stamped every one of them green (fourth
         # consecutive fully-stamped sweep), so the never-stamped backlog
         # is EMPTY and every id added this round stamps in the next sweep
         # regardless of rank. Cap additions at <= 50 so that stays true.
         # tests/test_registry.py pins set ∩ stamped == ∅ and every entry
         # to be a live oracle-backed registry id, so ids are appended here
-        # IN THE SAME COMMIT that registers them.
-        "win_weighted_median_binned",
-        "ts_rolling_mau_hll",
-        "ts_seasonal_anomaly_bucketed",
-        "llm_ann_ivfpq",
-        "llm_ann_recall_ivfpq",
-        "llm_dedup_eval_pr_sampled",
-        "llm_dataset_card_hll",
+        # IN THE SAME COMMIT that registers them. r13 is an optimization
+        # round: no new ids are expected.
     }
 )
 
