@@ -2506,8 +2506,8 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # summing it split into hi/lo long parts (div/mod 2^20, both operands
     # non-negative) keeps every per-row op on the compact-long path:
     # s_lo ≤ (2^20−1)·n and s_hi ≤ 401·n both fit int64 to n ≈ 8.8e12 rows
-    # per (grp,b) cell — four orders of magnitude past the 100 TB row
-    # count — and s_hi·2^20 + s_lo == sum(wt·cents) exactly, recombined in
+    # per (grp,b) cell — ~250-300× above the ~3e10 rows/cell of the 100 TB
+    # shape — and s_hi·2^20 + s_lo == sum(wt·cents) exactly, recombined in
     # decimal once per CELL (|groups|·B rows), not per row. The previous
     # form summed CAST(wt AS DECIMAL(38,0))·cents: decimal(38,0) buffers
     # are BigDecimal-backed, so every one of the 30M updates paid a

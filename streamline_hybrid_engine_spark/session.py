@@ -29,6 +29,17 @@ STATIC_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # local-mode shuffle: sized by cpus(); at cluster scale AQE coalesces.
     "spark.sql.ansi.enabled": "true",
+    # Let the planner pick shuffled-hash over sort-merge when its size
+    # conditions hold, and let AQE rewrite SMJ->SHJ when every post-shuffle
+    # partition is under 64 MB (guide §3.1/§9): drops the per-partition
+    # sorts on every non-broadcast equi-join. Size-guarded on both paths
+    # (static: canBuildLocalHashMap; runtime: the 64 MB local-map bound),
+    # so per-task build memory stays bounded at cluster scale. Measured
+    # r13 interleaved A/B on SMJ-heavy queries: -5..10% (graph_modularity
+    # 3.2-3.5 -> 3.0 s, llm_dedup_keep 3.3-3.5 -> 3.0 s, CC 2.0-2.2 ->
+    # 1.9 s), no row worse.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "67108864",
 }
 
 

@@ -1264,12 +1264,30 @@ def test_bootstrap_ci_hot_aggregate_is_decimal_free(spark, sf_dir):
     assert "partial_sum(((cast(wt" in p  # the hi/lo long products
     assert "div 1048576" in p and "% 1048576" in p
     # no decimal anywhere in the wt-side partial sums: the only decimal
-    # partial_sum is the per-row-once sum(cents) of the point-estimate arm
-    import re
-
-    wt_partials = [
-        f for f in re.findall(r"partial_sum\([^\n]*?wt[^\n]*?\)", p)
-    ]
+    # partial_sum is the per-row-once sum(cents) of the point-estimate arm.
+    # Extract each FULL balanced partial_sum(...) argument — a non-greedy
+    # regex truncated at the first ')' after 'wt', so a regression like
+    # cast(wt as bigint) * cast(cents as decimal(38,0)) slipped past it
+    # (r12 ADVICE item).
+    wt_partials = []
+    start = 0
+    while True:
+        i = p.find("partial_sum(", start)
+        if i < 0:
+            break
+        depth, j = 0, i + len("partial_sum")
+        while j < len(p):
+            if p[j] == "(":
+                depth += 1
+            elif p[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        frag = p[i : j + 1]
+        start = j + 1
+        if "wt" in frag:
+            wt_partials.append(frag)
     assert wt_partials and all("decimal" not in f for f in wt_partials)
 
 
