@@ -632,29 +632,57 @@ def llm_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers (order/partitioning-independent — float gram sums differ in
     the last ulps per engine).
 
-    Shape here: posexplode + self-join on vec_id + groupBy (pure SQL,
-    oracle-able); the shuffle carries d(d+1)/2 = 2080 cells regardless of
-    corpus size since the groupBy partial-aggregates map-side. At 100 TB
-    replace the per-row explode-join with per-partition outer-product
-    accumulation in a pandas UDF (same 2080-cell partials, less row
-    traffic) — the contract output is identical.
+    Shape here (r13, guide §4.2): per-partition outer-product
+    accumulation in an Arrow mapInPandas kernel — each task folds its
+    rows into ONE int64 64×64 accumulator with vectorized numpy
+    (floor((x_i·x_j)·1e6) per row, the identical IEEE-double op order as
+    the previous posexplode+self-join SQL form, so the exact-integer
+    output is bit-equal), then emits its d(d+1)/2 = 2080 upper-triangle
+    partials; the groupBy merges partition partials. The r1-r12 SQL form
+    materialized N×d² joined rows through a vec_id self-join (8.2M rows
+    at the 2000-vector fixture, N×4096 at any scale) just to feed the
+    same 2080-cell aggregate — the exploding join was the cost, not the
+    arithmetic (r13 interleaved A/B below). The shuffle still carries
+    2080 cells per partition and partial-aggregates map-side.
     """
     e = load_table(spark, sf_dir, "embeddings", parallel=True)
-    ex = e.select(
-        "vec_id",
-        F.posexplode(F.expr(_TO_DOUBLE.format(v="embedding"))).alias("i", "x"),
-    )
-    a = ex.select("vec_id", F.col("i").alias("i"), F.col("x").alias("xa"))
-    b = ex.select("vec_id", F.col("i").alias("j"), F.col("x").alias("xb"))
+
+    def gram_partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        d = _PCA_DIM
+        acc = np.zeros((d, d), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            # float32 components cast to double BEFORE the product —
+            # exactly CAST(x AS DOUBLE) in the SQL form (f32→f64 exact)
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # chunked so the n×d×d intermediate stays ~16 MB
+            for s in range(0, len(x), 512):
+                c = x[s : s + 512]
+                p = np.einsum("ni,nj->nij", c, c)
+                np.multiply(p, 1000000.0, out=p)
+                np.floor(p, out=p)
+                acc += p.astype(np.int64).sum(axis=0)
+                seen = True
+        if seen:
+            iu = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype("int32"),
+                    "j": iu[1].astype("int32"),
+                    "g_fp": acc[iu],
+                }
+            )
+
     return (
-        a.join(b, "vec_id")
-        .filter(F.col("i") <= F.col("j"))
+        e.select("embedding")
+        .mapInPandas(gram_partials, "i int, j int, g_fp long")
         .groupBy("i", "j")
-        .agg(
-            F.sum(
-                F.floor(F.col("xa") * F.col("xb") * 1000000).cast("long")
-            ).alias("g_fp")
-        )
+        .agg(F.sum("g_fp").alias("g_fp"))
     )
 
 

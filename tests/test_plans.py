@@ -199,10 +199,16 @@ def test_kmeans_broadcasts_centroids_never_shuffles_vectors(spark, sf_dir):
 
 def test_gram_matrix_partial_aggregates_before_exchange(spark, sf_dir):
     """The (i, j) cell sums must partial-aggregate map-side so the shuffle
-    carries ~2080 cells per partition, not the exploded pair stream."""
+    carries ~2080 cells per partition, not the exploded pair stream.
+    Since r13 the partials come from a per-partition Arrow outer-product
+    kernel: NO join and NO explode may appear — the r1-r12 form
+    materialized N×d² rows through a vec_id self-join just to feed the
+    same 2080-cell aggregate."""
     p = plan(spark, sf_dir, "llm_embedding_gram")
     assert "partial_" in p
-    assert "BroadcastNestedLoopJoin" not in p
+    assert "MapInPandas" in p or "ArrowEvalPython" in p
+    for bad in ("Join", "Generate", "CartesianProduct"):
+        assert bad not in p, bad
 
 
 def test_dq_expectations_single_pass_one_fact_scan(spark, sf_dir):
