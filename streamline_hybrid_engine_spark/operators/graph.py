@@ -139,15 +139,25 @@ def connected_components(
                 ).alias("moved"),
             )
             .coalesce(n_parts)
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint (r13): the convergence probe below is a
+            # FULL count over the marked-persistent RDD, so one job per
+            # round both materializes the round's blocks and answers the
+            # probe — the eager form paid a separate checkpoint job per
+            # round (2 jobs/round → 1; rounds at fixture scale are pure
+            # job-launch overhead, 0.4-0.7 s each measured r13)
+            .localCheckpoint(eager=False)
         )
         labels = new_labels.drop("moved")
         # round 1 ALWAYS changes on a non-empty edge set (every edge's
         # larger endpoint adopts a smaller label), so its convergence
-        # probe is a guaranteed-wasted job — skip it; later rounds check
+        # probe is a guaranteed-wasted job — skip it: this round's blocks
+        # materialize inside the NEXT round's probe job instead
         if round_idx == 0:
             continue
-        changed = new_labels.filter(F.col("moved")).limit(1).count()
+        # full count (no limit): computes every partition, so the lazy
+        # checkpoint is fully materialized by this very job (a limit(1)
+        # could early-exit and leave the catch-up to a second job)
+        changed = new_labels.filter(F.col("moved")).count()
         if changed == 0:
             break
     else:
@@ -259,7 +269,7 @@ def graph_pagerank_suppliers(
         .distinct()
         .select("v", F.lit(SCALE).cast("long").alias("r"))
     )
-    for _ in range(N_ROUNDS):
+    for round_idx in range(N_ROUNDS):
         # ranks is |V| rows of (long, long) — orders of magnitude smaller
         # than the edge list. Broadcasting it makes each round a map-side
         # join over the checkpointed adjacency (edges never re-shuffle;
@@ -272,13 +282,20 @@ def graph_pagerank_suppliers(
             .groupBy("dst")
             .agg(F.sum(F.expr("r div d")).alias("total"))
         )
+        # LAZY per-round checkpoints (r13): the rounds have no probe, so
+        # only the LAST round is eager — its materialization job runs
+        # every pending round's stages back to back (1 job for the loop
+        # instead of N_ROUNDS checkpoint jobs; round wall at fixture
+        # scale is job-launch overhead, not data). The eager last round
+        # MUST land before adj.unpersist(), or the lazy chain would
+        # recompute the whole edge build per round.
         ranks = contrib.select(
             F.col("dst").alias("v"),
             (
                 F.lit(BASE)
                 + F.expr(f"({DAMP_NUM} * total) div {DAMP_DEN}")
             ).cast("long").alias("r"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=(round_idx == N_ROUNDS - 1))
     adj.unpersist()  # final ranks are checkpointed; the cache is done
     name = F.when(
         F.col("v") % 2 == 0,
@@ -311,7 +328,10 @@ def triangle_per_edge_counts(
     tests can assert the traversal is equi/broadcast-join only."""
 
     def ckpt(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint(eager=True) if checkpoint else df
+        # lazy (r13): blocks materialize inside the first consumer's job
+        # (the broadcast builds / final count) — persist semantics still
+        # guarantee the self-join runs once; eager paid 2 extra jobs
+        return df.localCheckpoint(eager=False) if checkpoint else df
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     other = li.select(
@@ -487,11 +507,18 @@ def graph_sssp_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         fresh = (
             reached.join(dist, reached.nv == dist.v, "left_anti")
             .select(F.col("nv").alias("v"), F.col("nd").cast("int").alias("dist"))
-            .localCheckpoint(eager=True)
+            # LAZY + full-count probe (r13): one job per round both
+            # materializes the frontier's blocks and answers the probe
+            # (the old eager ckpt + limit(1) pair was 2 jobs/round). The
+            # previous round's lazy dist union materializes inside this
+            # same job (the anti-join reads it), so after the loop every
+            # piece of dist is checkpointed blocks — adj.unpersist()
+            # never forces an edge-build recompute.
+            .localCheckpoint(eager=False)
         )
-        if fresh.limit(1).count() == 0:
+        if fresh.count() == 0:
             break
-        dist = dist.union(fresh).localCheckpoint(eager=True)
+        dist = dist.union(fresh).localCheckpoint(eager=False)
         frontier = fresh
     adj.unpersist()  # dist/fresh are checkpointed; the cache is done
     name = F.when(
@@ -610,19 +637,26 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    # LAZY checkpoints + carried counts (r13): each round's single
+    # count() job materializes that round's blocks AND answers the
+    # convergence probe; n_before is the PREVIOUS round's count, not a
+    # re-count of cached blocks (the old shape paid 3 jobs per round:
+    # re-count + eager ckpt + probe count).
+    n_before = und.count()
     for _ in range(50):  # peel depth bound; trading graphs are shallow
         deg = und.groupBy("src").agg(F.count("*").alias("deg"))
         keep = deg.filter(F.col("deg") >= K_CORE).select("src")
-        n_before = und.count()
         und = (
             und.join(keep, "src", "left_semi")
             .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if und.count() == n_before:
+        n_after = und.count()
+        if n_after == n_before:
             break
+        n_before = n_after
     deg = und.groupBy("src").agg(F.count("*").alias("core_degree"))
     return deg.select(F.col("src").alias("vertex"), "core_degree")
 
@@ -871,10 +905,15 @@ def lpa_labels(
         F.col("src").alias("v"), F.col("src").alias("l")
     )
     final_rdd_id = None
-    for _ in range(LPA_ROUNDS):
+    for round_idx in range(LPA_ROUNDS):
         before_ids = _persistent_rdd_ids(spark) if use_memo else set()
+        # LAZY rounds, eager FINAL round (r13): no probe exists, so the
+        # last round's materialization job runs all pending rounds'
+        # stages back to back — 1 job for the loop instead of
+        # LPA_ROUNDS checkpoint jobs. Must stay ahead of und.unpersist()
+        # below (a fully-lazy chain would re-run the edge build).
         labels = _lpa_round(und, labels, shuffle_width).localCheckpoint(
-            eager=True
+            eager=(round_idx == LPA_ROUNDS - 1)
         )
         if use_memo:
             new_ids = _persistent_rdd_ids(spark) - before_ids
