@@ -46,9 +46,14 @@ def _shared(
     """Materialize ``build()`` once per (session, sf_dir) in sweep mode;
     always localCheckpoint (the callers self-join or iterate over it)."""
     if not is_warmed(spark, sf_dir):
-        return build().localCheckpoint(eager=True)
+        # LAZY (r13): blocks materialize inside the first consumer's job
+        # (self-join sides are separate stages, so no duplicate compute);
+        # eager paid one extra job per query with no reuse benefit
+        return build().localCheckpoint(eager=False)
     k = (spark.sparkContext.applicationId, os.path.realpath(sf_dir), key)
     if k not in _SWEEP_MEMO:
+        # sweep memo stays EAGER: the memo hands the same blocks to many
+        # later queries, so materializing now (once) is the whole point
         _SWEEP_MEMO[k] = build().localCheckpoint(eager=True)
     return _SWEEP_MEMO[k]
 

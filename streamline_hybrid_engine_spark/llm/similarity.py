@@ -1001,7 +1001,10 @@ def llm_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "transform(array_sort(collect_list(struct(i, m))), s -> s.m)"
                 ).alias("cv")
             )
-            cent = cent.localCheckpoint(eager=True)
+            # LAZY (r13): the K-row centroid table materializes inside
+            # the next round's broadcast build — eager paid a checkpoint
+            # job per round
+            cent = cent.localCheckpoint(eager=False)
     return assign.groupBy(F.col("cid").alias("cluster_id")).agg(
         F.count("*").alias("n_members"), F.min("vec_id").alias("min_member")
     )

@@ -2327,7 +2327,7 @@ def bpe_train_and_segment(
         "tok",
         "freq",
         bpe_bracket_enc("tok").alias("enc"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     merge_rows = []
     for step in range(1, n_merges + 1):
         arr = enc.select(
@@ -2373,10 +2373,15 @@ def bpe_train_and_segment(
             F.lit("("), F.col("lhs"), F.lit(")("), F.col("rhs"), F.lit(")")
         )
         rep = F.concat(F.lit("("), F.col("lhs"), F.col("rhs"), F.lit(")"))
+        # LAZY too (r13): the round's blocks materialize inside the NEXT
+        # round's broadcast-build job (which computes arr→pairs→best over
+        # them) — the eager form paid one checkpoint job per round of
+        # pure job-launch overhead; persist semantics still guarantee
+        # each round's replace pass runs once
         enc = (
             enc.crossJoin(F.broadcast(best.select("lhs", "rhs")))
             .select("tok", "freq", F.replace("enc", pat, rep).alias("enc"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     out = merge_rows[0]
     for m in merge_rows[1:]:
